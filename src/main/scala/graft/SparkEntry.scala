@@ -1,13 +1,158 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in [[queries]] is an operator from SURVEY.md §2; keys that are
+  * SQL-expressible also appear in [[oracleSql]] with DuckDB SQL producing
+  * the *identical* result (same column names, same row order, same types
+  * after Spark->parquet->DuckDB round-trip). Discipline for oracle parity:
+  *   - every query ends with an ORDER BY on a unique key;
+  *   - ids are row_number over an explicit ordering (never
+  *     monotonically_increasing_id);
+  *   - count()/sum(int) cast to BIGINT on the DuckDB side (DuckDB widens
+  *     sum to HUGEINT);
+  *   - double aggregates rounded (2 dp for money-scale sums, 4-6 dp for
+  *     unit-scale values) on BOTH sides so FP summation order can't flip a
+  *     hash.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship pipeline on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.run(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL building blocks (DuckDB dialect).
+  // ---------------------------------------------------------------------
+
+  /** The deterministic manifest CTE — must mirror Manifest.fromDocuments. */
+  private val M =
+    """WITH manifest AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY source || '/doc_' || doc_id || '.txt') AS BIGINT) AS id,
+      |         source || '/doc_' || doc_id || '.txt' AS path,
+      |         (doc_id % 3 = 0) AS uploaded
+      |  FROM documents
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Query registry
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    manifestQueries ++ Relational.queries ++ Relational.windowQueries ++
+      PathFns.queries ++ Segments.queries ++ Text.queries ++ Dedup.queries ++
+      Similarity.queries ++ EventWindows.queries
+
+  def oracleSql: Map[String, String] =
+    manifestOracle ++ Relational.oracle ++ Relational.windowOracle ++
+      PathFns.oracle ++ Segments.oracle ++ Text.oracle ++ Dedup.oracle ++
+      Similarity.oracle ++ EventWindows.oracle
+
+  // ----- §2.1/2.2/2.3 (partial)/2.4 (partial)/2.6/2.7/2.10: manifest core
+
+  private def manifestQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "manifest_create" -> ((s, d) => Manifest.fromDocuments(s, d).orderBy("id")),
+    "scan_manifest" -> ((s, d) => Manifest.scan(s, d)),
+    "filter_pending" -> ((s, d) =>
+      Manifest.filterPending(Manifest.fromDocuments(s, d)).orderBy("id")),
+    "filter_uploaded" -> ((s, d) =>
+      Manifest.filterUploaded(Manifest.fromDocuments(s, d)).orderBy("id")),
+    "project_entry" -> ((s, d) =>
+      Manifest.projectEntry(Manifest.fromDocuments(s, d)).orderBy("id")),
+    "manifest_mark_uploaded" -> ((s, d) => {
+      val m = Manifest.fromDocuments(s, d)
+      val ok = Manifest.filterPending(m).filter(col("id") % 5 === 0).select("id")
+      Manifest.markUploaded(m, ok).select("id", "path", "uploaded").orderBy("id")
+    }),
+    "join_anti_resume" -> ((s, d) => {
+      val m = Manifest.fromDocuments(s, d)
+      Manifest.antiResume(m.select("path"), Manifest.filterUploaded(m).select("path"))
+        .orderBy("path")
+    }),
+    "join_semi_uploaded" -> ((s, d) => {
+      val m = Manifest.fromDocuments(s, d)
+      Manifest.semiUploaded(m.select("path"), Manifest.filterUploaded(m).select("path"))
+        .orderBy("path")
+    }),
+    "agg_count_total" -> ((s, d) =>
+      Manifest.fromDocuments(s, d).agg(count(lit(1)).as("n"))),
+    "agg_count_uploaded" -> ((s, d) =>
+      Manifest.fromDocuments(s, d)
+        .agg(count(when(col("uploaded"), 1)).as("n_uploaded"))),
+    "agg_min_pending" -> ((s, d) =>
+      Manifest.filterPending(Manifest.fromDocuments(s, d))
+        .agg(min("id").as("min_id"))),
+    "agg_percent_complete" -> ((s, d) =>
+      Manifest.fromDocuments(s, d).agg(
+        round(sum(when(col("uploaded"), 1).otherwise(0)) * 100.0 / count(lit(1)), 6)
+          .as("pct"))),
+    "sort_by_id_desc" -> ((s, d) =>
+      Manifest.fromDocuments(s, d).orderBy(desc("id"))),
+    "set_except_pending" -> ((s, d) => {
+      val m = Manifest.fromDocuments(s, d)
+      m.except(Manifest.filterUploaded(m)).orderBy("id")
+    }),
+    "set_union_logs" -> ((s, d) => {
+      val m = Manifest.fromDocuments(s, d)
+      m.filter(col("id") % 7 === 0).select("path")
+        .union(m.filter(col("id") % 11 === 0).select("path"))
+        .orderBy("path")
+    }),
+    "set_intersect" -> ((s, d) => {
+      val m = Manifest.fromDocuments(s, d)
+      Manifest.filterUploaded(m).select("id", "path")
+        .intersect(m.filter(col("id") % 2 === 0).select("id", "path"))
+        .orderBy("id")
+    })
+  )
+
+  private def manifestOracle: Map[String, String] = Map(
+    "manifest_create" -> s"$M SELECT id, path, uploaded FROM manifest ORDER BY id",
+    "scan_manifest" -> s"$M SELECT id, path, uploaded FROM manifest ORDER BY id",
+    "filter_pending" ->
+      s"$M SELECT id, path, uploaded FROM manifest WHERE NOT uploaded ORDER BY id",
+    "filter_uploaded" ->
+      s"$M SELECT id, path, uploaded FROM manifest WHERE uploaded ORDER BY id",
+    "project_entry" -> s"$M SELECT id, path FROM manifest ORDER BY id",
+    "manifest_mark_uploaded" ->
+      s"""$M, results AS (SELECT id FROM manifest WHERE NOT uploaded AND id % 5 = 0)
+         |SELECT m.id, m.path, (m.uploaded OR r.id IS NOT NULL) AS uploaded
+         |FROM manifest m LEFT JOIN results r ON m.id = r.id ORDER BY m.id""".stripMargin,
+    "join_anti_resume" ->
+      s"""$M SELECT path FROM manifest m
+         |WHERE NOT EXISTS (SELECT 1 FROM manifest u WHERE u.uploaded AND u.path = m.path)
+         |ORDER BY path""".stripMargin,
+    "join_semi_uploaded" ->
+      s"""$M SELECT path FROM manifest m
+         |WHERE EXISTS (SELECT 1 FROM manifest u WHERE u.uploaded AND u.path = m.path)
+         |ORDER BY path""".stripMargin,
+    "agg_count_total" -> s"$M SELECT count(*) AS n FROM manifest",
+    "agg_count_uploaded" ->
+      s"$M SELECT count(CASE WHEN uploaded THEN 1 END) AS n_uploaded FROM manifest",
+    "agg_min_pending" ->
+      s"$M SELECT min(id) AS min_id FROM manifest WHERE NOT uploaded",
+    "agg_percent_complete" ->
+      s"""$M SELECT round(CAST(sum(CASE WHEN uploaded THEN 1 ELSE 0 END) AS BIGINT) * 100.0
+         | / count(*), 6) AS pct FROM manifest""".stripMargin,
+    "sort_by_id_desc" ->
+      s"$M SELECT id, path, uploaded FROM manifest ORDER BY id DESC",
+    "set_except_pending" ->
+      s"""$M SELECT id, path, uploaded FROM manifest
+         |EXCEPT SELECT id, path, uploaded FROM manifest WHERE uploaded
+         |ORDER BY id""".stripMargin,
+    "set_union_logs" ->
+      s"""$M SELECT path FROM (
+         |  SELECT path FROM manifest WHERE id % 7 = 0
+         |  UNION ALL SELECT path FROM manifest WHERE id % 11 = 0
+         |) ORDER BY path""".stripMargin,
+    "set_intersect" ->
+      s"""$M SELECT id, path FROM manifest WHERE uploaded
+         |INTERSECT SELECT id, path FROM manifest WHERE id % 2 = 0
+         |ORDER BY id""".stripMargin
+  )
+
 }

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Deduplication operators (SURVEY §2.13) — exact, n-gram Jaccard,
+  * MinHash and SimHash.
+  *
+  * Grounding: the reference has no uniqueness on `path` (olrcdb.py:39-44),
+  * so re-running `prepareupload.py` double-inserts every file; dedup is the
+  * first operator a real manifest (or an LLM training corpus) needs.
+  *
+  * Scale design:
+  *  - exact dedup = hash-groupBy on a digest — one shuffle of (digest,
+  *    min-id), never the payload;
+  *  - n-gram Jaccard = explode shingles → self-equi-join on shingle →
+  *    pair-count aggregate. The join key is the shingle, so frequency
+  *    blowup is bounded by shingle document-frequency; at 100 TB the
+  *    MinHash/LSH path below replaces the exact self-join;
+  *  - MinHash = per-doc signature (map-only) → banding → groupBy band
+  *    bucket; candidate verification is a join on the tiny candidate set.
+  *  - SimHash = one 64-bit fingerprint per doc via bit-vote aggregation;
+  *    near-dup = fingerprints within Hamming distance k.
+  * All hashes are Spark's murmur3 (`functions.hash`/`xxhash64`) with fixed
+  * seeds — deterministic across runs and cluster sizes.
+  */
+object Dedup {
+
+  private def wordsOf(text: Column): Column = split(text, " ")
+
+  /** Distinct 3-word shingles per document, exploded to rows. */
+  def shingles(docs: DataFrame): DataFrame = {
+    val w = wordsOf(col("text"))
+    docs.filter(size(w) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(w) - 3), i =>
+          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
+            element_at(w, i + 3))))).as("shingle"))
+  }
+
+  /** MinHash signature: k minimums of seeded xxhash64 over shingles.
+    * Returned as `sig` array column, one row per doc. */
+  def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
+    val sh = shingles(docs)
+    val hashed = sh.select(col("doc_id"),
+      array((0 until k).map(i => xxhash64(lit(i), col("shingle"))): _*).as("hs"))
+    hashed.groupBy("doc_id")
+      .agg(array((0 until k).map(i =>
+        min(element_at(col("hs"), i + 1))): _*).as("sig"))
+  }
+
+  /** LSH banding: split the k-wide signature into `bands` buckets; docs
+    * sharing any band bucket are near-dup candidates. */
+  def minhashBands(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate near-dup pairs from band buckets (a < b), deduplicated. */
+  def minhashCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val bb = minhashBands(minhashSignatures(docs, k), k, bands)
+    val a = bb.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val b = bb.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+    a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** 64-bit SimHash per doc: per-bit vote of word-hash bits, packed via
+    * builtin bit ops only (stays in codegen). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val wh = docs.select(col("doc_id"),
+      explode(wordsOf(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), xxhash64(col("word")).as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
+    }
+    val voted = wh.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val packed = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    voted.select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup by content digest: keep first doc_id per md5(text).
+    "dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id", "h")
+        .orderBy("doc_id")),
+    // nearest doc by 3-gram Jaccard for the first 20 docs (exact form;
+    // the LSH path replaces the self-join at scale).
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = shingles(Tables.documents(s, d)).cache()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
+        .filter(col("a_id") < 20)
+      val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
+      val inter = a.join(b, "shingle").filter(col("a_id") =!= col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      val ca = cnt.select(col("doc_id").as("a_id"), col("n").as("na"))
+      val cb = cnt.select(col("doc_id").as("b_id"), col("n").as("nb"))
+      val jac = inter.join(broadcast(ca), "a_id").join(cb, "b_id")
+        .withColumn("jac", col("inter") * 1.0 / (col("na") + col("nb") - col("inter")))
+      jac.withColumn("rn", row_number().over(
+          Window.partitionBy("a_id").orderBy(desc("jac"), asc("b_id"))))
+        .filter(col("rn") === 1)
+        .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jaccard"))
+        .orderBy("a_id")
+    }),
+    // MinHash signatures + first band bucket (deterministic per doc; the
+    // candidate-pair join is exercised in the ScalaTest with planted dups).
+    "dedup_minhash" -> ((s, d) =>
+      minhashBands(minhashSignatures(Tables.documents(s, d), 16), 16, 4)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bands"),
+          min(when(col("band") === 0, col("bucket"))).as("bucket0"))
+        .orderBy("doc_id")),
+    // SimHash 64-bit fingerprints.
+    "dedup_simhash" -> ((s, d) =>
+      simhash(Tables.documents(s, d)).orderBy("doc_id"))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS h
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |ex AS (
+        |  SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i FROM w),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |  FROM ex),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id < 20 GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT a_id, b_id,
+        |         inter * 1.0 / (ca.n + cb.n - inter) AS jac,
+        |         row_number() OVER (PARTITION BY a_id
+        |           ORDER BY inter * 1.0 / (ca.n + cb.n - inter) DESC, b_id) AS rn
+        |  FROM inter JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id)
+        |SELECT a_id, b_id, round(jac, 6) AS jaccard FROM jac
+        |WHERE rn = 1 ORDER BY a_id""".stripMargin
+    // dedup_minhash / dedup_simhash: Spark murmur3/xxhash64 have no DuckDB
+    // equivalent → rows-only check + ScalaTest property coverage.
+  )
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Manifest lifecycle operators — the reference's core data model.
+  *
+  * Reference: the MySQL manifest table (olrcdb.py:36-52) created by
+  * `prepareupload.py` (recursive walk → one INSERT per file,
+  * prepareupload.py:21-60) and consumed/mutated by `bulkupload.py`
+  * (`SELECT ... WHERE uploaded='0' ORDER BY id DESC` bulkupload.py:354-360,
+  * `UPDATE ... SET uploaded='1' WHERE id=?` bulkupload.py:253-261).
+  *
+  * Spark design: the manifest is an immutable parquet snapshot; "UPDATE" is
+  * a join + rewrite ([[markUploaded]]). For the driver's oracle gate the
+  * manifest is *derived deterministically* from the `documents` test table
+  * (path = source/doc_<id>.txt, uploaded seeded by doc_id % 3 == 0) so every
+  * operator is expressible as DuckDB SQL over the same parquet.
+  *
+  * Scale note (100 TB): `row_number()` over a global ORDER BY is a
+  * single-partition sort — correct but serial. At cluster scale the id
+  * assignment would switch to `zipWithIndex`-style per-partition offsets
+  * (sortWithinPartitions + partition-size scan), which keeps the sort
+  * distributed; ids stay deterministic for a fixed partitioning. The oracle
+  * runs at sf<=0.1 where the global window is the simpler, equally-correct
+  * choice.
+  */
+object Manifest {
+
+  /** Deterministic manifest derived from `documents`: the Spark equivalent
+    * of `prepare_upload` + `create_table` (id assignment = AUTO_INCREMENT,
+    * olrcdb.py:40, as row_number over path order — SURVEY §2.1
+    * `manifest_create`). */
+  def fromDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val paths = docs.select(
+      concat(col("source"), lit("/doc_"), col("doc_id"), lit(".txt")).as("path"),
+      (col("doc_id") % 3 === 0).as("uploaded"))
+    paths.select(
+      row_number().over(Window.orderBy("path")).cast("long").as("id"),
+      col("path"), col("uploaded"))
+  }
+
+  /** Full scan (`get_all_entries_to_upload`'s SELECT *, bulkupload.py:354-360). */
+  def scan(spark: SparkSession, dir: String): DataFrame =
+    fromDocuments(spark, dir).orderBy("id")
+
+  /** Resume predicate `WHERE uploaded='0'` (bulkupload.py:357). Catalyst
+    * pushes this to the scan when the manifest is a parquet snapshot. */
+  def filterPending(m: DataFrame): DataFrame =
+    m.filter(!col("uploaded"))
+
+  /** `WHERE uploaded='1'` — resume counter seed (bulkupload.py:242-250). */
+  def filterUploaded(m: DataFrame): DataFrame =
+    m.filter(col("uploaded"))
+
+  /** Column pruning to (id, path) — tuple indexing bulkupload.py:193/197. */
+  def projectEntry(m: DataFrame): DataFrame =
+    m.select("id", "path")
+
+  /** The core mutation: `UPDATE t SET uploaded='1' WHERE id=?` per success
+    * (set_uploaded, bulkupload.py:253-261) re-expressed as a set-oriented
+    * left join + flag OR. `results` carries an `id` column of succeeded
+    * uploads. Small result sets are broadcast (hinted) so the manifest
+    * never shuffles. */
+  def markUploaded(m: DataFrame, results: DataFrame): DataFrame = {
+    val r = broadcast(results.select(col("id").as("_ok_id")).distinct())
+    m.join(r, m("id") === r("_ok_id"), "left")
+      .withColumn("uploaded", col("uploaded") || col("_ok_id").isNotNull)
+      .drop("_ok_id")
+  }
+
+  /** Anti-join resume: rows of a fresh scan not yet in the indexed set
+    * (readme.md:42 "re-run and continue uploading without reuploading").
+    * The reference encodes this as the uploaded flag; the general form is
+    * a left_anti join on path. */
+  def antiResume(scanned: DataFrame, indexed: DataFrame): DataFrame =
+    scanned.join(indexed, Seq("path"), "left_anti")
+
+  /** Semi-join: scan rows already done. */
+  def semiUploaded(scanned: DataFrame, indexed: DataFrame): DataFrame =
+    scanned.join(indexed, Seq("path"), "left_semi")
+}

@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Relational breadth over the TPC-H-ish star schema (SURVEY §2.3-2.6).
+  *
+  * Each EXT operator generalizes a REF behavior (see SURVEY §2 table); the
+  * physical concerns are stated per query:
+  *   - dimension joins broadcast the small side explicitly so the fact
+  *     table never shuffles (`join_broadcast_dim`, `join_theta_range`);
+  *   - large equi-joins rely on Catalyst + AQE (sort-merge <-> broadcast
+  *     switch at runtime) — no hand scheduling (`join_equi_hash`);
+  *   - aggregations are partial+final hash aggregates for free; only the
+  *     grouped result (tiny) crosses the shuffle;
+  *   - top-k is orderBy+limit which Spark plans as TakeOrderedAndProject
+  *     (per-partition heap, no global sort).
+  */
+object Relational {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // orders ⋈ customer FK equi-join + grouped agg (generalizes
+    // join_manifest_results, bulkupload.py:253-261).
+    "join_equi_hash" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("total_spent"))
+        .orderBy("c_custkey")
+    }),
+    // fact ⋈ small dims — broadcast both dims, zero shuffle on customer.
+    "join_broadcast_dim" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+             round(avg(col("c_acctbal")), 4).as("avg_bal"))
+        .orderBy("r_name", "n_name")
+    }),
+    // non-equi band join → BroadcastNestedLoopJoin over a 3-row bands side.
+    "join_theta_range" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val bands = broadcast(s.createDataFrame(Seq(
+        (0.0, 50000.0, "low"), (50000.0, 150000.0, "mid"),
+        (150000.0, 1e12, "high"))).toDF("lo", "hi", "band"))
+      o.join(bands, o("o_totalprice") >= bands("lo") && o("o_totalprice") < bands("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("band")
+    }),
+    // customers with/without orders — left outer keeps the zero-order rows.
+    "join_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+    // TPC-H Q1 shape: the canonical partial+final grouped aggregate with a
+    // pushed-down shipdate filter (check: PushedFilters in .explain).
+    "agg_group_by" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    // exact distinct per group (HLL++ approx variant is bench-only:
+    // approx results are not oracle-stable).
+    "agg_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")),
+    // subtotal hierarchy region→nation (generalizes end_reporting totals).
+    "agg_rollup" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+    // per-group stats; stddev_samp matches DuckDB's sample semantics.
+    "agg_stats_events" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             round(min(col("value")), 6).as("min_v"),
+             round(max(col("value")), 6).as("max_v"),
+             round(avg(col("value")), 4).as("avg_v"),
+             round(stddev_samp(col("value")), 4).as("sd_v"))
+        .orderBy("event_type")),
+    // top-k: TakeOrderedAndProject (heap per partition, no global sort).
+    "limit_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "join_equi_hash" ->
+      """SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders,
+        |       round(sum(o.o_totalprice), 2) AS total_spent
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""".stripMargin,
+    "join_broadcast_dim" ->
+      """SELECT r.r_name, n.n_name, count(*) AS n_cust,
+        |       round(avg(c.c_acctbal), 4) AS avg_bal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin,
+    "join_theta_range" ->
+      """SELECT b.band, count(*) AS n, round(sum(o.o_totalprice), 2) AS total
+        |FROM orders o JOIN (VALUES (0.0, 50000.0, 'low'),
+        |  (50000.0, 150000.0, 'mid'), (150000.0, 1e12, 'high')) AS b(lo, hi, band)
+        |ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        |GROUP BY b.band ORDER BY b.band""".stripMargin,
+    "join_outer" ->
+      """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    "agg_group_by" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_rollup" ->
+      """SELECT r.r_name, n.n_name, count(*) AS n_cust
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP (r.r_name, n.n_name)
+        |ORDER BY r.r_name NULLS FIRST, n.n_name NULLS FIRST""".stripMargin,
+    "agg_stats_events" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+        |       round(avg(value), 4) AS avg_v, round(stddev_samp(value), 4) AS sd_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "limit_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+  )
+
+  // ----- §2.5 window functions -----
+
+  def windowQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // AUTO_INCREMENT as a window (olrcdb.py:40) — id over path order.
+    "win_row_number_id" -> ((s, d) =>
+      Manifest.fromDocuments(s, d).select("id", "path").orderBy("id")),
+    // rank per group, top 3 orders per customer (ties broken by orderkey).
+    "win_rank_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rnk")
+    }),
+    // running uploaded-count made relational (bulkupload.py:195-197).
+    "win_running_total" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily.withColumn("running",
+          sum(col("n")).over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("day")
+    }),
+    // Δcount vs previous day — set_speed's math (bulkupload.py:369-384).
+    "win_lag_delta" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily.withColumn("delta",
+          col("n") - lag(col("n"), 1).over(Window.orderBy("day")))
+        .orderBy("day")
+    })
+  )
+
+  def windowOracle: Map[String, String] = Map(
+    "win_row_number_id" ->
+      """WITH manifest AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY source || '/doc_' || doc_id || '.txt') AS BIGINT) AS id,
+        |         source || '/doc_' || doc_id || '.txt' AS path
+        |  FROM documents)
+        |SELECT id, path FROM manifest ORDER BY id""".stripMargin,
+    "win_rank_topk" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "win_running_total" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1)
+        |SELECT day, n, CAST(sum(n) OVER (ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+        |FROM daily ORDER BY day""".stripMargin,
+    "win_lag_delta" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1)
+        |SELECT day, n, n - lag(n, 1) OVER (ORDER BY day) AS delta
+        |FROM daily ORDER BY day""".stripMargin
+  )
+}

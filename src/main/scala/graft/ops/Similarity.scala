@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Similarity search over embedding columns (SURVEY §2.13 `sim_topk`,
+  * builder north star).
+  *
+  * Baseline: brute-force cosine top-k — query side broadcast, candidate
+  * side streamed, so the plan is a BroadcastNestedLoopJoin with the cosine
+  * evaluated by codegen'd higher-order functions (`zip_with` +
+  * `aggregate`), no UDF.
+  *
+  * Scale path: random-hyperplane LSH ([[lshBuckets]]) — each vector gets a
+  * small integer bucket (map-only); the candidate join is an equi-join on
+  * bucket, turning O(n·q) into O(n·q/2^bits) with a shuffle keyed by
+  * bucket. Hyperplanes are derived from a fixed seed so results are
+  * deterministic across cluster sizes.
+  */
+object Similarity {
+
+  /** Element products summed in index order — matches DuckDB's
+    * list_inner_product fold order so doubles are bit-identical. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def toDoubleArr(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = toDoubleArr(a)
+    val bd = toDoubleArr(b)
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Sign-bit bucket of `vec` against `bits` pseudo-random hyperplanes.
+    * Hyperplane component j of plane p is a deterministic hash-derived
+    * value in [-1, 1] — no stored model, recomputable anywhere. */
+  def lshBucket(vec: Column, dim: Int, bits: Int): Column = {
+    val planes: Seq[Seq[Double]] = {
+      val rnd = new scala.util.Random(42)
+      Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+    }
+    (0 until bits).map { p =>
+      val proj = (0 until dim).map { j =>
+        element_at(vec, j + 1).cast("double") * lit(planes(p)(j))
+      }.reduce(_ + _)
+      when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Brute-force cosine top-k: queries broadcast against all candidates. */
+  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = broadcast(emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe")))
+    val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+    val scored = q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("qe"), col("ne")))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates restricted to the query's
+    * bucket (equi-join on bucket — shuffle keyed by bucket, not a cross
+    * join). Recall measured in the ScalaTest suite. */
+  def lshTopK(emb: DataFrame, queryPred: Column, k: Int, bits: Int = 6): DataFrame = {
+    val dim = 64
+    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), dim, bits))
+    val q = bucketed.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+      col("bucket"))
+    val scored = q.join(c, "bucket").filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("qe"), col("ne")))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk" -> ((s, d) =>
+      bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
+        .orderBy("q_id", "rnk")),
+    // approximate variant — not oracle-expressible (seeded hyperplanes);
+    // rows-only check + recall assertion in ScalaTest.
+    "sim_ann_lsh" -> ((s, d) =>
+      lshTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
+        .orderBy("q_id", "rnk")),
+    // embedding near-dup: label-mates with cosine above threshold.
+    "sim_near_dup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+        col("label").as("a_label"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+        col("label").as("b_label"))
+      a.join(b, col("a_label") === col("b_label") && col("a_id") < col("b_id"))
+        .withColumn("cos", cosine(col("ae"), col("be")))
+        .filter(col("cos") > 0.95)
+        .groupBy(col("a_label").as("label"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("label")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sim_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id,
+        |         list_inner_product(q.qe, e.emb) /
+        |         (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(e.emb, e.emb))) AS cos
+        |  FROM q, e WHERE q.q_id <> e.vec_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, n_id, round(cos, 6) AS cos_sim FROM ranked
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "sim_near_dup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |pairs AS (
+        |  SELECT a.label,
+        |         list_inner_product(a.emb, b.emb) /
+        |         (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb))) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, count(*) AS n_pairs FROM pairs WHERE cos > 0.95
+        |GROUP BY label ORDER BY label""".stripMargin
+  )
+}

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Text-analysis operators for an LLM-data pipeline (SURVEY §2.13
+  * `text_stats` + builder north star: language-ID, quality scoring, token
+  * counting). All pure `Column` expressions over built-in higher-order
+  * functions — no UDFs, fully codegen'd, linear in input size, no shuffle
+  * except the final (tiny) aggregates. At 100 TB these are map-only
+  * passes over the documents table.
+  */
+object Text {
+
+  /** Whitespace word split (empty string → 1 empty token, matching both
+    * engines' split semantics; callers filter empties when counting). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * other non-space chars — the classic pre-tokenizer regex. */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+
+  private val stop = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Stopword ratio — a standard cheap quality signal. */
+  def stopwordRatio(text: Column): Column = {
+    val ws = words(text)
+    val n = size(ws)
+    val nStop = size(filter(ws, w => w.isInCollection(stop)))
+    when(n > 0, nStop.cast("double") / n).otherwise(lit(0.0))
+  }
+
+  /** Per-language stopword hit counts → argmax language guess.
+    * Deterministic tie-break: fixed language order (en,de,es,fr,zh). */
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val stops = langStops.toMap.apply(lang)
+    size(filter(words(text), w => w.isInCollection(stops))).cast("long")
+  }
+
+  /** argmax over the fixed language order: first language whose score is
+    * >= every other score. Mirrors the oracle SQL CASE chain exactly. */
+  def langIdExpr(text: Column): Column = {
+    val s = langStops.map { case (l, _) => l -> langScore(text, l) }.toMap
+    when(s("en") >= s("de") && s("en") >= s("es") && s("en") >= s("fr") && s("en") >= s("zh"), "en")
+      .when(s("de") >= s("es") && s("de") >= s("fr") && s("de") >= s("zh"), "de")
+      .when(s("es") >= s("fr") && s("es") >= s("zh"), "es")
+      .when(s("fr") >= s("zh"), "fr")
+      .otherwise("zh")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-doc character/word stats (SURVEY §2.13 text_stats).
+    "text_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          size(words(col("text"))).cast("long").as("n_words"),
+          col("n_chars"))
+        .orderBy("doc_id")),
+    // quality scoring: length + stopword + distinct-word ratios.
+    "text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(size(array_distinct(words(col("text")))).cast("double") /
+            size(words(col("text"))), 6).as("uniq_ratio"),
+          length(col("text")).cast("long").as("n_chars_calc"))
+        .orderBy("doc_id")),
+    // regex token counting.
+    "text_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")),
+    // n-gram/stopword language-ID vs the labeled lang column.
+    "text_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), langIdExpr(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    // predicate on documents (SURVEY §2.2 filter_lang).
+    "filter_lang" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+    // word-frequency: explode + group (classic map-side heavy agg).
+    "text_word_freq" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("word"))
+        .limit(50))
+  )
+
+  private def sqlLangScore(lang: String): String = {
+    val stops = langStops.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stops))) AS BIGINT)"
+  }
+
+  def oracle: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  round(CASE WHEN len(string_split(text, ' ')) > 0
+        |    THEN CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |         / len(string_split(text, ' ')) ELSE 0.0 END, 6) AS stop_ratio,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS uniq_ratio,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" -> {
+      val en = sqlLangScore("en"); val de = sqlLangScore("de")
+      val es = sqlLangScore("es"); val fr = sqlLangScore("fr")
+      val zh = sqlLangScore("zh")
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+         |       WHEN $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+         |       WHEN $es >= $fr AND $es >= $zh THEN 'es'
+         |       WHEN $fr >= $zh THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "filter_lang" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    "text_word_freq" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin
+  )
+}

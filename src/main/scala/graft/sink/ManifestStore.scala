@@ -1,0 +1,51 @@
+package graft.sink
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet snapshot persistence for the manifest (SURVEY §2.10).
+  *
+  * Reference: `UPDATE t SET uploaded='1' WHERE id=?` (bulkupload.py:
+  * 253-261) mutates MySQL in place. Parquet is immutable, so state update
+  * = write a new snapshot and atomically swap it in:
+  * write to `<root>/_tmp_<gen>` → rename to `<root>/current` (POSIX
+  * atomic directory move). A crash mid-write leaves the previous
+  * `current` intact — exactly the resume-on-restart guarantee
+  * (readme.md:42, `resume_restart`).
+  *
+  * (Delta Lake MERGE would be the managed form of this; plain parquet
+  * keeps the dependency footprint zero per the build contract.)
+  */
+object ManifestStore {
+
+  def currentPath(root: String): String = s"$root/current"
+
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(currentPath(root))
+
+  def exists(root: String): Boolean =
+    Files.exists(Paths.get(currentPath(root)))
+
+  /** Write `m` as the new current snapshot, atomically. */
+  def swap(m: DataFrame, root: String): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val gen = System.nanoTime()
+    val tmp = Paths.get(root, s"_tmp_$gen")
+    m.write.mode("overwrite").parquet(tmp.toString)
+    val cur = Paths.get(currentPath(root))
+    val old: Option[Path] =
+      if (Files.exists(cur)) {
+        val o = Paths.get(root, s"_old_$gen")
+        Files.move(cur, o, StandardCopyOption.ATOMIC_MOVE)
+        Some(o)
+      } else None
+    Files.move(tmp, cur, StandardCopyOption.ATOMIC_MOVE)
+    old.foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(c => deleteRecursively(c))
+    Files.deleteIfExists(p)
+  }
+}
