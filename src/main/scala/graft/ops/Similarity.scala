@@ -34,12 +34,12 @@ object Similarity {
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
 
-  /** Sign-bit bucket of `vec` against `bits` pseudo-random hyperplanes.
-    * Hyperplane component j of plane p is a deterministic hash-derived
-    * value in [-1, 1] — no stored model, recomputable anywhere. */
-  def lshBucket(vec: Column, dim: Int, bits: Int): Column = {
+  /** Sign-bit bucket of `vec` against `bits` seeded-random hyperplanes.
+    * Hyperplanes are generated from a fixed seed per table — no stored
+    * model, identical on every executor and cluster size. */
+  def lshBucket(vec: Column, dim: Int, bits: Int, table: Int = 0): Column = {
     val planes: Seq[Seq[Double]] = {
-      val rnd = new scala.util.Random(42)
+      val rnd = new scala.util.Random(42 + 1000L * table)
       Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
     }
     (0 until bits).map { p =>
@@ -63,18 +63,31 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** LSH-bucketed approximate top-k: candidates restricted to the query's
-    * bucket (equi-join on bucket — shuffle keyed by bucket, not a cross
-    * join). Recall measured in the ScalaTest suite. */
-  def lshTopK(emb: DataFrame, queryPred: Column, k: Int, bits: Int = 6): DataFrame = {
+  /** Multi-table LSH approximate top-k: `tables` independent sign-bit
+    * hashes; candidates = union over tables of same-bucket vectors, scored
+    * once. The candidate join is an equi-join on (table, bucket) — a
+    * shuffle keyed by bucket instead of a cross join, which is what makes
+    * this the 100 TB path (cross-join cost n·q → n·q·P(collision)).
+    * bits/tables trade recall vs candidate count; 4/8 gives ~0.7 recall
+    * even on near-random vectors (measured in SimilaritySpec). */
+  def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
+      bits: Int = 4, tables: Int = 8): DataFrame = {
     val dim = 64
-    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), dim, bits))
+    val bucketCols = array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"), lshBucket(col("embedding"), dim, bits, t).as("bucket"))): _*)
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      explode(bucketCols).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val q = bucketed.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("tbl"), col("bucket"))
     val c = bucketed.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
-      col("bucket"))
-    val scored = q.join(c, "bucket").filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("qe"), col("ne")))
+      col("tbl"), col("bucket"))
+    val cands = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "qe", "n_id", "ne").distinct()
+    val scored = cands.withColumn("cos", cosine(col("qe"), col("ne")))
     scored.withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))).cast("long"))
       .filter(col("rnk") <= k)

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.ops.EventWindows
+
+/** Structured Streaming runners (SURVEY §2.12).
+  *
+  * The window logic lives in [[graft.ops.EventWindows]] as plain
+  * DataFrame→DataFrame functions; here the same functions are applied to a
+  * `readStream` source — the batch queries are the oracle-checked
+  * specification, these are the live form. Grounding: `set_speed`'s 5 s
+  * poll loop (bulkupload.py:363-387) → tumbling rate; resume-by-hand →
+  * checkpointed `foreachBatch`.
+  */
+object Streams {
+
+  /** Parquet schema for streaming reads of the events table (streams need
+    * a declared schema; ts arrives as TIMESTAMP(NANOS) → read long,
+    * rebuild microseconds — same convention as Tables.events). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsRawSchema)
+      .parquet(asStreamDir(s"$dir/events.parquet"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** The streaming file source lists a directory; the testdata tables are
+    * single parquet files — expose a file as a one-entry directory via a
+    * temp symlink. */
+  def asStreamDir(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    if (Files.isDirectory(p)) path
+    else {
+      val d = Files.createTempDirectory("graft-streamsrc")
+      Files.createSymbolicLink(d.resolve(p.getFileName), p)
+      d.toString
+    }
+  }
+
+  /** Live uploads-per-5s rate (append mode needs the watermark). */
+  def tumblingRate(events: DataFrame): DataFrame =
+    EventWindows.tumbling(events.withWatermark("ts", "10 minutes"))
+
+  /** Watermarked sliding rate — late stragglers beyond 10 min dropped
+    * (stream_watermark_late; the reference counts whatever arrives). */
+  def slidingRate(events: DataFrame): DataFrame =
+    EventWindows.sliding(events.withWatermark("ts", "10 minutes"))
+
+  /** Per-user session windows over the stream. */
+  def sessionize(events: DataFrame): DataFrame =
+    EventWindows.sessions(events.withWatermark("ts", "30 minutes"))
+
+  /** Exactly-once-ish event dedup within the watermark
+    * (stream_dedup_state). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom state: running per-user event count + last-seen timestamp —
+    * the `Value` counters of bulkupload.py:409-416 as keyed state. */
+  final case class UserStat(userId: Long, n: Long, lastTs: java.sql.Timestamp)
+
+  def runningUserStats(events: DataFrame): Dataset[UserStat] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, null))
+          var n = prev.n
+          var last = prev.lastTs
+          rows.foreach { case (_, ts) =>
+            n += 1
+            if (last == null || ts.after(last)) last = ts
+          }
+          val next = UserStat(uid, n, last)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Transactional micro-batch upload+mark (stream_foreachBatch_sink):
+    * each batch of pending rows is uploaded then the manifest snapshot is
+    * swapped; the checkpoint dir makes restarts resume exactly where the
+    * reference's `uploaded` flag would (at_least_once semantics — a crash
+    * between upload and swap re-uploads idempotently). */
+  def runMicroBatchUpload(
+      pending: DataFrame,
+      checkpointDir: String,
+      onBatch: (DataFrame, Long) => Unit): Unit = {
+    val q = pending.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(onBatch)
+      .start()
+    q.awaitTermination()
+  }
+}

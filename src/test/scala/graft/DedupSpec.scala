@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and " +
+    "again while the sun sets slowly behind the green hills of the valley"
+
+  test("minhash candidates find planted near-duplicates, not unrelated docs") {
+    val nearDup = base.replace("quick", "swift") // 1-word edit
+    val unrelated = "completely different content about spark shuffles and " +
+      "partitions and codegen stages running on many executors tonight"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(docs, k = 16, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+  }
+
+  test("simhash: hamming distance small for near-dups, large for unrelated") {
+    val nearDup = base.replace("quick", "swift")
+    val unrelated = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) <= 8, s"near-dup hamming ${ham(sh(1L), sh(2L))}")
+    assert(ham(sh(1L), sh(3L)) >= 16, s"unrelated hamming ${ham(sh(1L), sh(3L))}")
+  }
+
+  test("shingles are distinct 3-grams in order") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs).select("shingle").as[String].collect().toSet
+    assert(sh == Set("a b c", "b c d"))
+  }
+
+  test("minhash signature is identical for identical content, regardless of doc_id") {
+    val docs = Seq((10L, base), (99L, base)).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, 16)
+      .select("sig").as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Manifest
+
+class ManifestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ids are dense, unique, and deterministic across runs") {
+    val m1 = Manifest.fromDocuments(spark, TestSpark.sf0001).collect()
+    val m2 = Manifest.fromDocuments(spark, TestSpark.sf0001).collect()
+    assert(m1.toSeq == m2.toSeq)
+    val ids = m1.map(_.getLong(0)).sorted
+    assert(ids.toSeq == (1L to ids.length).toSeq)
+  }
+
+  test("markUploaded flips exactly the given ids and nothing else") {
+    val m = Seq((1L, "a", false), (2L, "b", false), (3L, "c", true))
+      .toDF("id", "path", "uploaded")
+    val ok = Seq(2L).toDF("id")
+    val got = Manifest.markUploaded(m, ok)
+      .select("id", "uploaded").as[(Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, false), (2L, true), (3L, true)))
+  }
+
+  test("resume fixpoint: pending after marking all pending is empty") {
+    val m = Manifest.fromDocuments(spark, TestSpark.sf0001)
+    val pendingIds = Manifest.filterPending(m).select("id")
+    val after = Manifest.markUploaded(m, pendingIds)
+    assert(Manifest.filterPending(after).count() == 0)
+    assert(after.count() == m.count())
+  }
+
+  test("resume property: re-run uploads exactly the previously-failed set") {
+    // random-ish success schedule: ids % 3 == 0 fail on run 1
+    val m = Manifest.fromDocuments(spark, TestSpark.sf0001)
+    val run1Ok = Manifest.filterPending(m).filter(col("id") % 3 =!= 0).select("id")
+    val after1 = Manifest.markUploaded(m, run1Ok)
+    val run2Set = Manifest.filterPending(after1).select("id")
+      .as[Long].collect().toSet
+    val expected = Manifest.filterPending(m).filter(col("id") % 3 === 0)
+      .select("id").as[Long].collect().toSet
+    assert(run2Set == expected)
+  }
+
+  test("anti/semi joins partition a rescan exactly") {
+    val m = Manifest.fromDocuments(spark, TestSpark.sf0001)
+    val scanned = m.select("path")
+    val indexed = Manifest.filterUploaded(m).select("path")
+    val anti = Manifest.antiResume(scanned, indexed).count()
+    val semi = Manifest.semiUploaded(scanned, indexed).count()
+    assert(anti + semi == m.count())
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sink.ManifestStore
+import java.nio.file.Files
+
+class ManifestStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("swap writes a readable snapshot and replaces it atomically") {
+    val root = Files.createTempDirectory("graft-manifest").toString
+    val v1 = Seq((1L, "a", false), (2L, "b", false)).toDF("id", "path", "uploaded")
+    ManifestStore.swap(v1, root)
+    assert(ManifestStore.exists(root))
+    assert(ManifestStore.read(spark, root).count() == 2)
+
+    val v2 = ManifestStore.read(spark, root)
+      .withColumn("uploaded", lit(true))
+    // second swap reads from the snapshot it replaces — must not clobber
+    ManifestStore.swap(v2.cache(), root)
+    val got = ManifestStore.read(spark, root)
+      .select("uploaded").as[Boolean].collect()
+    assert(got.length == 2 && got.forall(identity))
+    // no stray _tmp/_old dirs left behind
+    val stray = new java.io.File(root).list().filter(n => n != "current")
+    assert(stray.isEmpty, stray.mkString(","))
+  }
+
+  test("uploaded-partitioned snapshot enables partition pruning for filter_pending") {
+    val root = Files.createTempDirectory("graft-manifest-part").toString
+    val m = Seq((1L, "a", false), (2L, "b", true), (3L, "c", false))
+      .toDF("id", "path", "uploaded")
+    m.write.partitionBy("uploaded").parquet(s"$root/snap")
+    val pending = spark.read.parquet(s"$root/snap").filter(!col("uploaded"))
+    // partition pruning: only the uploaded=false directory is read
+    val scanned = pending.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(pending.count() == 2)
+  }
+}

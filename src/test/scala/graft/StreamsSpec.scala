@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.streaming.Streams
+import graft.ops.EventWindows
+import graft.model.Tables
+import java.nio.file.Files
+
+class StreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append()): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("streaming tumbling counts equal the batch (oracle-checked) query") {
+    val stream = Streams.tumblingRate(Streams.eventsStream(spark, TestSpark.sf0001))
+    runToMemory(stream, "tumbling_out")
+    val got = spark.table("tumbling_out")
+      .select(col("w_start").cast("long"), col("n")).as[(Long, Long)]
+      .collect().toMap
+    val want = EventWindows.tumbling(Tables.events(spark, TestSpark.sf0001))
+      .select(col("w_start").cast("long"), col("n")).as[(Long, Long)]
+      .collect().toMap
+    // append mode emits a window only once the watermark passes it — the
+    // final 10 minutes of data never finalize under AvailableNow. Every
+    // emitted window must match the batch result exactly, and everything
+    // except the watermark tail must have been emitted.
+    assert(got.nonEmpty)
+    assert(got.forall { case (w, n) => want.get(w).contains(n) })
+    val maxTs = Tables.events(spark, TestSpark.sf0001)
+      .agg(max(col("ts")).cast("long")).as[Long].collect().head
+    val mustHave = want.keySet.filter(_ < maxTs - 600)
+    assert(mustHave.subsetOf(got.keySet))
+  }
+
+  test("dropDuplicatesWithinWatermark removes duplicate event_ids") {
+    val events = Tables.events(spark, TestSpark.sf0001).limit(100)
+    val dir = Files.createTempDirectory("graft-dup").toString
+    events.union(events).write.parquet(s"$dir/events.parquet")
+    // stream the doubled data back with the same schema convention
+    val doubled = spark.readStream
+      .schema(Tables.events(spark, TestSpark.sf0001).schema)
+      .parquet(s"$dir/events.parquet")
+    runToMemory(Streams.dedupEvents(doubled), "dedup_out")
+    assert(spark.table("dedup_out").count() == 100)
+  }
+
+  test("mapGroupsWithState running user stats match batch counts") {
+    runToMemory(Streams.runningUserStats(
+      Streams.eventsStream(spark, TestSpark.sf0001)).toDF(), "userstats_out",
+      OutputMode.Update())
+    val got = spark.table("userstats_out")
+      .groupBy("userId").agg(max("n").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val want = Tables.events(spark, TestSpark.sf0001)
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("foreachBatch micro-batch upload marks the manifest transactionally") {
+    import graft.ops.Manifest
+    import graft.sink.{LocalFsStore, ManifestStore, Uploader}
+    val manifestRoot = Files.createTempDirectory("graft-mstream").toString
+    val storeRoot = Files.createTempDirectory("graft-sstream").toString
+    val checkpoint = Files.createTempDirectory("graft-ckpt").toString
+
+    val m = Manifest.fromDocuments(spark, TestSpark.sf0001)
+    ManifestStore.swap(m, manifestRoot)
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(concat(lit("doc_"), col("doc_id"), lit(".txt")).as("base"), col("text"))
+
+    val pendingStream = spark.readStream
+      .schema(ManifestStore.read(spark, manifestRoot).schema)
+      .parquet(ManifestStore.currentPath(manifestRoot))
+      .filter(!col("uploaded"))
+
+    Streams.runMicroBatchUpload(pendingStream, checkpoint, (batch, _) => {
+      val withContent = batch.join(docs,
+        expr("path like concat('%/', base)"))
+        .select(col("id"), col("path"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, p, t) => (id, p, t.getBytes("UTF-8")) }
+      val results = Uploader.upload(withContent,
+        () => new LocalFsStore(storeRoot), 4)
+      val current = ManifestStore.read(spark, manifestRoot)
+      val marked = Manifest.markUploaded(current,
+        results.filter(col("ok")).toDF()).cache()
+      marked.count()
+      ManifestStore.swap(marked, manifestRoot)
+    })
+
+    val after = ManifestStore.read(spark, manifestRoot)
+    assert(after.filter(!col("uploaded")).count() == 0)
+    assert(after.count() == m.count())
+  }
+}
