@@ -45,12 +45,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     manifestQueries ++ Relational.queries ++ Relational.windowQueries ++
       PathFns.queries ++ Segments.queries ++ Text.queries ++ Dedup.queries ++
-      Similarity.queries ++ EventWindows.queries
+      Similarity.queries ++ EventWindows.queries ++ Fingerprints.queries ++
+      Multimodal.queries ++ graft.sources.FsScan.queries
 
   def oracleSql: Map[String, String] =
     manifestOracle ++ Relational.oracle ++ Relational.windowOracle ++
       PathFns.oracle ++ Segments.oracle ++ Text.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ EventWindows.oracle
+      Similarity.oracle ++ EventWindows.oracle ++ Fingerprints.oracle ++
+      Multimodal.oracle ++ graft.sources.FsScan.oracle
 
   // ----- §2.1/2.2/2.3 (partial)/2.4 (partial)/2.6/2.7/2.10: manifest core
 

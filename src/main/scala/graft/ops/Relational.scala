@@ -106,6 +106,13 @@ object Relational {
              round(avg(col("value")), 4).as("avg_v"),
              round(stddev_samp(col("value")), 4).as("sd_v"))
         .orderBy("event_type")),
+    // HLL++ sketch distinct — the 100 TB form of agg_distinct (one pass, no
+    // per-key state explosion). Approximate ⇒ rows-only check, not oracle.
+    "agg_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+        .orderBy("event_type")),
     // top-k: TakeOrderedAndProject (heap per partition, no global sort).
     "limit_topk" -> ((s, d) =>
       Tables.orders(s, d)

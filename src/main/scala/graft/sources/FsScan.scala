@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Filesystem-tree source (SURVEY §2.1 `scan_fs_recursive`).
+  *
+  * Reference: the recursive `os.listdir`/`isfile` walk of
+  * prepareupload.py:21-60 — one Python process, one stat per file, one
+  * MySQL INSERT+commit per file. Spark-native replacement: the
+  * `binaryFile` DataSource with `recursiveFileLookup` — directory
+  * listing is distributed, files become rows (path, modificationTime,
+  * length, content), directories are excluded by the source itself
+  * (predicate_isfile), and `content` is only materialized when the
+  * column is selected (scan pruning).
+  */
+object FsScan {
+
+  /** Recursive scan of a directory tree; content column excluded so the
+    * scan reads metadata only. */
+  def scanRecursive(spark: SparkSession, root: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(col("path"), col("length"), col("modificationTime"))
+
+  /** Materialize the documents table as a real file tree
+    * (root/<source>/doc_<id>.txt, UTF-8) — executor-side writes, one
+    * partition per task, used to exercise the scan against a knowable
+    * oracle. */
+  def writeDocsAsFiles(spark: SparkSession, dir: String, root: String): Unit = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), concat(lit("doc_"), col("doc_id"), lit(".txt")).as("base"),
+        col("text"))
+    docs.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val rootPath = java.nio.file.Paths.get(root)
+      it.foreach { r =>
+        val p = rootPath.resolve(r.getString(0)).resolve(r.getString(1))
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, r.getString(2).getBytes("UTF-8"))
+      }
+    }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // write the docs as a nested file tree, then recursive-scan it back:
+    // (basename, byte length) must round-trip exactly.
+    "scan_fs_recursive" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-fsscan").toString
+      writeDocsAsFiles(s, d, root)
+      scanRecursive(s, root)
+        .select(element_at(split(col("path"), "/"), -1).as("base"),
+          col("length").as("flen"))
+        .orderBy("base")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "scan_fs_recursive" ->
+      """SELECT 'doc_' || doc_id || '.txt' AS base,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS flen
+        |FROM documents ORDER BY base""".stripMargin
+  )
+}

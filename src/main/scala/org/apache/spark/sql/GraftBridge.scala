@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Column↔Expression converters.
+  *
+  * Spark 4 moved `Column` to a backend-agnostic ColumnNode representation;
+  * building a Column from a custom Catalyst `Expression` goes through
+  * `classic.ExpressionUtils`, which is `private[sql]`. This one-file shim
+  * (the standard extension-library technique) re-exports the two
+  * converters for graft's custom expressions.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
