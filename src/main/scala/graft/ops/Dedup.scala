@@ -40,15 +40,16 @@ object Dedup {
             element_at(w, i + 3))))).as("shingle"))
   }
 
-  /** MinHash signature: k minimums of seeded xxhash64 over shingles.
-    * Returned as `sig` array column, one row per doc. */
+  /** MinHash signature: k minimums of seeded xxhash64 over shingles —
+    * k parallel min-aggregates (map-side partial agg), no intermediate
+    * array materialization; one row per doc. */
   def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
     val sh = shingles(docs)
-    val hashed = sh.select(col("doc_id"),
-      array((0 until k).map(i => xxhash64(lit(i), col("shingle"))): _*).as("hs"))
-    hashed.groupBy("doc_id")
-      .agg(array((0 until k).map(i =>
-        min(element_at(col("hs"), i + 1))): _*).as("sig"))
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"_m$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
   }
 
   /** LSH banding: split the k-wide signature into `bands` buckets; docs
@@ -103,16 +104,21 @@ object Dedup {
     // nearest doc by 3-gram Jaccard for the first 20 docs (exact form;
     // the LSH path replaces the self-join at scale).
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = shingles(Tables.documents(s, d)).cache()
+      val docs = Tables.documents(s, d)
+      val sh = shingles(docs)
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
-        .filter(col("a_id") < 20)
+      // query side is 20 docs' shingles — broadcast it so the full corpus
+      // side never shuffles (the self-join becomes a broadcast hash join
+      // keyed on shingle; at 100 TB the MinHash bands replace this).
+      val a = broadcast(shingles(docs.filter(col("doc_id") < 20))
+        .select(col("doc_id").as("a_id"), col("shingle")))
       val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
       val inter = a.join(b, "shingle").filter(col("a_id") =!= col("b_id"))
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-      val ca = cnt.select(col("doc_id").as("a_id"), col("n").as("na"))
+      val ca = cnt.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("a_id"), col("n").as("na"))
       val cb = cnt.select(col("doc_id").as("b_id"), col("n").as("nb"))
-      val jac = inter.join(broadcast(ca), "a_id").join(cb, "b_id")
+      val jac = inter.join(broadcast(ca), "a_id").join(broadcast(cb), "b_id")
         .withColumn("jac", col("inter") * 1.0 / (col("na") + col("nb") - col("inter")))
       jac.withColumn("rn", row_number().over(
           Window.partitionBy("a_id").orderBy(desc("jac"), asc("b_id"))))

@@ -34,29 +34,37 @@ object Similarity {
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
 
-  /** Sign-bit bucket of `vec` against `bits` seeded-random hyperplanes.
-    * Hyperplanes are generated from a fixed seed per table — no stored
-    * model, identical on every executor and cluster size. */
+  /** Sign-bit bucket of `vec` (a double-array column) against `bits`
+    * seeded-random hyperplanes. Hyperplanes are generated from a fixed
+    * seed per table — no stored model, identical on every executor and
+    * cluster size. Each projection is one zip_with/aggregate pair over an
+    * array *literal*, keeping the Catalyst tree ~5 nodes per plane
+    * (an unrolled per-element sum is ~16k nodes for 8 tables and chokes
+    * both the optimizer and codegen — measured 31 s vs 2 s on sf0.1). */
   def lshBucket(vec: Column, dim: Int, bits: Int, table: Int = 0): Column = {
-    val planes: Seq[Seq[Double]] = {
+    val planes: Seq[Array[Double]] = {
       val rnd = new scala.util.Random(42 + 1000L * table)
-      Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+      Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
     }
     (0 until bits).map { p =>
-      val proj = (0 until dim).map { j =>
-        element_at(vec, j + 1).cast("double") * lit(planes(p)(j))
-      }.reduce(_ + _)
+      val proj = dot(vec, typedLit(planes(p).toSeq))
       when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** (id, double-array embedding, norm) — norms computed once per vector
+    * so downstream joins only evaluate the dot product (cosine =
+    * dot/(na*nb), same operation order as the oracle SQL). */
+  def withNorm(emb: DataFrame, idAs: String, embAs: String, normAs: String): DataFrame =
+    emb.select(col("vec_id").as(idAs), toDoubleArr(col("embedding")).as(embAs))
+      .withColumn(normAs, sqrt(dot(col(embAs), col(embAs))))
+
   /** Brute-force cosine top-k: queries broadcast against all candidates. */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val q = broadcast(emb.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe")))
-    val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+    val q = broadcast(withNorm(emb.filter(queryPred), "q_id", "qe", "qn"))
+    val c = withNorm(emb, "n_id", "ne", "nn")
     val scored = q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("qe"), col("ne")))
+      .withColumn("cos", dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
     scored.withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))).cast("long"))
       .filter(col("rnk") <= k)
@@ -73,21 +81,24 @@ object Similarity {
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
       bits: Int = 4, tables: Int = 8): DataFrame = {
     val dim = 64
+    // ids-only bucketing: the payload never enters the candidate join or
+    // the distinct — only (vec_id, tbl, bucket) triples shuffle.
+    val embD = emb.select(col("vec_id"), toDoubleArr(col("embedding")).as("ed"))
     val bucketCols = array((0 until tables).map(t =>
-      struct(lit(t).as("tbl"), lshBucket(col("embedding"), dim, bits, t).as("bucket"))): _*)
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      explode(bucketCols).as("tb"))
-      .select(col("vec_id"), col("embedding"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val q = bucketed.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        col("tbl"), col("bucket"))
-    val c = bucketed.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
-      col("tbl"), col("bucket"))
+      struct(lit(t).as("tbl"), lshBucket(col("ed"), dim, bits, t).as("bucket"))): _*)
+    val bucketed = embD.select(col("vec_id"), explode(bucketCols).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = broadcast(bucketed.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket")))
+    val c = bucketed.select(col("vec_id").as("n_id"), col("tbl"), col("bucket"))
     val cands = q.join(c, Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "qe", "n_id", "ne").distinct()
-    val scored = cands.withColumn("cos", cosine(col("qe"), col("ne")))
+      .select("q_id", "n_id").distinct()
+    // embeddings re-attached only for surviving candidates
+    val qe = broadcast(withNorm(emb.filter(queryPred), "q_id", "qe", "qn"))
+    val ne = withNorm(emb, "n_id", "ne", "nn")
+    val scored = cands.join(qe, "q_id").join(ne, "n_id")
+      .withColumn("cos", dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
     scored.withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))).cast("long"))
       .filter(col("rnk") <= k)
@@ -104,16 +115,20 @@ object Similarity {
       lshTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
         .orderBy("q_id", "rnk")),
     // embedding near-dup: label-mates with cosine above threshold.
+    // Norms precomputed per vector; the equi-join key is the label so the
+    // pair blow-up shuffles ids+vectors once, not per-pair re-norms.
     "sim_near_dup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
-        col("label").as("a_label"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
-        col("label").as("b_label"))
-      a.join(b, col("a_label") === col("b_label") && col("a_id") < col("b_id"))
-        .withColumn("cos", cosine(col("ae"), col("be")))
-        .filter(col("cos") > 0.95)
-        .groupBy(col("a_label").as("label"))
+        .select(col("vec_id"), col("label"),
+          Similarity.toDoubleArr(col("embedding")).as("emb"))
+        .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+      val a = e.select(col("vec_id").as("a_id"), col("label"),
+        col("emb").as("ae"), col("norm").as("an"))
+      val b = e.select(col("vec_id").as("b_id"), col("label"),
+        col("emb").as("be"), col("norm").as("bn"))
+      a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+        .filter(dot(col("ae"), col("be")) / (col("an") * col("bn")) > 0.95)
+        .groupBy(col("label"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("label")
     })
