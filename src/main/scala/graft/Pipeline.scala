@@ -52,6 +52,10 @@ object Pipeline {
     // 4. Mark uploaded (snapshot semantics; see ManifestStore for swap).
     val marked = Manifest.markUploaded(m, results.filter(col("ok")).toDF())
 
+    // 4b. Progress + report files (sink_progress_file / end_reporting).
+    graft.sink.Reports.writeProgress(marked, s"$storeRoot/.upload.out", 0.0)
+    graft.sink.Reports.writeReport(results.toDF(), s"$storeRoot/.upload.report.log")
+
     // 5. Report (end_reporting): totals + percent + rate fields.
     marked.agg(
         count(lit(1)).as("total"),

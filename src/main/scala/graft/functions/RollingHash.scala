@@ -66,6 +66,20 @@ object RollingHash {
 
   def rolling_hash_windows(c: Column, w: Int): Column =
     GraftBridge.column(RollingHashWindowsExpr(GraftBridge.expression(c), w))
+
+  /** Make the fingerprint functions callable from SQL text:
+    * `SELECT rolling_hash(text)`, `rolling_hash_windows(text, 8)`. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    GraftBridge.registerTempFunction(spark, "rolling_hash",
+      exprs => RollingHashExpr(exprs.head))
+    GraftBridge.registerTempFunction(spark, "rolling_hash_windows", {
+      case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(w, IntegerType)) =>
+        RollingHashWindowsExpr(c, w.asInstanceOf[Int])
+      case other =>
+        throw new IllegalArgumentException(
+          s"rolling_hash_windows(text, <int literal>) expected, got $other")
+    })
+  }
 }
 
 case class RollingHashExpr(child: Expression) extends UnaryExpression {

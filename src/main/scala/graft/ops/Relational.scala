@@ -96,6 +96,26 @@ object Relational {
         .agg(count(lit(1)).as("n_cust"))
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     }),
+    // full grouping-set lattice over the dim hierarchy.
+    "agg_cube" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .cube(col("r_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("c_mktsegment"))
+    }),
+    // customers ⟗ orders — both null sides preserved.
+    "join_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_custkey") % 2 === 0)
+      val o = Tables.orders(s, d).filter(col("o_custkey") % 3 === 0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("o_custkey"), col("n_orders"))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_custkey"))
+    }),
     // per-group stats; stddev_samp matches DuckDB's sample semantics.
     "agg_stats_events" -> ((s, d) =>
       Tables.events(s, d)
@@ -162,6 +182,19 @@ object Relational {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY ROLLUP (r.r_name, n.n_name)
         |ORDER BY r.r_name NULLS FIRST, n.n_name NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT r.r_name, c.c_mktsegment, count(*) AS n_cust
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY CUBE (r.r_name, c.c_mktsegment)
+        |ORDER BY r.r_name NULLS FIRST, c.c_mktsegment NULLS FIRST""".stripMargin,
+    "join_full_outer" ->
+      """WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
+        |o AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |      WHERE o_custkey % 3 = 0 GROUP BY o_custkey)
+        |SELECT c.c_custkey, o.o_custkey, o.n_orders
+        |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey NULLS FIRST, o.o_custkey NULLS FIRST""".stripMargin,
     "agg_stats_events" ->
       """SELECT event_type, count(*) AS n,
         |       round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,

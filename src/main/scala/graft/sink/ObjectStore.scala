@@ -39,6 +39,39 @@ final class LocalFsStore(root: String) extends ObjectStore {
   }
 }
 
+/** Linear-backoff reconnect policy (SURVEY §2.11 `retry_reconnect`).
+  *
+  * Reference: `olrc_connect` bulkupload.py:80-107 — on auth failure sleep
+  * SLEEP seconds, SLEEP += 1, recurse forever. We keep the linear ramp but
+  * bound the attempts (the reference's unbounded recursion is a stack
+  * overflow in waiting) and inject the sleeper for tests.
+  */
+final class RetryingStore(
+    delegate: ObjectStore,
+    maxConnectAttempts: Int = 10,
+    sleeper: Long => Unit = ms => Thread.sleep(ms)) extends ObjectStore {
+
+  private def withReconnect[A](op: => A): A = {
+    var attempt = 0
+    var sleepMs = 1000L // reference starts at 1 s (bulkupload.py:15)
+    while (true) {
+      try return op
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= maxConnectAttempts) throw e
+          sleeper(sleepMs)
+          sleepMs += 1000L // SLEEP += 1 (bulkupload.py:105)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  override def ensureContainer(): Unit = withReconnect(delegate.ensureContainer())
+  override def put(key: String, bytes: Array[Byte]): Unit =
+    withReconnect(delegate.put(key, bytes))
+}
+
 /** Test double: fails the first `failTimes` puts of matching keys — used
   * to assert the ≤5-attempt retry budget (bulkupload.py:187-202). */
 final class FlakyStore(root: String, failTimes: Int, failKeySubstr: String)
