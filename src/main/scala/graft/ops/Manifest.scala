@@ -20,12 +20,11 @@ import graft.model.Tables
   * operator is expressible as DuckDB SQL over the same parquet.
   *
   * Scale note (100 TB): `row_number()` over a global ORDER BY is a
-  * single-partition sort — correct but serial. At cluster scale the id
-  * assignment would switch to `zipWithIndex`-style per-partition offsets
-  * (sortWithinPartitions + partition-size scan), which keeps the sort
-  * distributed; ids stay deterministic for a fixed partitioning. The oracle
-  * runs at sf<=0.1 where the global window is the simpler, equally-correct
-  * choice.
+  * single-partition sort — correct but serial. The cluster-scale form is
+  * [[graft.ops.Scale.assignIdsByRange]] (range-repartition + per-partition
+  * offset prefix-sum), proven id-identical to the window form in
+  * ScaleSpec. The oracle runs at sf<=0.1 where the global window is the
+  * simpler, equally-correct choice.
   */
 object Manifest {
 

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Scale-out mechanisms for operators whose naive form does not survive
+  * 1000× data (SURVEY §7 "hard parts").
+  */
+object Scale {
+
+  /** Distributed dense-id assignment — the 100 TB form of
+    * `row_number().over(Window.orderBy(key))`, which plans as a
+    * single-partition sort (every row through one task).
+    *
+    * Here: range-repartition by the key (distributed total sort), then a
+    * zipWithIndex-style two-phase pass — count rows per partition (tiny
+    * job), prefix-sum the offsets on the driver, add the local index.
+    * Ids depend only on the global key order, so they are identical to the
+    * window form for any unique key (asserted in ScaleSpec) and stable
+    * across cluster sizes/partition boundaries.
+    */
+  def assignIdsByRange(df: DataFrame, key: String, idCol: String = "id",
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "8").toInt
+    val sorted = df.repartitionByRange(n, col(key)).sortWithinPartitions(key)
+    val schema = StructType(StructField(idCol, LongType, nullable = false)
+      +: sorted.schema.fields)
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitions(it => Iterator(it.size), preservesPartitioning = true)
+      .collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val withIds = rdd.mapPartitionsWithIndex { (p, it) =>
+      var i = offsets(p)
+      it.map { r => i += 1; Row.fromSeq(i +: r.toSeq) }
+    }
+    spark.createDataFrame(withIds, schema)
+  }
+
+  /** Salted equi-join for skewed keys: the large (skewed) side gets a
+    * deterministic salt in [0, factor) derived from its whole row hash;
+    * the small side is replicated `factor` times. The shuffle key becomes
+    * (key, salt) so one hot key spreads over `factor` reducers instead of
+    * melting one. (AQE's skew-join split does this adaptively for
+    * sort-merge joins; explicit salting also covers aggregations and
+    * pre-AQE planning.) Results are identical to the plain join —
+    * asserted in ScaleSpec. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      factor: Int): DataFrame = {
+    val saltSrc = large.columns.map(col)
+    val salted = large.withColumn("_salt",
+      pmod(xxhash64(saltSrc: _*), lit(factor)).cast("int"))
+    val replicated = small
+      .withColumn("_salt", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("_salt", col("_salt").cast("int"))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Two-level aggregation for skewed group keys: partial-aggregate on
+    * (key, salt) first, then final on key. For algebraic aggregates this
+    * is exactly what partial+final hash aggregation already does — this
+    * form exists for aggregates whose per-key state is large (e.g.
+    * collect-like), where the first level bounds state per reducer. */
+  def saltedCount(df: DataFrame, key: String, factor: Int,
+      countAs: String = "n"): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(factor)).cast("int"))
+    salted.groupBy(col(key), col("_salt")).agg(count(lit(1)).as("_pc"))
+      .groupBy(col(key)).agg(sum(col("_pc")).cast("long").as(countAs))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.Scale
+import graft.model.Tables
+
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("distributed id assignment equals the global-window form exactly") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(concat(col("source"), lit("/doc_"), col("doc_id"), lit(".txt")).as("path"))
+    val viaWindow = docs
+      .select(row_number().over(Window.orderBy("path")).cast("long").as("id"),
+        col("path"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val viaRange = Scale.assignIdsByRange(docs, "path", partitions = 7)
+      .select(col("id"), col("path"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(viaRange.toSeq == viaWindow.toSeq)
+  }
+
+  test("distributed ids are stable across partition counts") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(concat(lit("p"), col("doc_id")).as("path"))
+    val a = Scale.assignIdsByRange(docs, "path", partitions = 3)
+      .as[(Long, String)].collect().toSet
+    val b = Scale.assignIdsByRange(docs, "path", partitions = 13)
+      .as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("salted join equals the plain join on skewed data") {
+    // skew: one hot key with 5k rows, long tail of 100 keys
+    val large = spark.range(5000).select(lit(1L).as("k"), col("id").as("v"))
+      .union(spark.range(100).select((col("id") + 2).as("k"), col("id").as("v")))
+    val small = spark.range(101).select((col("id") + 1).as("k"),
+      concat(lit("dim"), col("id")).as("name"))
+    val plain = large.join(small, "k")
+      .select("k", "v", "name").as[(Long, Long, String)].collect().sorted
+    val salted = Scale.saltedJoin(large, small, "k", factor = 8)
+      .select("k", "v", "name").as[(Long, Long, String)].collect().sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(salted.length == 5000 + 100)
+  }
+
+  test("salted count equals plain count") {
+    val df = spark.range(10000)
+      .select((when(col("id") % 10 === 0, 1).otherwise(col("id"))).as("k"))
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val salted = Scale.saltedCount(df, "k", factor = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(salted == plain)
+  }
+}
