@@ -70,6 +70,22 @@ object SparkEntry {
       val ok = Manifest.filterPending(m).filter(col("id") % 5 === 0).select("id")
       Manifest.markUploaded(m, ok).select("id", "path", "uploaded").orderBy("id")
     }),
+    // append new scan results; ids continue after the current max (the
+    // AUTO_INCREMENT semantics of insert_path, olrcdb.py:54-70) — batched
+    // set-append, not the reference's per-row INSERT+commit.
+    "manifest_insert" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = Manifest.fromDocuments(s, d)
+      val newScan = graft.model.Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(concat(lit("extra/doc_"), col("doc_id"), lit(".txt")).as("path"))
+      val mx = m.agg(max(col("id")).as("_mx"))
+      val appended = newScan.crossJoin(broadcast(mx))
+        .select((col("_mx") +
+            row_number().over(Window.orderBy("path")).cast("long")).as("id"),
+          col("path"), lit(false).as("uploaded"))
+      m.union(appended).orderBy("id")
+    }),
     "join_anti_resume" -> ((s, d) => {
       val m = Manifest.fromDocuments(s, d)
       Manifest.antiResume(m.select("path"), Manifest.filterUploaded(m).select("path"))
@@ -124,6 +140,18 @@ object SparkEntry {
       s"""$M, results AS (SELECT id FROM manifest WHERE NOT uploaded AND id % 5 = 0)
          |SELECT m.id, m.path, (m.uploaded OR r.id IS NOT NULL) AS uploaded
          |FROM manifest m LEFT JOIN results r ON m.id = r.id ORDER BY m.id""".stripMargin,
+    "manifest_insert" ->
+      s"""$M, newscan AS (
+         |  SELECT 'extra/doc_' || doc_id || '.txt' AS path FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |appended AS (
+         |  SELECT (SELECT max(id) FROM manifest)
+         |           + CAST(row_number() OVER (ORDER BY path) AS BIGINT) AS id,
+         |         path, false AS uploaded
+         |  FROM newscan)
+         |SELECT id, path, uploaded FROM manifest
+         |UNION ALL SELECT id, path, uploaded FROM appended
+         |ORDER BY id""".stripMargin,
     "join_anti_resume" ->
       s"""$M SELECT path FROM manifest m
          |WHERE NOT EXISTS (SELECT 1 FROM manifest u WHERE u.uploaded AND u.path = m.path)

@@ -30,19 +30,28 @@ object Dedup {
 
   private def wordsOf(text: Column): Column = split(text, " ")
 
-  /** Distinct 3-word shingles per document, exploded to rows. */
+  /** Distinct 3-word shingles per document, exploded to rows. Shingle
+    * construction is the native [[graft.functions.Shingles]] expression
+    * (one compiled pass per document; the higher-order-function
+    * composition evaluated interpreted and dominated dedup cost). */
   def shingles(docs: DataFrame): DataFrame = {
     val w = wordsOf(col("text"))
     docs.filter(size(w) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(w) - 3), i =>
-          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
-            element_at(w, i + 3))))).as("shingle"))
+      .select(col("doc_id"),
+        explode(graft.functions.Shingles.word_shingles(col("text"), 3))
+          .as("shingle"))
   }
 
-  /** MinHash signature: k minimums of seeded xxhash64 over shingles —
-    * k parallel min-aggregates (map-side partial agg), no intermediate
-    * array materialization; one row per doc. */
+  /** MinHash signature: k minimums of seeded xxhash64 over shingles, as k
+    * parallel min-aggregates over the exploded shingle rows. Partial
+    * (map-side) aggregation collapses each partition to one row per doc
+    * before the exchange, so the shuffle carries ~docs×partitions rows,
+    * never the ~n_windows shingle rows.
+    *
+    * (A map-only variant via `transform`+`array_min` avoids the explode
+    * entirely but higher-order functions evaluate interpreted, not
+    * codegen'd — measured 10× slower at sf0.1. The generator+hash+agg
+    * pipeline below stays in WholeStageCodegen end-to-end.) */
   def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
     val sh = shingles(docs)
     val mins = (0 until k).map(i =>
