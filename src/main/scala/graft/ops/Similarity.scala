@@ -22,9 +22,11 @@ import graft.model.Tables
 object Similarity {
 
   /** Element products summed in index order — matches DuckDB's
-    * list_inner_product fold order so doubles are bit-identical. */
+    * list_inner_product fold order so doubles are bit-identical. Native
+    * codegen'd expression (see graft.functions.VectorOps); both inputs
+    * must already be array<double>. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.dot_product(a, b)
 
   def toDoubleArr(a: Column): Column = transform(a, x => x.cast("double"))
 
@@ -105,14 +107,83 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** IVF approximate top-k: a k-means coarse quantizer (deterministic
+    * stride seeding + `iters` Lloyd rounds, each round one distributed
+    * aggregate; the nlist×dim centroid table lives on the driver exactly
+    * like any IVF model) assigns every vector to an inverted list; a
+    * query probes its `nprobe` nearest lists only. The candidate join is
+    * an equi-join on cluster id — at 100 TB the corpus side shuffles once
+    * by cluster and each query touches nprobe/nlist of the data; compare
+    * `lshTopK` (no training, random buckets) vs IVF (trained buckets,
+    * better recall/probe on clustered data). */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val e = withNorm(emb, "vec_id", "ed", "norm")
+      .withColumn("_q", queryPred)
+    val n = e.count()
+    val stride = math.max(1L, n / nlist)
+    var centroids: Array[Array[Double]] = e
+      .filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(nlist)
+      .select("ed").collect().map(_.getSeq[Double](0).toArray)
+
+    def cosTo(cArr: Array[Array[Double]]): Seq[Column] = {
+      val norms = cArr.map(c => math.sqrt(c.map(x => x * x).sum))
+      cArr.indices.map { i =>
+        struct(
+          (dot(col("ed"), typedLit(cArr(i).toSeq)) / (col("norm") * lit(norms(i))))
+            .as("c"),
+          lit(i).as("k"))
+      }
+    }
+
+    for (_ <- 0 until iters) {
+      val assigned = e.withColumn("cluster",
+        array_max(array(cosTo(centroids): _*)).getField("k"))
+      val upd = assigned
+        .select(col("cluster"), posexplode(col("ed")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim").agg(avg(col("v")).as("m"))
+        .collect()
+      val byCluster = upd.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { i =>
+        byCluster.get(i).map { rows =>
+          val arr = new Array[Double](centroids(i).length)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          arr
+        }.getOrElse(centroids(i))
+      }.toArray
+    }
+
+    val assigned = e.withColumn("cluster",
+      array_max(array(cosTo(centroids): _*)).getField("k"))
+    val probes = assigned.filter(col("_q"))
+      .withColumn("probe",
+        explode(slice(reverse(array_sort(array(cosTo(centroids): _*))), 1, nprobe)))
+      .select(col("vec_id").as("q_id"), col("ed").as("qe"),
+        col("norm").as("qn"), col("probe.k").as("cluster"))
+    val lists = assigned.select(col("vec_id").as("n_id"), col("ed").as("ne"),
+      col("norm").as("nn"), col("cluster"))
+    val cands = probes.join(lists, Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+    val scored = cands.withColumn("cos",
+      dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> ((s, d) =>
       bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
         .orderBy("q_id", "rnk")),
-    // approximate variant — not oracle-expressible (seeded hyperplanes);
-    // rows-only check + recall assertion in ScalaTest.
+    // approximate variants — not oracle-expressible (seeded hyperplanes /
+    // trained centroids); rows-only check + recall assertions in ScalaTest.
     "sim_ann_lsh" -> ((s, d) =>
       lshTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
+        .orderBy("q_id", "rnk")),
+    "sim_ann_ivf" -> ((s, d) =>
+      ivfTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
         .orderBy("q_id", "rnk")),
     // embedding near-dup: label-mates with cosine above threshold.
     // Norms precomputed per vector; the equi-join key is the label so the

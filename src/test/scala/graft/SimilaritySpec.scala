@@ -32,6 +32,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.size <= exact.size)
   }
 
+  test("IVF top-k recall vs brute force is usable (>= 0.4 on sf0.001)") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, col("vec_id") < 10, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
+  test("IVF is deterministic across runs") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val a = Similarity.ivfTopK(emb, col("vec_id") < 5, 3)
+      .collect().map(_.toString).sorted
+    val b = Similarity.ivfTopK(emb, col("vec_id") < 5, 3)
+      .collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("brute-force top-k neighbors are genuinely the nearest (spot check q=0)") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val all = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
