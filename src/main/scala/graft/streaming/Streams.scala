@@ -92,6 +92,72 @@ object Streams {
       }
   }
 
+  /** Custom sessionization via flatMapGroupsWithState with event-time
+    * timeout: emits a session row when a user's gap exceeds the timeout —
+    * the hand-rolled form of `session_window`, for when session state
+    * needs extra fields (here: count + first/last ts). */
+  final case class SessionAgg(userId: Long, nEvents: Long,
+      firstTs: java.sql.Timestamp, lastTs: java.sql.Timestamp)
+
+  def sessionizeWithState(events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAgg, SessionAgg](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            Iterator(out)
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.Buffer[SessionAgg]()
+            sorted.foreach { case (_, ts) =>
+              cur match {
+                case Some(s) if ts.getTime - s.lastTs.getTime < gapMs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastTs = ts))
+                case Some(s) =>
+                  closed += s
+                  cur = Some(SessionAgg(uid, 1, ts, ts))
+                case None =>
+                  cur = Some(SessionAgg(uid, 1, ts, ts))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs.getTime + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Live throughput monitor — the reference's `set_speed` 5 s poll loop
+    * (bulkupload.py:363-387) as a StreamingQueryListener: Spark computes
+    * processedRowsPerSecond per micro-batch; we keep the last N samples. */
+  final class RateMonitor extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryIdle(e: QueryIdleEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      buf.add(e.progress.processedRowsPerSecond)
+      while (buf.size() > 100) buf.poll()
+    }
+    def samples: Seq[Double] = {
+      val it = buf.iterator()
+      val out = scala.collection.mutable.Buffer[Double]()
+      while (it.hasNext) out += it.next()
+      out.toSeq
+    }
+  }
+
   /** Transactional micro-batch upload+mark (stream_foreachBatch_sink):
     * each batch of pending rows is uploaded then the manifest snapshot is
     * swapped; the checkpoint dir makes restarts resume exactly where the

@@ -64,6 +64,36 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("flatMapGroupsWithState sessions agree with session_window on closed sessions") {
+    runToMemory(Streams.sessionizeWithState(
+      Streams.eventsStream(spark, TestSpark.sf0001)).toDF(), "fmgs_out")
+    val got = spark.table("fmgs_out")
+      .select(col("userId"), col("firstTs").cast("long"), col("nEvents"))
+      .as[(Long, Long, Long)].collect().toSet
+    val want = EventWindows.sessions(Tables.events(spark, TestSpark.sf0001))
+      .select(col("user_id"), col("s_start").cast("long"), col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    // append-mode state emits only *closed* sessions (watermark tail stays
+    // open) — every emitted session must match the batch result exactly.
+    assert(got.nonEmpty)
+    assert(got.subsetOf(want), (got -- want).take(3).toString)
+  }
+
+  test("RateMonitor captures processedRowsPerSecond like set_speed") {
+    val mon = new Streams.RateMonitor
+    spark.streams.addListener(mon)
+    try {
+      runToMemory(Streams.tumblingRate(
+        Streams.eventsStream(spark, TestSpark.sf0001)), "rate_out")
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (mon.samples.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(mon.samples.nonEmpty)
+      assert(mon.samples.forall(_ >= 0.0))
+    } finally spark.streams.removeListener(mon)
+  }
+
   test("foreachBatch micro-batch upload marks the manifest transactionally") {
     import graft.ops.Manifest
     import graft.sink.{LocalFsStore, ManifestStore, Uploader}
