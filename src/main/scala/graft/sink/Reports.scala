@@ -56,7 +56,8 @@ object Reports {
   /** Write the progress file from a manifest state DataFrame. */
   def writeProgress(manifest: DataFrame, path: String, ratePerSec: Double): Unit = {
     val Row(total: Long, up: Long) = manifest.agg(
-      count(lit(1)), sum(when(col("uploaded"), 1L).otherwise(0L))).head()
+      count(lit(1)),
+      coalesce(sum(when(col("uploaded"), 1L).otherwise(0L)), lit(0L))).head()
     overwrite(path, progressLine(up, total, ratePerSec))
   }
 
@@ -64,8 +65,8 @@ object Reports {
   def writeReport(results: DataFrame, path: String): Unit = {
     val Row(n: Long, ok: Long, failed: Long) = results.agg(
       count(lit(1)),
-      sum(when(col("ok"), 1L).otherwise(0L)),
-      sum(when(!col("ok"), 1L).otherwise(0L))).head()
+      coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(!col("ok"), 1L).otherwise(0L)), lit(0L))).head()
     overwrite(path,
       s"""Report: ${utcNow()} UTC
          |Total attempted: $n

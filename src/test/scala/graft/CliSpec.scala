@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cli.{BulkUpload, PrepareUpload}
+import graft.sink.{FlakyStore, LocalFsStore, RetryingStore}
+import java.nio.file.{Files, Paths}
+
+/** End-to-end reference-equivalence: the two CLIs, including the
+  * re-prepare / resume behaviors the readme documents (readme.md:42). */
+class CliSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def write(root: String, rel: String, content: String): Unit = {
+    val p = Paths.get(root, rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  test("prepare -> upload -> resume full cycle") {
+    val src = Files.createTempDirectory("graft-cli-src").toString
+    val mroot = Files.createTempDirectory("graft-cli-m").toString
+    val store = Files.createTempDirectory("graft-cli-store").toString
+    val cutoff = Paths.get(src).getFileName.toString
+
+    write(src, "a/x.txt", "XX")
+    write(src, "a/b/y.txt", "YY")
+    write(src, "z.txt", "ZZ")
+
+    // index
+    val p1 = PrepareUpload.run(spark, src, mroot)
+    assert(p1.total == 3 && p1.appended == 3)
+
+    // re-prepare: no duplicate rows (fixes the reference defect)
+    val p2 = PrepareUpload.run(spark, src, mroot)
+    assert(p2.total == 3 && p2.appended == 0)
+
+    // new file appears -> only it is appended, id continues
+    write(src, "w.txt", "WW")
+    val p3 = PrepareUpload.run(spark, src, mroot)
+    assert(p3.total == 4 && p3.appended == 1)
+
+    // upload with y.txt permanently failing
+    FlakyStore.counts.clear()
+    val u1 = BulkUpload.run(spark, store, mroot, parallelism = 2,
+      cutoff = Some(cutoff),
+      mkStore = root => new FlakyStore(root, failTimes = 99, "y.txt"))
+    assert(u1.attempted == 4)
+    assert(u1.uploaded == 3 && u1.failed == 1)
+    assert(u1.totalUploaded == 3 && u1.total == 4)
+    // keys preserve the folder structure below the cutoff
+    assert(Files.readString(Paths.get(store, "a/x.txt")) == "XX")
+    assert(Files.readString(Paths.get(store, "z.txt")) == "ZZ")
+    assert(!Files.exists(Paths.get(store, "a/b/y.txt")))
+    val errLog = spark.read.text(s"$mroot/.upload.error.log").count()
+    assert(errLog == 1)
+
+    // resume: only the failed row is attempted, then everything is done
+    val u2 = BulkUpload.run(spark, store, mroot, parallelism = 2,
+      cutoff = Some(cutoff),
+      mkStore = root => new RetryingStore(new LocalFsStore(root)))
+    assert(u2.attempted == 1)
+    assert(u2.uploaded == 1 && u2.failed == 0)
+    assert(u2.totalUploaded == 4 && u2.total == 4)
+    assert(Files.readString(Paths.get(store, "a/b/y.txt")) == "YY")
+
+    // idempotent third run: nothing pending
+    val u3 = BulkUpload.run(spark, store, mroot, parallelism = 2,
+      cutoff = Some(cutoff))
+    assert(u3.attempted == 0 && u3.totalUploaded == 4)
+  }
+}
