@@ -118,8 +118,9 @@ object Similarity {
     * better recall/probe on clustered data). */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    // cached: reused by every Lloyd round and the final assignment
     val e = withNorm(emb, "vec_id", "ed", "norm")
-      .withColumn("_q", queryPred)
+      .withColumn("_q", queryPred).cache()
     val n = e.count()
     val stride = math.max(1L, n / nlist)
     var centroids: Array[Array[Double]] = e
