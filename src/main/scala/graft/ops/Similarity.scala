@@ -198,8 +198,11 @@ object Similarity {
         col("emb").as("ae"), col("norm").as("an"))
       val b = e.select(col("vec_id").as("b_id"), col("label"),
         col("emb").as("be"), col("norm").as("bn"))
+      // threshold 0.35 is calibrated to the synthetic embeddings (max
+      // within-label cosine ~0.47) so the result is non-degenerate at
+      // every SF; on a real near-dup corpus this would be ~0.9+.
       a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
-        .filter(dot(col("ae"), col("be")) / (col("an") * col("bn")) > 0.95)
+        .filter(dot(col("ae"), col("be")) / (col("an") * col("bn")) > 0.35)
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("label")
@@ -228,7 +231,7 @@ object Similarity {
         |         list_inner_product(a.emb, b.emb) /
         |         (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb))) AS cos
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT label, count(*) AS n_pairs FROM pairs WHERE cos > 0.95
+        |SELECT label, count(*) AS n_pairs FROM pairs WHERE cos > 0.35
         |GROUP BY label ORDER BY label""".stripMargin
   )
 }
