@@ -58,6 +58,19 @@ object Scale {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Bucketed write: pre-shuffle a table once by its join key so every
+    * later equi-join/aggregation on that key is exchange-free (the
+    * bucketing metadata proves co-location to the planner). This is the
+    * amortize-the-shuffle move for fact tables joined repeatedly on the
+    * same key at 100 TB: pay one clustered write, skip the exchange in
+    * every downstream job. Requires a saveAsTable (bucket info lives in
+    * the catalog); see ScaleSpec for the exchange-free plan assertion. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(table)
+
   /** Two-level aggregation for skewed group keys: partial-aggregate on
     * (key, salt) first, then final on key. For algebraic aggregates this
     * is exactly what partial+final hash aggregation already does — this

@@ -47,6 +47,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.length == 5000 + 100)
   }
 
+  test("bucketed tables join without any exchange (co-located join)") {
+    val c = Tables.customer(spark, TestSpark.sf0001)
+    val o = Tables.orders(spark, TestSpark.sf0001)
+    Scale.writeBucketed(c, "cust_b", "c_custkey", 8)
+    Scale.writeBucketed(o.withColumnRenamed("o_custkey", "c_custkey"),
+      "ord_b", "c_custkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("cust_b")
+        .join(spark.table("ord_b"), "c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      // and it is still correct
+      val expect = c.join(o, c("c_custkey") === o("o_custkey")).count()
+      assert(joined.count() == expect)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted count equals plain count") {
     val df = spark.range(10000)
       .select((when(col("id") % 10 === 0, 1).otherwise(col("id"))).as("k"))

@@ -6,10 +6,15 @@ import org.apache.spark.sql.SparkSession
   * forked test JVM; building a session per suite costs ~5s each). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft-warehouse").toString
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", warehouse)
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$warehouse/metastore_db;create=true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
