@@ -40,6 +40,13 @@ object EventWindows {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_rate_tumbling" -> ((s, d) =>
       tumbling(Tables.events(s, d)).orderBy("w_start")),
+    // set_speed's Δcount/Δt per 5 s window (bulkupload.py:381-384) —
+    // the per-window rate, vs math_rate's whole-stream rate.
+    "agg_rate" -> ((s, d) =>
+      tumbling(Tables.events(s, d))
+        .select(col("w_start"), col("n"),
+          round(col("n") / 5.0, 6).as("per_sec"))
+        .orderBy("w_start")),
     "stream_sliding" -> ((s, d) =>
       sliding(Tables.events(s, d)).orderBy("w_start")),
     "stream_session" -> ((s, d) =>
@@ -50,6 +57,11 @@ object EventWindows {
     "stream_rate_tumbling" ->
       """SELECT time_bucket(INTERVAL '5 seconds', ts) AS w_start, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY w_start""".stripMargin,
+    "agg_rate" ->
+      """SELECT w_start, n, round(n / 5.0, 6) AS per_sec FROM (
+        |  SELECT time_bucket(INTERVAL '5 seconds', ts) AS w_start, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |ORDER BY w_start""".stripMargin,
     // sliding window = each event contributes to the 12 5-second-aligned
     // windows covering it: w_start = bucket5(ts) - i*5s, i in 0..11.
     "stream_sliding" ->

@@ -91,6 +91,25 @@ object Text {
         .filter(col("lang") === "en")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")),
+    // utf-8 byte vs char semantics (str_utf8: Spark strings are UTF-8;
+    // encode() materializes the byte view, bulkupload.py:220).
+    "str_utf8" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_c"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+          length(decode(encode(col("text"), "UTF-8"), "UTF-8")).cast("long")
+            .as("n_chars_roundtrip"))
+        .orderBy("doc_id")),
+    // top bigrams — n-gram frequency via the native shingle generator.
+    "text_ngram_freq" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(size(words(col("text"))) >= 2)
+        .select(explode(graft.functions.Shingles.word_shingles(col("text"), 2))
+          .as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("bigram"))
+        .limit(20)),
     // word-frequency: explode + group (classic map-side heavy agg).
     "text_word_freq" -> ((s, d) =>
       Tables.documents(s, d)
@@ -140,6 +159,21 @@ object Text {
     "filter_lang" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    "str_utf8" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_c,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(length(decode(encode(text))) AS BIGINT) AS n_chars_roundtrip
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // note: word_shingles emits DISTINCT bigrams per doc, so n is the
+    // bigram *document* frequency — the oracle mirrors that exactly.
+    "text_ngram_freq" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |ex AS (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] AS bigram FROM ex)
+        |SELECT bigram, count(*) AS n FROM sh
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "text_word_freq" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
