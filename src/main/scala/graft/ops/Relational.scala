@@ -126,6 +126,26 @@ object Relational {
              round(avg(col("value")), 4).as("avg_v"),
              round(stddev_samp(col("value")), 4).as("sd_v"))
         .orderBy("event_type")),
+    // exact linear-interpolated percentiles per group.
+    "agg_percentile" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+             round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+    // quartile assignment per group, summarized (deterministic total order).
+    "win_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy(col("o_orderpriority"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+             round(min(col("o_totalprice")), 2).as("lo"),
+             round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy("o_orderpriority", "quartile")
+    }),
     // HLL++ sketch distinct — the 100 TB form of agg_distinct (one pass, no
     // per-key state explosion). Approximate ⇒ rows-only check, not oracle.
     "agg_approx_distinct" -> ((s, d) =>
@@ -200,6 +220,22 @@ object Relational {
         |       round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
         |       round(avg(value), 4) AS avg_v, round(stddev_samp(value), 4) AS sd_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_percentile" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "win_ntile" ->
+      """SELECT o_orderpriority, quartile, count(*) AS n,
+        |       round(min(o_totalprice), 2) AS lo,
+        |       round(max(o_totalprice), 2) AS hi
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |        ntile(4) OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice, o_orderkey) AS quartile
+        |      FROM orders)
+        |GROUP BY o_orderpriority, quartile
+        |ORDER BY o_orderpriority, quartile""".stripMargin,
     "limit_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
