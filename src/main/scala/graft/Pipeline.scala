@@ -25,13 +25,19 @@ object Pipeline {
   def run(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
 
-    // 1. Index (manifest_create) — with payload carried alongside.
+    // 1. Index (manifest_create) — with payload carried alongside. The
+    //    manifest path is constructed deterministically from the document
+    //    (source/doc_<id>.txt), so the payload attach is an EQUI-join on
+    //    the reconstructed path — shuffled hash/sort-merge on one key,
+    //    the plan that survives 100×. (A LIKE-suffix join here would be a
+    //    BroadcastNestedLoopJoin: O(n·m) compares.)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val m = Manifest.fromDocuments(spark, dir)
     val withContent = m.join(
-      docs.select(concat(lit("doc_"), col("doc_id"), lit(".txt")).as("_base"),
+      docs.select(
+        concat(col("source"), lit("/doc_"), col("doc_id"), lit(".txt")).as("path"),
         col("text")),
-      expr("path like concat('%/', _base)"))
+      Seq("path"))
 
     // 2. Plan: pending only, processed in id order (ORDER BY id DESC +
     //    tail-pop in the reference ⇒ ascending processing order).
@@ -40,24 +46,32 @@ object Pipeline {
       .as[(Long, String, String)]
       .map { case (id, path, text) => (id, path, text.getBytes("UTF-8")) }
 
-    // 3. Provision container + upload via per-partition clients.
+    // 3. Provision container + upload via per-partition clients. Wall-time
+    //    around the materializing action gives the uploads/second the
+    //    reference's set_speed poll loop reports (bulkupload.py:363-387).
     val storeRoot =
       java.nio.file.Files.createTempDirectory("graft-store").toString
     new LocalFsStore(storeRoot).ensureContainer()
     val counters = Uploader.mkCounters(spark)
+    val t0 = System.nanoTime()
     val results = Uploader.upload(pending, () => new LocalFsStore(storeRoot),
       parallelism = spark.sparkContext.defaultParallelism,
       counters = Some(counters)).cache()
+    val nOk = results.filter(col("ok")).count()
+    val elapsedSec = math.max((System.nanoTime() - t0) / 1e9, 1e-9)
+    val ratePerSec = nOk / elapsedSec
 
     // 4. Mark uploaded (snapshot semantics; see ManifestStore for swap).
     val marked = Manifest.markUploaded(m, results.filter(col("ok")).toDF())
 
     // 4b. Progress + report files (sink_progress_file / end_reporting).
-    graft.sink.Reports.writeProgress(marked, s"$storeRoot/.upload.out", 0.0)
+    graft.sink.Reports.writeProgress(marked, s"$storeRoot/.upload.out", ratePerSec)
     graft.sink.Reports.writeReport(results.toDF(), s"$storeRoot/.upload.report.log")
 
-    // 5. Report (end_reporting): totals + percent + rate fields.
-    marked.agg(
+    // 5. Report (end_reporting): totals + percent + rate fields. Computed
+    //    eagerly (one tiny row) so the upload stage's cache can be released
+    //    before returning — the caller's action must not re-run uploads.
+    val rep = marked.agg(
         count(lit(1)).as("total"),
         sum(when(col("uploaded"), 1).otherwise(0)).as("uploaded"),
         round(sum(when(col("uploaded"), 1).otherwise(0)) * 100.0 / count(lit(1)), 2)
@@ -65,5 +79,12 @@ object Pipeline {
       .crossJoin(results.agg(
         sum(when(!col("ok"), 1).otherwise(0)).as("failed"),
         max(col("attempts")).as("max_attempts")))
+      .head()
+    results.unpersist()
+    Seq((rep.getLong(0), rep.getLong(1), rep.getDouble(2), rep.getLong(3),
+        if (rep.isNullAt(4)) 0 else rep.getInt(4),
+        math.rint(ratePerSec * 100) / 100))
+      .toDF("total", "uploaded", "pct_complete", "failed", "max_attempts",
+        "rate_per_sec")
   }
 }

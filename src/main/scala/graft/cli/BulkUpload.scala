@@ -46,26 +46,40 @@ object BulkUpload {
           new java.net.URI(path).getPath)))
       } // open(path, 'rb'), bulkupload.py:39 — executor-side per file
 
+    // Accumulators feed live progress only; authoritative counts come from
+    // the results frame (task retries/speculation can inflate accumulator
+    // updates inside transformations). Wall-time around the materializing
+    // action gives uploads/second — the reference's set_speed
+    // (bulkupload.py:363-387).
     val counters = Uploader.mkCounters(spark)
+    val t0 = System.nanoTime()
     val results = Uploader.upload(pending, () => mkStore(storeRoot),
       parallelism, maxAttempts = 5, retrySleepMs = retrySleepMs,
       counters = Some(counters)).toDF().cache()
     val attempted = results.count()
+    val okCount = results.filter(col("ok")).count()
+    val elapsedSec = math.max((System.nanoTime() - t0) / 1e9, 1e-9)
+    val ratePerSec = okCount / elapsedSec
 
     val marked = Manifest.markUploaded(m, results.filter(col("ok"))).cache()
     marked.count()
-    ManifestStore.swap(marked, manifestRoot)
+    // all post-swap reads go through the swapped-in snapshot, never the
+    // pre-swap lineage (see ManifestStore.swap).
+    val current = ManifestStore.swap(marked, manifestRoot)
 
     Uploader.writeErrorLog(results, s"$manifestRoot/.upload.error.log")
-    Reports.writeProgress(marked, s"$manifestRoot/.upload.out", 0.0)
+    Reports.writeProgress(current, s"$manifestRoot/.upload.out", ratePerSec)
     Reports.writeReport(results, s"$manifestRoot/.upload.report.log")
 
-    Summary(
+    val summary = Summary(
       attempted = attempted,
-      uploaded = counters.uploaded.value,
-      failed = counters.failed.value,
-      totalUploaded = marked.filter(col("uploaded")).count(),
-      total = marked.count())
+      uploaded = okCount,
+      failed = attempted - okCount,
+      totalUploaded = current.filter(col("uploaded")).count(),
+      total = current.count())
+    results.unpersist()
+    marked.unpersist()
+    summary
   }
 
   def main(args: Array[String]): Unit = {

@@ -30,8 +30,12 @@ object PrepareUpload {
 
     // ids continue after the current max; assignment is the distributed
     // range-partition form (Scale.assignIdsByRange), not a global window.
+    // max(id) over an empty manifest is NULL (a prior run can legitimately
+    // snapshot an empty tree) — coalesce to 0, and never conflate max(id)
+    // with row count: ids stay dense only absent deletes.
     val base = existing.map(m =>
-      m.agg(max(col("id"))).head().getLong(0)).getOrElse(0L)
+      m.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0)).getOrElse(0L)
+    val existingCount = existing.map(_.count()).getOrElse(0L)
     val appended = Scale.assignIdsByRange(newPaths, "path")
       .select((col("id") + base).as("id"), col("path"),
         lit(false).as("uploaded"))
@@ -41,8 +45,9 @@ object PrepareUpload {
     }
     val counted = next.cache()
     val total = counted.count()
-    val nAppended = total - base
+    val nAppended = total - existingCount
     ManifestStore.swap(counted, manifestRoot)
+    counted.unpersist()
     Reports.overwrite(s"$manifestRoot/.prepare.out",
       s"${Reports.utcNow()} UTC: $nAppended files indexed, $total total")
     Summary(indexed = nAppended, appended = nAppended, total = total)
@@ -65,6 +70,7 @@ private[cli] object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -39,6 +39,11 @@ object Tables {
     * values are exactly us-aligned, and DuckDB's TIMESTAMP is us too, so
     * both engines see identical instants. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // The legacy flag is set unconditionally in every session builder we
+    // own (TestSpark/Sessions/Bench/Verify), so raw reads of
+    // events.parquet see the same (long) schema regardless of call order;
+    // this set is a defensive no-op there and only matters for foreign
+    // sessions.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.model.Tables
 
 /** Manifest lifecycle operators — the reference's core data model.
@@ -19,28 +18,36 @@ import graft.model.Tables
   * (path = source/doc_<id>.txt, uploaded seeded by doc_id % 3 == 0) so every
   * operator is expressible as DuckDB SQL over the same parquet.
   *
-  * Scale note (100 TB): `row_number()` over a global ORDER BY is a
-  * single-partition sort — correct but serial. The cluster-scale form is
-  * [[graft.ops.Scale.assignIdsByRange]] (range-repartition + per-partition
-  * offset prefix-sum), proven id-identical to the window form in
-  * ScaleSpec. The oracle runs at sf<=0.1 where the global window is the
-  * simpler, equally-correct choice.
+  * Scale note (100 TB): id assignment is the distributed range-partition
+  * form ([[graft.ops.Scale.assignIdsByRange]]: range-repartition +
+  * per-partition prefix-sum) — ids depend only on the global path order,
+  * so they are identical to `row_number().over(Window.orderBy(path))`
+  * (asserted in ScaleSpec) without the single-partition sort that form
+  * plans. The derived manifest is memoized per (session, dir): it is
+  * metadata (paths + flags, orders of magnitude smaller than payloads),
+  * so caching it once per run is the same move a real deployment makes by
+  * keeping the manifest as its own small table.
   */
 object Manifest {
 
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Deterministic manifest derived from `documents`: the Spark equivalent
     * of `prepare_upload` + `create_table` (id assignment = AUTO_INCREMENT,
-    * olrcdb.py:40, as row_number over path order — SURVEY §2.1
+    * olrcdb.py:40, dense ids in path order — SURVEY §2.1
     * `manifest_create`). */
-  def fromDocuments(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val paths = docs.select(
-      concat(col("source"), lit("/doc_"), col("doc_id"), lit(".txt")).as("path"),
-      (col("doc_id") % 3 === 0).as("uploaded"))
-    paths.select(
-      row_number().over(Window.orderBy("path")).cast("long").as("id"),
-      col("path"), col("uploaded"))
-  }
+  def fromDocuments(spark: SparkSession, dir: String): DataFrame =
+    memo.computeIfAbsent((spark, dir), { case (s, d) =>
+      val docs = Tables.documents(s, d)
+      val paths = docs.select(
+        concat(col("source"), lit("/doc_"), col("doc_id"), lit(".txt")).as("path"),
+        (col("doc_id") % 3 === 0).as("uploaded"))
+      val withIds = Scale.assignIdsByRange(paths, "path")
+        .select(col("id"), col("path"), col("uploaded"))
+      withIds.cache()
+      withIds
+    })
 
   /** Full scan (`get_all_entries_to_upload`'s SELECT *, bulkupload.py:354-360). */
   def scan(spark: SparkSession, dir: String): DataFrame =

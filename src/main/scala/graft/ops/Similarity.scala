@@ -118,7 +118,10 @@ object Similarity {
     * better recall/probe on clustered data). */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    // cached: reused by every Lloyd round and the final assignment
+    // cached only for the duration of training: every Lloyd round is an
+    // eager action inside this function, so the cache is released before
+    // returning (the final query recomputes withNorm from source — no
+    // persistent RDD leaks across the 70-query bench).
     val e = withNorm(emb, "vec_id", "ed", "norm")
       .withColumn("_q", queryPred).cache()
     val n = e.count()
@@ -154,6 +157,8 @@ object Similarity {
       }.toArray
     }
 
+    // training done — release the cache; the plan below re-reads source.
+    e.unpersist(blocking = false)
     val assigned = e.withColumn("cluster",
       array_max(array(cosTo(centroids): _*)).getField("k"))
     val probes = assigned.filter(col("_q"))

@@ -26,8 +26,14 @@ object ManifestStore {
   def exists(root: String): Boolean =
     Files.exists(Paths.get(currentPath(root)))
 
-  /** Write `m` as the new current snapshot, atomically. */
-  def swap(m: DataFrame, root: String): Unit = {
+  /** Write `m` as the new current snapshot, atomically, and return a
+    * frame READ FROM the new snapshot. The parquet write into `_tmp`
+    * fully materializes `m` (reading the old `current` it may derive
+    * from) *before* any rename, so the swap itself is safe; callers must
+    * use the returned frame afterwards — a pre-swap `m` whose cached
+    * partitions get evicted would recompute against the renamed (deleted)
+    * source directory and silently corrupt. */
+  def swap(m: DataFrame, root: String): DataFrame = {
     Files.createDirectories(Paths.get(root))
     val gen = System.nanoTime()
     val tmp = Paths.get(root, s"_tmp_$gen")
@@ -41,6 +47,7 @@ object ManifestStore {
       } else None
     Files.move(tmp, cur, StandardCopyOption.ATOMIC_MOVE)
     old.foreach(deleteRecursively)
+    read(m.sparkSession, root)
   }
 
   private def deleteRecursively(p: Path): Unit = {
