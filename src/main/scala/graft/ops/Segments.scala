@@ -36,11 +36,61 @@ object Segments {
           .as("seg_text"))
       .withColumn("seg_len", length(col("seg_text")).cast("long"))
 
+  /** Byte-true segmentation — the reference's real contract (fixed-size
+    * chunks of file CONTENT, filesegmenter.py:24-29, minus its text-mode
+    * corruption bug): chunk a BinaryType column on exact byte offsets.
+    * On multi-byte text the char form above yields variable byte sizes;
+    * this form always yields `size` bytes per chunk except the last.
+    * Chunk names derive from the file's basename (filesegmenter.py:14,33:
+    * `{name}-%04d.txt`), not a synthetic id. Same map-only posexplode
+    * plan — no shuffle, scales like the char form. */
+  def segmentBytes(df: DataFrame, idCol: Column, pathCol: Column,
+      binCol: Column, size: Int): DataFrame =
+    df.select(
+        idCol.as("doc_id"),
+        substring_index(element_at(split(pathCol, "/"), -1), ".", 1).as("_base"),
+        binCol.as("_b"),
+        posexplode(sequence(lit(0L),
+          (ceil(length(binCol).cast("double") / size) - 1).cast("long"))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("seg_no"),
+        format_string("%s-%04d.txt", col("_base"), col("pos").cast("int"))
+          .as("seg_name"),
+        substring(col("_b"), (col("pos") * size + 1).cast("int"), lit(size))
+          .as("seg_bytes"))
+      .withColumn("seg_len", length(col("seg_bytes")).cast("long"))
+
+  /** Segment-file writer — `split_file`'s output (filesegmenter.py:31-39):
+    * one real file per chunk named `{basename}-%04d.txt`, executor-side
+    * writes (embarrassingly parallel, no driver collect). */
+  def writeSegmentFiles(segments: DataFrame, root: String): Unit = {
+    val sel = segments.select(col("seg_name"), col("seg_bytes"))
+    sel.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val r = java.nio.file.Paths.get(root)
+      java.nio.file.Files.createDirectories(r)
+      it.foreach { row =>
+        java.nio.file.Files.write(r.resolve(row.getString(0)),
+          row.getAs[Array[Byte]](1))
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "segment_file" -> ((s, d) =>
       segmentText(Tables.documents(s, d).filter(length(col("text")) > 0),
         col("doc_id"), col("text"), 500)
-        .orderBy("doc_id", "seg_no"))
+        .orderBy("doc_id", "seg_no")),
+    // byte-true form over content bytes; chunk bytes are surfaced as hex
+    // so the DuckDB oracle (which cannot slice BLOBs) can replicate the
+    // slicing on the hex string, where 1 byte == 2 ASCII chars.
+    "segment_file_bytes" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
+      val path = concat(col("source"), lit("/doc_"), col("doc_id"), lit(".txt"))
+      segmentBytes(docs, col("doc_id"), path, col("text").cast("binary"), 500)
+        .select(col("doc_id"), col("seg_no"), col("seg_name"),
+          hex(col("seg_bytes")).as("seg_hex"), col("seg_len"))
+        .orderBy("doc_id", "seg_no")
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -53,6 +103,24 @@ object Segments {
         |FROM (SELECT doc_id, text,
         |        unnest(range(0, CAST(ceil(length(text) / 500.0) AS BIGINT))) AS seg
         |      FROM documents WHERE length(text) > 0)
-        |ORDER BY doc_id, seg_no""".stripMargin
+        |ORDER BY doc_id, seg_no""".stripMargin,
+    "segment_file_bytes" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, source || '/doc_' || doc_id || '.txt' AS path,
+        |         hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS nb
+        |  FROM documents WHERE length(text) > 0),
+        |seg AS (
+        |  SELECT doc_id, path, hx,
+        |         unnest(range(0, CAST(ceil(nb / 500.0) AS BIGINT))) AS seg
+        |  FROM d)
+        |SELECT doc_id,
+        |       CAST(seg AS BIGINT) AS seg_no,
+        |       printf('%s-%04d.txt',
+        |         string_split(string_split(path, '/')[-1], '.')[1],
+        |         CAST(seg AS INT)) AS seg_name,
+        |       substr(hx, CAST(seg * 1000 + 1 AS BIGINT), 1000) AS seg_hex,
+        |       CAST(length(substr(hx, CAST(seg * 1000 + 1 AS BIGINT), 1000)) / 2 AS BIGINT) AS seg_len
+        |FROM seg ORDER BY doc_id, seg_no""".stripMargin
   )
 }

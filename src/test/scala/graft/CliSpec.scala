@@ -53,6 +53,12 @@ class CliSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(store, "a/b/y.txt")))
     val errLog = spark.read.text(s"$mroot/.upload.error.log").count()
     assert(errLog == 1)
+    // the progress file must report a real (nonzero) uploads/second — the
+    // reference's most visible runtime behavior (set_speed).
+    val prog = Files.readString(Paths.get(mroot, ".upload.out"))
+    val rateRe = """at (\d+\.\d+) uploads/second""".r
+    val rate = rateRe.findFirstMatchIn(prog).map(_.group(1).toDouble)
+    assert(rate.exists(_ > 0.0), s"progress line lacks a live rate: $prog")
 
     // resume: only the failed row is attempted, then everything is done
     val u2 = BulkUpload.run(spark, store, mroot, parallelism = 2,

@@ -36,4 +36,46 @@ class SegmentsSpec extends AnyFunSuite {
     assert(names.toSeq == Seq("doc_7-0000.txt", "doc_7-0001.txt",
       "doc_7-0002.txt", "doc_7-0003.txt"))
   }
+
+  test("byte-true property: chunks concatenate to the original BYTES; every " +
+      "chunk is `size` bytes except the last (multi-byte text included)") {
+    val rnd = new scala.util.Random(7)
+    val pool = "aé中🙂 b" // 1-, 2-, 3-, 4-byte codepoints
+    val cases = (1 to 20).map { _ =>
+      val text = Seq.fill(1 + rnd.nextInt(30))(
+        pool(rnd.nextInt(pool.length))).mkString
+      (text, 1 + rnd.nextInt(7))
+    } :+ (("中中中", 2)) // chunk boundary mid-codepoint
+    for ((text, size) <- cases) {
+      val df = Seq((1L, "src/doc_1.txt", text)).toDF("doc_id", "path", "text")
+      val segs = Segments.segmentBytes(df, col("doc_id"), col("path"),
+          col("text").cast("binary"), size)
+        .orderBy("seg_no").collect()
+      val joined = segs.flatMap(_.getAs[Array[Byte]]("seg_bytes"))
+      val want = text.getBytes("UTF-8")
+      assert(java.util.Arrays.equals(joined, want), s"text=$text size=$size")
+      val lens = segs.map(_.getAs[Long]("seg_len"))
+      assert(lens.init.forall(_ == size), s"text=$text size=$size")
+      assert(lens.last >= 1 && lens.last <= size)
+      assert(segs.length == (want.length + size - 1) / size)
+      assert(segs.head.getAs[String]("seg_name") == "doc_1-0000.txt")
+    }
+  }
+
+  test("writeSegmentFiles mirrors split_file: real {basename}-%04d.txt files " +
+      "that reassemble to the original bytes") {
+    val text = "héllo 中文 world 🙂 " * 5
+    val df = Seq((3L, "a/b/doc_3.txt", text)).toDF("doc_id", "path", "text")
+    val segs = Segments.segmentBytes(df, col("doc_id"), col("path"),
+      col("text").cast("binary"), 16)
+    val root = java.nio.file.Files.createTempDirectory("graft-segw").toString
+    Segments.writeSegmentFiles(segs, root)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      .toArray.map(_.toString).sorted
+    assert(files.nonEmpty)
+    assert(files.forall(_.matches(""".*/doc_3-\d{4}\.txt""")))
+    val joined = files.flatMap(f =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))
+    assert(java.util.Arrays.equals(joined, text.getBytes("UTF-8")))
+  }
 }

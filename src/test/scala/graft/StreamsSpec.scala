@@ -104,7 +104,8 @@ class StreamsSpec extends AnyFunSuite {
     val m = Manifest.fromDocuments(spark, TestSpark.sf0001)
     ManifestStore.swap(m, manifestRoot)
     val docs = Tables.documents(spark, TestSpark.sf0001)
-      .select(concat(lit("doc_"), col("doc_id"), lit(".txt")).as("base"), col("text"))
+      .select(concat(col("source"), lit("/doc_"), col("doc_id"), lit(".txt"))
+        .as("path"), col("text"))
 
     val pendingStream = spark.readStream
       .schema(ManifestStore.read(spark, manifestRoot).schema)
@@ -112,8 +113,7 @@ class StreamsSpec extends AnyFunSuite {
       .filter(!col("uploaded"))
 
     Streams.runMicroBatchUpload(pendingStream, checkpoint, (batch, _) => {
-      val withContent = batch.join(docs,
-        expr("path like concat('%/', base)"))
+      val withContent = batch.join(docs, Seq("path"))
         .select(col("id"), col("path"), col("text"))
         .as[(Long, String, String)]
         .map { case (id, p, t) => (id, p, t.getBytes("UTF-8")) }
