@@ -179,6 +179,53 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Exact near-dup pair counts per label, hot-key-safe.
+    *
+    * Semantics: count label-mate pairs with cosine above `threshold` —
+    * EXACT, so the result hash-matches the all-pairs oracle at any SF.
+    *
+    * Why not LSH candidate routing here: the threshold regime is weak
+    * similarity (0.35 ⇒ θ≈66°, vs 90° for random pairs). Sign-LSH
+    * per-table collision is (1-θ/π)^bits — 0.63^bits for true pairs vs
+    * 0.5^bits for random ones: too little separation to prune without
+    * losing most true pairs (measured on this data: ~0.4 recall at
+    * bits=6/8 tables ⇒ a hash MISmatch and silently wrong counts). LSH /
+    * MinHash candidate routing is the right move at real near-dup
+    * thresholds (≥0.9) — that path exists as [[lshTopK]] and
+    * [[Dedup.minhashCandidates]].
+    *
+    * The scale problem with a plain label self-join is not the pair count
+    * (the semantics require it) but that ONE shuffle key carries a whole
+    * label: a hot label ⇒ one reducer does |label|² work. Blocked
+    * self-join instead: each side is sliced into `blocks` deterministic
+    * blocks (vec_id % blocks) and replicated `blocks` times, so every
+    * pair meets at exactly one (label, blockA, blockB) key and the hot
+    * label's quadratic work spreads over blocks² reducers. Classic
+    * blocked-cartesian decomposition: shuffle volume ×blocks, max
+    * per-reducer work ÷blocks² — the trade you want at 100 TB. */
+  def nearDupPairCounts(emb: DataFrame, threshold: Double,
+      blocks: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"),
+        toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+        col("emb").as("ae"), col("norm").as("an"))
+      .withColumn("ba", pmod(col("a_id"), lit(blocks)).cast("int"))
+      .withColumn("bb", explode(sequence(lit(0), lit(blocks - 1))))
+    val b = e.select(col("vec_id").as("b_id"), col("label"),
+        col("emb").as("be"), col("norm").as("bn"))
+      .withColumn("bb", pmod(col("b_id"), lit(blocks)).cast("int"))
+      .withColumn("ba", explode(sequence(lit(0), lit(blocks - 1))))
+    // threshold 0.35 in the registered query is calibrated to the
+    // synthetic embeddings (max within-label cosine ~0.47) so the result
+    // is non-degenerate at every SF.
+    a.join(b, Seq("label", "ba", "bb")).filter(col("a_id") < col("b_id"))
+      .filter(dot(col("ae"), col("be")) / (col("an") * col("bn")) > threshold)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("label")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> ((s, d) =>
       bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
@@ -194,24 +241,10 @@ object Similarity {
     // embedding near-dup: label-mates with cosine above threshold.
     // Norms precomputed per vector; the equi-join key is the label so the
     // pair blow-up shuffles ids+vectors once, not per-pair re-norms.
-    "sim_near_dup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          Similarity.toDoubleArr(col("embedding")).as("emb"))
-        .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
-      val a = e.select(col("vec_id").as("a_id"), col("label"),
-        col("emb").as("ae"), col("norm").as("an"))
-      val b = e.select(col("vec_id").as("b_id"), col("label"),
-        col("emb").as("be"), col("norm").as("bn"))
-      // threshold 0.35 is calibrated to the synthetic embeddings (max
-      // within-label cosine ~0.47) so the result is non-degenerate at
-      // every SF; on a real near-dup corpus this would be ~0.9+.
-      a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
-        .filter(dot(col("ae"), col("be")) / (col("an") * col("bn")) > 0.35)
-        .groupBy(col("label"))
-        .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("label")
-    })
+    // embedding near-dup: label-mates with cosine above threshold, via
+    // the hot-key-safe blocked self-join (see nearDupPairCounts).
+    "sim_near_dup" -> ((s, d) =>
+      nearDupPairCounts(Tables.embeddings(s, d), 0.35, blocks = 8))
   )
 
   def oracle: Map[String, String] = Map(

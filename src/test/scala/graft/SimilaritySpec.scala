@@ -51,6 +51,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("blocked near-dup join equals the plain all-pairs join and spreads " +
+      "a hot label over blocks^2 shuffle keys") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    // exact reference: plain label self-join
+    val e = emb.select(col("vec_id"), col("label"),
+        Similarity.toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("norm", sqrt(Similarity.dot(col("emb"), col("emb"))))
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+      col("emb").as("ae"), col("norm").as("an"))
+    val b = e.select(col("vec_id").as("b_id"), col("label"),
+      col("emb").as("be"), col("norm").as("bn"))
+    val plain = a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+      .filter(Similarity.dot(col("ae"), col("be")) / (col("an") * col("bn")) > 0.35)
+      .groupBy("label").agg(count(lit(1)).as("n_pairs"))
+      .as[(Int, Long)].collect().toMap
+    val blocked = Similarity.nearDupPairCounts(emb, 0.35, blocks = 8)
+      .as[(Int, Long)].collect().toMap
+    assert(blocked == plain)
+    // hot-key bound: the largest (label, ba, bb) cell carries at most
+    // ~(|label|/blocks)^2 pair-candidates, vs |label|^2 for the plain join.
+    val sizes = e.groupBy("label").count().as[(Int, Long)].collect().toMap
+    val hot = sizes.values.max
+    val aB = a.withColumn("ba", pmod(col("a_id"), lit(8)).cast("int"))
+      .withColumn("bb", explode(sequence(lit(0), lit(7))))
+    val bB = b.withColumn("bb", pmod(col("b_id"), lit(8)).cast("int"))
+      .withColumn("ba", explode(sequence(lit(0), lit(7))))
+    val cellMax = aB.join(bB, Seq("label", "ba", "bb"))
+      .groupBy("label", "ba", "bb").count()
+      .agg(max("count")).as[Long].collect().head
+    val perCell = (hot / 8 + 1) * (hot / 8 + 1)
+    // residues of vec_id % 8 within a label are only roughly balanced —
+    // allow 4x the ideal cell, still ~16x below the unblocked hot cell.
+    assert(cellMax <= perCell * 4, s"cellMax=$cellMax hot=$hot bound=${perCell * 4}")
+    assert(cellMax < hot * hot / 8, s"not spread: cellMax=$cellMax hot=$hot")
+  }
+
   test("brute-force top-k neighbors are genuinely the nearest (spot check q=0)") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val all = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
