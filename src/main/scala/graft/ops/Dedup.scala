@@ -82,6 +82,41 @@ object Dedup {
       .select("a_id", "b_id").distinct()
   }
 
+  /** MinHash banding histogram over a DuckDB-replicable hash family —
+    * the structural oracle for the MinHash pipeline. The production path
+    * ([[minhashSignatures]]) uses xxhash64, which DuckDB cannot
+    * reproduce; this twin runs the SAME signature→band→bucket pipeline
+    * with h_i(s) = rollingHash(i + "|" + s) (the native Karp-Rabin
+    * expression whose BIGINT fold IS replicated in DuckDB, see
+    * Fingerprints), so band-bucket-size cardinalities are hash-checkable
+    * end-to-end. Bucket ids combine the band's two mins injectively:
+    * m_a * 2000000011 + m_b (both < 1e9+7, product < 2^63 — exact in
+    * BIGINT on both engines).
+    *
+    * Output: per band, how many buckets have 1, 2, 3… docs — the LSH
+    * candidate-mass histogram (size>=2 buckets are the candidate pairs).
+    * Same shuffle shape as the real pipeline: explode shingles →
+    * partial-agg mins per doc → map-side band explode → two keyed
+    * aggregates. */
+  def minhashStats(docs: DataFrame, k: Int = 8, bands: Int = 4): DataFrame = {
+    require(k == 2 * bands, "bucket combiner packs exactly 2 mins per band")
+    val sh = shingles(docs)
+    val mins = (0 until k).map(i =>
+      min(graft.functions.RollingHash.rolling_hash(
+        concat(lit(s"$i|"), col("shingle")))).as(s"_m$i"))
+    val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (col(s"_m${2 * b}") * lit(2000000011L) + col(s"_m${2 * b + 1}"))
+          .as("bucket"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bucket_size"))
+      .groupBy("band", "bucket_size").agg(count(lit(1)).as("n_buckets"))
+      .orderBy("band", "bucket_size")
+  }
+
   /** 64-bit SimHash per doc: per-bit vote of word-hash bits, packed via
     * builtin bit ops only (stays in codegen). */
   def simhash(docs: DataFrame): DataFrame = {
@@ -144,7 +179,12 @@ object Dedup {
         .orderBy("doc_id")),
     // SimHash 64-bit fingerprints.
     "dedup_simhash" -> ((s, d) =>
-      simhash(Tables.documents(s, d)).orderBy("doc_id"))
+      simhash(Tables.documents(s, d)).orderBy("doc_id")),
+    // structural MinHash oracle: band-bucket-size histogram over the
+    // DuckDB-replicable hash family (upgrades the MinHash pipeline from
+    // rows-only to hash-checked).
+    "dedup_minhash_stats" -> ((s, d) =>
+      minhashStats(Tables.documents(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -173,8 +213,37 @@ object Dedup {
         |           ORDER BY inter * 1.0 / (ca.n + cb.n - inter) DESC, b_id) AS rn
         |  FROM inter JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id)
         |SELECT a_id, b_id, round(jac, 6) AS jaccard FROM jac
-        |WHERE rn = 1 ORDER BY a_id""".stripMargin
+        |WHERE rn = 1 ORDER BY a_id""".stripMargin,
     // dedup_minhash / dedup_simhash: Spark murmur3/xxhash64 have no DuckDB
-    // equivalent → rows-only check + ScalaTest property coverage.
+    // equivalent → rows-only check + ScalaTest property coverage. The
+    // pipeline itself is hash-gated through its rolling-hash twin below.
+    "dedup_minhash_stats" -> {
+      def hashOf(e: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))),
+           |  (acc, x) -> (acc * 131 + x) % 1000000007)""".stripMargin
+      val minCols = (0 until 8).map(i =>
+        s"min(${hashOf(s"'$i|' || shingle")}) AS m$i").mkString(",\n  ")
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |ex AS (
+         |  SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i FROM w),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+         |  FROM ex),
+         |sig AS (SELECT doc_id,
+         |  $minCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b.band, b.bucket FROM sig CROSS JOIN LATERAL (VALUES
+         |    (0, m0 * 2000000011 + m1), (1, m2 * 2000000011 + m3),
+         |    (2, m4 * 2000000011 + m5), (3, m6 * 2000000011 + m7)) b(band, bucket)),
+         |sz AS (SELECT band, bucket, CAST(count(*) AS BIGINT) AS bucket_size
+         |       FROM bands GROUP BY 1, 2)
+         |SELECT band, bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+         |FROM sz GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }
   )
 }

@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.model.Tables
 
 /** Scale-out mechanisms for operators whose naive form does not survive
   * 1000× data (SURVEY §7 "hard parts").
@@ -83,4 +84,38 @@ object Scale {
     salted.groupBy(col(key), col("_salt")).agg(count(lit(1)).as("_pc"))
       .groupBy(col(key)).agg(sum(col("_pc")).cast("long").as(countAs))
   }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pathologically skewed equi-join through the explicit salting
+    // machinery: l_returnflag has 3 distinct values, so a plain shuffle
+    // join lands ~1/3 of the fact table on ONE reducer each; saltedJoin
+    // spreads every flag over `factor` (key, salt) reducers. The result
+    // is identical to the plain join (also asserted in ScaleSpec) — here
+    // it is oracle-gated against DuckDB's plain join.
+    "join_salted_skew" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), col("l_quantity"))
+      val dim = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag")).distinct()
+        .withColumn("grp", concat(lit("grp_"), col("flag")))
+      saltedJoin(li, dim, "flag", factor = 8)
+        .groupBy("flag", "grp")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("flag")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "join_salted_skew" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT l_returnflag AS flag,
+        |         'grp_' || l_returnflag AS grp
+        |  FROM lineitem)
+        |SELECT li.l_returnflag AS flag, d.grp AS grp,
+        |       round(sum(li.l_quantity), 2) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem li JOIN dim d ON li.l_returnflag = d.flag
+        |GROUP BY 1, 2 ORDER BY flag""".stripMargin
+  )
 }

@@ -42,6 +42,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("ivfTopK releases its training cache (no persistent-RDD leak)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    Similarity.ivfTopK(emb, col("vec_id") < 5, 3).collect()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty, s"leaked RDDs: ${after -- before}")
+  }
+
   test("IVF is deterministic across runs") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val a = Similarity.ivfTopK(emb, col("vec_id") < 5, 3)
