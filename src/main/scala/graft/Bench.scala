@@ -20,6 +20,21 @@ object Bench {
     }
     try graft.model.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => }
+    // ... and exercise the execution machinery once (shuffle + AQE replan
+    // + window + HLL sketch + codegen paths): ~2.5 s of one-time init was
+    // otherwise billed to whichever query happened to run first.
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val a = spark.range(10000).toDF("x").withColumn("g", col("x") % 7)
+      val b = spark.range(7).toDF("g2")
+      a.groupBy("g")
+        .agg(count(lit(1)).as("n"), approx_count_distinct(col("x"), 0.02).as("d"))
+        .join(b, col("g") === col("g2"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("g").orderBy("n")))
+        .queryExecution.toRdd.count()
+    } catch { case _: Throwable => }
     // Time via queryExecution.toRdd.count(): a bare df.count() lets
     // Catalyst prune every projection (map-heavy queries would be timed
     // without computing their output columns); toRdd materializes each

@@ -140,20 +140,22 @@ object Similarity {
       }
     }
 
+    // Lloyd update: per-dimension avg as `dim` column aggregates — stays
+    // partial-aggregated (map-side combine collapses each partition to
+    // one row per cluster before the exchange). The posexplode
+    // formulation shuffles n×dim rows per round instead.
+    val dimN = centroids(0).length
     for (_ <- 0 until iters) {
       val assigned = e.withColumn("cluster",
         array_max(array(cosTo(centroids): _*)).getField("k"))
-      val upd = assigned
-        .select(col("cluster"), posexplode(col("ed")).as(Seq("dim", "v")))
-        .groupBy("cluster", "dim").agg(avg(col("v")).as("m"))
+      val avgs = (0 until dimN).map(i => avg(col("ed").getItem(i)).as(s"c$i"))
+      val upd = assigned.groupBy("cluster").agg(avgs.head, avgs.tail: _*)
         .collect()
-      val byCluster = upd.groupBy(_.getInt(0))
+      val byCluster = upd.map(r => r.getInt(0) -> r).toMap
       centroids = centroids.indices.map { i =>
-        byCluster.get(i).map { rows =>
-          val arr = new Array[Double](centroids(i).length)
-          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-          arr
-        }.getOrElse(centroids(i))
+        byCluster.get(i)
+          .map(r => Array.tabulate(dimN)(j => r.getDouble(1 + j)))
+          .getOrElse(centroids(i))
       }.toArray
     }
 
