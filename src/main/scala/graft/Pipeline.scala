@@ -22,6 +22,18 @@ import graft.sink.{LocalFsStore, Uploader}
   */
 object Pipeline {
 
+  /** Manifest + payload, joined by EQUI-join on the reconstructed path
+    * (exposed for the plan assertion in PipelineSpec: this must never
+    * degrade to a nested-loop join). */
+  private[graft] def attachPayload(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Manifest.fromDocuments(spark, dir).join(
+      docs.select(
+        concat(col("source"), lit("/doc_"), col("doc_id"), lit(".txt")).as("path"),
+        col("text")),
+      Seq("path"))
+  }
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
 
@@ -31,13 +43,8 @@ object Pipeline {
     //    the reconstructed path — shuffled hash/sort-merge on one key,
     //    the plan that survives 100×. (A LIKE-suffix join here would be a
     //    BroadcastNestedLoopJoin: O(n·m) compares.)
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val withContent = attachPayload(spark, dir)
     val m = Manifest.fromDocuments(spark, dir)
-    val withContent = m.join(
-      docs.select(
-        concat(col("source"), lit("/doc_"), col("doc_id"), lit(".txt")).as("path"),
-        col("text")),
-      Seq("path"))
 
     // 2. Plan: pending only, processed in id order (ORDER BY id DESC +
     //    tail-pop in the reference ⇒ ascending processing order).

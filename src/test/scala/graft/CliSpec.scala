@@ -74,4 +74,28 @@ class CliSpec extends AnyFunSuite {
       cutoff = Some(cutoff))
     assert(u3.attempted == 0 && u3.totalUploaded == 4)
   }
+
+  test("re-prepare after an EMPTY first index neither NPEs nor miscounts") {
+    // regression: max(id) over an empty manifest is NULL; a first run
+    // against an empty source dir writes an empty snapshot, files appear
+    // later, and the second run must continue from id 0.
+    val src = Files.createTempDirectory("graft-cli-empty").toString
+    val mroot = Files.createTempDirectory("graft-cli-empty-m").toString
+    val p1 = PrepareUpload.run(spark, src, mroot)
+    assert(p1.total == 0 && p1.appended == 0)
+    write(src, "a.txt", "A")
+    write(src, "b/c.txt", "C")
+    val p2 = PrepareUpload.run(spark, src, mroot)
+    assert(p2.total == 2 && p2.appended == 2)
+    val ids = graft.sink.ManifestStore.read(spark, mroot)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("flagship payload attach is an equi-join, not a nested-loop join") {
+    val plan = Pipeline.attachPayload(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
