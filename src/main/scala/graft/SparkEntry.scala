@@ -76,15 +76,17 @@ object SparkEntry {
     // AUTO_INCREMENT semantics of insert_path, olrcdb.py:54-70) — batched
     // set-append, not the reference's per-row INSERT+commit.
     "manifest_insert" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val m = Manifest.fromDocuments(s, d)
       val newScan = graft.model.Tables.documents(s, d)
         .filter(col("doc_id") % 10 === 0)
         .select(concat(lit("extra/doc_"), col("doc_id"), lit(".txt")).as("path"))
       val mx = m.agg(max(col("id")).as("_mx"))
-      val appended = newScan.crossJoin(broadcast(mx))
-        .select((col("_mx") +
-            row_number().over(Window.orderBy("path")).cast("long")).as("id"),
+      // appended ids via the distributed range form (same as the CLI's
+      // prepare path), offset by the current max — no global window even
+      // when the appended batch is itself large.
+      val appended = Scale.assignIdsByRange(newScan, "path")
+        .crossJoin(broadcast(mx))
+        .select((col("_mx") + col("id")).as("id"),
           col("path"), lit(false).as("uploaded"))
       m.union(appended).orderBy("id")
     }),

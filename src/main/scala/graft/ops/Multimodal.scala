@@ -62,6 +62,46 @@ object Multimodal {
       (lit(1) + pmod(col("doc_id"), lit(10))).cast("int").as("n_frames"),
       col("meta.n_bytes").as("n_bytes"))
 
+  final case class FakeResized(doc_id: Long, out_w: Int, out_h: Int,
+      thumb_hex: String)
+
+  /** Deterministic stand-in for an image resize: output dims scale the
+    * fake-decoded (width, height) to fit `maxDim`, the "thumbnail" is the
+    * payload's first 64 bytes (a crop — slicing is the one transform an
+    * opaque payload supports honestly without a codec). Real plumbing:
+    * per-partition init point, payload stays out of shuffles, swapping a
+    * true resampler changes only this body. */
+  def resizeStub(bin: DataFrame, maxDim: Int = 64): Dataset[FakeResized] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length.toLong
+          val w = (64 + n % 576).toInt
+          val h = (64 + (n * 7) % 416).toInt
+          val outW = math.max(1, math.floor(w * (maxDim.toDouble / math.max(w, h))).toInt)
+          val outH = math.max(1, math.floor(h * (maxDim.toDouble / math.max(w, h))).toInt)
+          val thumb = bytes.take(64)
+          FakeResized(id, outW, outH,
+            thumb.map(b => f"${b & 0xff}%02X").mkString)
+        }
+      }
+  }
+
+  /** Column-expression twin of [[resizeStub]] (equality asserted in
+    * MultimodalSpec; identical floor-then-cast rounding on both engines). */
+  def resizeStubExprs(bin: DataFrame, maxDim: Int = 64): DataFrame = {
+    val w = (lit(64) + pmod(col("meta.n_bytes"), lit(576))).cast("int")
+    val h = (lit(64) + pmod(col("meta.n_bytes") * 7, lit(416))).cast("int")
+    val scale = lit(maxDim.toDouble) / greatest(w, h).cast("double")
+    bin.select(col("doc_id"),
+      greatest(lit(1), floor(w * scale).cast("int")).as("out_w"),
+      greatest(lit(1), floor(h * scale).cast("int")).as("out_h"),
+      hex(substring(col("content"), 1, 64)).as("thumb_hex"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary payload + typed metadata: byte counts differ from char counts
     // on non-ASCII (zh) docs — that difference is the point.
@@ -75,6 +115,26 @@ object Multimodal {
     // rows-only-checked via MultimodalSpec equality).
     "multimodal_decode_meta" -> ((s, d) =>
       decodeStubExprs(withBinaryContent(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+    // frame sampling: treat the payload as fixed-size frames (200 B) and
+    // keep every 3rd — composes the byte-true segmenter with a map-side
+    // filter; no shuffle, scales like segment_file_bytes.
+    "multimodal_frame_sample" -> ((s, d) => {
+      val bin = withBinaryContent(
+        Tables.documents(s, d).filter(length(col("text")) > 0))
+        .withColumn("path", concat(lit("doc_"), col("doc_id"), lit(".bin")))
+      Segments.segmentBytes(bin, col("doc_id"), col("path"),
+          col("content"), 200)
+        .filter(col("seg_no") % 3 === 0)
+        .select(col("doc_id"), col("seg_no").as("frame_no"),
+          hex(col("seg_bytes")).as("frame_hex"),
+          col("seg_len").as("frame_len"))
+        .orderBy("doc_id", "frame_no")
+    }),
+    // resize stage (expression twin; mapPartitions form equality-tested).
+    "multimodal_resize_meta" -> ((s, d) =>
+      resizeStubExprs(withBinaryContent(
+          Tables.documents(s, d).filter(length(col("text")) > 0)))
         .orderBy("doc_id"))
   )
 
@@ -90,6 +150,31 @@ object Multimodal {
         |       CAST(64 + (octet_length(encode(text)) * 7) % 416 AS INT) AS height,
         |       CAST(1 + doc_id % 10 AS INT) AS n_frames,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS nb
+        |  FROM documents WHERE length(text) > 0),
+        |seg AS (
+        |  SELECT doc_id, hx,
+        |         unnest(range(0, CAST(ceil(nb / 200.0) AS BIGINT))) AS seg
+        |  FROM d)
+        |SELECT doc_id,
+        |       CAST(seg AS BIGINT) AS frame_no,
+        |       substr(hx, CAST(seg * 400 + 1 AS BIGINT), 400) AS frame_hex,
+        |       CAST(length(substr(hx, CAST(seg * 400 + 1 AS BIGINT), 400)) / 2 AS BIGINT) AS frame_len
+        |FROM seg WHERE seg % 3 = 0 ORDER BY doc_id, frame_no""".stripMargin,
+    "multimodal_resize_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         CAST(64 + octet_length(encode(text)) % 576 AS INT) AS w,
+        |         CAST(64 + (octet_length(encode(text)) * 7) % 416 AS INT) AS h
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id,
+        |       greatest(1, CAST(floor(w * (64.0 / greatest(w, h))) AS INT)) AS out_w,
+        |       greatest(1, CAST(floor(h * (64.0 / greatest(w, h))) AS INT)) AS out_h,
+        |       substr(hx, 1, 128) AS thumb_hex
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

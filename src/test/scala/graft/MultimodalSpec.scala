@@ -19,6 +19,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaMp.nonEmpty)
   }
 
+  test("mapPartitions resize stub equals its expression twin row-for-row") {
+    val bin = Multimodal.withBinaryContent(
+      Tables.documents(spark, TestSpark.sf0001).filter(length(col("text")) > 0))
+    val viaMp = Multimodal.resizeStub(bin).collect()
+      .map(r => (r.doc_id, r.out_w, r.out_h, r.thumb_hex)).toSet
+    val viaExpr = Multimodal.resizeStubExprs(bin)
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(viaMp == viaExpr)
+    assert(viaMp.nonEmpty)
+    // resized dims actually fit the 64-px box
+    assert(viaMp.forall { case (_, w, h, _) => w <= 64 && h <= 64 && w >= 1 && h >= 1 })
+  }
+
   test("binary payload length is utf-8 bytes, not chars (CJK differs)") {
     // (the testdata's lang column is a label only — its text is ASCII —
     // so assert on constructed CJK content)
