@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft-wh").toString)
+      .config("javax.jdo.option.ConnectionURL",
+        "jdbc:derby:;databaseName=" + java.nio.file.Files
+          .createTempDirectory("graft-ms").toString + "/metastore_db;create=true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

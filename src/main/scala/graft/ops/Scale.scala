@@ -85,6 +85,12 @@ object Scale {
       .groupBy(col(key)).agg(sum(col("_pc")).cast("long").as(countAs))
   }
 
+  /** Bucketed tables are written once per (session, sf dir) — the whole
+    * point of bucketing is paying the clustered write once and skipping
+    * the exchange in every later join. */
+  private val bucketMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pathologically skewed equi-join through the explicit salting
     // machinery: l_returnflag has 3 distinct values, so a plain shuffle
@@ -103,6 +109,30 @@ object Scale {
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy("flag")
+    }),
+    // Co-located join through the bucketing machinery: orders and
+    // customer are bucketed by custkey ONCE (amortized clustered write),
+    // after which the equi-join needs no exchange on either side —
+    // ScaleSpec asserts the exchange-free plan; here the RESULT is
+    // oracle-gated against DuckDB's plain join.
+    "join_bucketed_colocated" -> ((s, d) => {
+      val (ot, ct) = bucketMemo.computeIfAbsent((s, d), { case (sp, dir) =>
+        val suffix = java.lang.Long.toHexString(
+          java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))
+            .getMostSignificantBits & Long.MaxValue)
+        val o = s"orders_bkt_$suffix"
+        val c = s"customer_bkt_$suffix"
+        writeBucketed(Tables.orders(sp, dir)
+          .select(col("o_custkey"), col("o_totalprice")), o, "o_custkey", 8)
+        writeBucketed(Tables.customer(sp, dir)
+          .select(col("c_custkey"), col("c_mktsegment")), c, "c_custkey", 8)
+        (o, c)
+      })
+      s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -116,6 +146,12 @@ object Scale {
         |       round(sum(li.l_quantity), 2) AS sum_qty,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem li JOIN dim d ON li.l_returnflag = d.flag
-        |GROUP BY 1, 2 ORDER BY flag""".stripMargin
+        |GROUP BY 1, 2 ORDER BY flag""".stripMargin,
+    "join_bucketed_colocated" ->
+      """SELECT c.c_mktsegment,
+        |       round(sum(o.o_totalprice), 2) AS sum_price,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
   )
 }
