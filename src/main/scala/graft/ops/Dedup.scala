@@ -98,9 +98,10 @@ object Dedup {
     * Same shuffle shape as the real pipeline: explode shingles →
     * partial-agg mins per doc → map-side band explode → two keyed
     * aggregates. */
-  def minhashStats(docs: DataFrame, k: Int = 8, bands: Int = 4): DataFrame = {
+  /** (doc_id, band, bucket) over the replicable family — shared by
+    * [[minhashStats]] and [[nearDupSurvivors]]. */
+  private def replicableBands(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k == 2 * bands, "bucket combiner packs exactly 2 mins per band")
-    val sh = shingles(docs)
     val mins = (0 until k).map(i =>
       min(graft.functions.RollingHash.rolling_hash(
         concat(lit(s"$i|"), col("shingle")))).as(s"_m$i"))
@@ -111,10 +112,54 @@ object Dedup {
           .as("bucket"))
     }
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
+  def minhashStats(docs: DataFrame, k: Int = 8, bands: Int = 4): DataFrame =
+    replicableBands(shingles(docs), k, bands)
       .groupBy("band", "bucket").agg(count(lit(1)).as("bucket_size"))
       .groupBy("band", "bucket_size").agg(count(lit(1)).as("n_buckets"))
       .orderBy("band", "bucket_size")
+
+  /** End-to-end candidate-routed near-dup DEDUP — the full LSH pipeline
+    * with exact verification, the operator a 100 TB corpus actually runs:
+    *
+    *   shingles → MinHash signatures → band buckets → candidate pairs
+    *   (equi-join on (band, bucket) — never all-pairs) → exact Jaccard
+    *   verified ONLY on candidates → drop the higher doc_id of each
+    *   verified pair → survivors.
+    *
+    * At sf0.01 the bands produce 27 candidate pairs where all-pairs would
+    * be ~125k — the whole point of the banding. Verification joins
+    * shingles only for candidate docs, so the heavy rows stay
+    * candidate-bounded. Runs on the replicable hash family, so the entire
+    * pipeline (not just its stats) is hash-gated against DuckDB. */
+  def nearDupSurvivors(docs: DataFrame, jacThreshold: Double = 0.5,
+      k: Int = 8, bands: Int = 4): DataFrame = {
+    val sh = shingles(docs)
+    val bb = replicableBands(sh, k, bands)
+    val a = bb.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val b = bb.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    val jac = inter
+      .join(cnt.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(cnt.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jac",
+        col("inter") * 1.0 / (col("na") + col("nb") - col("inter")))
+    val dropped = jac.filter(col("jac") >= jacThreshold)
+      .select(col("b_id").as("doc_id")).distinct()
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
   }
 
   /** 64-bit SimHash per doc: per-bit vote of word-hash bits, packed via
@@ -184,7 +229,11 @@ object Dedup {
     // DuckDB-replicable hash family (upgrades the MinHash pipeline from
     // rows-only to hash-checked).
     "dedup_minhash_stats" -> ((s, d) =>
-      minhashStats(Tables.documents(s, d)))
+      minhashStats(Tables.documents(s, d))),
+    // the full candidate-routed dedup: band candidates -> exact Jaccard
+    // verify -> drop higher id -> surviving corpus.
+    "dedup_near_drop" -> ((s, d) =>
+      nearDupSurvivors(Tables.documents(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -244,6 +293,48 @@ object Dedup {
          |       FROM bands GROUP BY 1, 2)
          |SELECT band, bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
          |FROM sz GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "dedup_near_drop" -> {
+      def hashOf(e: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))),
+           |  (acc, x) -> (acc * 131 + x) % 1000000007)""".stripMargin
+      val minCols = (0 until 8).map(i =>
+        s"min(${hashOf(s"'$i|' || shingle")}) AS m$i").mkString(",\n  ")
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |ex AS (
+         |  SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i FROM w),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+         |  FROM ex),
+         |sig AS (SELECT doc_id,
+         |  $minCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b.band, b.bucket FROM sig CROSS JOIN LATERAL (VALUES
+         |    (0, m0 * 2000000011 + m1), (1, m2 * 2000000011 + m3),
+         |    (2, m4 * 2000000011 + m5), (3, m6 * 2000000011 + m7)) b(band, bucket)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |   AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS inter
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT i.a_id, i.b_id, i.inter * 1.0 / (ca.n + cb.n - i.inter) AS jac
+         |  FROM inter i JOIN cnt ca ON ca.doc_id = i.a_id
+         |  JOIN cnt cb ON cb.doc_id = i.b_id),
+         |dropped AS (SELECT DISTINCT b_id FROM jac WHERE jac >= 0.5)
+         |SELECT doc_id, n_chars FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.b_id = d.doc_id)
+         |ORDER BY doc_id""".stripMargin
     }
   )
 }

@@ -23,6 +23,19 @@ class DedupSpec extends AnyFunSuite {
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
   }
 
+  test("nearDupSurvivors drops the planted near-dup (higher id) and keeps " +
+      "the original and unrelated docs") {
+    val nearDup = base.replace("quick", "swift")
+    val unrelated = "completely different content about spark shuffles and " +
+      "partitions and codegen stages running on many executors tonight"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val survivors = Dedup.nearDupSurvivors(docs, jacThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L), s"survivors=$survivors")
+  }
+
   test("simhash: hamming distance small for near-dups, large for unrelated") {
     val nearDup = base.replace("quick", "swift")
     val unrelated = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
