@@ -162,9 +162,20 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** 64-bit SimHash per doc: per-bit vote of word-hash bits, packed via
-    * builtin bit ops only (stays in codegen). */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** 64-bit SimHash per doc via the native one-pass expression
+    * ([[graft.functions.SimHash]]): a pure map over the corpus — no
+    * explode, no 64-column vote aggregate, no exchange. */
+  def simhash(docs: DataFrame): DataFrame =
+    // trim != "" ⇔ at least one non-empty token — matches the composed
+    // form, which emits no row for wordless docs.
+    docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        graft.functions.SimHash.simhash64(col("text")).as("simhash"))
+
+  /** The composed (explode + bit-vote aggregate) form the expression
+    * replaced — kept as the executable specification; DedupSpec asserts
+    * both produce identical fingerprints. */
+  private[graft] def simhashComposed(docs: DataFrame): DataFrame = {
     val wh = docs.select(col("doc_id"),
       explode(wordsOf(col("text"))).as("word"))
       .filter(length(col("word")) > 0)

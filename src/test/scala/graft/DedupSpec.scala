@@ -36,6 +36,21 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors == Set(1L, 3L), s"survivors=$survivors")
   }
 
+  test("native simhash64 expression equals the composed explode+vote pipeline " +
+      "bit-for-bit (sf0.001 corpus + edge cases)") {
+    val corpus = graft.model.Tables.documents(spark, TestSpark.sf0001)
+    val viaExpr = Dedup.simhash(corpus).as[(Long, Long)].collect().toMap
+    val viaComposed = Dedup.simhashComposed(corpus).as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaComposed)
+    assert(viaExpr.nonEmpty)
+    // edge cases: repeated spaces, single word, unicode words
+    val edge = Seq((1L, "a  b   c"), (2L, "solo"), (3L, "中文 词语 混合 content"))
+      .toDF("doc_id", "text")
+    val e1 = Dedup.simhash(edge).as[(Long, Long)].collect().toMap
+    val e2 = Dedup.simhashComposed(edge).as[(Long, Long)].collect().toMap
+    assert(e1 == e2)
+  }
+
   test("simhash: hamming distance small for near-dups, large for unrelated") {
     val nearDup = base.replace("quick", "swift")
     val unrelated = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
