@@ -52,7 +52,15 @@ object Dedup {
     * entirely but higher-order functions evaluate interpreted, not
     * codegen'd — measured 10× slower at sf0.1. The generator+hash+agg
     * pipeline below stays in WholeStageCodegen end-to-end.) */
-  def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
+  def minhashSignatures(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.MinHashSig.minhash_sig(col("text"), k).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** The composed (explode shingles + k min-aggregates) form the native
+    * expression replaced — kept as the executable specification; DedupSpec
+    * asserts both produce identical signatures. */
+  private[graft] def minhashSignaturesComposed(docs: DataFrame, k: Int): DataFrame = {
     val sh = shingles(docs)
     val mins = (0 until k).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"_m$i"))

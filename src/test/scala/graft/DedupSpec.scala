@@ -51,6 +51,25 @@ class DedupSpec extends AnyFunSuite {
     assert(e1 == e2)
   }
 
+  test("native minhash_sig expression equals the composed explode+min pipeline " +
+      "value-for-value (sf0.001 corpus + edge cases)") {
+    val corpus = graft.model.Tables.documents(spark, TestSpark.sf0001)
+    val viaExpr = Dedup.minhashSignatures(corpus, 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaComposed = Dedup.minhashSignaturesComposed(corpus, 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaExpr == viaComposed)
+    assert(viaExpr.nonEmpty)
+    // edge cases: exactly 3 words, <3 words (dropped), repeated shingles
+    val edge = Seq((1L, "a b c"), (2L, "too short"),
+      (3L, "x y z x y z x y z")).toDF("doc_id", "text")
+    val e1 = Dedup.minhashSignatures(edge, 8).as[(Long, Seq[Long])].collect().toMap
+    val e2 = Dedup.minhashSignaturesComposed(edge, 8)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(e1 == e2)
+    assert(!e1.contains(2L))
+  }
+
   test("simhash: hamming distance small for near-dups, large for unrelated") {
     val nearDup = base.replace("quick", "swift")
     val unrelated = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
