@@ -43,11 +43,18 @@ object Similarity {
     * array *literal*, keeping the Catalyst tree ~5 nodes per plane
     * (an unrolled per-element sum is ~16k nodes for 8 tables and chokes
     * both the optimizer and codegen — measured 31 s vs 2 s on sf0.1). */
+  /** The seeded hyperplanes for one LSH table — single source of truth
+    * for [[lshBucket]] AND the DuckDB oracle (which embeds the same
+    * constants as array literals; Double.toString round-trips exactly
+    * through DuckDB's parser, and the dot fold order matches
+    * list_inner_product, so the sign decisions are bit-identical). */
+  def lshPlanes(dim: Int, bits: Int, table: Int): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(42 + 1000L * table)
+    Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
   def lshBucket(vec: Column, dim: Int, bits: Int, table: Int = 0): Column = {
-    val planes: Seq[Array[Double]] = {
-      val rnd = new scala.util.Random(42 + 1000L * table)
-      Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
-    }
+    val planes = lshPlanes(dim, bits, table)
     (0 until bits).map { p =>
       val proj = dot(vec, typedLit(planes(p).toSeq))
       when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
@@ -232,8 +239,9 @@ object Similarity {
     "sim_topk" -> ((s, d) =>
       bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
         .orderBy("q_id", "rnk")),
-    // approximate variants — not oracle-expressible (seeded hyperplanes /
-    // trained centroids); rows-only check + recall assertions in ScalaTest.
+    // hash-gated despite being approximate: the seeded hyperplanes are
+    // embedded in the oracle SQL as literals (see lshPlanes), so DuckDB
+    // computes the SAME buckets and the full LSH pipeline is checked.
     "sim_ann_lsh" -> ((s, d) =>
       lshTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
         .orderBy("q_id", "rnk")),
@@ -264,6 +272,41 @@ object Similarity {
         |  FROM scored)
         |SELECT q_id, rnk, n_id, round(cos, 6) AS cos_sim FROM ranked
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "sim_ann_lsh" -> {
+      // replicate the seeded sign-LSH buckets with plane literals: the
+      // dot fold order equals list_inner_product and Double.toString
+      // round-trips through DuckDB's parser, so sign decisions (hence
+      // buckets, candidates, and the final top-k) are bit-identical.
+      val (dim, bits, tables) = (64, 4, 8)
+      def arr(a: Array[Double]) = a.map(_.toString).mkString("[", ", ", "]")
+      val bucketRows = (0 until tables).map { t =>
+        val planes = lshPlanes(dim, bits, t)
+        val expr = (0 until bits).map { p =>
+          s"(CASE WHEN list_inner_product(emb, ${arr(planes(p))}) >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString("\n       + ")
+        s"($t,\n         $expr)"
+      }.mkString(",\n    ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, t.tbl, t.bucket FROM e CROSS JOIN LATERAL (VALUES
+         |    $bucketRows) t(tbl, bucket)),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+         |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.n_id,
+         |         list_inner_product(qe.emb, ne.emb) /
+         |         (sqrt(list_inner_product(qe.emb, qe.emb)) * sqrt(list_inner_product(ne.emb, ne.emb))) AS cos
+         |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+         |  JOIN e ne ON ne.vec_id = cand.n_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT q_id, rnk, n_id, round(cos, 6) AS cos_sim FROM ranked
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+    },
     "sim_near_dup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |pairs AS (
