@@ -66,11 +66,14 @@ object Text {
           size(words(col("text"))).cast("long").as("n_words"),
           col("n_chars"))
         .orderBy("doc_id")),
-    // quality scoring: length + stopword + distinct-word ratios.
+    // quality scoring: length + stopword + punctuation + distinct-word ratios.
     "text_quality" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
           round(stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(when(length(col("text")) > 0,
+              regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double") /
+                length(col("text"))).otherwise(0.0), 6).as("punct_ratio"),
           round(size(array_distinct(words(col("text")))).cast("double") /
             size(words(col("text"))), 6).as("uniq_ratio"),
           length(col("text")).cast("long").as("n_chars_calc"))
@@ -136,6 +139,9 @@ object Text {
         |    THEN CAST(len(list_filter(string_split(text, ' '),
         |         w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
         |         / len(string_split(text, ' ')) ELSE 0.0 END, 6) AS stop_ratio,
+        |  round(CASE WHEN length(text) > 0
+        |    THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+        |         / length(text) ELSE 0.0 END, 6) AS punct_ratio,
         |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |        / len(string_split(text, ' ')), 6) AS uniq_ratio,
         |  CAST(length(text) AS BIGINT) AS n_chars_calc
