@@ -17,7 +17,9 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("agg_group_by", "join_broadcast_dim", "join_equi_hash",
-        "limit_topk", "filter_pending", "sim_topk", "project_entry")
+        "limit_topk", "filter_pending", "sim_topk", "project_entry",
+        "join_salted_skew", "join_bucketed_colocated", "sim_near_dup",
+        "segment_file_bytes", "dedup_near_drop")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {
