@@ -2,8 +2,9 @@ package graft
 
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.unsafe.types.UTF8String
-import graft.functions.{RollingHash, Shingles}
+import graft.functions.{MinHashSig, RollingHash, Shingles, SimHash}
 
 /** Property-based coverage (ScalaCheck) for the pure expression kernels —
   * no Spark session needed, so these run the full generator budget fast. */
@@ -50,6 +51,44 @@ object KernelProps extends Properties("graft.kernels") {
         if (words.length < n) Seq.empty
         else words.sliding(n).map(_.mkString(" ")).toSeq.distinct
       got == want
+    }
+
+  // reference xxhash64 of a word, matching Spark's string path
+  private def wordHash(w: String, seed: Long): Long = {
+    val u = UTF8String.fromString(w)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seed)
+  }
+
+  property("simhash64 equals the word-vote reference over the space-split") =
+    forAll(textGen) { s =>
+      val words = s.split(" ", -1).filter(_.nonEmpty)
+      val votes = new Array[Int](64)
+      words.foreach { w =>
+        val h = wordHash(w, 42L)
+        (0 until 64).foreach { j =>
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        }
+      }
+      val want = (0 until 64).foldLeft(0L) { (acc, j) =>
+        if (votes(j) > 0) acc | (1L << j) else acc
+      }
+      SimHash.compute(UTF8String.fromString(s)) == want
+    }
+
+  property("minhash_sig equals per-seed min over sliding 3-gram hashes; " +
+      "null iff fewer than 3 tokens") =
+    forAll(textGen, Gen.chooseNum(1, 8)) { (s, k) =>
+      val got = MinHashSig.compute(UTF8String.fromString(s), k)
+      val words = s.split(" ", -1).toSeq
+      if (words.length < 3) got == null
+      else {
+        val shingles = words.sliding(3).map(_.mkString(" ")).toSeq
+        val want = (0 until k).map { t =>
+          val seed = XXH64.hashInt(t, 42L)
+          shingles.map(sh => wordHash(sh, seed)).min
+        }
+        got.toLongArray().toSeq == want
+      }
     }
 
   property("progress line always carries two fixed-format numbers") =
