@@ -35,6 +35,7 @@ object Jdbc {
       .option("dbtable", "manifest")
       .option("createTableColumnTypes",
         "id BIGINT, path VARCHAR(1000), uploaded BOOLEAN")
+      .option("batchsize", "10000") // addBatch/executeBatch, not row INSERTs
       .mode("overwrite")
       .save()
 
