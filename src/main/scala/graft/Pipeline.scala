@@ -88,7 +88,12 @@ object Pipeline {
         max(col("attempts")).as("max_attempts")))
       .head()
     results.unpersist()
-    Seq((rep.getLong(0), rep.getLong(1), rep.getDouble(2), rep.getLong(3),
+    // every aggregate slot except count(*) can be null on an empty input
+    // (sum/max over zero rows) — e.g. a resume run with nothing pending.
+    Seq((rep.getLong(0),
+        if (rep.isNullAt(1)) 0L else rep.getLong(1),
+        if (rep.isNullAt(2)) 0.0 else rep.getDouble(2),
+        if (rep.isNullAt(3)) 0L else rep.getLong(3),
         if (rep.isNullAt(4)) 0 else rep.getInt(4),
         math.rint(ratePerSec * 100) / 100))
       .toDF("total", "uploaded", "pct_complete", "failed", "max_attempts",

@@ -7,16 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val metastore = java.nio.file.Files.createTempDirectory("graft-ms").toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", java.nio.file.Files
-        .createTempDirectory("graft-wh").toString)
+      .config("spark.sql.warehouse.dir", warehouse)
       .config("javax.jdo.option.ConnectionURL",
-        "jdbc:derby:;databaseName=" + java.nio.file.Files
-          .createTempDirectory("graft-ms").toString + "/metastore_db;create=true")
+        s"jdbc:derby:;databaseName=$metastore/metastore_db;create=true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -44,5 +44,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    graft.ops.SessionCleanup.deleteRecursively(warehouse)
+    graft.ops.SessionCleanup.deleteRecursively(metastore)
   }
 }

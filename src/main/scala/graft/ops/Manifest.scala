@@ -46,6 +46,10 @@ object Manifest {
       val withIds = Scale.assignIdsByRange(paths, "path")
         .select(col("id"), col("path"), col("uploaded"))
       withIds.cache()
+      SessionCleanup.onEnd(s) {
+        memo.remove((s, d))
+        withIds.unpersist(blocking = false)
+      }
       withIds
     })
 

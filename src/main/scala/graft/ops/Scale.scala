@@ -10,6 +10,12 @@ import graft.model.Tables
   */
 object Scale {
 
+  /** Spec observability: materialization counter of the range-sorted
+    * partitions in the most recent [[assignIdsByRange]] call. ScaleSpec
+    * asserts it equals the partition count after a full derivation — i.e.
+    * the distributed sort ran exactly once, not once per pass. */
+  private[graft] var lastSortScans: Option[org.apache.spark.util.LongAccumulator] = None
+
   /** Distributed dense-id assignment — the 100 TB form of
     * `row_number().over(Window.orderBy(key))`, which plans as a
     * single-partition sort (every row through one task).
@@ -20,6 +26,14 @@ object Scale {
     * Ids depend only on the global key order, so they are identical to the
     * window form for any unique key (asserted in ScaleSpec) and stable
     * across cluster sizes/partition boundaries.
+    *
+    * The sorted input is persisted (MEMORY_AND_DISK) across the two
+    * passes: the count pass materializes the sorted partitions into the
+    * block store and the id pass reads them back, so the range shuffle's
+    * reduce-side sort runs ONCE — at 100 TB the unpersisted form pays a
+    * doubled full sort. The cache is released when the owning session
+    * ends ([[SessionCleanup]]); callers additionally memoize the derived
+    * frame per (session, dir) so one derivation happens per run.
     */
   def assignIdsByRange(df: DataFrame, key: String, idCol: String = "id",
       partitions: Int = 0): DataFrame = {
@@ -29,7 +43,12 @@ object Scale {
     val sorted = df.repartitionByRange(n, col(key)).sortWithinPartitions(key)
     val schema = StructType(StructField(idCol, LongType, nullable = false)
       +: sorted.schema.fields)
+    val scans = spark.sparkContext.longAccumulator("graft.assignIds.sortScans")
+    lastSortScans = Some(scans)
     val rdd = sorted.rdd
+      .mapPartitions({ it => scans.add(1); it }, preservesPartitioning = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SessionCleanup.onEnd(spark) { rdd.unpersist(blocking = false) }
     val counts = rdd.mapPartitions(it => Iterator(it.size), preservesPartitioning = true)
       .collect()
     val offsets = counts.scanLeft(0L)(_ + _)
@@ -126,6 +145,10 @@ object Scale {
           .select(col("o_custkey"), col("o_totalprice")), o, "o_custkey", 8)
         writeBucketed(Tables.customer(sp, dir)
           .select(col("c_custkey"), col("c_mktsegment")), c, "c_custkey", 8)
+        SessionCleanup.onEnd(sp) {
+          bucketMemo.remove((sp, dir))
+          Seq(o, c).foreach(t => sp.sql(s"DROP TABLE IF EXISTS $t"))
+        }
         (o, c)
       })
       s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))

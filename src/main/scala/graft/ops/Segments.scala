@@ -24,10 +24,13 @@ object Segments {
     * `textCol` is chunked by character offsets (the binary equivalent
     * would use the same plan over a BinaryType column). */
   def segmentText(df: DataFrame, idCol: Column, textCol: Column, size: Int): DataFrame =
-    df.select(
+    // empty payload ⇒ zero chunks (the reference writes none). Without the
+    // filter, ceil(0/size)-1 = -1 and sequence(0,-1) DESCENDS, emitting two
+    // phantom empty segments; greatest() is belt-and-braces for the plan.
+    df.filter(length(textCol) > 0).select(
         idCol.as("doc_id"), textCol.as("_t"),
-        posexplode(sequence(lit(0L),
-          (ceil(length(textCol).cast("double") / size) - 1).cast("long"))))
+        posexplode(sequence(lit(0L), greatest(lit(0L),
+          (ceil(length(textCol).cast("double") / size) - 1).cast("long")))))
       .select(col("doc_id"),
         col("pos").cast("long").as("seg_no"),
         format_string("%s-%04d.txt", concat(lit("doc_"), col("doc_id")),
@@ -46,12 +49,13 @@ object Segments {
     * plan — no shuffle, scales like the char form. */
   def segmentBytes(df: DataFrame, idCol: Column, pathCol: Column,
       binCol: Column, size: Int): DataFrame =
-    df.select(
+    // same empty-payload guard as segmentText: 0 bytes ⇒ 0 chunk rows.
+    df.filter(length(binCol) > 0).select(
         idCol.as("doc_id"),
         substring_index(element_at(split(pathCol, "/"), -1), ".", 1).as("_base"),
         binCol.as("_b"),
-        posexplode(sequence(lit(0L),
-          (ceil(length(binCol).cast("double") / size) - 1).cast("long"))))
+        posexplode(sequence(lit(0L), greatest(lit(0L),
+          (ceil(length(binCol).cast("double") / size) - 1).cast("long")))))
       .select(col("doc_id"),
         col("pos").cast("long").as("seg_no"),
         format_string("%s-%04d.txt", col("_base"), col("pos").cast("int"))
@@ -62,15 +66,23 @@ object Segments {
 
   /** Segment-file writer — `split_file`'s output (filesegmenter.py:31-39):
     * one real file per chunk named `{basename}-%04d.txt`, executor-side
-    * writes (embarrassingly parallel, no driver collect). */
+    * writes (embarrassingly parallel, no driver collect).
+    *
+    * Chunks land in a per-document subdirectory `doc_<doc_id>/` — the
+    * reference writes chunks next to each SOURCE file (so two same-named
+    * files in different directories never collide); a single flat root
+    * keyed only by basename would silently overwrite a/doc.txt's chunks
+    * with b/doc.txt's. */
   def writeSegmentFiles(segments: DataFrame, root: String): Unit = {
-    val sel = segments.select(col("seg_name"), col("seg_bytes"))
+    val sel = segments.select(col("doc_id").cast("string"),
+      col("seg_name"), col("seg_bytes"))
     sel.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val r = java.nio.file.Paths.get(root)
-      java.nio.file.Files.createDirectories(r)
       it.foreach { row =>
-        java.nio.file.Files.write(r.resolve(row.getString(0)),
-          row.getAs[Array[Byte]](1))
+        val dir = r.resolve("doc_" + row.getString(0))
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(dir.resolve(row.getString(1)),
+          row.getAs[Array[Byte]](2))
       }
     }
   }

@@ -53,10 +53,18 @@ object Jdbc {
 
   private def ensureLoaded(s: SparkSession, d: String): String =
     memo.computeIfAbsent((s, d), { case (spark, dir) =>
-      val dbDir = java.nio.file.Files.createTempDirectory("graft-derby")
-        .resolve("manifestdb").toString
+      val tmp = java.nio.file.Files.createTempDirectory("graft-derby")
+      val dbDir = tmp.resolve("manifestdb").toString
       val url = derbyUrl(dbDir)
       writeManifest(Manifest.fromDocuments(spark, dir), url)
+      graft.ops.SessionCleanup.onEnd(spark) {
+        memo.remove((spark, dir))
+        // clean Derby shutdown (throws SQLException on success by contract)
+        try java.sql.DriverManager
+          .getConnection(s"jdbc:derby:$dbDir;shutdown=true")
+        catch { case _: java.sql.SQLException => () }
+        graft.ops.SessionCleanup.deleteRecursively(tmp.toString)
+      }
       url
     })
 

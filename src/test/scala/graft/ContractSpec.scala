@@ -25,4 +25,21 @@ class ContractSpec extends AnyFunSuite {
   test("entry() returns at least one row at sf0.001 (t1 gate)") {
     assert(SparkEntry.entry(spark).count() >= 1)
   }
+
+  test("agg_approx_distinct HLL error is within 3x the configured rsd " +
+      "(quantitative backing for its no-oracle status)") {
+    import org.apache.spark.sql.functions._
+    val rsd = 0.02 // must match the registered query's parameter
+    val joined = graft.model.Tables.events(spark, TestSpark.sf0001)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), rsd).as("approx"))
+      .collect()
+    assert(joined.nonEmpty)
+    val bad = joined.filter { r =>
+      val exact = r.getLong(1).toDouble
+      math.abs(r.getLong(2) - exact) / exact > 3 * rsd
+    }
+    assert(bad.isEmpty, bad.mkString(","))
+  }
 }

@@ -34,9 +34,26 @@ class ManifestStoreSpec extends AnyFunSuite {
       .toDF("id", "path", "uploaded")
     m.write.partitionBy("uploaded").parquet(s"$root/snap")
     val pending = spark.read.parquet(s"$root/snap").filter(!col("uploaded"))
-    // partition pruning: only the uploaded=false directory is read
-    val scanned = pending.queryExecution.executedPlan.collectLeaves()
-      .head.toString
     assert(pending.count() == 2)
+    // partition pruning: the scan's partition filters carry the predicate,
+    // so only the uploaded=false directory is listed/read.
+    val scan = pending.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("uploaded"), scan)
+  }
+
+  test("snapshot-backed filter_pending reaches the parquet scan as a pushed filter") {
+    val root = Files.createTempDirectory("graft-manifest-push").toString
+    val m = Seq((1L, "a", false), (2L, "b", true), (3L, "c", false))
+      .toDF("id", "path", "uploaded")
+    ManifestStore.swap(m, root)
+    val pending = graft.ops.Manifest.filterPending(ManifestStore.read(spark, root))
+    assert(pending.count() == 2)
+    // the uploaded predicate must be pushed into the scan (row-group /
+    // page-level skipping at 100 TB), not evaluated post-scan only.
+    val scan = pending.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && !scan.contains("PushedFilters: []"),
+      scan)
+    assert(scan.replaceAll("\\s", "").matches(""".*PushedFilters:\[[^]]*uploaded.*"""),
+      scan)
   }
 }

@@ -33,6 +33,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("assignIdsByRange materializes the range-sort exactly once (not once per pass)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(concat(lit("scan/"), col("doc_id")).as("path"))
+    val out = Scale.assignIdsByRange(docs, "path", partitions = 5)
+    // full materialization of the id pass (the second consumer of the
+    // sorted partitions — must hit the cache filled by the count pass)
+    out.queryExecution.toRdd.count()
+    val scans = Scale.lastSortScans.get.value
+    assert(scans == 5, s"sorted partitions materialized $scans times, want 5")
+  }
+
   test("salted join equals the plain join on skewed data") {
     // skew: one hot key with 5k rows, long tail of 100 keys
     val large = spark.range(5000).select(lit(1L).as("k"), col("id").as("v"))

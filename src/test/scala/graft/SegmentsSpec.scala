@@ -70,12 +70,38 @@ class SegmentsSpec extends AnyFunSuite {
       col("text").cast("binary"), 16)
     val root = java.nio.file.Files.createTempDirectory("graft-segw").toString
     Segments.writeSegmentFiles(segs, root)
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+    val files = java.nio.file.Files
+      .list(java.nio.file.Paths.get(root, "doc_3"))
       .toArray.map(_.toString).sorted
     assert(files.nonEmpty)
     assert(files.forall(_.matches(""".*/doc_3-\d{4}\.txt""")))
     val joined = files.flatMap(f =>
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))
     assert(java.util.Arrays.equals(joined, text.getBytes("UTF-8")))
+  }
+
+  test("writeSegmentFiles keeps same-basename inputs apart (a/doc.txt vs b/doc.txt)") {
+    val df = Seq((1L, "a/doc.txt", "AAAAAA"), (2L, "b/doc.txt", "BBBBBB"))
+      .toDF("doc_id", "path", "text")
+    val segs = Segments.segmentBytes(df, col("doc_id"), col("path"),
+      col("text").cast("binary"), 4)
+    val root = java.nio.file.Files.createTempDirectory("graft-segw2").toString
+    Segments.writeSegmentFiles(segs, root)
+    def bytes(doc: String) = java.nio.file.Files
+      .list(java.nio.file.Paths.get(root, doc)).toArray.map(_.toString).sorted
+      .flatMap(f => java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))
+    assert(new String(bytes("doc_1"), "UTF-8") == "AAAAAA")
+    assert(new String(bytes("doc_2"), "UTF-8") == "BBBBBB")
+  }
+
+  test("0-byte payloads yield ZERO segment rows (reference writes no chunks)") {
+    val df = Seq((1L, "a/empty.txt", ""), (2L, "a/full.txt", "xyz"))
+      .toDF("doc_id", "path", "text")
+    val byBytes = Segments.segmentBytes(df, col("doc_id"), col("path"),
+      col("text").cast("binary"), 2).select("doc_id").as[Long].collect()
+    assert(byBytes.toSeq.sorted == Seq(2L, 2L))
+    val byChars = Segments.segmentText(df, col("doc_id"), col("text"), 2)
+      .select("doc_id").as[Long].collect()
+    assert(byChars.toSeq.sorted == Seq(2L, 2L))
   }
 }

@@ -50,6 +50,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert((after -- before).isEmpty, s"leaked RDDs: ${after -- before}")
   }
 
+  test("seeded IVF (0 Lloyd rounds) centroids are exactly the stride-seeded data rows") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val cents = Similarity.ivfCentroids(emb, nlist = 16, iters = 0)
+    val e = Similarity.withNorm(emb, "vec_id", "ed", "norm")
+    val stride = math.max(1L, e.count() / 16)
+    val expect = e.filter(col("vec_id") % stride === 0).orderBy("vec_id")
+      .limit(16).select("ed").collect().map(_.getSeq[Double](0).toArray)
+    assert(cents.length == expect.length)
+    assert(cents.zip(expect).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("seeded IVF variant has usable recall and is deterministic") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val cents = Similarity.ivfCentroids(emb, nlist = 16, iters = 0)
+    val run = () => Similarity.ivfProbe(emb, cents, col("vec_id") < 10, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val a = run()
+    assert(a == run())
+    val recall = (exact & a).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
   test("IVF is deterministic across runs") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val a = Similarity.ivfTopK(emb, col("vec_id") < 5, 3)
