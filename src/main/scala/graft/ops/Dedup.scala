@@ -143,15 +143,23 @@ object Dedup {
     * shingles only for candidate docs, so the heavy rows stay
     * candidate-bounded. Runs on the replicable hash family, so the entire
     * pipeline (not just its stats) is hash-gated against DuckDB. */
+  /** Candidate pairs of the replicable banding stage — the frame
+    * `nearDupSurvivors` verifies. Public for scale-trend observability:
+    * candidate count vs n·(n-1)/2 is THE number that shows the routing
+    * stays subquadratic as SF grows. */
+  def nearDupCandidates(docs: DataFrame, k: Int = 8, bands: Int = 4): DataFrame = {
+    val bb = replicableBands(shingles(docs), k, bands)
+    val a = bb.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val b = bb.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
   def nearDupSurvivors(docs: DataFrame, jacThreshold: Double = 0.5,
       k: Int = 8, bands: Int = 4): DataFrame = {
     val sh = shingles(docs)
-    val bb = replicableBands(sh, k, bands)
-    val a = bb.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
-    val b = bb.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
-    val cand = a.join(b, Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    val cand = nearDupCandidates(docs, k, bands)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))

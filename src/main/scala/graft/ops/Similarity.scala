@@ -87,7 +87,10 @@ object Similarity {
     * this the 100 TB path (cross-join cost n·q → n·q·P(collision)).
     * bits/tables trade recall vs candidate count; 4/8 gives ~0.7 recall
     * even on near-random vectors (measured in SimilaritySpec). */
-  def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
+  /** Distinct LSH candidate pairs (q_id, n_id) — the frame `lshTopK`
+    * scores. Public for scale-trend observability: candidate count vs
+    * n·q is the subquadratic-routing evidence. */
+  def lshCandidates(emb: DataFrame, queryPred: Column,
       bits: Int = 4, tables: Int = 8): DataFrame = {
     val dim = 64
     // ids-only bucketing: the payload never enters the candidate join or
@@ -100,9 +103,14 @@ object Similarity {
     val q = broadcast(bucketed.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket")))
     val c = bucketed.select(col("vec_id").as("n_id"), col("tbl"), col("bucket"))
-    val cands = q.join(c, Seq("tbl", "bucket"))
+    q.join(c, Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select("q_id", "n_id").distinct()
+  }
+
+  def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
+      bits: Int = 4, tables: Int = 8): DataFrame = {
+    val cands = lshCandidates(emb, queryPred, bits, tables)
     // embeddings re-attached only for surviving candidates
     val qe = broadcast(withNorm(emb.filter(queryPred), "q_id", "qe", "qn"))
     val ne = withNorm(emb, "n_id", "ne", "nn")
