@@ -19,7 +19,8 @@ object Explain {
       else Seq("agg_group_by", "join_broadcast_dim", "join_equi_hash",
         "limit_topk", "filter_pending", "sim_topk", "project_entry",
         "join_salted_skew", "join_bucketed_colocated", "sim_near_dup",
-        "segment_file_bytes", "dedup_near_drop")
+        "segment_file_bytes", "dedup_near_drop", "sim_ann_ivf_seeded",
+        "dedup_embedding", "source_csv")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {

@@ -47,14 +47,16 @@ object SparkEntry {
       PathFns.queries ++ Segments.queries ++ Text.queries ++ Dedup.queries ++
       Similarity.queries ++ EventWindows.queries ++ Fingerprints.queries ++
       Multimodal.queries ++ graft.sources.FsScan.queries ++ AsOf.queries ++
-      Scale.queries ++ graft.sources.Jdbc.queries
+      Scale.queries ++ graft.sources.Jdbc.queries ++
+      graft.sources.FileFormats.queries
 
   def oracleSql: Map[String, String] =
     manifestOracle ++ Relational.oracle ++ Relational.windowOracle ++
       PathFns.oracle ++ Segments.oracle ++ Text.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ EventWindows.oracle ++ Fingerprints.oracle ++
       Multimodal.oracle ++ graft.sources.FsScan.oracle ++ AsOf.oracle ++
-      Scale.oracle ++ graft.sources.Jdbc.oracle
+      Scale.oracle ++ graft.sources.Jdbc.oracle ++
+      graft.sources.FileFormats.oracle
 
   // ----- §2.1/2.2/2.3 (partial)/2.4 (partial)/2.6/2.7/2.10: manifest core
 

@@ -273,10 +273,47 @@ object Similarity {
       ivfCentroids(Tables.embeddings(sp, dir), nl, it)
     })
 
+  /** Embedding-cosine near-dup DROP (north star: "embedding-cosine
+    * near-dup") — keep-first dedup over the WHOLE corpus: a vector is
+    * dropped iff some lower-id vector is within `threshold` cosine.
+    * Exact by spec (same low-threshold regime as [[nearDupPairCounts]],
+    * where LSH routing loses recall — rationale there), so the quadratic
+    * compare is decomposed as a blocked cartesian: each side split into
+    * `blocks` deterministic id-blocks and replicated `blocks` times, so
+    * every pair meets at exactly one (blockA, blockB) key and the work
+    * spreads over blocks² reducers — no single reducer sees n²/k² of a
+    * hot key. At real near-dup thresholds (≥0.9) swap the candidate
+    * stage for [[lshCandidates]] and verify only candidates — that is
+    * [[graft.ops.Dedup.nearDupSurvivors]]'s shape. */
+  def embeddingDedupSurvivors(emb: DataFrame, threshold: Double,
+      blocks: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+    val a = e.select(col("vec_id").as("a_id"), col("emb").as("ae"),
+        col("norm").as("an"))
+      .withColumn("ba", pmod(col("a_id"), lit(blocks)).cast("int"))
+      .withColumn("bb", explode(sequence(lit(0), lit(blocks - 1))))
+    val b = e.select(col("vec_id").as("b_id"), col("emb").as("be"),
+        col("norm").as("bn"))
+      .withColumn("bb", pmod(col("b_id"), lit(blocks)).cast("int"))
+      .withColumn("ba", explode(sequence(lit(0), lit(blocks - 1))))
+    val dropped = a.join(b, Seq("ba", "bb"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(dot(col("ae"), col("be")) / (col("an") * col("bn")) > threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    emb.select(col("vec_id"), col("label"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> ((s, d) =>
       bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
         .orderBy("q_id", "rnk")),
+    // embedding-cosine keep-first dedup, hash-gated against the DuckDB
+    // all-pairs form (identical arithmetic ⇒ identical drop decisions).
+    "dedup_embedding" -> ((s, d) =>
+      embeddingDedupSurvivors(Tables.embeddings(s, d), 0.35, blocks = 8)),
     // hash-gated despite being approximate: the seeded hyperplanes are
     // embedded in the oracle SQL as literals (see lshPlanes), so DuckDB
     // computes the SAME buckets and the full LSH pipeline is checked.
@@ -353,6 +390,16 @@ object Similarity {
          |SELECT q_id, rnk, n_id, round(cos, 6) AS cos_sim FROM ranked
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
     },
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_inner_product(a.emb, b.emb) /
+        |        (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb))) > 0.35)
+        |SELECT e.vec_id, e.label FROM e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY e.vec_id""".stripMargin,
     // Replicates ivfCentroids(iters=0) + ivfProbe exactly: stride-seeded
     // centroids are data rows; assignment/probing tie-breaks follow
     // Spark's array_max/array_sort struct ordering (cos DESC, then k

@@ -119,6 +119,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cellMax < hot * hot / 8, s"not spread: cellMax=$cellMax hot=$hot")
   }
 
+  test("embedding dedup survivors equal the plain all-pairs keep-first form") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val e = emb.select(col("vec_id"),
+        Similarity.toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("norm", sqrt(Similarity.dot(col("emb"), col("emb"))))
+    val dropped = e.select(col("vec_id").as("a_id"), col("emb").as("ae"),
+        col("norm").as("an"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("emb").as("be"),
+        col("norm").as("bn")))
+      .filter(col("a_id") < col("b_id"))
+      .filter(Similarity.dot(col("ae"), col("be")) / (col("an") * col("bn")) > 0.35)
+      .select("b_id").as[Long].collect().toSet
+    val survivors = Similarity.embeddingDedupSurvivors(emb, 0.35, blocks = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    assert(survivors == all -- dropped)
+    assert(dropped.nonEmpty && survivors.nonEmpty) // non-degenerate at sf0.001
+  }
+
   test("brute-force top-k neighbors are genuinely the nearest (spot check q=0)") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val all = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
