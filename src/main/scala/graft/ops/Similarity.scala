@@ -284,7 +284,13 @@ object Similarity {
     * spreads over blocks² reducers — no single reducer sees n²/k² of a
     * hot key. At real near-dup thresholds (≥0.9) swap the candidate
     * stage for [[lshCandidates]] and verify only candidates — that is
-    * [[graft.ops.Dedup.nearDupSurvivors]]'s shape. */
+    * [[graft.ops.Dedup.nearDupSurvivors]]'s shape.
+    *
+    * Sizing `blocks`: the join key space is blocks² cells, so pick
+    * blocks ≈ sqrt(desired reducer parallelism) — 8 (64 cells) for
+    * local[32]; ≥64 (4096 cells) on a 1000-executor cluster. Shuffle
+    * volume grows ×blocks (each side replicated), per-reducer work
+    * shrinks ÷blocks² — the same trade as [[nearDupPairCounts]]. */
   def embeddingDedupSurvivors(emb: DataFrame, threshold: Double,
       blocks: Int): DataFrame = {
     val e = emb.select(col("vec_id"), toDoubleArr(col("embedding")).as("emb"))

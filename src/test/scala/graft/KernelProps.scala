@@ -91,6 +91,23 @@ object KernelProps extends Properties("graft.kernels") {
       }
     }
 
+  property("dot_product kernel equals the index-order fold bit-identically") =
+    forAll(Gen.chooseNum(0, 32).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e3, 1e3)))) { xs =>
+      val a = xs.toArray
+      val b = xs.reverse.toArray
+      val got = graft.functions.VectorOps.dot(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b))
+      // sequential index-order fold — the order DuckDB's
+      // list_inner_product uses, which is what makes oracle hashes match
+      var want = 0.0
+      var i = 0
+      while (i < a.length) { want += a(i) * b(i); i += 1 }
+      java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(want)
+    }
+
   property("progress line always carries two fixed-format numbers") =
     forAll(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 1000L),
       Gen.chooseNum(0.0, 1e6)) { (up, extra, rate) =>
