@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions._
+
+/** Library entry point for SQL-text users (the SparkSessionExtensions
+  * route the Spark docs prescribe for extension libraries):
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
+  * }}}
+  *
+  * registers every graft native Catalyst expression as a first-class SQL
+  * function — `rolling_hash(text)`, `rolling_hash_windows(text, w)`,
+  * `word_shingles(text, n)`, `simhash64(text)`, `minhash_sig(text, k)`,
+  * `dot_product(a, b)` — session-wide and for every session built with
+  * the extension, unlike the per-session temp registration in
+  * `RollingHash.registerSql`. The builders hand Catalyst the same
+  * codegen'd expressions the Column API uses, so SQL text and DataFrame
+  * callers share one implementation (and its property-test coverage).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal, got $other")
+  }
+
+  private def d(name: String, clazz: Class[_],
+      builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    d("rolling_hash", classOf[RollingHashExpr],
+      es => RollingHashExpr(es.head)),
+    d("rolling_hash_windows", classOf[RollingHashWindowsExpr],
+      es => RollingHashWindowsExpr(es.head, intLit(es(1), "rolling_hash_windows"))),
+    d("word_shingles", classOf[WordShinglesExpr],
+      es => WordShinglesExpr(es.head, intLit(es(1), "word_shingles"))),
+    d("simhash64", classOf[SimHash64Expr],
+      es => SimHash64Expr(es.head)),
+    d("minhash_sig", classOf[MinHashSigExpr],
+      es => MinHashSigExpr(es.head, intLit(es(1), "minhash_sig"))),
+    d("dot_product", classOf[DotProductExpr],
+      es => DotProductExpr(es.head, es(1)))
+  )
+}
