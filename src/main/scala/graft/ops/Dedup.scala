@@ -106,21 +106,27 @@ object Dedup {
     * Same shuffle shape as the real pipeline: explode shingles →
     * partial-agg mins per doc → map-side band explode → two keyed
     * aggregates. */
-  /** (doc_id, band, bucket) over the replicable family — shared by
-    * [[minhashStats]] and [[nearDupSurvivors]]. */
+  /** (doc_id, n_shingles, band, bucket) over the replicable family —
+    * shared by [[minhashStats]] and [[nearDupSurvivors]]. The per-doc
+    * shingle count rides along in the SAME groupBy as the signature mins
+    * (one extra algebraic aggregate, zero extra shuffle), so the verify
+    * stage never needs a second full shingle scan+aggregate to learn
+    * union sizes. */
   private def replicableBands(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k == 2 * bands, "bucket combiner packs exactly 2 mins per band")
     val mins = (0 until k).map(i =>
       min(graft.functions.RollingHash.rolling_hash(
         concat(lit(s"$i|"), col("shingle")))).as(s"_m$i"))
-    val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val aggs = mins :+ count(lit(1)).as("n_shingles")
+    val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         (col(s"_m${2 * b}") * lit(2000000011L) + col(s"_m${2 * b + 1}"))
           .as("bucket"))
     }
-    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
+    sigs.select(col("doc_id"), col("n_shingles"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("n_shingles"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
   }
 
@@ -143,32 +149,41 @@ object Dedup {
     * shingles only for candidate docs, so the heavy rows stay
     * candidate-bounded. Runs on the replicable hash family, so the entire
     * pipeline (not just its stats) is hash-gated against DuckDB. */
+  /** Candidate pairs of the replicable banding stage with both docs'
+    * shingle counts attached (counts are functionally dependent on the
+    * ids, so the distinct cardinality is unchanged). */
+  private def candidatePairs(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val bb = replicableBands(shingles(docs), k, bands)
+    val a = bb.select(col("band"), col("bucket"), col("doc_id").as("a_id"),
+      col("n_shingles").as("na"))
+    val b = bb.select(col("band"), col("bucket"), col("doc_id").as("b_id"),
+      col("n_shingles").as("nb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "na", "nb").distinct()
+  }
+
   /** Candidate pairs of the replicable banding stage — the frame
     * `nearDupSurvivors` verifies. Public for scale-trend observability:
     * candidate count vs n·(n-1)/2 is THE number that shows the routing
     * stays subquadratic as SF grows. */
-  def nearDupCandidates(docs: DataFrame, k: Int = 8, bands: Int = 4): DataFrame = {
-    val bb = replicableBands(shingles(docs), k, bands)
-    val a = bb.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
-    val b = bb.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-  }
+  def nearDupCandidates(docs: DataFrame, k: Int = 8, bands: Int = 4): DataFrame =
+    candidatePairs(docs, k, bands).select("a_id", "b_id")
 
   def nearDupSurvivors(docs: DataFrame, jacThreshold: Double = 0.5,
       k: Int = 8, bands: Int = 4): DataFrame = {
     val sh = shingles(docs)
-    val cand = nearDupCandidates(docs, k, bands)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = candidatePairs(docs, k, bands)
+    // union sizes (na, nb) already ride on the candidate rows, so the
+    // verify stage is: two candidate-bounded shingle joins → intersection
+    // count → Jaccard. No second corpus-wide shingle aggregate, no
+    // count-table joins.
     val inter = cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
         Seq("b_id", "shingle"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).as("inter"))
     val jac = inter
-      .join(cnt.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(cnt.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
       .withColumn("jac",
         col("inter") * 1.0 / (col("na") + col("nb") - col("inter")))
     val dropped = jac.filter(col("jac") >= jacThreshold)

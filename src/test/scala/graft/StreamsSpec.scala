@@ -40,6 +40,15 @@ class StreamsSpec extends AnyFunSuite {
     assert(mustHave.subsetOf(got.keySet))
   }
 
+  test("batch pre-aggregated sliding rate equals the single-aggregation stream form") {
+    val ev = graft.model.Tables.events(spark, TestSpark.sf0001)
+    val single = EventWindows.sliding(ev)
+      .orderBy("w_start").collect().map(_.toString).toSeq
+    val preAgg = EventWindows.slidingPreAgg(ev)
+      .orderBy("w_start").collect().map(_.toString).toSeq
+    assert(preAgg == single)
+  }
+
   test("dropDuplicatesWithinWatermark removes duplicate event_ids") {
     val events = Tables.events(spark, TestSpark.sf0001).limit(100)
     val dir = Files.createTempDirectory("graft-dup").toString
