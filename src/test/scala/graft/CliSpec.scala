@@ -92,6 +92,23 @@ class CliSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("flagship pipeline with NOTHING pending reports zeros, not an NPE") {
+    // every doc_id % 3 == 0 ⇒ the derived manifest is fully uploaded, so
+    // the upload stage sees zero rows and every sum/max aggregate in the
+    // report is null — the regression the null guards cover.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-allup").toString
+    Seq((0L, "s1", "alpha", 5L), (3L, "s1", "beta", 4L), (6L, "s2", "gamma", 5L))
+      .toDF("doc_id", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rep = Pipeline.run(spark, dir).head()
+    assert(rep.getLong(0) == 3)     // total
+    assert(rep.getLong(1) == 3)     // uploaded
+    assert(rep.getDouble(2) == 100.0)
+    assert(rep.getLong(3) == 0)     // failed
+    assert(rep.getInt(4) == 0)      // max_attempts (null -> 0)
+  }
+
   test("flagship payload attach is an equi-join, not a nested-loop join") {
     val plan = Pipeline.attachPayload(spark, TestSpark.sf0001)
       .queryExecution.executedPlan.toString
