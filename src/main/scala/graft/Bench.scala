@@ -31,7 +31,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val warehouse = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val metastore = java.nio.file.Files.createTempDirectory("graft-ms").toString
     val spark = SparkSession.builder()
@@ -87,7 +87,9 @@ object Bench {
               Double.MaxValue
             }
           }
-          if (ts.min == Double.MaxValue) -1.0 else ts.min
+          // ANY failed run invalidates the query's timing: report -1 and
+          // leave it in errors — never both a time and an error flag.
+          if (ts.contains(Double.MaxValue)) -1.0 else ts.min
         }
       System.err.println(f"[bench] min   $name%-28s ${t}%8.3f s")
       name -> t

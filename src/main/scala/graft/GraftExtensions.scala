@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.IntegerType
 import graft.functions._
 
@@ -30,11 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def intLit(e: Expression, fn: String): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case other => throw new IllegalArgumentException(
-      s"$fn expects an integer literal, got $other")
-  }
+  // builders run at analysis time, BEFORE ConstantFolding — accept any
+  // foldable int expression (8, 2+1, CAST(4 AS INT)), not just bare
+  // literals.
+  private def intLit(e: Expression, fn: String): Int =
+    if (e.foldable && e.dataType == IntegerType) e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a constant integer, got null/$other")
+    } else throw new IllegalArgumentException(
+      s"$fn expects a constant integer argument, got $e")
 
   private def d(name: String, clazz: Class[_],
       builder: Seq[Expression] => Expression)

@@ -43,13 +43,13 @@ object Manifest {
       val paths = docs.select(
         concat(col("source"), lit("/doc_"), col("doc_id"), lit(".txt")).as("path"),
         (col("doc_id") % 3 === 0).as("uploaded"))
-      val withIds = Scale.assignIdsByRange(paths, "path")
+      // cacheResult: the id'd frame is cached+materialized inside
+      // assignIdsByRange and the intermediate sorted RDD released there —
+      // the manifest is stored once, not twice (unpersist of the cached
+      // frame is registered there too).
+      val withIds = Scale.assignIdsByRange(paths, "path", cacheResult = true)
         .select(col("id"), col("path"), col("uploaded"))
-      withIds.cache()
-      SessionCleanup.onEnd(s) {
-        memo.remove((s, d))
-        withIds.unpersist(blocking = false)
-      }
+      SessionCleanup.onEnd(s) { memo.remove((s, d)) }
       withIds
     })
 

@@ -31,12 +31,17 @@ object Scale {
     * passes: the count pass materializes the sorted partitions into the
     * block store and the id pass reads them back, so the range shuffle's
     * reduce-side sort runs ONCE — at 100 TB the unpersisted form pays a
-    * doubled full sort. The cache is released when the owning session
-    * ends ([[SessionCleanup]]); callers additionally memoize the derived
-    * frame per (session, dir) so one derivation happens per run.
+    * doubled full sort.
+    *
+    * With `cacheResult = true` (what memoizing callers like
+    * Manifest.fromDocuments use) the RESULT frame is cached and
+    * materialized here and the intermediate sorted RDD is released
+    * immediately — the data is never stored twice. With the default, the
+    * intermediate stays pinned so the returned lazy frame stays cheap,
+    * and is released when the owning session ends ([[SessionCleanup]]).
     */
   def assignIdsByRange(df: DataFrame, key: String, idCol: String = "id",
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0, cacheResult: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions", "8").toInt
@@ -48,7 +53,6 @@ object Scale {
     val rdd = sorted.rdd
       .mapPartitions({ it => scans.add(1); it }, preservesPartitioning = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    SessionCleanup.onEnd(spark) { rdd.unpersist(blocking = false) }
     val counts = rdd.mapPartitions(it => Iterator(it.size), preservesPartitioning = true)
       .collect()
     val offsets = counts.scanLeft(0L)(_ + _)
@@ -56,7 +60,16 @@ object Scale {
       var i = offsets(p)
       it.map { r => i += 1; Row.fromSeq(i +: r.toSeq) }
     }
-    spark.createDataFrame(withIds, schema)
+    val out = spark.createDataFrame(withIds, schema)
+    if (cacheResult) {
+      out.cache()
+      out.count() // materialize the id'd frame, then drop the intermediate
+      rdd.unpersist(blocking = false)
+      SessionCleanup.onEnd(spark) { out.unpersist(blocking = false) }
+    } else {
+      SessionCleanup.onEnd(spark) { rdd.unpersist(blocking = false) }
+    }
+    out
   }
 
   /** Salted equi-join for skewed keys: the large (skewed) side gets a
@@ -145,9 +158,19 @@ object Scale {
           .select(col("o_custkey"), col("o_totalprice")), o, "o_custkey", 8)
         writeBucketed(Tables.customer(sp, dir)
           .select(col("c_custkey"), col("c_mktsegment")), c, "c_custkey", 8)
+        // capture the table locations NOW: at application end the SQL
+        // path can silently no-op mid-shutdown, so fall back to deleting
+        // the table directories directly.
+        val warehouse = sp.conf.get("spark.sql.warehouse.dir", "")
+          .stripPrefix("file:")
         SessionCleanup.onEnd(sp) {
           bucketMemo.remove((sp, dir))
-          Seq(o, c).foreach(t => sp.sql(s"DROP TABLE IF EXISTS $t"))
+          Seq(o, c).foreach { t =>
+            try sp.sql(s"DROP TABLE IF EXISTS $t")
+            catch { case _: Throwable => () }
+            if (warehouse.nonEmpty)
+              SessionCleanup.deleteRecursively(s"$warehouse/$t")
+          }
         }
         (o, c)
       })

@@ -78,9 +78,13 @@ object Segments {
       col("seg_name"), col("seg_bytes"))
     sel.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val r = java.nio.file.Paths.get(root)
+      // one mkdirs per directory, not per chunk row (a 10k-chunk doc
+      // would otherwise issue 10k redundant syscalls in the hot loop)
+      val made = scala.collection.mutable.HashSet[String]()
       it.foreach { row =>
         val dir = r.resolve("doc_" + row.getString(0))
-        java.nio.file.Files.createDirectories(dir)
+        if (made.add(row.getString(0)))
+          java.nio.file.Files.createDirectories(dir)
         java.nio.file.Files.write(dir.resolve(row.getString(1)),
           row.getAs[Array[Byte]](2))
       }

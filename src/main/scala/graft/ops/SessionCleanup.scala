@@ -15,10 +15,15 @@ import org.apache.spark.sql.SparkSession
   * references to stopped sessions forever.
   *
   * Every memo registers an action here at creation time; actions run on
-  * `SparkListenerApplicationEnd` (i.e. when the owning SparkContext stops)
-  * and drop the memo entry, unpersist the cache, and delete the temp
-  * residue. Actions are best-effort (each wrapped in try) because the
-  * context is mid-shutdown when they fire.
+  * `SparkListenerApplicationEnd` (i.e. when the owning SparkContext
+  * stops — CONTEXT granularity: sessions sharing one context are cleaned
+  * together at context stop, which covers the Bench/Verify/test JVMs
+  * where one context spans the run) and drop the memo entry, unpersist
+  * the cache, and delete the temp residue. Actions are best-effort (each
+  * wrapped in try) because the context is mid-shutdown when they fire;
+  * every registered action is therefore RECREATE-SAFE — memos repopulate
+  * lazily if queried again after a drain (asserted in
+  * SessionCleanupSpec, which drains the live registry mid-session).
   */
 object SessionCleanup {
 

@@ -50,9 +50,6 @@ object ManifestStore {
     read(m.sparkSession, root)
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(c => deleteRecursively(c))
-    Files.deleteIfExists(p)
-  }
+  private def deleteRecursively(p: Path): Unit =
+    graft.ops.SessionCleanup.deleteRecursively(p.toString)
 }
