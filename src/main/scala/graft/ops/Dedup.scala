@@ -170,27 +170,82 @@ object Dedup {
   def nearDupCandidates(docs: DataFrame, k: Int = 8, bands: Int = 4): DataFrame =
     candidatePairs(docs, k, bands).select("a_id", "b_id")
 
-  def nearDupSurvivors(docs: DataFrame, jacThreshold: Double = 0.5,
+  /** Candidate pairs that SURVIVE exact-Jaccard verification — the edge
+    * set of the near-dup graph. Union sizes (na, nb) ride on the
+    * candidate rows, so the verify stage is: two candidate-bounded
+    * shingle joins → intersection count → Jaccard. No second corpus-wide
+    * shingle aggregate, no count-table joins. */
+  def nearDupVerifiedPairs(docs: DataFrame, jacThreshold: Double = 0.5,
       k: Int = 8, bands: Int = 4): DataFrame = {
     val sh = shingles(docs)
     val cand = candidatePairs(docs, k, bands)
-    // union sizes (na, nb) already ride on the candidate rows, so the
-    // verify stage is: two candidate-bounded shingle joins → intersection
-    // count → Jaccard. No second corpus-wide shingle aggregate, no
-    // count-table joins.
     val inter = cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
         Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).as("inter"))
-    val jac = inter
+    inter
       .withColumn("jac",
         col("inter") * 1.0 / (col("na") + col("nb") - col("inter")))
-    val dropped = jac.filter(col("jac") >= jacThreshold)
+      .filter(col("jac") >= jacThreshold)
+      .select("a_id", "b_id")
+  }
+
+  def nearDupSurvivors(docs: DataFrame, jacThreshold: Double = 0.5,
+      k: Int = 8, bands: Int = 4): DataFrame = {
+    val dropped = nearDupVerifiedPairs(docs, jacThreshold, k, bands)
       .select(col("b_id").as("doc_id")).distinct()
     docs.join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id")
+  }
+
+  /** Near-dup CLUSTERS: connected components over the verified near-dup
+    * graph — the operator that turns pairwise dedup into dedup GROUPS
+    * (pick a canonical doc per cluster, attribute provenance, measure
+    * cluster-size distribution). cluster = min doc_id reachable via
+    * verified pairs; singletons keep their own id.
+    *
+    * Iterative min-label propagation: each round is one equi-join of the
+    * current labels against the (tiny, candidate-bounded) edge list +
+    * a min-aggregate, repeated to fixpoint — the standard distributed CC
+    * loop (GraphX runs the same plan). Rounds = graph diameter, which for
+    * near-dup clusters is small (dup groups are cliques-ish through the
+    * banding), so per-round caching keeps the effective plan shallow;
+    * every intermediate cache is released before returning (diameter-deep
+    * graphs would swap the cache for checkpoints — same loop). */
+  def nearDupClusters(docs: DataFrame, jacThreshold: Double = 0.5,
+      k: Int = 8, bands: Int = 4): DataFrame = {
+    val pairs = nearDupVerifiedPairs(docs, jacThreshold, k, bands).cache()
+    val edges = pairs.union(
+        pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .withColumnRenamed("a_id", "src").withColumnRenamed("b_id", "dst")
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    val toRelease = scala.collection.mutable.Buffer(labels, pairs)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("cluster")), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min("cluster").as("nbc"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbc"), col("cluster")))
+            .as("cluster"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .filter(col("cluster") =!= col("old")).count()
+      toRelease += next
+      labels = next
+    }
+    // fixpoint reached (the convergence count already materialized the
+    // final cache): release every INTERMEDIATE cache now; the final
+    // labels cache backs the returned frame and is released on session
+    // end — never collected to the driver (at 100 TB the label set IS
+    // the corpus).
+    val fin = labels
+    toRelease.filterNot(_ eq fin).foreach(_.unpersist(blocking = false))
+    SessionCleanup.onEnd(docs.sparkSession) { fin.unpersist(blocking = false) }
+    fin.orderBy("doc_id")
   }
 
   /** 64-bit SimHash per doc via the native one-pass expression
@@ -275,7 +330,11 @@ object Dedup {
     // the full candidate-routed dedup: band candidates -> exact Jaccard
     // verify -> drop higher id -> surviving corpus.
     "dedup_near_drop" -> ((s, d) =>
-      nearDupSurvivors(Tables.documents(s, d)))
+      nearDupSurvivors(Tables.documents(s, d))),
+    // connected components of the verified near-dup graph (min reachable
+    // doc_id), hash-gated vs a DuckDB RECURSIVE CTE over the same edges.
+    "dedup_cluster" -> ((s, d) =>
+      nearDupClusters(Tables.documents(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -377,6 +436,58 @@ object Dedup {
          |SELECT doc_id, n_chars FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.b_id = d.doc_id)
          |ORDER BY doc_id""".stripMargin
+    },
+    // Same pipeline through `jac`, then connected components as a
+    // transitive-closure RECURSIVE CTE: cluster = min reachable doc_id
+    // over the symmetric verified-pair edges — the closed form of the
+    // min-label-propagation fixpoint the Spark loop computes.
+    "dedup_cluster" -> {
+      def hashOf(e: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))),
+           |  (acc, x) -> (acc * 131 + x) % 1000000007)""".stripMargin
+      val minCols = (0 until 8).map(i =>
+        s"min(${hashOf(s"'$i|' || shingle")}) AS m$i").mkString(",\n  ")
+      s"""WITH RECURSIVE w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |ex AS (
+         |  SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i FROM w),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+         |  FROM ex),
+         |sig AS (SELECT doc_id,
+         |  $minCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b.band, b.bucket FROM sig CROSS JOIN LATERAL (VALUES
+         |    (0, m0 * 2000000011 + m1), (1, m2 * 2000000011 + m3),
+         |    (2, m4 * 2000000011 + m5), (3, m6 * 2000000011 + m7)) b(band, bucket)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |   AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS inter
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT i.a_id, i.b_id, i.inter * 1.0 / (ca.n + cb.n - i.inter) AS jac
+         |  FROM inter i JOIN cnt ca ON ca.doc_id = i.a_id
+         |  JOIN cnt cb ON cb.doc_id = i.b_id),
+         |good AS (SELECT a_id, b_id FROM jac WHERE jac >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM good
+         |  UNION ALL SELECT b_id, a_id FROM good),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, min(lab) AS cluster
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
     }
   )
 }
