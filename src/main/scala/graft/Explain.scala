@@ -20,7 +20,7 @@ object Explain {
         "limit_topk", "filter_pending", "sim_topk", "project_entry",
         "join_salted_skew", "join_bucketed_colocated", "sim_near_dup",
         "segment_file_bytes", "dedup_near_drop", "sim_ann_ivf_seeded",
-        "dedup_embedding", "source_csv")
+        "dedup_embedding", "source_csv", "stream_sliding", "dedup_cluster")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {

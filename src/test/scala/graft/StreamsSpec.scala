@@ -40,6 +40,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(mustHave.subsetOf(got.keySet))
   }
 
+  test("streaming sliding counts equal the batch (oracle-checked) query") {
+    val stream = Streams.slidingRate(Streams.eventsStream(spark, TestSpark.sf0001))
+    runToMemory(stream, "sliding_out")
+    val got = spark.table("sliding_out")
+      .select(col("w_start").cast("long"), col("n")).as[(Long, Long)]
+      .collect().toMap
+    val want = EventWindows.sliding(Tables.events(spark, TestSpark.sf0001))
+      .select(col("w_start").cast("long"), col("n")).as[(Long, Long)]
+      .collect().toMap
+    // same append-mode contract as tumbling: every emitted window matches
+    // batch exactly; all but the watermark tail (10 min) plus the last
+    // window width (60 s) must have been emitted.
+    assert(got.nonEmpty)
+    assert(got.forall { case (w, n) => want.get(w).contains(n) })
+    val maxTs = Tables.events(spark, TestSpark.sf0001)
+      .agg(max(col("ts")).cast("long")).as[Long].collect().head
+    val mustHave = want.keySet.filter(_ < maxTs - 600 - 60)
+    assert(mustHave.subsetOf(got.keySet))
+  }
+
   test("batch pre-aggregated sliding rate equals the single-aggregation stream form") {
     val ev = graft.model.Tables.events(spark, TestSpark.sf0001)
     val single = EventWindows.sliding(ev)
