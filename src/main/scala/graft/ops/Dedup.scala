@@ -248,6 +248,64 @@ object Dedup {
     fin.orderBy("doc_id")
   }
 
+  /** Replicable 30-bit SimHash — the structural twin of [[simhash]] over
+    * the DuckDB-replicable rolling-hash family (the same move that gave
+    * MinHash its hash-gated pipeline): bit j of the fingerprint is the
+    * sign of the ±1 votes of bit j of rollingHash(word) across word
+    * OCCURRENCES. 30 bits because the Karp-Rabin hash is mod 1e9+7.
+    * Same plan shape as production SimHash's composed form: explode →
+    * hash → bit-vote partial aggregates (map-side combined). */
+  def simhashReplicable(docs: DataFrame, bits: Int = 30): DataFrame = {
+    val wh = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"),
+        graft.functions.RollingHash.rolling_hash(col("word")).as("h"))
+    val votes = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$j")
+    }
+    val voted = wh.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val packed = (0 until bits).map { j =>
+      when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    voted.select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** Hamming-close pairs at scale via bit-BLOCK candidate routing: split
+    * the fingerprint into `maxHamming + 1` disjoint blocks — by
+    * pigeonhole, any pair within hamming `maxHamming` agrees EXACTLY on
+    * at least one block — equi-join candidates on (block_idx,
+    * block_value), then verify exact `bit_count(xor)` on candidates
+    * only. The classic SimHash index (Manku et al., WWW'07 §3): never
+    * all-pairs, shuffle keyed by 8-bit block values. Runs on the
+    * replicable family so the WHOLE pipeline is hash-gated vs DuckDB. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      bits: Int = 30): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val width = (bits + nBlocks - 1) / nBlocks
+    val fp = simhashReplicable(docs, bits)
+    val blockCols = (0 until nBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("v"))
+    }
+    val blocked = fp
+      .select(col("doc_id"), col("simhash"), explode(array(blockCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.blk").as("blk"), col("bb.v").as("v"))
+    val a = blocked.select(col("blk"), col("v"), col("doc_id").as("a_id"),
+      col("simhash").as("fa"))
+    val b = blocked.select(col("blk"), col("v"), col("doc_id").as("b_id"),
+      col("simhash").as("fb"))
+    a.join(b, Seq("blk", "v")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
   /** 64-bit SimHash per doc via the native one-pass expression
     * ([[graft.functions.SimHash]]): a pure map over the corpus — no
     * explode, no 64-column vote aggregate, no exchange. */
@@ -334,7 +392,11 @@ object Dedup {
     // connected components of the verified near-dup graph (min reachable
     // doc_id), hash-gated vs a DuckDB RECURSIVE CTE over the same edges.
     "dedup_cluster" -> ((s, d) =>
-      nearDupClusters(Tables.documents(s, d)))
+      nearDupClusters(Tables.documents(s, d))),
+    // SimHash near-dup pairs via bit-block routing (Manku et al.),
+    // hash-gated end-to-end on the replicable hash family.
+    "dedup_simhash_pairs" -> ((s, d) =>
+      simhashPairs(Tables.documents(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -488,6 +550,39 @@ object Dedup {
          |  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id AS doc_id, min(lab) AS cluster
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+    // Replicates simhashReplicable + simhashPairs exactly: same word
+    // split, same rolling-hash bit votes, same 8-bit block routing, same
+    // bit_count(xor) verify — the full SimHash index is hash-checked.
+    "dedup_simhash_pairs" -> {
+      def hashOf(e: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))),
+           |  (acc, x) -> (acc * 131 + x) % 1000000007)""".stripMargin
+      val votes = (0 until 30).map(j =>
+        s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(",\n  ")
+      val pack = (0 until 30).map(j =>
+        s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString("\n    + ")
+      val blockVals = (0 until 4).map(b =>
+        s"($b, (simhash // ${1L << (b * 8)}) % 256)").mkString(",\n    ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+         |th AS (SELECT doc_id, ${hashOf("word")} AS h
+         |       FROM tok WHERE len(word) > 0),
+         |votes AS (SELECT doc_id,
+         |  $votes
+         |  FROM th GROUP BY doc_id),
+         |fp AS (SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM votes),
+         |blk AS (SELECT doc_id, simhash, t.blk, t.v FROM fp CROSS JOIN LATERAL (VALUES
+         |    $blockVals) t(blk, v)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.v = b.v
+         |   AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 3
+         |ORDER BY a_id, b_id""".stripMargin
     }
   )
 }

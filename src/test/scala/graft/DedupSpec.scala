@@ -58,6 +58,25 @@ class DedupSpec extends AnyFunSuite {
     assert(edges.contains((1L, 2L)) && edges.contains((2L, 3L)), s"edges=$edges")
   }
 
+  test("simhashPairs: block routing finds the planted near-dup, skips unrelated, " +
+      "and equals the brute-force hamming join") {
+    val nearDup = base.replace("quick", "swift")
+    val unrelated = "completely different content about spark shuffles and " +
+      "partitions and codegen stages running on many executors tonight"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 2L)), s"got=$got")
+    // exhaustive reference: all-pairs hamming on the same fingerprints
+    val fp = Dedup.simhashReplicable(docs).as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      h = java.lang.Long.bitCount(fp(a) ^ fp(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == brute)
+  }
+
   test("native simhash64 expression equals the composed explode+vote pipeline " +
       "bit-for-bit (sf0.001 corpus + edge cases)") {
     val corpus = graft.model.Tables.documents(spark, TestSpark.sf0001)
