@@ -19,8 +19,12 @@ object Explain {
       else Seq("agg_group_by", "join_broadcast_dim", "join_equi_hash",
         "limit_topk", "filter_pending", "sim_topk", "project_entry",
         "join_salted_skew", "join_bucketed_colocated", "sim_near_dup",
+        // dedup_cluster is deliberately absent: its builder runs the
+        // iterative fixpoint eagerly, so the printed plan would only show
+        // the final cached scan — nothing to audit.
         "segment_file_bytes", "dedup_near_drop", "sim_ann_ivf_seeded",
-        "dedup_embedding", "source_csv", "stream_sliding", "dedup_cluster")
+        "dedup_embedding", "source_csv", "stream_sliding",
+        "dedup_simhash_pairs")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {

@@ -214,6 +214,12 @@ object Dedup {
     * banding), so per-round caching keeps the effective plan shallow;
     * every intermediate cache is released before returning (diameter-deep
     * graphs would swap the cache for checkpoints — same loop). */
+  /** At most one cached cluster result is retained per session: a new
+    * nearDupClusters call evicts the previous call's cache, so repeated
+    * invocations (the bench runs the query 4×) never accumulate. */
+  private val lastClusterCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
   def nearDupClusters(docs: DataFrame, jacThreshold: Double = 0.5,
       k: Int = 8, bands: Int = 4): DataFrame = {
     val pairs = nearDupVerifiedPairs(docs, jacThreshold, k, bands).cache()
@@ -221,30 +227,38 @@ object Dedup {
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .withColumnRenamed("a_id", "src").withColumnRenamed("b_id", "dst")
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).cache()
-    val toRelease = scala.collection.mutable.Buffer(labels, pairs)
+    val toRelease = scala.collection.mutable.Buffer(pairs, labels)
+    var lastCached = labels
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("src"), col("cluster")), "src")
         .groupBy(col("dst").as("doc_id")).agg(min("cluster").as("nbc"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nbc"), col("cluster")))
-            .as("cluster"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-        .filter(col("cluster") =!= col("old")).count()
-      toRelease += next
-      labels = next
+      // ONE join per round: the convergence count and the next labels are
+      // both derived from the same cached joined frame (least() skips
+      // nulls, so unmatched left-join rows keep their label).
+      val joined = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster"), col("nbc")).cache()
+      changed = joined.filter(col("nbc") < col("cluster")).count()
+      toRelease += joined
+      lastCached = joined
+      labels = joined.select(col("doc_id"),
+        least(col("cluster"), col("nbc")).as("cluster"))
     }
-    // fixpoint reached (the convergence count already materialized the
-    // final cache): release every INTERMEDIATE cache now; the final
-    // labels cache backs the returned frame and is released on session
-    // end — never collected to the driver (at 100 TB the label set IS
-    // the corpus).
+    // fixpoint reached (the convergence count materialized the last
+    // round's cache): release every intermediate; the LAST cached frame
+    // backs the returned labels — never collected to the driver (at
+    // 100 TB the label set IS the corpus). It is evicted by the next
+    // call in this session, or at session end.
     val fin = labels
-    toRelease.filterNot(_ eq fin).foreach(_.unpersist(blocking = false))
-    SessionCleanup.onEnd(docs.sparkSession) { fin.unpersist(blocking = false) }
+    toRelease.filterNot(_ eq lastCached).foreach(_.unpersist(blocking = false))
+    val keep = lastCached
+    val prev = lastClusterCache.put(docs.sparkSession, keep)
+    if (prev != null && (prev ne keep)) prev.unpersist(blocking = false)
+    SessionCleanup.onEnd(docs.sparkSession) {
+      lastClusterCache.remove(docs.sparkSession)
+      keep.unpersist(blocking = false)
+    }
     fin.orderBy("doc_id")
   }
 
@@ -255,12 +269,20 @@ object Dedup {
     * OCCURRENCES. 30 bits because the Karp-Rabin hash is mod 1e9+7.
     * Same plan shape as production SimHash's composed form: explode →
     * hash → bit-vote partial aggregates (map-side combined). */
-  def simhashReplicable(docs: DataFrame, bits: Int = 30): DataFrame = {
+  def simhashReplicable(docs: DataFrame, bits: Int = 30): DataFrame =
+    bitVoteFingerprint(docs,
+      w => graft.functions.RollingHash.rolling_hash(w), bits)
+
+  /** Shared bit-vote SimHash pipeline: explode words → per-word hash →
+    * ±1 vote per bit → sign-pack. Parameterized by the word-hash column
+    * so the production 64-bit form ([[simhashComposed]], xxhash64) and
+    * the 30-bit replicable form share one implementation. */
+  private def bitVoteFingerprint(docs: DataFrame,
+      hashOf: Column => Column, bits: Int): DataFrame = {
     val wh = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), explode(wordsOf(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
-      .select(col("doc_id"),
-        graft.functions.RollingHash.rolling_hash(col("word")).as("h"))
+      .select(col("doc_id"), hashOf(col("word")).as("h"))
     val votes = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"v$j")
@@ -301,8 +323,11 @@ object Dedup {
     a.join(b, Seq("blk", "v")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a pure function of the pair,
+      // so the dedup exchange only carries hamming-close rows — at scale
+      // block collisions vastly outnumber true near-dups.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 
@@ -319,20 +344,8 @@ object Dedup {
   /** The composed (explode + bit-vote aggregate) form the expression
     * replaced — kept as the executable specification; DedupSpec asserts
     * both produce identical fingerprints. */
-  private[graft] def simhashComposed(docs: DataFrame): DataFrame = {
-    val wh = docs.select(col("doc_id"),
-      explode(wordsOf(col("text"))).as("word"))
-      .filter(length(col("word")) > 0)
-      .select(col("doc_id"), xxhash64(col("word")).as("h"))
-    val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
-    }
-    val voted = wh.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val packed = (0 until 64).map { j =>
-      when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    voted.select(col("doc_id"), packed.as("simhash"))
-  }
+  private[graft] def simhashComposed(docs: DataFrame): DataFrame =
+    bitVoteFingerprint(docs, w => xxhash64(w), 64)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -428,118 +441,27 @@ object Dedup {
         |WHERE rn = 1 ORDER BY a_id""".stripMargin,
     // dedup_minhash / dedup_simhash: Spark murmur3/xxhash64 have no DuckDB
     // equivalent → rows-only check + ScalaTest property coverage. The
-    // pipeline itself is hash-gated through its rolling-hash twin below.
-    "dedup_minhash_stats" -> {
-      def hashOf(e: String) =
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |  list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))),
-           |  (acc, x) -> (acc * 131 + x) % 1000000007)""".stripMargin
-      val minCols = (0 until 8).map(i =>
-        s"min(${hashOf(s"'$i|' || shingle")}) AS m$i").mkString(",\n  ")
-      s"""WITH w AS (
-         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-         |  WHERE len(string_split(text, ' ')) >= 3),
-         |ex AS (
-         |  SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i FROM w),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-         |  FROM ex),
-         |sig AS (SELECT doc_id,
-         |  $minCols
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, b.band, b.bucket FROM sig CROSS JOIN LATERAL (VALUES
-         |    (0, m0 * 2000000011 + m1), (1, m2 * 2000000011 + m3),
-         |    (2, m4 * 2000000011 + m5), (3, m6 * 2000000011 + m7)) b(band, bucket)),
+    // pipelines themselves are hash-gated through the rolling-hash twins
+    // below, whose shared CTE chains come from sqlBandsCtes/sqlJacCtes —
+    // ONE definition of the hash family, band combiner, and verify logic.
+    "dedup_minhash_stats" ->
+      s"""WITH $sqlBandsCtes,
          |sz AS (SELECT band, bucket, CAST(count(*) AS BIGINT) AS bucket_size
          |       FROM bands GROUP BY 1, 2)
          |SELECT band, bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
-         |FROM sz GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
-    "dedup_near_drop" -> {
-      def hashOf(e: String) =
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |  list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))),
-           |  (acc, x) -> (acc * 131 + x) % 1000000007)""".stripMargin
-      val minCols = (0 until 8).map(i =>
-        s"min(${hashOf(s"'$i|' || shingle")}) AS m$i").mkString(",\n  ")
-      s"""WITH w AS (
-         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-         |  WHERE len(string_split(text, ' ')) >= 3),
-         |ex AS (
-         |  SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i FROM w),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-         |  FROM ex),
-         |sig AS (SELECT doc_id,
-         |  $minCols
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, b.band, b.bucket FROM sig CROSS JOIN LATERAL (VALUES
-         |    (0, m0 * 2000000011 + m1), (1, m2 * 2000000011 + m3),
-         |    (2, m4 * 2000000011 + m5), (3, m6 * 2000000011 + m7)) b(band, bucket)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-         |   AND a.doc_id < b.doc_id),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.a_id, c.b_id, count(*) AS inter
-         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
-         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
-         |  GROUP BY 1, 2),
-         |jac AS (
-         |  SELECT i.a_id, i.b_id, i.inter * 1.0 / (ca.n + cb.n - i.inter) AS jac
-         |  FROM inter i JOIN cnt ca ON ca.doc_id = i.a_id
-         |  JOIN cnt cb ON cb.doc_id = i.b_id),
+         |FROM sz GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dedup_near_drop" ->
+      s"""WITH $sqlJacCtes,
          |dropped AS (SELECT DISTINCT b_id FROM jac WHERE jac >= 0.5)
          |SELECT doc_id, n_chars FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.b_id = d.doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
     // Same pipeline through `jac`, then connected components as a
     // transitive-closure RECURSIVE CTE: cluster = min reachable doc_id
     // over the symmetric verified-pair edges — the closed form of the
     // min-label-propagation fixpoint the Spark loop computes.
-    "dedup_cluster" -> {
-      def hashOf(e: String) =
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |  list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))),
-           |  (acc, x) -> (acc * 131 + x) % 1000000007)""".stripMargin
-      val minCols = (0 until 8).map(i =>
-        s"min(${hashOf(s"'$i|' || shingle")}) AS m$i").mkString(",\n  ")
-      s"""WITH RECURSIVE w AS (
-         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-         |  WHERE len(string_split(text, ' ')) >= 3),
-         |ex AS (
-         |  SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i FROM w),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-         |  FROM ex),
-         |sig AS (SELECT doc_id,
-         |  $minCols
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, b.band, b.bucket FROM sig CROSS JOIN LATERAL (VALUES
-         |    (0, m0 * 2000000011 + m1), (1, m2 * 2000000011 + m3),
-         |    (2, m4 * 2000000011 + m5), (3, m6 * 2000000011 + m7)) b(band, bucket)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-         |   AND a.doc_id < b.doc_id),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.a_id, c.b_id, count(*) AS inter
-         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
-         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
-         |  GROUP BY 1, 2),
-         |jac AS (
-         |  SELECT i.a_id, i.b_id, i.inter * 1.0 / (ca.n + cb.n - i.inter) AS jac
-         |  FROM inter i JOIN cnt ca ON ca.doc_id = i.a_id
-         |  JOIN cnt cb ON cb.doc_id = i.b_id),
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $sqlJacCtes,
          |good AS (SELECT a_id, b_id FROM jac WHERE jac >= 0.5),
          |edges AS (
          |  SELECT a_id AS src, b_id AS dst FROM good
@@ -549,16 +471,11 @@ object Dedup {
          |  UNION
          |  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id AS doc_id, min(lab) AS cluster
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
-    },
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // Replicates simhashReplicable + simhashPairs exactly: same word
     // split, same rolling-hash bit votes, same 8-bit block routing, same
     // bit_count(xor) verify — the full SimHash index is hash-checked.
     "dedup_simhash_pairs" -> {
-      def hashOf(e: String) =
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |  list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))),
-           |  (acc, x) -> (acc * 131 + x) % 1000000007)""".stripMargin
       val votes = (0 until 30).map(j =>
         s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v$j")
         .mkString(",\n  ")
@@ -568,7 +485,7 @@ object Dedup {
         s"($b, (simhash // ${1L << (b * 8)}) % 256)").mkString(",\n    ")
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
          |tok AS (SELECT doc_id, unnest(words) AS word FROM w),
-         |th AS (SELECT doc_id, ${hashOf("word")} AS h
+         |th AS (SELECT doc_id, ${sqlHashOf("word")} AS h
          |       FROM tok WHERE len(word) > 0),
          |votes AS (SELECT doc_id,
          |  $votes
@@ -585,4 +502,53 @@ object Dedup {
          |ORDER BY a_id, b_id""".stripMargin
     }
   )
+
+  /** DuckDB replication of the Karp-Rabin rolling hash (mod 1e9+7) —
+    * single source of truth for every replicable-family oracle. */
+  private def sqlHashOf(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |  (acc, x) -> (acc * 131 + x) % 1000000007)""".stripMargin
+
+  /** Shared oracle CTE chain: shingles → replicable 8-min signatures →
+    * band buckets (mirrors shingles + replicableBands). */
+  private def sqlBandsCtes: String = {
+    val minCols = (0 until 8).map(i =>
+      s"min(${sqlHashOf(s"'$i|' || shingle")}) AS m$i").mkString(",\n  ")
+    s"""w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |ex AS (
+       |  SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i FROM w),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+       |  FROM ex),
+       |sig AS (SELECT doc_id,
+       |  $minCols
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b.band, b.bucket FROM sig CROSS JOIN LATERAL (VALUES
+       |    (0, m0 * 2000000011 + m1), (1, m2 * 2000000011 + m3),
+       |    (2, m4 * 2000000011 + m5), (3, m6 * 2000000011 + m7)) b(band, bucket))""".stripMargin
+  }
+
+  /** Extends [[sqlBandsCtes]] through candidate pairs and exact-Jaccard
+    * scores (mirrors candidatePairs + nearDupVerifiedPairs). */
+  private def sqlJacCtes: String =
+    s"""$sqlBandsCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.doc_id < b.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS inter
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+       |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT i.a_id, i.b_id, i.inter * 1.0 / (ca.n + cb.n - i.inter) AS jac
+       |  FROM inter i JOIN cnt ca ON ca.doc_id = i.a_id
+       |  JOIN cnt cb ON cb.doc_id = i.b_id)""".stripMargin
 }

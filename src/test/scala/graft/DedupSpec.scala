@@ -38,24 +38,26 @@ class DedupSpec extends AnyFunSuite {
 
   test("nearDupClusters: a planted duplicate CHAIN collapses to one cluster " +
       "(min id), transitively — singletons keep their own id") {
-    // chain: 1~2 and 2~3 are near-dups, but 1~3 alone might not be —
-    // connected components must still put all three in cluster 1.
+    // chain: 1~2 and 2~3 are near-dups, but 1~3 is NOT (jac(1,3) < 0.5)
+    // — connected components must still put all three in cluster 1,
+    // which takes MORE THAN ONE propagation round (3's only edge is 2).
     val v2 = base.replace("quick", "swift")
-    val v3 = v2.replace("lazy", "idle")
+    val v3 = v2.replace("lazy", "idle").replace("green", "brown")
     val unrelated = "completely different content about spark shuffles and " +
       "partitions and codegen stages running on many executors tonight"
     val docs = Seq((1L, base), (2L, v2), (3L, v3), (9L, unrelated))
       .toDF("doc_id", "text")
       .withColumn("n_chars", length(col("text")).cast("long"))
+    // the graph must really be a chain through 2 — (1,3) must NOT be an
+    // edge, or this test would pass after a single propagation round
+    val edges = Dedup.nearDupVerifiedPairs(docs, jacThreshold = 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(edges == Set((1L, 2L), (2L, 3L)), s"edges=$edges")
     val clusters = Dedup.nearDupClusters(docs, jacThreshold = 0.5)
       .as[(Long, Long)].collect().toMap
     assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L,
       s"clusters=$clusters")
     assert(clusters(9L) == 9L)
-    // and the graph really was a chain through 2 (not a 1-3 clique):
-    val edges = Dedup.nearDupVerifiedPairs(docs, jacThreshold = 0.5)
-      .as[(Long, Long)].collect().toSet
-    assert(edges.contains((1L, 2L)) && edges.contains((2L, 3L)), s"edges=$edges")
   }
 
   test("simhashPairs: block routing finds the planted near-dup, skips unrelated, " +
