@@ -54,13 +54,61 @@ object SimHash {
     fp
   }
 
+  /** `bits`-bit SimHash over the DuckDB-replicable Karp-Rabin hash — the
+    * map-only kernel behind Dedup.simhashReplicable (same one-pass
+    * structure as [[compute]]; only the word-hash family differs, so the
+    * fingerprints remain recomputable by the DuckDB oracle). */
+  def computeRolling(s: UTF8String, bits: Int): Long = {
+    val votes = new Array[Int](bits)
+    val words = s.split(UTF8String.fromString(" "), -1)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.numBytes > 0) {
+        val h = RollingHash.compute(w)
+        var j = 0
+        while (j < bits) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
   def simhash64(c: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(c)))
+
+  def simhash_rolling(c: Column, bits: Int = 30): Column =
+    GraftBridge.column(SimHashRollingExpr(GraftBridge.expression(c), bits))
 
   /** SQL-text registration: `SELECT simhash64(text)`. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
     GraftBridge.registerTempFunction(spark, "simhash64",
       exprs => SimHash64Expr(exprs.head))
+}
+
+case class SimHashRollingExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash_rolling requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_rolling"
+  override def nullSafeEval(input: Any): Any =
+    SimHash.computeRolling(input.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.computeRolling($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashRollingExpr =
+    copy(child = newChild)
 }
 
 case class SimHash64Expr(child: Expression) extends UnaryExpression {

@@ -270,6 +270,17 @@ object Dedup {
     * Same plan shape as production SimHash's composed form: explode →
     * hash → bit-vote partial aggregates (map-side combined). */
   def simhashReplicable(docs: DataFrame, bits: Int = 30): DataFrame =
+    // native one-pass kernel (map-only, codegen'd) — same upgrade the
+    // production simhash got; the composed bit-vote form below is kept
+    // as the executable spec (equality-asserted in DedupSpec). The trim
+    // filter matches the composed groupBy, which emits no row for
+    // wordless docs.
+    docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        graft.functions.SimHash.simhash_rolling(col("text"), bits).as("simhash"))
+
+  private[graft] def simhashReplicableComposed(docs: DataFrame,
+      bits: Int = 30): DataFrame =
     bitVoteFingerprint(docs,
       w => graft.functions.RollingHash.rolling_hash(w), bits)
 

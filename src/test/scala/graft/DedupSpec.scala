@@ -79,6 +79,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("native simhash_rolling expression equals the composed bit-vote " +
+      "pipeline bit-for-bit (sf0.001 corpus + edge cases)") {
+    val corpus = graft.model.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    val edge = Seq((9001L, ""), (9002L, "   "), (9003L, "one"),
+      (9004L, "中文 mixed ascii 中文"), (9005L, "a a a a"))
+      .toDF("doc_id", "text")
+    val docs = corpus.union(edge)
+    val native = Dedup.simhashReplicable(docs)
+      .as[(Long, Long)].collect().toMap
+    val composed = Dedup.simhashReplicableComposed(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(native == composed)
+    assert(!native.contains(9001L) && !native.contains(9002L))
+  }
+
   test("native simhash64 expression equals the composed explode+vote pipeline " +
       "bit-for-bit (sf0.001 corpus + edge cases)") {
     val corpus = graft.model.Tables.documents(spark, TestSpark.sf0001)
