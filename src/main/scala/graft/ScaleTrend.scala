@@ -48,18 +48,37 @@ object ScaleTrend {
       val lshCands = graft.ops.Similarity
         .lshCandidates(emb, col("vec_id") < 10).count()
       val bruteCands = nQ * (nEmb - 1)
+      // SimHash block-routing: candidate pairs sharing >= 1 bit block
+      // (the pre-verify join size) vs all-pairs.
+      val shCands = {
+        val fp = graft.ops.Dedup.simhashReplicable(docs)
+        val blocked = fp.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
+            shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("v"))): _*))
+            .as("bb"))
+          .select(col("doc_id"), col("bb.blk").as("blk"), col("bb.v").as("v"))
+        blocked.as("a").join(blocked.as("b"),
+            col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      }
+      val nClusters = graft.ops.Dedup.nearDupClusters(docs)
+        .select("cluster").distinct().count()
 
       val tNearDrop = time(graft.ops.Dedup.queries("dedup_near_drop")(spark, sf))
       val tLsh = time(graft.ops.Similarity.queries("sim_ann_lsh")(spark, sf))
       val tSession = time(graft.ops.EventWindows.queries("stream_session")(spark, sf))
       val tExact = time(graft.ops.Dedup.queries("dedup_exact")(spark, sf))
+      val tSimhashPairs = time(graft.ops.Dedup.queries("dedup_simhash_pairs")(spark, sf))
 
       System.err.println(s"[scale] $sf docs=$nDocs done")
       println(s"""{"sf":"$sf","n_docs":$nDocs,"n_emb":$nEmb,""" +
         s""""dedup_cand_pairs":$dedupCands,"dedup_all_pairs":$allPairs,""" +
         s""""lsh_cand_pairs":$lshCands,"brute_cand_pairs":$bruteCands,""" +
+        s""""simhash_block_cand_pairs":$shCands,"n_clusters":$nClusters,""" +
         s""""t_dedup_near_drop":${r3(tNearDrop)},"t_sim_ann_lsh":${r3(tLsh)},""" +
-        s""""t_stream_session":${r3(tSession)},"t_dedup_exact":${r3(tExact)}}""")
+        s""""t_stream_session":${r3(tSession)},"t_dedup_exact":${r3(tExact)},""" +
+        s""""t_dedup_simhash_pairs":${r3(tSimhashPairs)}}""")
     }
     spark.stop()
   }
