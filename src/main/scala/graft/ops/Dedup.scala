@@ -318,10 +318,23 @@ object Dedup {
     * all-pairs, shuffle keyed by 8-bit block values. Runs on the
     * replicable family so the WHOLE pipeline is hash-gated vs DuckDB. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      bits: Int = 30): DataFrame = {
+      bits: Int = 30): DataFrame =
+    simhashPairsFrom(simhashReplicable(docs, bits), maxHamming, bits)
+
+  /** The production-scale form: 64-bit xxhash64 fingerprints and 16-bit
+    * blocks. Wider fingerprints collide exponentially less, so block
+    * routing prunes far harder than the 30-bit gated twin (asserted in
+    * DedupSpec on this very corpus); the xxhash64 family is not DuckDB-
+    * replicable, so this key is rows-only while [[simhashPairs]] carries
+    * the hash gate — the same twin pattern as dedup_minhash. */
+  def simhashPairs64(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsFrom(simhash(docs), maxHamming, 64)
+
+  /** Block-routed hamming-close pairs from ANY (doc_id, simhash) frame. */
+  def simhashPairsFrom(fp: DataFrame, maxHamming: Int,
+      bits: Int): DataFrame = {
     val nBlocks = maxHamming + 1
     val width = (bits + nBlocks - 1) / nBlocks
-    val fp = simhashReplicable(docs, bits)
     val blockCols = (0 until nBlocks).map { b =>
       struct(lit(b).as("blk"),
         shiftright(col("simhash"), b * width)
@@ -424,7 +437,12 @@ object Dedup {
     // SimHash near-dup pairs via bit-block routing (Manku et al.),
     // hash-gated end-to-end on the replicable hash family.
     "dedup_simhash_pairs" -> ((s, d) =>
-      simhashPairs(Tables.documents(s, d)))
+      simhashPairs(Tables.documents(s, d))),
+    // production 64-bit form: same index, xxhash64 fingerprints (rows-only
+    // — the gated 30-bit twin above checks the pipeline; DedupSpec pins
+    // this one to the brute-force hamming join exactly).
+    "dedup_simhash_pairs64" -> ((s, d) =>
+      simhashPairs64(Tables.documents(s, d)))
   )
 
   def oracle: Map[String, String] = Map(

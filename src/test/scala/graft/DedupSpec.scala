@@ -79,6 +79,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("simhashPairs64 equals the brute-force 64-bit hamming join, and its " +
+      "wider fingerprint prunes block candidates far harder than the 30-bit twin") {
+    val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    val got = Dedup.simhashPairs64(docs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val fp = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      h = java.lang.Long.bitCount(fp(a) ^ fp(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == brute)
+    // pruning evidence: candidate mass (pairs sharing >= 1 block) shrinks
+    // by >= 10x going from 30-bit/8-bit-block to 64-bit/16-bit-block
+    def blockCands(pairs: org.apache.spark.sql.DataFrame, bits: Int): Long = {
+      val nBlocks = 4; val width = (bits + nBlocks - 1) / nBlocks
+      val blocked = pairs.select(col("doc_id"),
+          explode(array((0 until nBlocks).map(b => struct(lit(b).as("blk"),
+            shiftright(col("simhash"), b * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("v"))): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.blk").as("blk"), col("bb.v").as("v"))
+      blocked.as("a").join(blocked.as("b"),
+          col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    }
+    val cand30 = blockCands(Dedup.simhashReplicable(docs), 30)
+    val cand64 = blockCands(Dedup.simhash(docs), 64)
+    assert(cand64 * 10 <= cand30, s"cand64=$cand64 cand30=$cand30")
+  }
+
   test("native simhash_rolling expression equals the composed bit-vote " +
       "pipeline bit-for-bit (sf0.001 corpus + edge cases)") {
     val corpus = graft.model.Tables.documents(spark, TestSpark.sf0001)
