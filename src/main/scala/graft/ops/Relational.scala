@@ -153,6 +153,19 @@ object Relational {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
         .orderBy("event_type")),
+    // Greenwald-Khanna sketch percentiles — the 100 TB form of
+    // agg_percentile (bounded sketch state per group vs the exact form's
+    // full sort). Approximate ⇒ rows-only; ContractSpec bounds the rank
+    // error quantitatively, mirroring the HLL key's backing.
+    "agg_approx_percentile" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)), 4)
+            .as("p50_approx"),
+          round(percentile_approx(col("o_totalprice"), lit(0.9), lit(1000)), 4)
+            .as("p90_approx"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
     // top-k: TakeOrderedAndProject (heap per partition, no global sort).
     "limit_topk" -> ((s, d) =>
       Tables.orders(s, d)

@@ -42,4 +42,28 @@ class ContractSpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, bad.mkString(","))
   }
+
+  test("agg_approx_percentile rank error is within the sketch accuracy bound " +
+      "(quantitative backing for its no-oracle status)") {
+    import org.apache.spark.sql.functions._
+    // accuracy=1000 guarantees rank error <= n/1000 per group; assert the
+    // approximate quantile's RANK (not value) is within that bound + 1.
+    val orders = graft.model.Tables.orders(spark, TestSpark.sf0001)
+    val rows = orders.groupBy(col("o_orderpriority"))
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50a"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val grp = r.getString(0)
+      val p50a = r.getDouble(1)
+      val n = r.getLong(2)
+      val rank = orders.filter(col("o_orderpriority") === grp)
+        .filter(col("o_totalprice") <= p50a).count()
+      val target = 0.5 * n
+      val tol = n / 1000.0 + 1
+      assert(math.abs(rank - target) <= tol + 1,
+        s"group=$grp rank=$rank target=$target tol=$tol")
+    }
+  }
 }
