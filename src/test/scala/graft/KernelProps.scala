@@ -91,6 +91,18 @@ object KernelProps extends Properties("graft.kernels") {
       }
     }
 
+  property("computeRolling equals the word-vote reference over the space-split") =
+    forAll(textGen, Gen.oneOf(8, 30)) { (s, bits) =>
+      val words = s.split(" ", -1).filter(_.nonEmpty)
+      val votes = new Array[Int](bits)
+      for (w <- words; j <- 0 until bits) {
+        if (((refHash(w) >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+      }
+      val want = (0 until bits).map(j =>
+        if (votes(j) > 0) 1L << j else 0L).foldLeft(0L)(_ | _)
+      SimHash.computeRolling(UTF8String.fromString(s), bits) == want
+    }
+
   property("dot_product kernel equals the index-order fold bit-identically") =
     forAll(Gen.chooseNum(0, 32).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(-1e3, 1e3)))) { xs =>
