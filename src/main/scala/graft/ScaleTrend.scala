@@ -49,19 +49,11 @@ object ScaleTrend {
         .lshCandidates(emb, col("vec_id") < 10).count()
       val bruteCands = nQ * (nEmb - 1)
       // SimHash block-routing: candidate pairs sharing >= 1 bit block
-      // (the pre-verify join size) vs all-pairs.
-      val shCands = {
-        val fp = graft.ops.Dedup.simhashReplicable(docs)
-        val blocked = fp.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
-            shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("v"))): _*))
-            .as("bb"))
-          .select(col("doc_id"), col("bb.blk").as("blk"), col("bb.v").as("v"))
-        blocked.as("a").join(blocked.as("b"),
-            col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
-      }
+      // (the pre-verify join size) vs all-pairs — same construction the
+      // operator runs (Dedup.simhashBlockCandidates).
+      val shCands = graft.ops.Dedup
+        .simhashBlockCandidates(graft.ops.Dedup.simhashReplicable(docs), 3, 30)
+        .select("a_id", "b_id").distinct().count()
       val nClusters = graft.ops.Dedup.nearDupClusters(docs)
         .select("cluster").distinct().count()
 

@@ -29,14 +29,9 @@ object SparkEntry {
   // Oracle SQL building blocks (DuckDB dialect).
   // ---------------------------------------------------------------------
 
-  /** The deterministic manifest CTE — must mirror Manifest.fromDocuments. */
-  private val M =
-    """WITH manifest AS (
-      |  SELECT CAST(row_number() OVER (ORDER BY source || '/doc_' || doc_id || '.txt') AS BIGINT) AS id,
-      |         source || '/doc_' || doc_id || '.txt' AS path,
-      |         (doc_id % 3 = 0) AS uploaded
-      |  FROM documents
-      |)""".stripMargin
+  /** The deterministic manifest CTE — must mirror Manifest.fromDocuments
+    * (shared with the Jdbc/FileFormats source oracles). */
+  private val M = graft.model.OracleSql.manifestCte
 
   // ---------------------------------------------------------------------
   // Query registry

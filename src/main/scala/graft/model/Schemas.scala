@@ -52,3 +52,19 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
+
+/** Shared DuckDB oracle fragments — single source of truth for the
+  * deterministic-manifest SQL that SparkEntry, Jdbc and FileFormats all
+  * gate against (must mirror Manifest.fromDocuments exactly). */
+object OracleSql {
+  val manifestCte: String =
+    """WITH manifest AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY source || '/doc_' || doc_id || '.txt') AS BIGINT) AS id,
+      |         source || '/doc_' || doc_id || '.txt' AS path,
+      |         (doc_id % 3 = 0) AS uploaded
+      |  FROM documents
+      |)""".stripMargin
+
+  val manifestSelect: String =
+    s"$manifestCte\nSELECT id, path, uploaded FROM manifest ORDER BY id"
+}

@@ -330,8 +330,11 @@ object Dedup {
   def simhashPairs64(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     simhashPairsFrom(simhash(docs), maxHamming, 64)
 
-  /** Block-routed hamming-close pairs from ANY (doc_id, simhash) frame. */
-  def simhashPairsFrom(fp: DataFrame, maxHamming: Int,
+  /** Pre-verify block-candidate pairs (a_id, b_id, fa, fb) — NOT deduped
+    * (a pair appears once per shared block). Exposed separately so
+    * scale-trend observability and specs measure candidate mass with the
+    * same construction the operator runs. */
+  def simhashBlockCandidates(fp: DataFrame, maxHamming: Int,
       bits: Int): DataFrame = {
     val nBlocks = maxHamming + 1
     val width = (bits + nBlocks - 1) / nBlocks
@@ -349,6 +352,13 @@ object Dedup {
     val b = blocked.select(col("blk"), col("v"), col("doc_id").as("b_id"),
       col("simhash").as("fb"))
     a.join(b, Seq("blk", "v")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "fa", "fb")
+  }
+
+  /** Block-routed hamming-close pairs from ANY (doc_id, simhash) frame. */
+  def simhashPairsFrom(fp: DataFrame, maxHamming: Int,
+      bits: Int): DataFrame =
+    simhashBlockCandidates(fp, maxHamming, bits)
       .select(col("a_id"), col("b_id"),
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
       // filter BEFORE distinct: hamming is a pure function of the pair,
@@ -357,7 +367,6 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy("a_id", "b_id")
-  }
 
   /** 64-bit SimHash per doc via the native one-pass expression
     * ([[graft.functions.SimHash]]): a pure map over the corpus — no

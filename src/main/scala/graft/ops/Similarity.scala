@@ -190,13 +190,12 @@ object Similarity {
     * touches nprobe/nlist of the data. */
   def ivfProbe(emb: DataFrame, centroids: Array[Array[Double]],
       queryPred: Column, k: Int, nprobe: Int = 4): DataFrame = {
-    def cosTo(cArr: Array[Array[Double]]): Seq[Column] = cosToCentroids(cArr)
     val e = withNorm(emb, "vec_id", "ed", "norm").withColumn("_q", queryPred)
     val assigned = e.withColumn("cluster",
-      array_max(array(cosTo(centroids): _*)).getField("k"))
+      array_max(array(cosToCentroids(centroids): _*)).getField("k"))
     val probes = assigned.filter(col("_q"))
       .withColumn("probe",
-        explode(slice(reverse(array_sort(array(cosTo(centroids): _*))), 1, nprobe)))
+        explode(slice(reverse(array_sort(array(cosToCentroids(centroids): _*))), 1, nprobe)))
       .select(col("vec_id").as("q_id"), col("ed").as("qe"),
         col("norm").as("qn"), col("probe.k").as("cluster"))
     val lists = assigned.select(col("vec_id").as("n_id"), col("ed").as("ne"),

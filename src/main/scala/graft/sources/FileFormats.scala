@@ -53,17 +53,8 @@ object FileFormats {
     })
   )
 
-  private val manifestSql =
-    """WITH manifest AS (
-      |  SELECT CAST(row_number() OVER (ORDER BY source || '/doc_' || doc_id || '.txt') AS BIGINT) AS id,
-      |         source || '/doc_' || doc_id || '.txt' AS path,
-      |         (doc_id % 3 = 0) AS uploaded
-      |  FROM documents
-      |)
-      |SELECT id, path, uploaded FROM manifest ORDER BY id""".stripMargin
-
   def oracle: Map[String, String] = Map(
-    "source_csv" -> manifestSql,
-    "source_json" -> manifestSql
+    "source_csv" -> graft.model.OracleSql.manifestSelect,
+    "source_json" -> graft.model.OracleSql.manifestSelect
   )
 }

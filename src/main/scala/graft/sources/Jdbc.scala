@@ -81,13 +81,6 @@ object Jdbc {
   )
 
   def oracle: Map[String, String] = Map(
-    "source_jdbc" ->
-      """WITH manifest AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY source || '/doc_' || doc_id || '.txt') AS BIGINT) AS id,
-        |         source || '/doc_' || doc_id || '.txt' AS path,
-        |         (doc_id % 3 = 0) AS uploaded
-        |  FROM documents
-        |)
-        |SELECT id, path, uploaded FROM manifest ORDER BY id""".stripMargin
+    "source_jdbc" -> graft.model.OracleSql.manifestSelect
   )
 }

@@ -93,18 +93,9 @@ class DedupSpec extends AnyFunSuite {
     assert(got == brute)
     // pruning evidence: candidate mass (pairs sharing >= 1 block) shrinks
     // by >= 10x going from 30-bit/8-bit-block to 64-bit/16-bit-block
-    def blockCands(pairs: org.apache.spark.sql.DataFrame, bits: Int): Long = {
-      val nBlocks = 4; val width = (bits + nBlocks - 1) / nBlocks
-      val blocked = pairs.select(col("doc_id"),
-          explode(array((0 until nBlocks).map(b => struct(lit(b).as("blk"),
-            shiftright(col("simhash"), b * width)
-              .bitwiseAND(lit((1L << width) - 1)).as("v"))): _*)).as("bb"))
-        .select(col("doc_id"), col("bb.blk").as("blk"), col("bb.v").as("v"))
-      blocked.as("a").join(blocked.as("b"),
-          col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
-    }
+    def blockCands(fp: org.apache.spark.sql.DataFrame, bits: Int): Long =
+      Dedup.simhashBlockCandidates(fp, maxHamming = 3, bits)
+        .select("a_id", "b_id").distinct().count()
     val cand30 = blockCands(Dedup.simhashReplicable(docs), 30)
     val cand64 = blockCands(Dedup.simhash(docs), 64)
     assert(cand64 * 10 <= cand30, s"cand64=$cand64 cand30=$cand30")
