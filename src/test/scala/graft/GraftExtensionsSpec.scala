@@ -40,6 +40,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       ).head()
       assert(row.toString == want.toString)
       assert(row.getDouble(5) == 32.0)
+      // int arguments need only be constant-foldable, not bare literals
+      val folded = ext.sql(
+        "SELECT word_shingles('a b c d', 2+1) AS ws, " +
+          "minhash_sig('a b c d e', CAST(4 AS INT)) AS mh").head()
+      assert(folded.getSeq[String](0) == row.getSeq[String](2))
+      assert(folded.getSeq[Long](1) == row.getSeq[Long](4))
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
