@@ -13,6 +13,22 @@ class ContractSpec extends AnyFunSuite {
     assert(q.nonEmpty && o.size >= 60)
   }
 
+  test("no registry key is silently shadowed by the map concatenation") {
+    import graft.ops._
+    val parts = Seq(Relational.queries, Relational.windowQueries,
+      PathFns.queries, Segments.queries, Text.queries, Dedup.queries,
+      Similarity.queries, EventWindows.queries, Fingerprints.queries,
+      Multimodal.queries, graft.sources.FsScan.queries, AsOf.queries,
+      Scale.queries, graft.sources.Jdbc.queries,
+      graft.sources.FileFormats.queries)
+    val dupes = parts.flatMap(_.keys)
+      .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dupes.isEmpty, s"keys registered twice (one shadows the other): $dupes")
+    assert(SparkEntry.queries.size ==
+      parts.map(_.size).sum + (SparkEntry.queries.keySet --
+        parts.flatMap(_.keys).toSet).size)
+  }
+
   test("every query is deterministic: two runs produce identical row sequences") {
     val flaky = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val a = fn(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
