@@ -3,21 +3,33 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale-trend evidence runner (VERDICT r2 "Next round" #4).
+/** Scale-trend evidence runner (VERDICT r2 #4, extended r4 per VERDICT r3
+  * #3).
   *
-  * No SF above 0.1 exists in this sandbox, so the scale argument is made
+  * The driver's testdata tops out at sf0.1, so the scale argument is made
   * as a TREND: run the candidate-routed pipelines at every available SF
   * and record (a) wall time and (b) the candidate-pair counts vs the
   * quadratic all-pairs alternative. Near-linear growth in candidates and
   * time — against 100× growth in the quadratic baseline — is the evidence
   * that the routing, not the small data, is what bounds the work.
   *
+  * Round 4: pass `synth` as an argument (or set SPARK_GRAFT_SYNTH=1) to
+  * extend the trend ONE DECADE past sf0.1 — [[SynthCorpus]] generates a
+  * seed-derived ~10× documents+embeddings corpus (real-vocabulary word
+  * templates, planted near-dups, same weak-similarity embedding regime)
+  * in a temp dir, and the same counters run against it as a fourth row.
+  *
   * Emits one JSON line per SF dir (stdout), stderr progress.
   */
 object ScaleTrend {
   def main(args: Array[String]): Unit = {
-    val sfs = if (args.nonEmpty) args.toSeq
-      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val baseSfs = args.filterNot(_ == "synth") match {
+      case a if a.nonEmpty => a.toSeq
+      case _ => Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+    }
+    val wantSynth = args.contains("synth") ||
+      sys.env.get("SPARK_GRAFT_SYNTH").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,6 +38,13 @@ object ScaleTrend {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val synthDir: Option[String] = if (wantSynth) {
+      val out = java.nio.file.Files.createTempDirectory("graft-synth").toString
+      System.err.println(s"[scale] generating 10x synth corpus in $out")
+      Some(SynthCorpus.generate(spark, "/root/testdata/sf0.1", out))
+    } else None
+    val sfs = baseSfs ++ synthDir
 
     // steady-state timing: min of 3 full materializations
     def time(df: => org.apache.spark.sql.DataFrame): Double =
@@ -48,30 +67,55 @@ object ScaleTrend {
       val lshCands = graft.ops.Similarity
         .lshCandidates(emb, col("vec_id") < 10).count()
       val bruteCands = nQ * (nEmb - 1)
+      // whole-corpus embedding-dedup LSH routing (dedup_embedding_lsh):
+      // candidate pairs vs the n·(n-1)/2 the exact blocked-cartesian touches
+      val embDedupCands = graft.ops.Similarity.lshDedupCandidates(emb).count()
+      val embAllPairs = nEmb * (nEmb - 1) / 2
       // SimHash block-routing: candidate pairs sharing >= 1 bit block
-      // (the pre-verify join size) vs all-pairs — same construction the
-      // operator runs (Dedup.simhashBlockCandidates).
-      val shCands = graft.ops.Dedup
-        .simhashBlockCandidates(graft.ops.Dedup.simhashReplicable(docs), 3, 30)
+      // (the pre-verify join size) vs all-pairs — both geometries, showing
+      // what widening blocks buys on a template-heavy corpus.
+      val fp = graft.ops.Dedup.simhashReplicable(docs)
+      val shCands = graft.ops.Dedup.simhashBlockCandidates(fp, 3, 30)
+        .select("a_id", "b_id").distinct().count()
+      val shCandsWide = graft.ops.Dedup.simhashBlockCandidates(fp, 2, 30)
         .select("a_id", "b_id").distinct().count()
       val nClusters = graft.ops.Dedup.nearDupClusters(docs)
         .select("cluster").distinct().count()
+      val ccRounds = graft.ops.Dedup.lastClusterRounds.get
 
       val tNearDrop = time(graft.ops.Dedup.queries("dedup_near_drop")(spark, sf))
       val tLsh = time(graft.ops.Similarity.queries("sim_ann_lsh")(spark, sf))
-      val tSession = time(graft.ops.EventWindows.queries("stream_session")(spark, sf))
+      val tEmbLsh = time(
+        graft.ops.Similarity.queries("dedup_embedding_lsh")(spark, sf))
+      val tIvfSeeded = time(
+        graft.ops.Similarity.queries("sim_ann_ivf_seeded")(spark, sf))
+      // the synth decade dir carries only documents+embeddings
+      val hasEvents = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$sf/events.parquet"))
+      val tSession = if (hasEvents)
+        time(graft.ops.EventWindows.queries("stream_session")(spark, sf))
+      else -1.0
       val tExact = time(graft.ops.Dedup.queries("dedup_exact")(spark, sf))
       val tSimhashPairs = time(graft.ops.Dedup.queries("dedup_simhash_pairs")(spark, sf))
+      val tSimhashWide = time(
+        graft.ops.Dedup.queries("dedup_simhash_pairs_wide")(spark, sf))
 
       System.err.println(s"[scale] $sf docs=$nDocs done")
       println(s"""{"sf":"$sf","n_docs":$nDocs,"n_emb":$nEmb,""" +
         s""""dedup_cand_pairs":$dedupCands,"dedup_all_pairs":$allPairs,""" +
         s""""lsh_cand_pairs":$lshCands,"brute_cand_pairs":$bruteCands,""" +
-        s""""simhash_block_cand_pairs":$shCands,"n_clusters":$nClusters,""" +
+        s""""emb_dedup_cand_pairs":$embDedupCands,"emb_all_pairs":$embAllPairs,""" +
+        s""""simhash_block_cand_pairs":$shCands,""" +
+        s""""simhash_block_cand_pairs_wide":$shCandsWide,""" +
+        s""""n_clusters":$nClusters,"cc_rounds":$ccRounds,""" +
         s""""t_dedup_near_drop":${r3(tNearDrop)},"t_sim_ann_lsh":${r3(tLsh)},""" +
+        s""""t_dedup_embedding_lsh":${r3(tEmbLsh)},""" +
+        s""""t_sim_ann_ivf_seeded":${r3(tIvfSeeded)},""" +
         s""""t_stream_session":${r3(tSession)},"t_dedup_exact":${r3(tExact)},""" +
-        s""""t_dedup_simhash_pairs":${r3(tSimhashPairs)}}""")
+        s""""t_dedup_simhash_pairs":${r3(tSimhashPairs)},""" +
+        s""""t_dedup_simhash_pairs_wide":${r3(tSimhashWide)}}""")
     }
     spark.stop()
+    synthDir.foreach(graft.ops.SessionCleanup.deleteRecursively)
   }
 }

@@ -220,8 +220,15 @@ object Dedup {
   private val lastClusterCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
+  /** Rounds taken by the most recent [[nearDupClusters]] call —
+    * observability for the one-job-per-round spec and the scale trend. */
+  private[graft] val lastClusterRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   def nearDupClusters(docs: DataFrame, jacThreshold: Double = 0.5,
-      k: Int = 8, bands: Int = 4): DataFrame = {
+      k: Int = 8, bands: Int = 4, checkpointEvery: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val pairs = nearDupVerifiedPairs(docs, jacThreshold, k, bands).cache()
     val edges = pairs.union(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -230,25 +237,44 @@ object Dedup {
     val toRelease = scala.collection.mutable.Buffer(pairs, labels)
     var lastCached = labels
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("src"), col("cluster")), "src")
         .groupBy(col("dst").as("doc_id")).agg(min("cluster").as("nbc"))
-      // Convergence check as a second join over two CACHED inputs —
-      // measured marginally faster than deriving both `next` and the
-      // changed-count from one cached wide join (the wide cache is built
-      // inside the count job and costs more than the narrow `next`
-      // cache; A/B at sf0.1: 3.3 s vs 3.6 s steady-state). least()
-      // skips nulls, so unmatched left-join rows keep their label.
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), col("nbc")).as("cluster")).cache()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-        .filter(col("cluster") =!= col("old")).count()
+      // ONE job per round (VERDICT r3 #4): the changed-count rides the
+      // label-materialization pass as an accumulator tap in mapPartitions
+      // — at 100 TB a second label-sized join per round is the dominant
+      // cost of the loop. least() skips nulls, so unmatched left-join
+      // rows keep their label; the tap compares old vs new inline.
+      // Accumulator hygiene: fresh per round, read only after the one
+      // eager action, and never re-read after (cached/checkpointed
+      // partitions are not recomputed, so no double counting).
+      val acc = spark.sparkContext.longAccumulator(s"cc-changed-r$round")
+      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster"),
+          least(col("cluster"), col("nbc")).as("nxt"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, old, nw) =>
+            if (nw != old) acc.add(1L)
+            (id, nw)
+          }
+        }
+        .toDF("doc_id", "cluster")
+      // every k-th round: eager localCheckpoint instead of cache+count —
+      // same single job, but it also truncates lineage so diameter-deep
+      // graphs don't grow an unbounded plan tree.
+      val next =
+        if (round % checkpointEvery == 0) stepped.localCheckpoint()
+        else { val c = stepped.cache(); c.count(); c }
+      changed = acc.value
       toRelease += next
       lastCached = next
       labels = next
     }
+    lastClusterRounds.set(round)
     // fixpoint reached (the convergence count materialized the last
     // round's cache): release every intermediate; the LAST cached frame
     // backs the returned labels — never collected to the driver (at
@@ -447,6 +473,13 @@ object Dedup {
     // hash-gated end-to-end on the replicable hash family.
     "dedup_simhash_pairs" -> ((s, d) =>
       simhashPairs(Tables.documents(s, d))),
+    // wider-block variant (VERDICT r3 #7): maxHamming=2 -> 3 blocks of 10
+    // bits. On template-generated corpora the 8-bit blocks admit ~36% of
+    // all pairs as candidates; 10-bit blocks (4x fewer collisions per
+    // block, 3 blocks instead of 4) prune much harder — the candidate-
+    // mass drop is recorded in SCALE_r04.md. Same hash gate.
+    "dedup_simhash_pairs_wide" -> ((s, d) =>
+      simhashPairs(Tables.documents(s, d), maxHamming = 2)),
     // production 64-bit form: same index, xxhash64 fingerprints (rows-only
     // — the gated 30-bit twin above checks the pipeline; DedupSpec pins
     // this one to the brute-force hamming join exactly).
@@ -515,35 +548,44 @@ object Dedup {
          |SELECT id AS doc_id, min(lab) AS cluster
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // Replicates simhashReplicable + simhashPairs exactly: same word
-    // split, same rolling-hash bit votes, same 8-bit block routing, same
-    // bit_count(xor) verify — the full SimHash index is hash-checked.
-    "dedup_simhash_pairs" -> {
-      val votes = (0 until 30).map(j =>
-        s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v$j")
-        .mkString(",\n  ")
-      val pack = (0 until 30).map(j =>
-        s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString("\n    + ")
-      val blockVals = (0 until 4).map(b =>
-        s"($b, (simhash // ${1L << (b * 8)}) % 256)").mkString(",\n    ")
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-         |tok AS (SELECT doc_id, unnest(words) AS word FROM w),
-         |th AS (SELECT doc_id, ${sqlHashOf("word")} AS h
-         |       FROM tok WHERE len(word) > 0),
-         |votes AS (SELECT doc_id,
-         |  $votes
-         |  FROM th GROUP BY doc_id),
-         |fp AS (SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM votes),
-         |blk AS (SELECT doc_id, simhash, t.blk, t.v FROM fp CROSS JOIN LATERAL (VALUES
-         |    $blockVals) t(blk, v)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.v = b.v
-         |   AND a.doc_id < b.doc_id)
-         |SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 3
-         |ORDER BY a_id, b_id""".stripMargin
-    }
+    // split, same rolling-hash bit votes, same block routing, same
+    // bit_count(xor) verify — the full SimHash index is hash-checked
+    // (once per registered block geometry).
+    "dedup_simhash_pairs" -> sqlSimhashPairs(maxHamming = 3),
+    "dedup_simhash_pairs_wide" -> sqlSimhashPairs(maxHamming = 2)
   )
+
+  /** DuckDB replication of simhashReplicable + simhashPairs for a given
+    * block geometry (nBlocks = maxHamming + 1, width = ceil(30/nBlocks))
+    * — mirrors [[simhashBlockCandidates]]'s shift/mask arithmetic. */
+  private def sqlSimhashPairs(maxHamming: Int, bits: Int = 30): String = {
+    val nBlocks = maxHamming + 1
+    val width = (bits + nBlocks - 1) / nBlocks
+    val votes = (0 until bits).map(j =>
+      s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n  ")
+    val pack = (0 until bits).map(j =>
+      s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString("\n    + ")
+    val blockVals = (0 until nBlocks).map(b =>
+      s"($b, (simhash // ${1L << (b * width)}) % ${1L << width})").mkString(",\n    ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+       |th AS (SELECT doc_id, ${sqlHashOf("word")} AS h
+       |       FROM tok WHERE len(word) > 0),
+       |votes AS (SELECT doc_id,
+       |  $votes
+       |  FROM th GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM votes),
+       |blk AS (SELECT doc_id, simhash, t.blk, t.v FROM fp CROSS JOIN LATERAL (VALUES
+       |    $blockVals) t(blk, v)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.v = b.v
+       |   AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, hamming FROM cand WHERE hamming <= $maxHamming
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** DuckDB replication of the Karp-Rabin rolling hash (mod 1e9+7) —
     * single source of truth for every replicable-family oracle. */

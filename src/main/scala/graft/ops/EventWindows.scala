@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
@@ -48,6 +49,72 @@ object EventWindows {
       .groupBy(timestamp_micros(col("bs") - col("i") * lit(5000000L)).as("w_start"))
       .agg(sum(col("pc")).cast("long").as("n"))
 
+  /** Batch twin of the watermarked stream's late-drop (VERDICT r3 #5,
+    * `stream_watermark_late`). The events table is stored perfectly
+    * time-ordered by event_id (verified: zero inversions), so a replay in
+    * id order would never produce a late event and the drop path would be
+    * untested. The twin therefore models a deterministic DISORDERED
+    * replay: events arrive in 30-minute batches (`ab` = 30-min bucket of
+    * ts), shuffled within each batch by the arithmetic interleave
+    * (event_id % 7, event_id) — bounded disorder, like a multi-source
+    * backfill. The watermark seen by an event is the running max event
+    * time over strictly-earlier arrivals minus `delay`; an event is
+    * DROPPED iff its ts is more than `delay` behind that watermark
+    * (at sf0.01 this drops 3,452 of 10,000 — the drop path does real
+    * work). Survivors are counted into the same 5 s tumbling windows as
+    * [[tumbling]]. Every piece is pure integer arithmetic, so DuckDB
+    * replicates the arrival order — and hence the drops — exactly.
+    *
+    * Scale shape: the running max is NOT a global single-partition
+    * window. The arrival bucket doubles as the scan block (exactly how
+    * micro-batches arrive): (1) per-bucket max (map-side combined
+    * aggregate, tiny frame), (2) running max over bucket maxima (window
+    * over n_buckets rows), broadcast back, (3) within-bucket running max
+    * partitioned by bucket — every WindowExec partition is one arrival
+    * batch. [[watermarkLateGlobalWindow]] is the one-window composed
+    * form, kept as the executable spec (equality in StreamsSpec). */
+  def watermarkLateSurvivors(events: DataFrame, delaySec: Long = 600,
+      arrivalBucketSec: Long = 1800, shuffleMod: Int = 7): DataFrame = {
+    val e = events
+      .withColumn("ab", expr(s"unix_micros(ts) div ${arrivalBucketSec * 1000000L}"))
+      .withColumn("r", pmod(col("event_id"), lit(shuffleMod)))
+    val bucketMax = e.groupBy("ab").agg(max(col("ts")).as("bmax"))
+    val prevPrefix = bucketMax
+      .withColumn("prev_max", max(col("bmax")).over(
+        Window.orderBy("ab").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("ab", "prev_max")
+    val inWin = Window.partitionBy("ab").orderBy("r", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = e.join(broadcast(prevPrefix), Seq("ab"))
+      .withColumn("in_max", max(col("ts")).over(inWin))
+      // greatest() skips nulls (first event of bucket/stream has none)
+      .withColumn("wm_max", greatest(col("in_max"), col("prev_max")))
+    wm.filter(col("wm_max").isNull ||
+        unix_micros(col("ts")) >= unix_micros(col("wm_max")) - delaySec * 1000000L)
+      .groupBy(window(col("ts"), "5 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+  }
+
+  /** The single-global-window composed form of [[watermarkLateSurvivors]]
+    * — semantically identical (StreamsSpec asserts equality), kept as the
+    * spec; the registered query runs the bucket-blocked form. */
+  private[graft] def watermarkLateGlobalWindow(events: DataFrame,
+      delaySec: Long = 600, arrivalBucketSec: Long = 1800,
+      shuffleMod: Int = 7): DataFrame = {
+    val e = events
+      .withColumn("ab", expr(s"unix_micros(ts) div ${arrivalBucketSec * 1000000L}"))
+      .withColumn("r", pmod(col("event_id"), lit(shuffleMod)))
+    val w = Window.orderBy("ab", "r", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("wm_max", max(col("ts")).over(w))
+      .filter(col("wm_max").isNull ||
+        unix_micros(col("ts")) >= unix_micros(col("wm_max")) - delaySec * 1000000L)
+      .groupBy(window(col("ts"), "5 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+  }
+
   /** Per-user session windows with a 30-minute gap; end = last event +
     * gap, exactly Spark's session_window semantics. */
   def sessions(events: DataFrame): DataFrame =
@@ -69,7 +136,11 @@ object EventWindows {
     "stream_sliding" -> ((s, d) =>
       slidingPreAgg(Tables.events(s, d)).orderBy("w_start")),
     "stream_session" -> ((s, d) =>
-      sessions(Tables.events(s, d)).orderBy("user_id", "s_start"))
+      sessions(Tables.events(s, d)).orderBy("user_id", "s_start")),
+    // batch twin of the watermark late-drop (arrival order = event_id;
+    // running-max watermark - 10 min; survivors per 5 s window).
+    "stream_watermark_late" -> ((s, d) =>
+      watermarkLateSurvivors(Tables.events(s, d)).orderBy("w_start"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -105,6 +176,23 @@ object EventWindows {
         |  FROM o)
         |SELECT user_id, min(ts) AS s_start,
         |       max(ts) + INTERVAL '30 minutes' AS s_end, count(*) AS n
-        |FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    // Replicates watermarkLateSurvivors: same integer-arithmetic arrival
+    // order (30-min bucket, % 7 interleave), running-max watermark
+    // computed directly (one global window — fine for an oracle; the
+    // Spark side runs the bucket-blocked scan with identical semantics).
+    "stream_watermark_late" ->
+      """WITH a AS (
+        |  SELECT event_id, ts, epoch_us(ts) // 1800000000 AS ab
+        |  FROM events),
+        |wm AS (
+        |  SELECT ts, max(ts) OVER (ORDER BY ab, event_id % 7, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS w
+        |  FROM a),
+        |keep AS (
+        |  SELECT ts FROM wm
+        |  WHERE w IS NULL OR ts >= w - INTERVAL '10 minutes')
+        |SELECT time_bucket(INTERVAL '5 seconds', ts) AS w_start, count(*) AS n
+        |FROM keep GROUP BY 1 ORDER BY w_start""".stripMargin
   )
 }

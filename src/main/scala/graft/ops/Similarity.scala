@@ -258,6 +258,59 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Whole-corpus LSH candidate pairs for dedup: every vector is bucketed
+    * into `tables` independent sign-LSH buckets (map-only); pairs sharing
+    * any (table, bucket) are candidates. Unlike [[lshCandidates]] (few
+    * queries → broadcast), BOTH sides here are the corpus, so this is a
+    * self-equi-join keyed by (table, bucket) — ids only, payloads never
+    * enter the join or the distinct. At 100 TB the shuffle is keyed by
+    * bucket and candidate mass is n²·P(collision), not n² (SCALE_r04
+    * quantifies the measured fraction). */
+  def lshDedupCandidates(emb: DataFrame, bits: Int = 6,
+      tables: Int = 8): DataFrame = {
+    val dim = 64
+    val embD = emb.select(col("vec_id"), toDoubleArr(col("embedding")).as("ed"))
+    val bucketCols = array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"), lshBucket(col("ed"), dim, bits, t).as("bucket"))): _*)
+    val bucketed = embD.select(col("vec_id"), explode(bucketCols).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = bucketed.select(col("vec_id").as("a_id"), col("tbl"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("b_id"), col("tbl"), col("bucket"))
+    a.join(b, Seq("tbl", "bucket")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Candidate-ROUTED embedding dedup (VERDICT r3 #2) — the embedding
+    * analogue of [[graft.ops.Dedup.nearDupSurvivors]]: LSH candidates →
+    * exact-cosine verify on candidates ONLY → drop the higher vec_id of
+    * each verified pair. This is the shape a 100 TB corpus actually runs:
+    * the exact blocked-cartesian ([[embeddingDedupSurvivors]]) touches all
+    * n² pairs by construction; this one touches n²·P(bucket collision).
+    *
+    * The price is recall: sign-LSH collision for a true pair at angle θ is
+    * (1-θ/π)^bits per table. At production thresholds (≥0.9 cosine,
+    * θ≤26°) that is ≳0.37 per table → ~97% over 8 tables; at this
+    * corpus's weak-similarity regime (0.35 ⇒ θ≈66°) it is ~6% per table
+    * → ~40% of close pairs routed. The registered key deliberately keeps
+    * the corpus threshold so the result is non-degenerate AND the
+    * recall trade is measurable against `dedup_embedding` (the exact
+    * form) — SimilaritySpec asserts the containment both ways. The hash
+    * gate does not depend on recall at all: the oracle replicates the
+    * seeded buckets bit-identically (plane literals, see [[lshPlanes]]),
+    * so Spark and DuckDB route — and drop — the SAME pairs. */
+  def embeddingDedupLshSurvivors(emb: DataFrame, threshold: Double,
+      bits: Int = 6, tables: Int = 8): DataFrame = {
+    val cands = lshDedupCandidates(emb, bits, tables)
+    val a = withNorm(emb, "a_id", "ae", "an")
+    val b = withNorm(emb, "b_id", "be", "bn")
+    val dropped = cands.join(a, "a_id").join(b, "b_id")
+      .filter(dot(col("ae"), col("be")) / (col("an") * col("bn")) > threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    emb.select(col("vec_id"), col("label"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** Trained centroids memoized per (session, dir, nlist, iters): IVF
     * training is part of the operator but amortized in any real
     * deployment (the model is built once, probed many times) — and the
@@ -342,7 +395,13 @@ object Similarity {
     // embedding near-dup: label-mates with cosine above threshold, via
     // the hot-key-safe blocked self-join (see nearDupPairCounts).
     "sim_near_dup" -> ((s, d) =>
-      nearDupPairCounts(Tables.embeddings(s, d), 0.35, blocks = 8))
+      nearDupPairCounts(Tables.embeddings(s, d), 0.35, blocks = 8)),
+    // candidate-ROUTED embedding dedup: LSH buckets -> candidate pairs ->
+    // exact-cosine verify on candidates only -> keep-first drop. Same
+    // seeded-plane-literal hash gate as sim_ann_lsh, so DuckDB routes and
+    // drops the identical pairs.
+    "dedup_embedding_lsh" -> ((s, d) =>
+      embeddingDedupLshSurvivors(Tables.embeddings(s, d), 0.35))
   )
 
   def oracle: Map[String, String] = Map(
@@ -360,24 +419,15 @@ object Similarity {
         |  FROM scored)
         |SELECT q_id, rnk, n_id, round(cos, 6) AS cos_sim FROM ranked
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
-    "sim_ann_lsh" -> {
+    "sim_ann_lsh" ->
       // replicate the seeded sign-LSH buckets with plane literals: the
       // dot fold order equals list_inner_product and Double.toString
       // round-trips through DuckDB's parser, so sign decisions (hence
       // buckets, candidates, and the final top-k) are bit-identical.
-      val (dim, bits, tables) = (64, 4, 8)
-      def arr(a: Array[Double]) = a.map(_.toString).mkString("[", ", ", "]")
-      val bucketRows = (0 until tables).map { t =>
-        val planes = lshPlanes(dim, bits, t)
-        val expr = (0 until bits).map { p =>
-          s"(CASE WHEN list_inner_product(emb, ${arr(planes(p))}) >= 0 THEN ${1 << p} ELSE 0 END)"
-        }.mkString("\n       + ")
-        s"($t,\n         $expr)"
-      }.mkString(",\n    ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |b AS (
          |  SELECT vec_id, t.tbl, t.bucket FROM e CROSS JOIN LATERAL (VALUES
-         |    $bucketRows) t(tbl, bucket)),
+         |    ${sqlBucketRows(64, 4, 8)}) t(tbl, bucket)),
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
          |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
@@ -393,8 +443,7 @@ object Similarity {
          |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
          |  FROM scored)
          |SELECT q_id, rnk, n_id, round(cos, 6) AS cos_sim FROM ranked
-         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
-    },
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |dropped AS (
@@ -456,6 +505,45 @@ object Similarity {
         |         (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb))) AS cos
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT label, count(*) AS n_pairs FROM pairs WHERE cos > 0.35
-        |GROUP BY label ORDER BY label""".stripMargin
+        |GROUP BY label ORDER BY label""".stripMargin,
+    // Replicates lshDedupCandidates + embeddingDedupLshSurvivors exactly:
+    // same seeded buckets (plane literals), same candidate self-join, same
+    // cosine verify — DuckDB drops the identical vec_ids.
+    "dedup_embedding_lsh" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, t.tbl, t.bucket FROM e CROSS JOIN LATERAL (VALUES
+         |    ${sqlBucketRows(64, 6, 8)}) t(tbl, bucket)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, c.vec_id AS b_id
+         |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+         |  WHERE a.vec_id < c.vec_id),
+         |dropped AS (
+         |  SELECT DISTINCT cand.b_id AS vec_id
+         |  FROM cand JOIN e ea ON ea.vec_id = cand.a_id
+         |  JOIN e eb ON eb.vec_id = cand.b_id
+         |  WHERE list_inner_product(ea.emb, eb.emb) /
+         |        (sqrt(list_inner_product(ea.emb, ea.emb)) * sqrt(list_inner_product(eb.emb, eb.emb))) > 0.35)
+         |SELECT e.vec_id, e.label FROM e
+         |WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY e.vec_id""".stripMargin
   )
+
+  /** VALUES rows replicating the seeded sign-LSH buckets in SQL (one row
+    * per table): each bucket bit is the sign of list_inner_product
+    * against the plane literal — Double.toString round-trips exactly
+    * through DuckDB's parser and the fold order matches the native dot
+    * expression, so the buckets are bit-identical. Shared by the
+    * sim_ann_lsh and dedup_embedding_lsh oracles. Expects the vector
+    * column to be named `emb` in the enclosing CTE. */
+  private def sqlBucketRows(dim: Int, bits: Int, tables: Int): String = {
+    def arr(a: Array[Double]) = a.map(_.toString).mkString("[", ", ", "]")
+    (0 until tables).map { t =>
+      val planes = lshPlanes(dim, bits, t)
+      val expr = (0 until bits).map { p =>
+        s"(CASE WHEN list_inner_product(emb, ${arr(planes(p))}) >= 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString("\n       + ")
+      s"($t,\n         $expr)"
+    }.mkString(",\n    ")
+  }
 }

@@ -43,4 +43,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1L) == 12L) // 4 CJK chars x 3 bytes
     assert(got(2L) == 4L)
   }
+
+  test("pngPayloads emits REAL PNG bytes; decodePngMeta round-trips dims and " +
+      "a full decode recovers the deterministic pixels") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").limit(25)
+    val rows = Multimodal.pngPayloads(docs)
+      .as[(Long, Array[Byte], Long)].collect()
+    assert(rows.nonEmpty)
+    // PNG magic: 89 50 4E 47 0D 0A 1A 0A
+    rows.foreach { case (_, bytes, _) =>
+      assert(bytes.take(8).map(_ & 0xff).toSeq ==
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    }
+    // header dims via the partitioned reader path match the formula
+    val meta = Multimodal.decodePngMeta(Multimodal.pngPayloads(docs))
+      .as[(Long, Int, Int, Long)].collect()
+    meta.foreach { case (_, w, h, nb) =>
+      assert(w == (1 + nb % 16).toInt && h == (1 + (nb * 7) % 16).toInt)
+    }
+    // full decode of one payload recovers the exact pixel formula —
+    // proof the bytes are a faithful raster, not just a valid header
+    val (id, bytes, _) = rows.head
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val expect = ((id * 2654435761L + x * 31 + y * 7) & 0xffffff).toInt
+      assert((img.getRGB(x, y) & 0xffffff) == expect, s"pixel ($x,$y)")
+    }
+  }
 }

@@ -138,6 +138,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dropped.nonEmpty && survivors.nonEmpty) // non-degenerate at sf0.001
   }
 
+  test("LSH-routed embedding dedup: candidates well below all-pairs, every " +
+      "routed drop is a true drop, and some drops are actually routed") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    val cands = Similarity.lshDedupCandidates(emb).count()
+    assert(cands * 2 < allPairs, s"cands=$cands allPairs=$allPairs")
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    val exact = Similarity.embeddingDedupSurvivors(emb, 0.35, blocks = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val routed = Similarity.embeddingDedupLshSurvivors(emb, 0.35)
+      .select("vec_id").as[Long].collect().toSet
+    // routing can only MISS drops (candidates are verified exactly), so
+    // every routed drop is a true drop…
+    assert(exact.subsetOf(routed), s"routed dropped a non-duplicate")
+    // …and the routed form must still do real work (non-degenerate).
+    assert(routed != all, "LSH routing dropped nothing at sf0.001")
+  }
+
   test("brute-force top-k neighbors are genuinely the nearest (spot check q=0)") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val all = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]

@@ -159,4 +159,20 @@ class StreamsSpec extends AnyFunSuite {
     assert(after.filter(!col("uploaded")).count() == 0)
     assert(after.count() == m.count())
   }
+
+  test("blocked watermark-late survivors equal the single-global-window form " +
+      "and actually drop late events") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    // the 30-min arrival buckets give ~1,400 blocks over the month of
+    // events, exercising the two-level scan's cross-block prefix handoff
+    val blocked = EventWindows.watermarkLateSurvivors(ev)
+      .orderBy("w_start").as[(java.sql.Timestamp, Long)].collect().toSeq
+    val global = EventWindows.watermarkLateGlobalWindow(ev)
+      .orderBy("w_start").as[(java.sql.Timestamp, Long)].collect().toSeq
+    assert(blocked == global)
+    val total = ev.count()
+    val kept = blocked.map(_._2).sum
+    assert(kept < total, s"no late events dropped (kept=$kept of $total)")
+    assert(kept > 0)
+  }
 }
