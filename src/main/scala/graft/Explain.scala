@@ -24,7 +24,8 @@ object Explain {
         // the final cached scan — nothing to audit.
         "segment_file_bytes", "dedup_near_drop", "sim_ann_ivf_seeded",
         "dedup_embedding", "source_csv", "stream_sliding",
-        "dedup_simhash_pairs")
+        "dedup_simhash_pairs", "dedup_embedding_lsh",
+        "stream_watermark_late")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {
