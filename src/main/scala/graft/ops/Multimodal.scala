@@ -120,6 +120,9 @@ object Multimodal {
         octet_length(encode(col("text"), "UTF-8")).cast("long").as("nb"))
       .as[(Long, Long)]
       .mapPartitions { it =>
+        // ONE encoder per partition (ImageIO.write would walk the plugin
+        // registry per row) — the amortized-init shape a native codec needs
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
         it.map { case (id, nb) =>
           val w = (1 + nb % 16).toInt
           val h = (1 + (nb * 7) % 16).toInt
@@ -135,7 +138,10 @@ object Multimodal {
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.close()
           (id, bos.toByteArray, nb)
         }
       }

@@ -157,6 +157,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(routed != all, "LSH routing dropped nothing at sf0.001")
   }
 
+  test("at production thresholds (cos >= 0.9) LSH routing recovers the true " +
+      "drops: planted near-identical vectors are caught like the exact form") {
+    // 800 random base vectors + 200 planted near-dups (source + 5% noise,
+    // cosine ~0.9988) — the regime embedding dedup actually runs in.
+    val rnd = new scala.util.Random(7)
+    val base = Array.tabulate(800)(_ => Array.fill(64)(rnd.nextGaussian()))
+    val rows = base.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.map(_.toFloat).toSeq, i % 10)
+    }.toSeq ++ (0 until 200).map { k =>
+      val v = base(k * 4).map(x => x + 0.05 * rnd.nextGaussian())
+      ((800 + k).toLong, v.map(_.toFloat).toSeq, k % 10)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val all = rows.map(_._1).toSet
+    val exact = Similarity.embeddingDedupSurvivors(emb, 0.9, blocks = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val routed = Similarity.embeddingDedupLshSurvivors(emb, 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    val exactDrops = all -- exact
+    val routedDrops = all -- routed
+    // the exact form must find (at least) the 200 plantings…
+    assert(exactDrops.size >= 200, s"exact drops=${exactDrops.size}")
+    // …each routed drop is a true drop, and at this angle (θ≈2.8°,
+    // per-table collision ≈0.91, 8 tables ⇒ P(miss)≈1e-8) routing
+    // recovers essentially all of them.
+    assert(routedDrops.subsetOf(exactDrops))
+    assert(routedDrops.size * 100 >= exactDrops.size * 95,
+      s"recall=${routedDrops.size}/${exactDrops.size}")
+  }
+
   test("brute-force top-k neighbors are genuinely the nearest (spot check q=0)") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val all = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
