@@ -60,7 +60,6 @@ object Bench {
     try graft.model.Tables.events(spark, sfDir).count()
     catch { case scala.util.control.NonFatal(_) => }
 
-    def r3(x: Double): Double = math.rint(x * 1000) / 1000
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).queryExecution.toRdd.count()
@@ -101,21 +100,30 @@ object Bench {
       name -> t
     }
 
-    val ok = results.filter(_._2 >= 0)
-    val total = r3(ok.map(_._2).sum)
-    def jmap(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val errs = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Build (first-run, setup-inclusive) times: stderr only — they are
     // diagnostics, and keeping them off stdout is what lets the tail
     // capture preserve the steady-state map below.
     val buildTotal = r3(build.filter(_._2 >= 0).map(_._2).sum)
     System.err.println(s"""[bench] build-pass times: {"build":${jmap(build)},"build_total":$buildTotal}""")
-    // a failed query must be visible in the artifact, not silently timed;
-    // "value" (the total) is deliberately the LAST field on the line.
-    println(s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sfDir","errors":$errs,"queries":${jmap(results)},"value":$total}""")
+    println(artifactLine(results, runs, sfDir, errors.distinct.toSeq))
     spark.stop()
     graft.ops.SessionCleanup.deleteRecursively(warehouse)
     graft.ops.SessionCleanup.deleteRecursively(metastore)
+  }
+
+  private def r3(x: Double): Double = math.rint(x * 1000) / 1000
+  private def jmap(kv: Seq[(String, Double)]): String =
+    kv.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+
+  /** The single stdout line. A failed query must be visible in the
+    * artifact, not silently timed; "value" (the total) is deliberately
+    * the LAST field so a tail-truncated capture keeps it. ContractSpec
+    * asserts the worst-case line length stays under the driver's ~4 KB
+    * tail window for every registered query. */
+  private[graft] def artifactLine(results: Seq[(String, Double)], runs: Int,
+      sfDir: String, errors: Seq[String]): String = {
+    val total = r3(results.filter(_._2 >= 0).map(_._2).sum)
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sfDir","errors":$errs,"queries":${jmap(results)},"value":$total}"""
   }
 }

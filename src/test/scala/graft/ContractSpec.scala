@@ -82,4 +82,16 @@ class ContractSpec extends AnyFunSuite {
         s"group=$grp rank=$rank target=$target tol=$tol")
     }
   }
+
+  test("bench stdout artifact stays under the driver's ~4KB tail capture " +
+      "at worst-case widths for every registered query") {
+    // worst case: every query takes 4-digit seconds with 3 decimals
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 9999.999)
+    val line = Bench.artifactLine(results, runs = 3,
+      sfDir = "/root/testdata/sf0.1", errors = Seq.empty)
+    assert(line.length < 4000, s"artifact line ${line.length}B would truncate")
+    // and the total must be the LAST field (tail-capture survivability)
+    assert(line.endsWith("}") && line.lastIndexOf("\"value\":") >
+      line.lastIndexOf("\"queries\":"))
+  }
 }
