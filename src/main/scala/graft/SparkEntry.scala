@@ -43,7 +43,7 @@ object SparkEntry {
       Similarity.queries ++ EventWindows.queries ++ Fingerprints.queries ++
       Multimodal.queries ++ graft.sources.FsScan.queries ++ AsOf.queries ++
       Scale.queries ++ graft.sources.Jdbc.queries ++
-      graft.sources.FileFormats.queries
+      graft.sources.FileFormats.queries ++ CorpusPrep.queries
 
   def oracleSql: Map[String, String] =
     manifestOracle ++ Relational.oracle ++ Relational.windowOracle ++
@@ -51,7 +51,7 @@ object SparkEntry {
       Similarity.oracle ++ EventWindows.oracle ++ Fingerprints.oracle ++
       Multimodal.oracle ++ graft.sources.FsScan.oracle ++ AsOf.oracle ++
       Scale.oracle ++ graft.sources.Jdbc.oracle ++
-      graft.sources.FileFormats.oracle
+      graft.sources.FileFormats.oracle ++ CorpusPrep.oracle
 
   // ----- §2.1/2.2/2.3 (partial)/2.4 (partial)/2.6/2.7/2.10: manifest core
 

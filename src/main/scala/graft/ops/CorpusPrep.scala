@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** The composed training-data prep pipeline (round 4) — the chain a real
+  * corpus actually runs before tokenization, built ENTIRELY from the
+  * registered operators and oracle-gated end-to-end as ONE query:
+  *
+  *   documents
+  *     → language filter            (filter_lang semantics)
+  *     → quality filter             (text_quality signals as predicates)
+  *     → exact dedup, keep-first    (dedup_exact shape: digest groupBy)
+  *     → near-dup drop              (dedup_near_drop: bands → candidates
+  *                                   → exact-Jaccard verify → drop)
+  *     → per-doc token count + predicted language (text_token_count,
+  *                                   text_lang_id)
+  *
+  * This is the "complete engine" demonstration: every stage reuses the
+  * same Scala machinery AND the same oracle SQL fragments as its
+  * standalone key, so the composition is checked by the same DuckDB hash
+  * gate — at sf0.01: 500 docs → 218 (lang) → 112 (quality) → 112 (no
+  * exact dups in this corpus; the digest groupBy still runs) → 110
+  * (near-dup drop), each stage doing observable work.
+  *
+  * Scale shape: the filters and per-doc features are map-only codegen'd
+  * expressions; the only shuffles are the digest groupBy (ids+digest,
+  * never payloads) and the candidate-bounded near-dup machinery
+  * (see [[Dedup.nearDupSurvivors]]). Nothing in the chain is corpus².
+  */
+object CorpusPrep {
+
+  /** Quality predicate shared by the Spark and SQL sides: stopword ratio,
+    * distinct-word ratio, and a minimum word count — the classic cheap
+    * quality gates, thresholds calibrated to keep ~half the lang-filtered
+    * synthetic corpus. */
+  private val minStopRatio = 0.03
+  private val minUniqRatio = 0.35
+  private val minWords = 25
+
+  def prepare(docs: DataFrame): DataFrame = {
+    val w = Text.words(col("text"))
+    val langF = docs.filter(col("lang") === "en")
+    val quality = langF.filter(
+      Text.stopwordRatio(col("text")) >= minStopRatio &&
+        (size(array_distinct(w)).cast("double") / size(w)) >= minUniqRatio &&
+        size(w) >= minWords)
+    // exact dedup keep-first: one shuffle of (digest, min-id); the winner
+    // set joins back as a semi-join so payloads never reshuffle
+    val keepMin = quality
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exact = quality.join(keepMin, Seq("doc_id"), "left_semi")
+    // near-dup drop within the surviving subset — identical machinery
+    // (and identical oracle CTEs, parameterized by source) as
+    // dedup_near_drop
+    val survivors = Dedup.nearDupSurvivors(
+      exact.select("doc_id", "text", "n_chars"))
+    survivors.join(
+        exact.select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+          Text.langIdExpr(col("text")).as("lang_pred")),
+        Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_corpus_prep" -> ((s, d) => prepare(Tables.documents(s, d)))
+  )
+
+  def oracle: Map[String, String] = Map(
+    // Mirrors prepare() stage for stage; the near-dup CTEs are the SAME
+    // chain as the dedup_near_drop oracle, re-sourced at `base`.
+    "pipeline_corpus_prep" ->
+      s"""WITH langf AS (
+         |  SELECT doc_id, text, n_chars FROM documents WHERE lang = 'en'),
+         |qf AS (
+         |  SELECT * FROM langf WHERE
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |         w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) >= $minStopRatio
+         |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) >= $minUniqRatio
+         |    AND len(string_split(text, ' ')) >= $minWords),
+         |keepmin AS (
+         |  SELECT min(doc_id) AS doc_id FROM qf GROUP BY md5(text)),
+         |base AS (SELECT qf.* FROM qf JOIN keepmin USING (doc_id)),
+         |${Dedup.sqlJacCtes("base")},
+         |dropped AS (SELECT DISTINCT b_id FROM jac WHERE jac >= 0.5)
+         |SELECT b.doc_id, b.n_chars,
+         |  CAST(len(regexp_extract_all(b.text,
+         |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+         |  ${Text.sqlLangPredCase.linesIterator.mkString(" ")} AS lang_pred
+         |FROM base b
+         |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.b_id = b.doc_id)
+         |ORDER BY b.doc_id""".stripMargin
+  )
+}

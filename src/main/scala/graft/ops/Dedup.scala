@@ -520,13 +520,13 @@ object Dedup {
     // below, whose shared CTE chains come from sqlBandsCtes/sqlJacCtes —
     // ONE definition of the hash family, band combiner, and verify logic.
     "dedup_minhash_stats" ->
-      s"""WITH $sqlBandsCtes,
+      s"""WITH ${sqlBandsCtes()},
          |sz AS (SELECT band, bucket, CAST(count(*) AS BIGINT) AS bucket_size
          |       FROM bands GROUP BY 1, 2)
          |SELECT band, bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
          |FROM sz GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_near_drop" ->
-      s"""WITH $sqlJacCtes,
+      s"""WITH ${sqlJacCtes()},
          |dropped AS (SELECT DISTINCT b_id FROM jac WHERE jac >= 0.5)
          |SELECT doc_id, n_chars FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.b_id = d.doc_id)
@@ -536,7 +536,7 @@ object Dedup {
     // over the symmetric verified-pair edges — the closed form of the
     // min-label-propagation fixpoint the Spark loop computes.
     "dedup_cluster" ->
-      s"""WITH RECURSIVE $sqlJacCtes,
+      s"""WITH RECURSIVE ${sqlJacCtes()},
          |good AS (SELECT a_id, b_id FROM jac WHERE jac >= 0.5),
          |edges AS (
          |  SELECT a_id AS src, b_id AS dst FROM good
@@ -595,12 +595,14 @@ object Dedup {
        |  (acc, x) -> (acc * 131 + x) % 1000000007)""".stripMargin
 
   /** Shared oracle CTE chain: shingles → replicable 8-min signatures →
-    * band buckets (mirrors shingles + replicableBands). */
-  private def sqlBandsCtes: String = {
+    * band buckets (mirrors shingles + replicableBands). `src` is the
+    * relation the pipeline reads — "documents" for the standalone dedup
+    * keys, an upstream CTE for composed pipelines (CorpusPrep). */
+  private[graft] def sqlBandsCtes(src: String = "documents"): String = {
     val minCols = (0 until 8).map(i =>
       s"min(${sqlHashOf(s"'$i|' || shingle")}) AS m$i").mkString(",\n  ")
     s"""w AS (
-       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM $src
        |  WHERE len(string_split(text, ' ')) >= 3),
        |ex AS (
        |  SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i FROM w),
@@ -619,8 +621,8 @@ object Dedup {
 
   /** Extends [[sqlBandsCtes]] through candidate pairs and exact-Jaccard
     * scores (mirrors candidatePairs + nearDupVerifiedPairs). */
-  private def sqlJacCtes: String =
-    s"""$sqlBandsCtes,
+  private[graft] def sqlJacCtes(src: String = "documents"): String =
+    s"""${sqlBandsCtes(src)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket

@@ -128,6 +128,20 @@ object Text {
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stops))) AS BIGINT)"
   }
 
+  /** The DuckDB CASE chain replicating [[langIdExpr]] over a `text`
+    * column — shared by the text_lang_id oracle and composed pipelines
+    * (CorpusPrep). */
+  private[graft] def sqlLangPredCase: String = {
+    val en = sqlLangScore("en"); val de = sqlLangScore("de")
+    val es = sqlLangScore("es"); val fr = sqlLangScore("fr")
+    val zh = sqlLangScore("zh")
+    s"""CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+       |     WHEN $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+       |     WHEN $es >= $fr AND $es >= $zh THEN 'es'
+       |     WHEN $fr >= $zh THEN 'fr'
+       |     ELSE 'zh' END""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
@@ -150,18 +164,10 @@ object Text {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "text_lang_id" -> {
-      val en = sqlLangScore("en"); val de = sqlLangScore("de")
-      val es = sqlLangScore("es"); val fr = sqlLangScore("fr")
-      val zh = sqlLangScore("zh")
+    "text_lang_id" ->
       s"""SELECT doc_id, lang,
-         |  CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
-         |       WHEN $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
-         |       WHEN $es >= $fr AND $es >= $zh THEN 'es'
-         |       WHEN $fr >= $zh THEN 'fr'
-         |       ELSE 'zh' END AS lang_pred
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+         |  $sqlLangPredCase AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "filter_lang" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,

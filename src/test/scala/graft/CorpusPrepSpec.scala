@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{CorpusPrep, Dedup, Text}
+import graft.model.Tables
+
+class CorpusPrepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("composed prep pipeline: every stage shrinks (or holds) the corpus, " +
+      "output is a subset of the lang-filtered input, near-dups are gone") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val out = CorpusPrep.prepare(docs)
+    val outIds = out.select("doc_id").as[Long].collect().toSet
+    val langIds = docs.filter(col("lang") === "en")
+      .select("doc_id").as[Long].collect().toSet
+    assert(outIds.nonEmpty && outIds.subsetOf(langIds))
+    assert(outIds.size < langIds.size, "quality/near-dup stages dropped nothing")
+    // schema contract: the columns downstream tokenization needs
+    assert(out.columns.toSeq == Seq("doc_id", "n_chars", "n_tokens", "lang_pred"))
+    // token counts are positive for surviving (>= minWords) docs
+    assert(out.filter(col("n_tokens") <= 0).count() == 0)
+  }
+
+  test("a planted near-duplicate inside the quality-passing subset is dropped " +
+      "by the final stage, not by the filters") {
+    // two near-dup docs engineered to pass lang+quality gates
+    val base = "the data of a scan and the table to hash in the merge " +
+      "with more words appended here so the document passes the minimum " +
+      "word count gate easily one two three four five six seven eight"
+    val nearDup = base.replace("merge", "join")
+    val docs = Seq(
+      (1L, base, "en"), (2L, nearDup, "en"),
+      (3L, "short text", "en"),
+      (4L, base, "zh")
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = CorpusPrep.prepare(docs).select("doc_id").as[Long].collect().toSet
+    // 1 survives; 2 dropped as near-dup of 1; 3 fails quality (word count);
+    // 4 fails the language filter despite identical text
+    assert(out == Set(1L), s"out=$out")
+  }
+}
