@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 import graft.functions._
 
 /** Library entry point for SQL-text users (the SparkSessionExtensions
@@ -41,6 +43,21 @@ object GraftExtensions {
     } else throw new IllegalArgumentException(
       s"$fn expects a constant integer argument, got $e")
 
+  private def stringSeqLit(e: Expression, fn: String): Seq[String] = e.dataType match {
+    case ArrayType(_: StringType, _) if e.foldable => e.eval() match {
+      case a: ArrayData =>
+        a.toObjectArray(StringType).map {
+          case null => throw new IllegalArgumentException(
+            s"$fn expects non-null words in its constant array")
+          case u: UTF8String => u.toString
+        }.toSeq
+      case _ => throw new IllegalArgumentException(
+        s"$fn expects a constant array of strings, got null")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects a constant array<string> argument, got $e")
+  }
+
   private def d(name: String, clazz: Class[_],
       builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
@@ -58,6 +75,8 @@ object GraftExtensions {
     d("minhash_sig", classOf[MinHashSigExpr],
       es => MinHashSigExpr(es.head, intLit(es(1), "minhash_sig"))),
     d("dot_product", classOf[DotProductExpr],
-      es => DotProductExpr(es.head, es(1)))
+      es => DotProductExpr(es.head, es(1))),
+    d("word_set_count", classOf[WordSetCountExpr],
+      es => WordSetCountExpr(es.head, stringSeqLit(es(1), "word_set_count")))
   )
 }

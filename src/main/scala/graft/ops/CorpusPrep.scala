@@ -24,8 +24,8 @@ import graft.model.Tables
   * exact dups in this corpus; the digest groupBy still runs) → 110
   * (near-dup drop), each stage doing observable work.
   *
-  * Scale shape: the filters and per-doc features are map-only codegen'd
-  * expressions; the only shuffles are the digest groupBy (ids+digest,
+  * Scale shape: the filters and per-doc features are map-only, one pass
+  * per document; the only shuffles are the digest groupBy (ids+digest,
   * never payloads) and the candidate-bounded near-dup machinery
   * (see [[Dedup.nearDupSurvivors]]). Nothing in the chain is corpus².
   */

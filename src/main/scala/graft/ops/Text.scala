@@ -24,8 +24,17 @@ object Text {
 
   private val stop = Seq("the", "a", "of", "and", "to", "in")
 
-  /** Stopword ratio — a standard cheap quality signal. */
+  /** Stopword ratio — a standard cheap quality signal. Counting uses the
+    * native [[graft.functions.WordSetCount]] expression (one compiled
+    * pass; the size(filter(...)) composition evaluates interpreted —
+    * [[stopwordRatioComposed]] keeps it as the executable spec). */
   def stopwordRatio(text: Column): Column = {
+    val n = size(words(text))
+    val nStop = graft.functions.WordSetCount.word_set_count(text, stop)
+    when(n > 0, nStop.cast("double") / n).otherwise(lit(0.0))
+  }
+
+  private[graft] def stopwordRatioComposed(text: Column): Column = {
     val ws = words(text)
     val n = size(ws)
     val nStop = size(filter(ws, w => w.isInCollection(stop)))
@@ -41,7 +50,14 @@ object Text {
     "fr" -> Seq("le", "la", "et", "les", "est"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  def langScore(text: Column, lang: String): Column = {
+  /** Native one-pass count ([[langScoreComposed]] is the interpreted
+    * HOF spec — langIdExpr evaluates five of these per document, so the
+    * closure-per-word cost multiplied). */
+  def langScore(text: Column, lang: String): Column =
+    graft.functions.WordSetCount
+      .word_set_count(text, langStops.toMap.apply(lang)).cast("long")
+
+  private[graft] def langScoreComposed(text: Column, lang: String): Column = {
     val stops = langStops.toMap.apply(lang)
     size(filter(words(text), w => w.isInCollection(stops))).cast("long")
   }

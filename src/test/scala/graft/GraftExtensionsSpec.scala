@@ -46,6 +46,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
           "minhash_sig('a b c d e', CAST(4 AS INT)) AS mh").head()
       assert(folded.getSeq[String](0) == row.getSeq[String](2))
       assert(folded.getSeq[Long](1) == row.getSeq[Long](4))
+      // array<string> constant argument (word_set_count)
+      val wsc = ext.sql(
+        "SELECT word_set_count('the cat and the dog', array('the','and')) AS n")
+        .head().getInt(0)
+      assert(wsc == 3)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

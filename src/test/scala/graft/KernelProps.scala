@@ -4,7 +4,7 @@ import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.unsafe.types.UTF8String
-import graft.functions.{MinHashSig, RollingHash, Shingles, SimHash}
+import graft.functions.{MinHashSig, RollingHash, Shingles, SimHash, WordSetCount}
 
 /** Property-based coverage (ScalaCheck) for the pure expression kernels —
   * no Spark session needed, so these run the full generator budget fast. */
@@ -39,6 +39,14 @@ object KernelProps extends Properties("graft.kernels") {
           refHash(new String(cps, i, w))
         }
       got == want
+    }
+
+  property("word_set_count equals the filtered split length for any set") =
+    forAll(textGen, Gen.listOf(Gen.oneOf("the", "a", "中", "b1", ""))) { (s, ws) =>
+      val set = new java.util.HashSet[String]()
+      ws.foreach(set.add)
+      WordSetCount.compute(UTF8String.fromString(s), set) ==
+        s.split(" ", -1).count(set.contains)
     }
 
   property("shingles equal the distinct sliding n-grams of the space-split") =
