@@ -160,6 +160,86 @@ class StreamsSpec extends AnyFunSuite {
     assert(after.count() == m.count())
   }
 
+  test("the batch watermark twin BRACKETS the real engine on the same " +
+      "disordered replay: twin <= live <= raw per emitted window") {
+    import org.apache.spark.sql.types._
+    // sf0.01: the twin drops 3,452 of 10,000 rows on this replay, so many
+    // drop pairs straddle chunk (micro-batch) boundaries and the LIVE
+    // engine's batch-granularity watermark drops a real subset of them
+    // (at sf0.001 nearly all disorder is within one chunk and the live
+    // side would drop ~nothing — a vacuous bracket)
+    val sfDir = "/root/testdata/sf0.01"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"))
+    // Same twin machinery, arrival bucket wider than the whole month: ab
+    // is then constant and the order degenerates to (event_id % 7,
+    // event_id) — a per-SOURCE backfill replay where each of 7 sources
+    // re-streams the full month in order. Bounded bucket-major disorder
+    // (the registered key's 30-min form) is invisible to the engine's
+    // batch-lagged watermark — measured: zero live drops — so the
+    // bracket would be vacuous; the backfill replay makes the engine
+    // drop most of residues 1-6 (measured: 500/500 in later batches).
+    val bucketSec = 8640000L
+    val arrival = ev
+      .withColumn("ab", expr(s"unix_micros(ts) div ${bucketSec * 1000000L}"))
+      .withColumn("r", pmod(col("event_id"), lit(7)))
+      .orderBy("ab", "r", "event_id")
+      .select("event_id", "ts")
+      .as[(Long, java.sql.Timestamp)].collect()
+    // replay it through the REAL file stream source: 10 sequential chunk
+    // files, one micro-batch each (maxFilesPerTrigger=1), so Spark's
+    // actual watermark machinery sees the same disorder the twin models
+    val streamDir = Files.createTempDirectory("graft-wm-replay")
+    val chunk = math.max(1, (arrival.length + 19) / 20)
+    arrival.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = Files.createTempDirectory("graft-wm-chunk")
+      rows.toSeq.toDF("event_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = streamDir.resolve(f"chunk-$i%05d.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType)))
+    val live = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+    runToMemory(live, "wm_replay_out")
+    val liveCounts = spark.table("wm_replay_out")
+      .select(col("w_start").cast("long"), col("n")).as[(Long, Long)]
+      .collect().toMap
+    val twin = EventWindows.watermarkLateSurvivors(Tables.events(spark, sfDir),
+        arrivalBucketSec = bucketSec)
+      .select(col("w_start").cast("long"), col("n")).as[(Long, Long)]
+      .collect().toMap
+    val raw = EventWindows.tumbling(Tables.events(spark, sfDir))
+      .select(col("w_start").cast("long"), col("n")).as[(Long, Long)]
+      .collect().toMap
+    // Spark's watermark advances per BATCH (max ts of earlier batches);
+    // the twin advances per ROW (max ts of strictly-earlier arrivals).
+    // A live drop implies window_end <= batch watermark <= row watermark
+    // implies a twin drop — so per emitted window: twin <= live <= raw.
+    assert(liveCounts.nonEmpty)
+    liveCounts.foreach { case (w, n) =>
+      assert(twin.getOrElse(w, 0L) <= n, s"window $w: twin ${twin.get(w)} > live $n")
+      assert(n <= raw(w), s"window $w: live $n > raw ${raw(w)}")
+    }
+    // and the live engine must have genuinely dropped something on this
+    // replay (else the bracket is vacuous)
+    val liveTotal = liveCounts.values.sum
+    val rawTotal = liveCounts.keys.toSeq.map(raw).sum
+    val twinTotal = liveCounts.keys.toSeq.map(twin.getOrElse(_, 0L)).sum
+    assert(liveTotal < rawTotal,
+      s"no live drops: live=$liveTotal raw-on-emitted=$rawTotal twin=$twinTotal")
+    graft.ops.SessionCleanup.deleteRecursively(streamDir.toString)
+  }
+
   test("blocked watermark-late survivors equal the single-global-window form " +
       "and actually drop late events") {
     val ev = Tables.events(spark, TestSpark.sf0001)
