@@ -19,7 +19,8 @@ import graft.functions._
   * registers every graft native Catalyst expression as a first-class SQL
   * function — `rolling_hash(text)`, `rolling_hash_windows(text, w)`,
   * `word_shingles(text, n)`, `simhash64(text)`, `minhash_sig(text, k)`,
-  * `dot_product(a, b)` — session-wide and for every session built with
+  * `dot_product(a, b)`, `word_set_count(text, array(...))` — session-wide
+  * and for every session built with
   * the extension, unlike the per-session temp registration in
   * `RollingHash.registerSql`. The builders hand Catalyst the same
   * codegen'd expressions the Column API uses, so SQL text and DataFrame
