@@ -42,4 +42,18 @@ class CorpusPrepSpec extends AnyFunSuite {
     // 4 fails the language filter despite identical text
     assert(out == Set(1L), s"out=$out")
   }
+
+  test("materialized base is result-identical to the fully-lazy form and " +
+      "collapses the plan's corpus scans to one") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val eager = CorpusPrep.prepare(docs)
+    val lazyF = CorpusPrep.prepare(docs, materializeBase = false)
+    assert(eager.collect().toSeq == lazyF.collect().toSeq)
+    // every branch downstream of the checkpoint reads the materialized
+    // RDD; only the residual feature join may still touch parquet
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(scans(eager) == 0, s"eager plan still scans parquet ${scans(eager)}x")
+    assert(scans(lazyF) > 10)
+  }
 }
