@@ -99,6 +99,8 @@ object ScaleTrend {
       val tSimhashPairs = time(graft.ops.Dedup.queries("dedup_simhash_pairs")(spark, sf))
       val tSimhashWide = time(
         graft.ops.Dedup.queries("dedup_simhash_pairs_wide")(spark, sf))
+      val tCorpusPrep = time(
+        graft.ops.CorpusPrep.queries("pipeline_corpus_prep")(spark, sf))
 
       System.err.println(s"[scale] $sf docs=$nDocs done")
       println(s"""{"sf":"$sf","n_docs":$nDocs,"n_emb":$nEmb,""" +
@@ -113,7 +115,8 @@ object ScaleTrend {
         s""""t_sim_ann_ivf_seeded":${r3(tIvfSeeded)},""" +
         s""""t_stream_session":${r3(tSession)},"t_dedup_exact":${r3(tExact)},""" +
         s""""t_dedup_simhash_pairs":${r3(tSimhashPairs)},""" +
-        s""""t_dedup_simhash_pairs_wide":${r3(tSimhashWide)}}""")
+        s""""t_dedup_simhash_pairs_wide":${r3(tSimhashWide)},""" +
+        s""""t_pipeline_corpus_prep":${r3(tCorpusPrep)}}""")
     }
     spark.stop()
     synthDir.foreach(graft.ops.SessionCleanup.deleteRecursively)
