@@ -18,13 +18,21 @@ import org.apache.spark.sql.SparkSession
   *      honest steady-state estimate (a noisy spike can only inflate,
   *      never deflate, a query's time).
   *
-  * Artifact hygiene (round 4): the driver keeps the TAIL of stdout, so
-  * the single stdout line must be short enough (~3 KB) to survive a
-  * ~4 KB tail capture AND carry the numbers that matter at its END.
-  * Hence: build-pass (first-run) times go to STDERR with the progress
-  * lines; stdout holds only {"metric","unit","runs","sf","errors",
-  * "queries":{...},"value":TOTAL} with the total as the LAST field —
-  * even a truncated capture keeps the steady-state map and the total.
+  * Artifact hygiene (round 5): the driver's tail capture is exactly
+  * 2000 characters (measured in BENCH_r01..r04.json — every round), and
+  * the sbt `[success] Total time …` footer consumes ~80 of them. A flat
+  * 90+-query map is >2.1 KB at ANY value width, so no full-map layout
+  * can survive; rounds 1-4 all produced `parsed: null`. The stdout line
+  * is therefore built under a HARD 1400-char budget: the most expensive
+  * queries are named individually (largest first) until the budget is
+  * reached, and the rest collapse into `"omitted":K,"omitted_sum":S`, so
+  * `value == sum(queries) + omitted_sum` keeps the line self-consistent
+  * and the ≤2× gate is provable from the artifact alone. `value` stays
+  * the LAST field. The COMPLETE artifact (full steady map + build map +
+  * totals, 3-dp) is written to BENCH_FULL.json in the repo root — the
+  * driver commits uncommitted work at end-of-round, so the full map from
+  * the driver's own run lands in-tree; the flat steady map is also
+  * echoed to stderr with the progress lines.
   *
   * Timing uses queryExecution.toRdd.count(): a bare df.count() lets
   * Catalyst prune every projection (map-heavy queries would be timed
@@ -100,11 +108,19 @@ object Bench {
       name -> t
     }
 
-    // Build (first-run, setup-inclusive) times: stderr only — they are
-    // diagnostics, and keeping them off stdout is what lets the tail
-    // capture preserve the steady-state map below.
+    // Build (first-run, setup-inclusive) times and the full steady map:
+    // stderr only — diagnostics; the stdout line must stay tiny.
     val buildTotal = r3(build.filter(_._2 >= 0).map(_._2).sum)
     System.err.println(s"""[bench] build-pass times: {"build":${jmap(build)},"build_total":$buildTotal}""")
+    System.err.println(s"""[bench] steady-state times: {"queries":${jmap(results)}}""")
+    val full = fullArtifact(results, build, runs, sfDir, cpus,
+      errors.distinct.toSeq)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
     println(artifactLine(results, runs, sfDir, errors.distinct.toSeq))
     spark.stop()
     graft.ops.SessionCleanup.deleteRecursively(warehouse)
@@ -115,15 +131,56 @@ object Bench {
   private def jmap(kv: Seq[(String, Double)]): String =
     kv.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
 
-  /** The single stdout line. A failed query must be visible in the
-    * artifact, not silently timed; "value" (the total) is deliberately
-    * the LAST field so a tail-truncated capture keeps it. ContractSpec
-    * asserts the worst-case line length stays under the driver's ~4 KB
-    * tail window for every registered query. */
-  private[graft] def artifactLine(results: Seq[(String, Double)], runs: Int,
-      sfDir: String, errors: Seq[String]): String = {
+  /** Complete artifact — every steady-state time, every build time, both
+    * totals — written to BENCH_FULL.json (not stdout: this line is ~5 KB
+    * and would defeat the tail capture that artifactLine survives). */
+  private[graft] def fullArtifact(results: Seq[(String, Double)],
+      build: Seq[(String, Double)], runs: Int, sfDir: String, cpus: String,
+      errors: Seq[String]): String = {
     val total = r3(results.filter(_._2 >= 0).map(_._2).sum)
+    val buildTotal = r3(build.filter(_._2 >= 0).map(_._2).sum)
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sfDir","errors":$errs,"queries":${jmap(results)},"value":$total}"""
+    s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sfDir","cpus":$cpus,""" +
+      s""""errors":$errs,"queries":${jmap(results)},""" +
+      s""""build":${jmap(build)},"build_total":$buildTotal,"value":$total}"""
+  }
+
+  /** The single stdout line, built under a hard character budget so it
+    * parses even from the driver's 2000-char tail capture (with room for
+    * the sbt footer). The most expensive queries are named individually,
+    * largest first; the remainder collapses into "omitted" (count) and
+    * "omitted_sum" (their summed seconds), so
+    * `value == sum(queries values) + omitted_sum` always holds and the
+    * total-vs-baseline gate is provable from the line alone. A failed
+    * query is visible in "errors" (capped at 8 names; "errors_n" is the
+    * true count), never silently timed. "value" is deliberately the LAST
+    * field so even a head-truncated capture keeps it. ContractSpec
+    * asserts the budget at absurd widths for every registered query. */
+  private[graft] def artifactLine(results: Seq[(String, Double)], runs: Int,
+      sfDir: String, errors: Seq[String], budget: Int = 1400): String = {
+    val ok = results.filter(_._2 >= 0)
+    val total = r3(ok.map(_._2).sum)
+    val sf = new java.io.File(sfDir).getName
+    val shownErrs = errors.take(8)
+    val errs = shownErrs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val prefix = s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sf",""" +
+      s""""errors":$errs,"errors_n":${errors.size},"nq":${results.size},"queries":{"""
+    // worst-case suffix: },"omitted":NNN,"omitted_sum":NNNNN.NNN,"value":NNNNN.NNN}
+    val suffixAllowance = 64
+    val desc = ok.sortBy(-_._2)
+    val taken = scala.collection.mutable.Buffer[(String, Double)]()
+    var len = prefix.length + suffixAllowance
+    for ((k, v) <- desc) {
+      val entry = "\"" + k + "\":" + r3(v)
+      val cost = entry.length + (if (taken.nonEmpty) 1 else 0)
+      if (len + cost <= budget) { taken += ((k, v)); len += cost }
+    }
+    val takenKeys = taken.map(_._1).toSet
+    val omitted = desc.filterNot(kv => takenKeys(kv._1))
+    val omittedSum = r3(omitted.map(_._2).sum)
+    val entries = taken.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString(",")
+    prefix + entries + s"""},"omitted":${omitted.size},""" +
+      s""""omitted_sum":$omittedSum,"value":$total}"""
   }
 }

@@ -83,15 +83,65 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("bench stdout artifact stays under the driver's ~4KB tail capture " +
-      "at worst-case widths for every registered query") {
-    // worst case: every query takes 4-digit seconds with 3 decimals
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 9999.999)
-    val line = Bench.artifactLine(results, runs = 3,
-      sfDir = "/root/testdata/sf0.1", errors = Seq.empty)
-    assert(line.length < 4000, s"artifact line ${line.length}B would truncate")
-    // and the total must be the LAST field (tail-capture survivability)
-    assert(line.endsWith("}") && line.lastIndexOf("\"value\":") >
-      line.lastIndexOf("\"queries\":"))
+  test("bench stdout artifact survives the driver's 2000-char tail capture " +
+      "at absurd widths, parses as JSON, and stays self-consistent") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val keys = SparkEntry.queries.keys.toSeq.sorted
+    // adversarial cases: huge uniform values; mixed widths; every query
+    // failed (worst-case errors list); empty results
+    val cases = Seq(
+      (keys.map(_ -> 9999.999), Seq.empty[String]),
+      (keys.zipWithIndex.map { case (k, i) => k -> (i % 7) * 1234.567 },
+        keys.take(3)),
+      (keys.map(_ -> -1.0), keys),
+      (Seq.empty[(String, Double)], Seq.empty[String]))
+    for ((results, errors) <- cases) {
+      val line = Bench.artifactLine(results, runs = 3,
+        sfDir = "/root/testdata/sf0.1", errors = errors)
+      // measured (BENCH_r01..r04.json): tail keep = 2000 chars, sbt's
+      // "[success] Total time …" footer ~80 — the line must leave room
+      assert(line.length <= 1500, s"artifact line ${line.length}B would truncate")
+      val node = mapper.readTree(line) // throws on invalid JSON
+      // total must be the LAST field (a head-truncated capture keeps it)
+      assert(line.endsWith("}") && line.lastIndexOf("\"value\":") >
+        line.lastIndexOf("\"queries\":"))
+      // self-consistency: value == sum(named queries) + omitted_sum
+      val named = node.get("queries").fields()
+      var sum = 0.0
+      while (named.hasNext) sum += named.next().getValue.asDouble()
+      val expect = results.filter(_._2 >= 0).map(_._2).sum
+      assert(math.abs(sum + node.get("omitted_sum").asDouble()
+        - expect) < 0.01 * (results.size + 1),
+        s"value inconsistent with queries+omitted_sum")
+      assert(node.get("errors_n").asInt() == errors.size)
+      assert(node.get("nq").asInt() == results.size)
+    }
+    // the named entries must be the MOST EXPENSIVE ones, not arbitrary
+    val mixed = keys.zipWithIndex.map { case (k, i) => k -> i.toDouble }
+    val line = Bench.artifactLine(mixed, 3, "/root/testdata/sf0.1", Nil)
+    val node = mapper.readTree(line)
+    val namedVals = {
+      val it = node.get("queries").fields()
+      val b = scala.collection.mutable.Buffer[Double]()
+      while (it.hasNext) b += it.next().getValue.asDouble()
+      b
+    }
+    assert(namedVals.nonEmpty && namedVals.min >
+      mixed.size - namedVals.size - 1.0,
+      "compact line must name the largest queries first")
+  }
+
+  test("bench full artifact carries every query and both totals") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val keys = SparkEntry.queries.keys.toSeq.sorted
+    val results = keys.map(_ -> 1.5)
+    val build = keys.map(_ -> 2.5)
+    val full = Bench.fullArtifact(results, build, 3, "/root/testdata/sf0.1",
+      "32", Seq.empty)
+    val node = mapper.readTree(full)
+    assert(node.get("queries").size() == keys.size)
+    assert(node.get("build").size() == keys.size)
+    assert(math.abs(node.get("value").asDouble() - 1.5 * keys.size) < 0.01)
+    assert(math.abs(node.get("build_total").asDouble() - 2.5 * keys.size) < 0.01)
   }
 }
