@@ -311,6 +311,44 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** IVF-cluster-routed embedding dedup — the coarse-quantizer analogue
+    * of [[embeddingDedupLshSurvivors]]: every vector joins its
+    * `memberships` nearest inverted lists (multi-assignment is the IVF
+    * recall lever, exactly like nprobe on the query path), candidate
+    * pairs are vectors sharing a list, and only candidates pay the exact
+    * cosine verify before the keep-first drop. At 100 TB the candidate
+    * join is an equi-join keyed by cluster id — data-adaptive routing
+    * (trained lists follow the corpus distribution) where LSH buckets are
+    * data-blind; candidate mass is Σ|list|² over lists instead of n².
+    * With seeded (0-Lloyd) centroids the whole pipeline — seeding,
+    * multi-assignment tie-breaks, candidate join, verify, drop — is
+    * replicable in SQL, which is what hash-gates the registered key. */
+  def ivfDedupCandidates(emb: DataFrame,
+      centroids: Array[Array[Double]], memberships: Int = 2): DataFrame = {
+    val e = withNorm(emb, "vec_id", "ed", "norm")
+    val member = e.withColumn("m",
+        explode(slice(reverse(array_sort(array(cosToCentroids(centroids): _*))),
+          1, memberships)))
+      .select(col("vec_id"), col("m.k").as("cluster"))
+    val a = member.select(col("vec_id").as("a_id"), col("cluster"))
+    val b = member.select(col("vec_id").as("b_id"), col("cluster"))
+    a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  def embeddingDedupIvfSurvivors(emb: DataFrame, threshold: Double,
+      centroids: Array[Array[Double]], memberships: Int = 2): DataFrame = {
+    val cands = ivfDedupCandidates(emb, centroids, memberships)
+    val ae = withNorm(emb, "a_id", "ae", "an")
+    val be = withNorm(emb, "b_id", "be", "bn")
+    val dropped = cands.join(ae, "a_id").join(be, "b_id")
+      .filter(dot(col("ae"), col("be")) / (col("an") * col("bn")) > threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    emb.select(col("vec_id"), col("label"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** Trained centroids memoized per (session, dir, nlist, iters): IVF
     * training is part of the operator but amortized in any real
     * deployment (the model is built once, probed many times) — and the
@@ -401,7 +439,13 @@ object Similarity {
     // seeded-plane-literal hash gate as sim_ann_lsh, so DuckDB routes and
     // drops the identical pairs.
     "dedup_embedding_lsh" -> ((s, d) =>
-      embeddingDedupLshSurvivors(Tables.embeddings(s, d), 0.35))
+      embeddingDedupLshSurvivors(Tables.embeddings(s, d), 0.35)),
+    // IVF-cluster-routed embedding dedup: seeded (0-Lloyd) centroids make
+    // the whole route — membership, candidates, verify, drop — SQL-
+    // replicable, so the key is hash-gated like sim_ann_ivf_seeded.
+    "dedup_embedding_ivf" -> ((s, d) =>
+      embeddingDedupIvfSurvivors(Tables.embeddings(s, d), 0.35,
+        trainedCentroids(s, d, 16, 0), memberships = 2))
   )
 
   def oracle: Map[String, String] = Map(
@@ -526,7 +570,42 @@ object Similarity {
          |        (sqrt(list_inner_product(ea.emb, ea.emb)) * sqrt(list_inner_product(eb.emb, eb.emb))) > 0.35)
          |SELECT e.vec_id, e.label FROM e
          |WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
-         |ORDER BY e.vec_id""".stripMargin
+         |ORDER BY e.vec_id""".stripMargin,
+    // Replicates embeddingDedupIvfSurvivors with the seeded (0-Lloyd)
+    // centroids: stride-seeded centroid rows, multi-assignment rn <= 2
+    // with the array_max/array_sort tie order (cos DESC, k DESC), cluster
+    // equi-join candidates, exact-cosine verify, keep-first drop.
+    "dedup_embedding_ivf" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |st AS (SELECT greatest(1, count(*) // 16) AS stride FROM e),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k, emb AS ce
+        |  FROM (SELECT vec_id, emb FROM e
+        |        WHERE vec_id % (SELECT stride FROM st) = 0
+        |        ORDER BY vec_id LIMIT 16)),
+        |ac AS (
+        |  SELECT e.vec_id, c.k,
+        |         list_inner_product(e.emb, c.ce) /
+        |         (sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(c.ce, c.ce))) AS cos
+        |  FROM e CROSS JOIN cent c),
+        |ranked_ac AS (
+        |  SELECT vec_id, k,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, k DESC) AS rn
+        |  FROM ac),
+        |member AS (SELECT vec_id, k AS cluster FROM ranked_ac WHERE rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM member a JOIN member b ON a.cluster = b.cluster
+        |  WHERE a.vec_id < b.vec_id),
+        |dropped AS (
+        |  SELECT DISTINCT cand.b_id AS vec_id
+        |  FROM cand JOIN e ea ON ea.vec_id = cand.a_id
+        |  JOIN e eb ON eb.vec_id = cand.b_id
+        |  WHERE list_inner_product(ea.emb, eb.emb) /
+        |        (sqrt(list_inner_product(ea.emb, ea.emb)) * sqrt(list_inner_product(eb.emb, eb.emb))) > 0.35)
+        |SELECT e.vec_id, e.label FROM e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY e.vec_id""".stripMargin
   )
 
   /** VALUES rows replicating the seeded sign-LSH buckets in SQL (one row

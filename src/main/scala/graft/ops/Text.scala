@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.model.Tables
 
 /** Text-analysis operators for an LLM-data pipeline (SURVEY §2.13
@@ -136,7 +137,56 @@ object Text {
         .filter(length(col("word")) > 0)
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("word"))
-        .limit(50))
+        .limit(50)),
+    // duplicate-n-gram ratios — the classic repetition quality filter
+    // (fraction of repeated word 2-/3-grams per document). Map-only: the
+    // distinct-shingle counts come from the native word_shingles
+    // expression, the totals are pure arithmetic on the word count.
+    "text_repetition" -> ((s, d) => {
+      val n = size(words(col("text")))
+      val d2 = size(graft.functions.Shingles.word_shingles(col("text"), 2))
+      val d3 = size(graft.functions.Shingles.word_shingles(col("text"), 3))
+      Tables.documents(s, d)
+        .filter(n >= 3)
+        .select(col("doc_id"), n.cast("long").as("n_words"),
+          round(lit(1.0) - d2.cast("double") / (n - 1), 6).as("dup2_ratio"),
+          round(lit(1.0) - d3.cast("double") / (n - 2), 6).as("dup3_ratio"))
+        .orderBy("doc_id")
+    }),
+    // Gopher-style cheap quality signals, map-only and codegen'd:
+    // mean word length is exact arithmetic (split on single spaces ⇒
+    // sum(len(word)) == len(text) - (n-1)); the short-word ratio counts
+    // words of <3 chars via the complement regex (a greedy token match
+    // needs no lookahead, which keeps it RE2-compatible for the oracle).
+    "text_quality_gopher" -> ((s, d) => {
+      val n = size(words(col("text")))
+      val longWords = regexp_count(col("text"), lit("(?:^| )[^ ]{3,}"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), n.cast("long").as("n_words"),
+          round((length(col("text")) - (n - 1)).cast("double") / n, 6)
+            .as("mean_word_len"),
+          round((n - longWords).cast("double") / n, 6).as("short_word_ratio"))
+        .orderBy("doc_id")
+    }),
+    // per-document dominant word and its mass fraction (a repetition /
+    // TF signal): explode → per-(doc,word) count (map-side partial agg)
+    // → one shuffle keyed by doc_id for both window functions.
+    "text_top_word" -> ((s, d) => {
+      val ex = Tables.documents(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+      val counts = ex.groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      val byDoc = Window.partitionBy("doc_id")
+      counts
+        .withColumn("tot", sum("n").over(byDoc))
+        .withColumn("rn", row_number().over(
+          byDoc.orderBy(desc("n"), asc("word"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("word").as("top_word"),
+          col("n").as("n_top"),
+          round(col("n").cast("double") / col("tot"), 6).as("top_frac"))
+        .orderBy("doc_id")
+    })
   )
 
   private def sqlLangScore(lang: String): String = {
@@ -206,6 +256,48 @@ object Text {
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |WHERE length(word) > 0
-        |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin
+        |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+    // distinct n-gram counts per doc mirror word_shingles (DISTINCT over
+    // the sliding windows); totals are n-1 / n-2 sliding windows.
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |b AS (
+        |  SELECT doc_id, count(DISTINCT words[i] || ' ' || words[i+1]) AS d2
+        |  FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM w)
+        |  GROUP BY doc_id),
+        |t AS (
+        |  SELECT doc_id, count(DISTINCT words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS d3
+        |  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i FROM w)
+        |  GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_words,
+        |       round(1 - CAST(b.d2 AS DOUBLE) / (len(w.words) - 1), 6) AS dup2_ratio,
+        |       round(1 - CAST(t.d3 AS DOUBLE) / (len(w.words) - 2), 6) AS dup3_ratio
+        |FROM w JOIN b USING (doc_id) JOIN t USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
+    "text_quality_gopher" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS mean_word_len,
+        |  round(CAST(len(string_split(text, ' '))
+        |             - len(regexp_extract_all(text, '(?:^| )[^ ]{3,}')) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS short_word_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_top_word" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |c AS (
+        |  SELECT doc_id, word, count(*) AS n FROM ex
+        |  WHERE length(word) > 0 GROUP BY doc_id, word),
+        |r AS (
+        |  SELECT doc_id, word, n,
+        |         sum(n) OVER (PARTITION BY doc_id) AS tot,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, word) AS rn
+        |  FROM c)
+        |SELECT doc_id, word AS top_word, CAST(n AS BIGINT) AS n_top,
+        |       round(CAST(n AS DOUBLE) / tot, 6) AS top_frac
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 }

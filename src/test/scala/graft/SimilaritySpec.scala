@@ -157,6 +157,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(routed != all, "LSH routing dropped nothing at sf0.001")
   }
 
+  test("IVF-routed embedding dedup: candidates below all-pairs, every routed " +
+      "drop is a true drop, and the route does real work") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    val cents = Similarity.ivfCentroids(emb, nlist = 16, iters = 0)
+    // candidate mass: pairs sharing one of the 2 nearest lists
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    val exact = Similarity.embeddingDedupSurvivors(emb, 0.35, blocks = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val routed = Similarity
+      .embeddingDedupIvfSurvivors(emb, 0.35, cents, memberships = 2)
+      .select("vec_id").as[Long].collect().toSet
+    // candidates are verified exactly, so routing can only MISS drops:
+    assert(exact.subsetOf(routed), "IVF routing dropped a non-duplicate")
+    assert(routed != all, "IVF routing dropped nothing at sf0.001")
+    // and the cluster route prunes: with 16 lists and 2 memberships the
+    // candidate mass must sit well under all-pairs
+    val cands = Similarity.ivfDedupCandidates(emb, cents, 2).count()
+    assert(cands * 2 < allPairs, s"cands=$cands allPairs=$allPairs")
+  }
+
   test("at production thresholds (cos >= 0.9) LSH routing recovers the true " +
       "drops: planted near-identical vectors are caught like the exact form") {
     // 800 random base vectors + 200 planted near-dups (source + 5% noise,

@@ -30,4 +30,53 @@ class TextSpec extends AnyFunSuite {
     // sanity on the edge rows: occurrences (not distinct words) count
     assert(native(9004L)(1) == 3L) // "the the the" scores 3 for en
   }
+
+  test("repetition ratios: hand-checked example + [0,1] bounds on the corpus") {
+    // "a b a b c": bigrams (a b, b a, a b, b c) -> 3 distinct of 4;
+    // trigrams (a b a, b a b, a b c) -> 3 distinct of 3
+    val one = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+      .createOrReplaceTempView("t_rep")
+    val n = size(split(col("text"), " "))
+    val d2 = size(graft.functions.Shingles.word_shingles(col("text"), 2))
+    val d3 = size(graft.functions.Shingles.word_shingles(col("text"), 3))
+    val r = spark.table("t_rep")
+      .select((lit(1.0) - d2.cast("double") / (n - 1)).as("dup2"),
+        (lit(1.0) - d3.cast("double") / (n - 2)).as("dup3"))
+      .collect()(0)
+    assert(r.getDouble(0) == 0.25 && r.getDouble(1) == 0.0)
+    val bad = SparkEntry.queries("text_repetition")(spark, TestSpark.sf0001)
+      .filter(col("dup2_ratio") < 0 || col("dup2_ratio") > 1 ||
+        col("dup3_ratio") < 0 || col("dup3_ratio") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("gopher quality signals agree with a direct per-row recount") {
+    val rows = SparkEntry.queries("text_quality_gopher")(spark, TestSpark.sf0001)
+      .limit(50).collect()
+    val texts = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").limit(50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (r <- rows if texts.contains(r.getLong(0))) {
+      val words = texts(r.getLong(0)).split(" ", -1)
+      val mean = words.map(_.length).sum.toDouble / words.length
+      val short = words.count(_.length < 3).toDouble / words.length
+      assert(math.abs(r.getDouble(2) - mean) < 1e-6, s"doc ${r.getLong(0)} mean")
+      assert(math.abs(r.getDouble(3) - short) < 1e-6, s"doc ${r.getLong(0)} short")
+    }
+  }
+
+  test("top word is the max-count word with the deterministic tie-break") {
+    val rows = SparkEntry.queries("text_top_word")(spark, TestSpark.sf0001)
+      .limit(30).collect()
+    val texts = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").limit(30)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (r <- rows if texts.contains(r.getLong(0))) {
+      val counts = texts(r.getLong(0)).split(" ", -1).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val expect = counts.toSeq.sortBy { case (w, n) => (-n, w) }.head
+      assert(r.getString(1) == expect._1 && r.getLong(2) == expect._2,
+        s"doc ${r.getLong(0)}")
+    }
+  }
 }
