@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench contract requires the JSON artifact line to be the LAST
+// stdout line; sbt's "[success] Total time …" footer otherwise follows
+// it and defeats last-line parsers (BENCH_r01..r05 all show this).
+// Success/failure is still conveyed by the exit code. StdoutOutput
+// passes the forked JVM's stdout through verbatim (no "[info] " echo
+// prefix), so the line is also byte-clean JSON.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -14,6 +14,8 @@ import graft.model.Tables
   *     → exact dedup, keep-first    (dedup_exact shape: digest groupBy)
   *     → near-dup drop              (dedup_near_drop: bands → candidates
   *                                   → exact-Jaccard verify → drop)
+  *     → PII scrub                  (text_pii_mask: email/URL redaction;
+  *                                   tokenization sees the MASKED text)
   *     → per-doc token count + predicted language (text_token_count,
   *                                   text_lang_id)
   *
@@ -67,9 +69,17 @@ object CorpusPrep {
     // dedup_near_drop
     val survivors = Dedup.nearDupSurvivors(
       exact.select("doc_id", "text", "n_chars"))
+    // PII scrub (text_pii_mask stage): tokenization runs on the MASKED
+    // text — redacted spans collapse to one <EMAIL>/<URL> token — while
+    // language-ID keeps the original (stopwords are not PII). n_pii makes
+    // the scrub observable per document. Same deterministic enrichment as
+    // the standalone key (the synthetic corpus carries no natural PII).
+    val enriched = Text.piiEnrich(col("text"), col("doc_id"))
     survivors.join(
         exact.select(col("doc_id"),
-          Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+          Text.tokenCount(Text.piiMask(enriched)).cast("long").as("n_tokens"),
+          (regexp_count(enriched, lit(Text.emailRe)) +
+            regexp_count(enriched, lit(Text.urlRe))).cast("long").as("n_pii"),
           Text.langIdExpr(col("text")).as("lang_pred")),
         Seq("doc_id"))
       .orderBy("doc_id")
@@ -99,8 +109,13 @@ object CorpusPrep {
          |${Dedup.sqlJacCtes("base")},
          |dropped AS (SELECT DISTINCT b_id FROM jac WHERE jac >= 0.5)
          |SELECT b.doc_id, b.n_chars,
-         |  CAST(len(regexp_extract_all(b.text,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(regexp_replace(${Text.sqlPiiEnrich},
+         |      '${Text.urlRe}', '<URL>', 'g'), '${Text.emailRe}', '<EMAIL>', 'g'),
          |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(${Text.sqlPiiEnrich}, '${Text.emailRe}'))
+         |       + len(regexp_extract_all(${Text.sqlPiiEnrich}, '${Text.urlRe}'))
+         |       AS BIGINT) AS n_pii,
          |  ${Text.sqlLangPredCase.linesIterator.mkString(" ")} AS lang_pred
          |FROM base b
          |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.b_id = b.doc_id)

@@ -320,6 +320,11 @@ object Similarity {
     * join is an equi-join keyed by cluster id — data-adaptive routing
     * (trained lists follow the corpus distribution) where LSH buckets are
     * data-blind; candidate mass is Σ|list|² over lists instead of n².
+    * Sizing rule: at FIXED nlist that mass is ≈ m²·n²/nlist — still
+    * quadratic with a constant discount — so production deployments grow
+    * nlist ∝ √n (per-list size then stays constant and candidate mass
+    * grows linearly in n); SCALE_r05.md measures exactly this on the
+    * synth-10× decade (nlist 16 vs 128).
     * With seeded (0-Lloyd) centroids the whole pipeline — seeding,
     * multi-assignment tie-breaks, candidate join, verify, drop — is
     * replicable in SQL, which is what hash-gates the registered key. */
@@ -443,10 +448,23 @@ object Similarity {
     // IVF-cluster-routed embedding dedup: seeded (0-Lloyd) centroids make
     // the whole route — membership, candidates, verify, drop — SQL-
     // replicable, so the key is hash-gated like sim_ann_ivf_seeded.
+    // nlist/memberships come from env (defaults 16/2); the oracle SQL is
+    // generated from the SAME values, so the gate holds at any setting.
     "dedup_embedding_ivf" -> ((s, d) =>
       embeddingDedupIvfSurvivors(Tables.embeddings(s, d), 0.35,
-        trainedCentroids(s, d, 16, 0), memberships = 2))
+        trainedCentroids(s, d, ivfDedupNlist, 0),
+        memberships = ivfDedupMemberships))
   )
+
+  /** Registered-key IVF-dedup dials, env-overridable so bench/scale runs
+    * can sweep them without code edits. Production sizing: candidate mass
+    * is Σ|list|² ≈ m²·n²/nlist at fixed nlist — grow nlist ∝ √n to keep
+    * per-list size (and thus candidate mass per vector) constant; the
+    * defaults suit the sf0.01 gate corpus (~2k vectors). */
+  private[graft] def ivfDedupNlist: Int =
+    sys.env.getOrElse("SPARK_GRAFT_IVF_NLIST", "16").toInt
+  private[graft] def ivfDedupMemberships: Int =
+    sys.env.getOrElse("SPARK_GRAFT_IVF_MEMBERSHIPS", "2").toInt
 
   def oracle: Map[String, String] = Map(
     "sim_topk" ->
@@ -576,13 +594,13 @@ object Similarity {
     // with the array_max/array_sort tie order (cos DESC, k DESC), cluster
     // equi-join candidates, exact-cosine verify, keep-first drop.
     "dedup_embedding_ivf" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |st AS (SELECT greatest(1, count(*) // 16) AS stride FROM e),
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |st AS (SELECT greatest(1, count(*) // $ivfDedupNlist) AS stride FROM e),
         |cent AS (
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k, emb AS ce
         |  FROM (SELECT vec_id, emb FROM e
         |        WHERE vec_id % (SELECT stride FROM st) = 0
-        |        ORDER BY vec_id LIMIT 16)),
+        |        ORDER BY vec_id LIMIT $ivfDedupNlist)),
         |ac AS (
         |  SELECT e.vec_id, c.k,
         |         list_inner_product(e.emb, c.ce) /
@@ -592,7 +610,7 @@ object Similarity {
         |  SELECT vec_id, k,
         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, k DESC) AS rn
         |  FROM ac),
-        |member AS (SELECT vec_id, k AS cluster FROM ranked_ac WHERE rn <= 2),
+        |member AS (SELECT vec_id, k AS cluster FROM ranked_ac WHERE rn <= $ivfDedupMemberships),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         |  FROM member a JOIN member b ON a.cluster = b.cluster

@@ -74,6 +74,39 @@ object Text {
       .otherwise("zh")
   }
 
+  // --- PII scrubbing (text_pii_mask) --------------------------------
+  // The classic corpus-prep scrub stage: count + redact email addresses
+  // and URLs per document. Both regexes are RE2-compatible (no
+  // lookaround, no backrefs) so Spark's Java-regex and DuckDB's RE2
+  // produce identical matches; URLs are masked FIRST so an address
+  // embedded in a URL path is consumed by the <URL> token, making the
+  // two-step replace order-deterministic on both engines.
+  private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val urlRe = "https?://[^ ]+"
+
+  /** Redact URLs then emails — map-only, codegen'd regexp_replace. */
+  def piiMask(text: Column): Column =
+    regexp_replace(regexp_replace(text, urlRe, "<URL>"), emailRe, "<EMAIL>")
+
+  /** The synthetic corpus carries no PII, so the registered key plants a
+    * deterministic doc_id-derived email+URL on every third document (on
+    * BOTH the Spark and oracle side) — the scrub then has real matches to
+    * count and redact, keeping the gate non-vacuous. Production callers
+    * use [[piiMask]] on the raw text directly. */
+  private[graft] def piiEnrich(text: Column, docId: Column): Column =
+    when(docId % 3 === 0,
+      concat(text, lit(" contact user"), docId,
+        lit("@mail.example.com see https://site"), docId % 7,
+        lit(".example/p/"), docId))
+      .otherwise(text)
+
+  private[graft] val sqlPiiEnrich =
+    """CASE WHEN doc_id % 3 = 0
+      |     THEN text || ' contact user' || doc_id
+      |          || '@mail.example.com see https://site' || (doc_id % 7)
+      |          || '.example/p/' || doc_id
+      |     ELSE text END""".stripMargin.linesIterator.mkString(" ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-doc character/word stats (SURVEY §2.13 text_stats).
     "text_stats" -> ((s, d) =>
@@ -166,6 +199,18 @@ object Text {
           round((length(col("text")) - (n - 1)).cast("double") / n, 6)
             .as("mean_word_len"),
           round((n - longWords).cast("double") / n, 6).as("short_word_ratio"))
+        .orderBy("doc_id")
+    }),
+    // PII scrub: per-doc email/URL counts + the redacted text. Map-only
+    // regexp_count/regexp_replace over the (deterministically enriched)
+    // corpus — at 100 TB this is one codegen'd pass, no shuffle.
+    "text_pii_mask" -> ((s, d) => {
+      val enriched = piiEnrich(col("text"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(enriched, lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(enriched, lit(urlRe)).cast("long").as("n_urls"),
+          piiMask(enriched).as("masked"))
         .orderBy("doc_id")
     }),
     // per-document dominant word and its mass fraction (a repetition /
@@ -285,6 +330,16 @@ object Text {
         |             - len(regexp_extract_all(text, '(?:^| )[^ ]{3,}')) AS DOUBLE)
         |        / len(string_split(text, ' ')), 6) AS short_word_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_pii_mask" ->
+      s"""WITH enr AS (
+         |  SELECT doc_id, $sqlPiiEnrich AS etext FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(etext,
+         |    '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(etext, '$urlRe')) AS BIGINT) AS n_urls,
+         |  regexp_replace(regexp_replace(etext, '$urlRe', '<URL>', 'g'),
+         |    '$emailRe', '<EMAIL>', 'g') AS masked
+         |FROM enr ORDER BY doc_id""".stripMargin,
     "text_top_word" ->
       """WITH ex AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

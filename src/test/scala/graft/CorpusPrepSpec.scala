@@ -19,9 +19,15 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(outIds.nonEmpty && outIds.subsetOf(langIds))
     assert(outIds.size < langIds.size, "quality/near-dup stages dropped nothing")
     // schema contract: the columns downstream tokenization needs
-    assert(out.columns.toSeq == Seq("doc_id", "n_chars", "n_tokens", "lang_pred"))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_chars", "n_tokens", "n_pii", "lang_pred"))
     // token counts are positive for surviving (>= minWords) docs
     assert(out.filter(col("n_tokens") <= 0).count() == 0)
+    // the PII scrub stage does observable work: planted PII on every
+    // third doc_id ⇒ n_pii = 2 there (one email + one URL), 0 elsewhere
+    assert(out.filter(col("doc_id") % 3 === 0 && col("n_pii") =!= 2).count() == 0)
+    assert(out.filter(col("doc_id") % 3 =!= 0 && col("n_pii") =!= 0).count() == 0)
+    assert(out.filter(col("n_pii") === 2).count() > 0, "no PII-carrying survivor")
   }
 
   test("a planted near-duplicate inside the quality-passing subset is dropped " +

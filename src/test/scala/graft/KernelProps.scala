@@ -128,6 +128,30 @@ object KernelProps extends Properties("graft.kernels") {
         java.lang.Double.doubleToLongBits(want)
     }
 
+  // the text_quality_gopher short-word count is computed as the
+  // COMPLEMENT of a long-word regex (Text.scala): this pins the identity
+  // `n_words - matches("(?:^| )[^ ]{3,}") == count(words with len < 3)`
+  // on adversarial strings — every split word is preceded by start-of-
+  // string or its own separator space (each match consumes only ITS
+  // word's leading space, never the next word's), so the identity holds
+  // even with repeated/leading/trailing spaces and empty tokens.
+  property("gopher complement identity: words minus long-word regex matches " +
+      "equals the short-word count") = {
+    val spacey = Gen.chooseNum(0, 40).flatMap { n =>
+      Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.alphaNumChar, 3 -> Gen.const(' '), 1 -> Gen.oneOf('中', 'ß', 'é')
+      )).map(_.mkString)
+    }
+    val longRe = java.util.regex.Pattern.compile("(?:^| )[^ ]{3,}")
+    forAll(spacey) { s =>
+      val words = s.split(" ", -1)
+      val m = longRe.matcher(s)
+      var longCount = 0
+      while (m.find()) longCount += 1
+      words.length - longCount == words.count(_.length < 3)
+    }
+  }
+
   property("progress line always carries two fixed-format numbers") =
     forAll(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 1000L),
       Gen.chooseNum(0.0, 1e6)) { (up, extra, rate) =>

@@ -158,25 +158,39 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("IVF-routed embedding dedup: candidates below all-pairs, every routed " +
-      "drop is a true drop, and the route does real work") {
+      "drop is a true drop at any (nlist, memberships) setting, and the " +
+      "route does real work") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val n = emb.count()
     val allPairs = n * (n - 1) / 2
-    val cents = Similarity.ivfCentroids(emb, nlist = 16, iters = 0)
-    // candidate mass: pairs sharing one of the 2 nearest lists
     val all = emb.select("vec_id").as[Long].collect().toSet
     val exact = Similarity.embeddingDedupSurvivors(emb, 0.35, blocks = 8)
       .select("vec_id").as[Long].collect().toSet
-    val routed = Similarity
-      .embeddingDedupIvfSurvivors(emb, 0.35, cents, memberships = 2)
+    // the routed-drop-is-true-drop property must hold at ANY dial setting
+    // (candidates are verified exactly, so routing can only MISS drops) —
+    // including the registered default (16, 2) and a coarser/finer pair.
+    for ((nlist, m) <- Seq((16, 2), (8, 3), (32, 1))) {
+      val cents = Similarity.ivfCentroids(emb, nlist = nlist, iters = 0)
+      val routed = Similarity
+        .embeddingDedupIvfSurvivors(emb, 0.35, cents, memberships = m)
+        .select("vec_id").as[Long].collect().toSet
+      assert(exact.subsetOf(routed),
+        s"IVF routing dropped a non-duplicate at nlist=$nlist m=$m")
+      val cands = Similarity.ivfDedupCandidates(emb, cents, m).count()
+      // the cluster route prunes — but only where the dial is sized for
+      // the corpus: expected mass ≈ m²·n²/nlist, so demand real pruning
+      // when that predicts under half of all-pairs ((8,3) is a
+      // deliberately mis-sized setting kept for the subset property)
+      if (2 * m * m < nlist)
+        assert(cands * 2 < allPairs,
+          s"nlist=$nlist m=$m cands=$cands allPairs=$allPairs")
+      assert(cands <= allPairs, s"nlist=$nlist m=$m cands=$cands")
+    }
+    // non-degenerate at the registered default: the route drops something
+    val routedDefault = Similarity.embeddingDedupIvfSurvivors(emb, 0.35,
+        Similarity.ivfCentroids(emb, nlist = 16, iters = 0), memberships = 2)
       .select("vec_id").as[Long].collect().toSet
-    // candidates are verified exactly, so routing can only MISS drops:
-    assert(exact.subsetOf(routed), "IVF routing dropped a non-duplicate")
-    assert(routed != all, "IVF routing dropped nothing at sf0.001")
-    // and the cluster route prunes: with 16 lists and 2 memberships the
-    // candidate mass must sit well under all-pairs
-    val cands = Similarity.ivfDedupCandidates(emb, cents, 2).count()
-    assert(cands * 2 < allPairs, s"cands=$cands allPairs=$allPairs")
+    assert(routedDefault != all, "IVF routing dropped nothing at sf0.001")
   }
 
   test("at production thresholds (cos >= 0.9) LSH routing recovers the true " +

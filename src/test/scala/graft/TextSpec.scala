@@ -50,33 +50,68 @@ class TextSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("pii mask redacts every planted email/URL, counts them, and leaves " +
+      "unplanted docs untouched") {
+    val out = SparkEntry.queries("text_pii_mask")(spark, TestSpark.sf0001)
+    // nothing PII-shaped survives the mask
+    assert(out.filter(col("masked").rlike(Text.emailRe)).count() == 0)
+    assert(out.filter(col("masked").rlike(Text.urlRe)).count() == 0)
+    // planted docs (every third id): exactly one email + one URL, both
+    // redaction tokens present; all other docs untouched
+    val planted = out.filter(col("doc_id") % 3 === 0)
+    assert(planted.count() > 0)
+    assert(planted.filter(col("n_emails") =!= 1 || col("n_urls") =!= 1)
+      .count() == 0)
+    assert(planted.filter(!col("masked").contains("<EMAIL>") ||
+      !col("masked").contains("<URL>")).count() == 0)
+    assert(out.filter(col("doc_id") % 3 =!= 0 &&
+      (col("n_emails") =!= 0 || col("n_urls") =!= 0)).count() == 0)
+    // idempotence: masking already-masked text is a no-op
+    val twice = out.select(col("masked"),
+      Text.piiMask(col("masked")).as("again"))
+    assert(twice.filter(col("masked") =!= col("again")).count() == 0)
+  }
+
+  // Both recount tests fetch EXACTLY the documents behind the sampled
+  // query rows (an independent .limit() scan could return a disjoint
+  // subset, making the check vacuous) and assert the checked-row count.
   test("gopher quality signals agree with a direct per-row recount") {
     val rows = SparkEntry.queries("text_quality_gopher")(spark, TestSpark.sf0001)
       .limit(50).collect()
+    assert(rows.length == 50)
+    val ids = rows.map(_.getLong(0))
     val texts = Tables.documents(spark, TestSpark.sf0001)
-      .select("doc_id", "text").limit(50)
+      .select("doc_id", "text").filter(col("doc_id").isin(ids: _*))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    for (r <- rows if texts.contains(r.getLong(0))) {
+    var checked = 0
+    for (r <- rows) {
       val words = texts(r.getLong(0)).split(" ", -1)
       val mean = words.map(_.length).sum.toDouble / words.length
       val short = words.count(_.length < 3).toDouble / words.length
       assert(math.abs(r.getDouble(2) - mean) < 1e-6, s"doc ${r.getLong(0)} mean")
       assert(math.abs(r.getDouble(3) - short) < 1e-6, s"doc ${r.getLong(0)} short")
+      checked += 1
     }
+    assert(checked == 50)
   }
 
   test("top word is the max-count word with the deterministic tie-break") {
     val rows = SparkEntry.queries("text_top_word")(spark, TestSpark.sf0001)
       .limit(30).collect()
+    assert(rows.length == 30)
+    val ids = rows.map(_.getLong(0))
     val texts = Tables.documents(spark, TestSpark.sf0001)
-      .select("doc_id", "text").limit(30)
+      .select("doc_id", "text").filter(col("doc_id").isin(ids: _*))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    for (r <- rows if texts.contains(r.getLong(0))) {
+    var checked = 0
+    for (r <- rows) {
       val counts = texts(r.getLong(0)).split(" ", -1).filter(_.nonEmpty)
         .groupBy(identity).view.mapValues(_.length).toMap
       val expect = counts.toSeq.sortBy { case (w, n) => (-n, w) }.head
       assert(r.getString(1) == expect._1 && r.getLong(2) == expect._2,
         s"doc ${r.getLong(0)}")
+      checked += 1
     }
+    assert(checked == 30)
   }
 }
