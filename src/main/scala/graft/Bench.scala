@@ -77,7 +77,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows the run for isolating one
+    // query's steady-state time (diagnostics; the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = scala.collection.mutable.Buffer[String]()
 
     // (2) untimed build pass — first-run times recorded separately

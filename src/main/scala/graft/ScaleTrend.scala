@@ -71,6 +71,16 @@ object ScaleTrend {
       // candidate pairs vs the n·(n-1)/2 the exact blocked-cartesian touches
       val embDedupCands = graft.ops.Similarity.lshDedupCandidates(emb).count()
       val embAllPairs = nEmb * (nEmb - 1) / 2
+      // IVF-routed embedding dedup (dedup_embedding_ivf): candidate mass
+      // Σ|list|² at the registered fixed default nlist=16 vs nlist=128 —
+      // the production rule is nlist ∝ √n (Similarity.ivfDedupCandidates
+      // doc); the pair quantifies what the fixed dial costs at 10× and
+      // what growing it buys. memberships=2 for both (the gated default).
+      def ivfCands(nlist: Int): Long = graft.ops.Similarity
+        .ivfDedupCandidates(emb,
+          graft.ops.Similarity.ivfCentroids(emb, nlist, 0), 2).count()
+      val ivfCands16 = ivfCands(16)
+      val ivfCands128 = ivfCands(128)
       // SimHash block-routing: candidate pairs sharing >= 1 bit block
       // (the pre-verify join size) vs all-pairs — both geometries, showing
       // what widening blocks buys on a template-heavy corpus.
@@ -87,6 +97,10 @@ object ScaleTrend {
       val tLsh = time(graft.ops.Similarity.queries("sim_ann_lsh")(spark, sf))
       val tEmbLsh = time(
         graft.ops.Similarity.queries("dedup_embedding_lsh")(spark, sf))
+      val tEmbIvf16 = time(graft.ops.Similarity.embeddingDedupIvfSurvivors(
+        emb, 0.35, graft.ops.Similarity.ivfCentroids(emb, 16, 0), 2))
+      val tEmbIvf128 = time(graft.ops.Similarity.embeddingDedupIvfSurvivors(
+        emb, 0.35, graft.ops.Similarity.ivfCentroids(emb, 128, 0), 2))
       val tIvfSeeded = time(
         graft.ops.Similarity.queries("sim_ann_ivf_seeded")(spark, sf))
       // the synth decade dir carries only documents+embeddings
@@ -107,6 +121,10 @@ object ScaleTrend {
         s""""dedup_cand_pairs":$dedupCands,"dedup_all_pairs":$allPairs,""" +
         s""""lsh_cand_pairs":$lshCands,"brute_cand_pairs":$bruteCands,""" +
         s""""emb_dedup_cand_pairs":$embDedupCands,"emb_all_pairs":$embAllPairs,""" +
+        s""""emb_ivf_cand_pairs_16":$ivfCands16,""" +
+        s""""emb_ivf_cand_pairs_128":$ivfCands128,""" +
+        s""""t_dedup_embedding_ivf_16":${r3(tEmbIvf16)},""" +
+        s""""t_dedup_embedding_ivf_128":${r3(tEmbIvf128)},""" +
         s""""simhash_block_cand_pairs":$shCands,""" +
         s""""simhash_block_cand_pairs_wide":$shCandsWide,""" +
         s""""n_clusters":$nClusters,"cc_rounds":$ccRounds,""" +

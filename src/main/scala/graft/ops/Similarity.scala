@@ -453,7 +453,18 @@ object Similarity {
     "dedup_embedding_ivf" -> ((s, d) =>
       embeddingDedupIvfSurvivors(Tables.embeddings(s, d), 0.35,
         trainedCentroids(s, d, ivfDedupNlist, 0),
-        memberships = ivfDedupMemberships))
+        memberships = ivfDedupMemberships)),
+    // the PRODUCTION sizing rule (SCALE_r05: nlist ∝ √n balances the
+    // O(n·nlist) assignment term against the O(m²n²/nlist) verify term)
+    // as a gated key: nlist = max(16, ⌈√n⌉) is derived from the corpus
+    // count on BOTH engines, so the oracle replicates the dial itself —
+    // the registered pipeline re-sizes as the corpus grows, no env edit.
+    "dedup_embedding_ivf_auto" -> ((s, d) => {
+      val n = Tables.embeddings(s, d).count()
+      val nlist = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      embeddingDedupIvfSurvivors(Tables.embeddings(s, d), 0.35,
+        trainedCentroids(s, d, nlist, 0), memberships = 2)
+    })
   )
 
   /** Registered-key IVF-dedup dials, env-overridable so bench/scale runs
@@ -611,6 +622,43 @@ object Similarity {
         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, k DESC) AS rn
         |  FROM ac),
         |member AS (SELECT vec_id, k AS cluster FROM ranked_ac WHERE rn <= $ivfDedupMemberships),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM member a JOIN member b ON a.cluster = b.cluster
+        |  WHERE a.vec_id < b.vec_id),
+        |dropped AS (
+        |  SELECT DISTINCT cand.b_id AS vec_id
+        |  FROM cand JOIN e ea ON ea.vec_id = cand.a_id
+        |  JOIN e eb ON eb.vec_id = cand.b_id
+        |  WHERE list_inner_product(ea.emb, eb.emb) /
+        |        (sqrt(list_inner_product(ea.emb, ea.emb)) * sqrt(list_inner_product(eb.emb, eb.emb))) > 0.35)
+        |SELECT e.vec_id, e.label FROM e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY e.vec_id""".stripMargin,
+    // Same route as dedup_embedding_ivf, but the nlist dial itself is
+    // data-derived (max(16, ceil(sqrt(n))) — the SCALE_r05 production
+    // rule) and recomputed identically by the oracle, so the sizing rule
+    // is inside the hash gate, not just documentation.
+    "dedup_embedding_ivf_auto" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS nlist,
+        |             greatest(1, count(*) // greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS stride
+        |      FROM e),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k, emb AS ce
+        |  FROM (SELECT vec_id, emb FROM e
+        |        WHERE vec_id % (SELECT stride FROM p) = 0
+        |        ORDER BY vec_id LIMIT (SELECT nlist FROM p))),
+        |ac AS (
+        |  SELECT e.vec_id, c.k,
+        |         list_inner_product(e.emb, c.ce) /
+        |         (sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(c.ce, c.ce))) AS cos
+        |  FROM e CROSS JOIN cent c),
+        |ranked_ac AS (
+        |  SELECT vec_id, k,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, k DESC) AS rn
+        |  FROM ac),
+        |member AS (SELECT vec_id, k AS cluster FROM ranked_ac WHERE rn <= 2),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         |  FROM member a JOIN member b ON a.cluster = b.cluster

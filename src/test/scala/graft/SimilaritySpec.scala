@@ -193,6 +193,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(routedDefault != all, "IVF routing dropped nothing at sf0.001")
   }
 
+  test("auto-sized IVF dedup equals the manual route at nlist=max(16,ceil(sqrt(n)))") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val n = emb.count()
+    val nlist = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    assert(nlist != 16, "sf0.001 must exercise the sqrt branch, not the floor")
+    val auto = SparkEntry.queries("dedup_embedding_ivf_auto")(
+      spark, TestSpark.sf0001).collect().toSeq
+    val manual = Similarity.embeddingDedupIvfSurvivors(emb, 0.35,
+      Similarity.ivfCentroids(emb, nlist, 0), 2).orderBy("vec_id")
+      .collect().toSeq
+    assert(auto == manual)
+  }
+
   test("at production thresholds (cos >= 0.9) LSH routing recovers the true " +
       "drops: planted near-identical vectors are caught like the exact form") {
     // 800 random base vectors + 200 planted near-dups (source + 5% noise,
