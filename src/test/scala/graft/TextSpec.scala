@@ -70,6 +70,15 @@ class TextSpec extends AnyFunSuite {
     val twice = out.select(col("masked"),
       Text.piiMask(col("masked")).as("again"))
     assert(twice.filter(col("masked") =!= col("again")).count() == 0)
+    // plan shape: the scrub is map-only — the ONLY exchange is the final
+    // orderBy's range partitioning, and the whole compute is one Project
+    // directly over the parquet scan (a join/aggregate node or a second
+    // exchange would mean a shuffle crept into the hot path; the AQE
+    // pre-execution plan never shows codegen spans, so assert structure)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length <= 1, plan)
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
+    assert("(?s)Project.*\\n.*FileScan parquet".r.findFirstIn(plan).isDefined, plan)
   }
 
   // Both recount tests fetch EXACTLY the documents behind the sampled
