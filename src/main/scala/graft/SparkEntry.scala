@@ -43,7 +43,8 @@ object SparkEntry {
       Similarity.queries ++ EventWindows.queries ++ Fingerprints.queries ++
       Multimodal.queries ++ graft.sources.FsScan.queries ++ AsOf.queries ++
       Scale.queries ++ graft.sources.Jdbc.queries ++
-      graft.sources.FileFormats.queries ++ CorpusPrep.queries
+      graft.sources.FileFormats.queries ++ CorpusPrep.queries ++
+      Sampling.queries
 
   def oracleSql: Map[String, String] =
     manifestOracle ++ Relational.oracle ++ Relational.windowOracle ++
@@ -51,7 +52,8 @@ object SparkEntry {
       Similarity.oracle ++ EventWindows.oracle ++ Fingerprints.oracle ++
       Multimodal.oracle ++ graft.sources.FsScan.oracle ++ AsOf.oracle ++
       Scale.oracle ++ graft.sources.Jdbc.oracle ++
-      graft.sources.FileFormats.oracle ++ CorpusPrep.oracle
+      graft.sources.FileFormats.oracle ++ CorpusPrep.oracle ++
+      Sampling.oracle
 
   // ----- §2.1/2.2/2.3 (partial)/2.4 (partial)/2.6/2.7/2.10: manifest core
 

@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Deterministic corpus-sampling operators — the curation stages a
+  * training-data pipeline runs after quality filtering and dedup
+  * (builder north star; the reference itself has no sampling surface,
+  * so these are EXT keys like the dedup/similarity layer).
+  *
+  * Why not `df.sample()`: Spark's sampler is seeded per-partition, so
+  * the kept set changes whenever partitioning changes (new file split,
+  * AQE, repartition) — useless for a reproducible 100 TB corpus cut.
+  * Every operator here instead derives a uniform from a cryptographic
+  * hash of the ROW (md5 over a salt + stable id), so the decision is a
+  * pure map-side function of the data: re-runs, re-partitions and both
+  * engines agree row-for-row, and sampling composes with resume (a
+  * re-run after failure keeps exactly the same rows).
+  *
+  * Uniform construction: `md5(salt || id)` is 128 uniform bits as hex.
+  *   - Fixed rates compare the hex STRING against a constant threshold
+  *     (lowercase-hex lexicographic == numeric; zero float arithmetic).
+  *   - Computed rates parse the first 15 hex chars (60 bits, exact in
+  *     a long; 2^60 is a power of two so the /2^60 scaling is lossless
+  *     in double) and compare the resulting uniform in [0,1) to the
+  *     rate — the same IEEE ops DuckDB runs, so the oracle matches.
+  *
+  * At 100 TB: `sample_hash` / `sample_stratified` are pure map-side
+  * filters (no shuffle, no state); `sample_mix_equalize` adds one tiny
+  * per-source count aggregate broadcast back; `sample_budget_pack` is
+  * the distributed prefix-sum pattern (see its comment).
+  */
+object Sampling {
+
+  /** 128-bit row hash as lowercase hex — the sampling uniform. */
+  private def rowHex(salt: String, id: Column): Column =
+    md5(concat(lit(salt), id.cast("string")))
+
+  /** First 60 hash bits as an exact uniform double in [0,1). */
+  private def rowUniform(salt: String, id: Column): Column =
+    conv(substring(rowHex(salt, id), 1, 15), 16, 10)
+      .cast("long").cast("double") / pow2_60
+
+  private val pow2_60 = 1152921504606846976.0 // 2^60, exact in double
+
+  /** Hex thresholds: first nibble n keeps n/16 of the mass. */
+  private def thr(firstNibbles: String): String =
+    firstNibbles + "0" * (32 - firstNibbles.length)
+
+  // Per-language stratified rates: halve the dominant language, keep
+  // the rest — the usual rebalancing cut. zh is upsampled-by-not-cutting
+  // (deterministic sampling can only thin; >1 rates need replication,
+  // which is sample_mix_equalize's job to avoid).
+  private val langThr: Seq[(String, String)] = Seq(
+    "en" -> thr("8"), // 50 %
+    "de" -> thr("c"), // 75 %
+    "es" -> thr("c"),
+    "fr" -> thr("c"),
+    "zh" -> thr("g")) // 'g' > any hex char: keep all
+
+  private[ops] def stratThreshold(lang: Column): Column =
+    langThr.tail.foldLeft(when(lang === langThr.head._1, langThr.head._2)) {
+      case (acc, (l, t)) => acc.when(lang === l, t)
+    }.otherwise(thr("4")) // unknown languages: 25 %
+
+  /** Greedy token-budget pack: walk docs in priority order (longest
+    * first — stand-in for any per-doc quality score), keep while the
+    * running token total stays within budget. The running sum is the
+    * classic DISTRIBUTED PREFIX SUM, not one global window (a single
+    * `Window.orderBy` with no partition is a one-partition sort — the
+    * canonical 100 TB scale-killer):
+    *   1. bucket rows by equal-frequency ranges of the sort key
+    *      (approxQuantile splits — bucketing only affects partitioning,
+    *      never the result, so the sketch's inexactness is harmless);
+    *   2. per-bucket token totals (tiny: `buckets` rows) get a window
+    *      cumsum to become per-bucket OFFSETS — the only global window,
+    *      over O(buckets) rows;
+    *   3. each row's exact prefix sum = its bucket's offset + a window
+    *      cumsum PARTITIONED by bucket (parallel across buckets).
+    * At 100 TB, pick buckets ~ sqrt(n) so both levels stay bounded; the
+    * `buckets` parameter is that dial.
+    */
+  def budgetPack(docs: DataFrame, budget: Long, buckets: Int): DataFrame = {
+    val toks = Text.tokenCount(col("text")).cast("long")
+    val base = docs.select(col("doc_id"), col("n_chars"), toks.as("n_tokens"))
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val splits = base.stat.approxQuantile("n_chars", probes, 0.001)
+      .distinct.sorted
+    // monotone in the sort key ⇒ (bkt desc, n_chars desc) == n_chars desc
+    val bkt = splits.foldLeft(lit(0)) { (acc, s) =>
+      acc + when(col("n_chars") >= lit(s), 1).otherwise(0)
+    }
+    val rows = base.withColumn("bkt", bkt)
+    val offsets = rows.groupBy(col("bkt"))
+      .agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(
+        Window.orderBy(col("bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val inBkt = Window.partitionBy(col("bkt"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.join(broadcast(offsets), "bkt")
+      .withColumn("cum_tokens", col("off") + sum(col("n_tokens")).over(inBkt))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Equalize the language mix: thin every language to the rarest
+    * language's volume, deterministically — the standard rebalancing
+    * cut before training (the corpus' sources are uniform by
+    * construction, so `lang` is the skewed mixing axis). One tiny count
+    * aggregate (|langs| rows) broadcast back onto the corpus; the
+    * accept test is the 60-bit uniform against p = min_count / count.
+    */
+  def mixEqualize(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min(col("n_lang")).as("mn"))
+    val rates = broadcast(
+      counts.crossJoin(broadcast(minN))
+        .select(col("lang"), col("n_lang"),
+          (col("mn").cast("double") / col("n_lang")).as("p_keep")))
+    docs.join(rates, "lang")
+      .filter(rowUniform("mix1:", col("doc_id")) < col("p_keep"))
+      .select(col("doc_id"), col("lang"), col("n_lang"),
+        round(col("p_keep"), 6).as("p_keep"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // uniform 25 % cut — one codegen'd map-side predicate, no shuffle.
+    "sample_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(rowHex("s1:", col("doc_id")) < lit(thr("4")))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+    // per-language rates — still one map-side predicate; the CASE chain
+    // folds into the same codegen stage as the scan filter.
+    "sample_stratified" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(rowHex("s2:", col("doc_id")) < stratThreshold(col("lang")))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+    "sample_mix_equalize" -> ((s, d) => mixEqualize(Tables.documents(s, d))),
+    "sample_budget_pack" -> ((s, d) =>
+      budgetPack(Tables.documents(s, d), budget = 12000L, buckets = 16))
+  )
+
+  private val tokRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  private def sqlU60(salt: String) =
+    s"""CAST(CAST(concat('0x', substr(md5(concat('$salt',
+       |  CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+       |  / 1152921504606846976.0""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "sample_hash" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE md5(concat('s1:', CAST(doc_id AS VARCHAR))) < '${thr("4")}'
+         |ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE md5(concat('s2:', CAST(doc_id AS VARCHAR))) <
+         |  CASE lang WHEN 'en' THEN '${thr("8")}'
+         |            WHEN 'de' THEN '${thr("c")}'
+         |            WHEN 'es' THEN '${thr("c")}'
+         |            WHEN 'fr' THEN '${thr("c")}'
+         |            WHEN 'zh' THEN '${thr("g")}'
+         |            ELSE '${thr("4")}' END
+         |ORDER BY doc_id""".stripMargin,
+    "sample_mix_equalize" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+         |m AS (SELECT min(n_lang) AS mn FROM c)
+         |SELECT d.doc_id, d.lang, c.n_lang,
+         |       round(CAST(m.mn AS DOUBLE) / c.n_lang, 6) AS p_keep
+         |FROM documents d JOIN c USING (lang) CROSS JOIN m
+         |WHERE ${sqlU60("mix1:")} < CAST(m.mn AS DOUBLE) / c.n_lang
+         |ORDER BY doc_id""".stripMargin,
+    // single global window — semantically identical to the two-level
+    // prefix sum (the Spark side must never depend on its bucketing).
+    "sample_budget_pack" ->
+      s"""SELECT doc_id, n_tokens, cum_tokens FROM (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$tokRe')) AS BIGINT) AS n_tokens,
+         |    CAST(sum(len(regexp_extract_all(text, '$tokRe')))
+         |      OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens
+         |  FROM documents)
+         |WHERE cum_tokens <= 12000 ORDER BY doc_id""".stripMargin
+  )
+}

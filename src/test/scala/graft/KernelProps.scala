@@ -111,6 +111,34 @@ object KernelProps extends Properties("graft.kernels") {
       SimHash.computeRolling(UTF8String.fromString(s), bits) == want
     }
 
+  // The Gopher short-word signal counts words of <3 chars via the
+  // complement: n_words - regexp_count(text, "(?:^| )[^ ]{3,}"). That
+  // equivalence silently assumes the corpus' single-space tokenization
+  // (no leading / trailing / doubled spaces) — pin it explicitly on
+  // adversarial token lists joined under exactly that assumption, along
+  // with the mean-word-length arithmetic (sum(len) == len(text)-(n-1))
+  // the same query relies on. Spark's regexp_count runs on
+  // java.util.regex, which is what Matcher.find() exercises here.
+  private val tokenGen: Gen[String] = Gen.chooseNum(1, 7).flatMap { n =>
+    Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      1 -> Gen.oneOf('中', 'ß', 'é', '.', ',', '!', '-', '\t')
+    )).map(_.mkString)
+  }
+
+  property("gopher complement identity: n - longWordMatches == #(len<3) " +
+      "and len(text)-(n-1) == sum(word lengths), single-space join") =
+    forAll(Gen.chooseNum(0, 40).flatMap(Gen.listOfN(_, tokenGen))) { toks =>
+      val text = toks.mkString(" ")
+      val wordsArr = text.split(" ", -1) // "" → one empty token, as in words()
+      val n = wordsArr.length
+      val m = java.util.regex.Pattern.compile("(?:^| )[^ ]{3,}").matcher(text)
+      var longWords = 0
+      while (m.find()) longWords += 1
+      (n - longWords) == wordsArr.count(_.length < 3) &&
+        (text.length - (n - 1)) == wordsArr.map(_.length).sum
+    }
+
   property("dot_product kernel equals the index-order fold bit-identically") =
     forAll(Gen.chooseNum(0, 32).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(-1e3, 1e3)))) { xs =>

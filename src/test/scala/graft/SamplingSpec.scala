@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{Sampling, Text}
+import graft.model.Tables
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, TestSpark.sf0001)
+
+  test("sample_hash is deterministic across runs and partitionings, " +
+      "keeps roughly its rate, and is map-only") {
+    val q = Sampling.queries("sample_hash")
+    val a = q(spark, TestSpark.sf0001).collect().map(_.getLong(0)).toSeq
+    val b = q(spark, TestSpark.sf0001).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    // repartitioning the input must not change the kept set — the whole
+    // point vs df.sample(); recompute the predicate over a 7-way shuffle.
+    val shuffled = docs.repartition(7)
+      .filter(md5(concat(lit("s1:"), col("doc_id").cast("string")))
+        < lit("4" + "0" * 31))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shuffled == a.toSet)
+    val n = docs.count()
+    assert(math.abs(a.size.toDouble / n - 0.25) < 0.10, s"${a.size}/$n")
+    // map-only: the only exchange is the final presentation ORDER BY.
+    val plan = q(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length <= 1, plan)
+  }
+
+  test("sample_stratified keeps all zh rows, halves en, and stays a " +
+      "subset of the corpus") {
+    val kept = Sampling.queries("sample_stratified")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptByLang = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(keptByLang.getOrElse("zh", 0) == byLang("zh")) // 'g' threshold
+    val enRate = keptByLang.getOrElse("en", 0).toDouble / byLang("en")
+    assert(math.abs(enRate - 0.5) < 0.15, s"en rate $enRate")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.map(_._1).forall(ids))
+  }
+
+  test("sample_mix_equalize keeps the rarest language fully and thins " +
+      "the rest toward its volume") {
+    val out = Sampling.queries("sample_mix_equalize")(spark, TestSpark.sf0001)
+      .collect()
+    val langCounts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = langCounts.values.min
+    val keptByLang = out.groupBy(_.getString(1)).view.mapValues(_.size).toMap
+    // p = 1 for every argmin language ⇒ kept count == its full count
+    langCounts.filter(_._2 == minN).keys.foreach { l =>
+      assert(keptByLang.getOrElse(l, 0).toLong == minN, s"lang $l")
+    }
+    // every language's kept volume is ≤ its original and the expectation
+    // is minN; allow binomial slack on the small sf0.001 corpus.
+    keptByLang.foreach { case (l, k) =>
+      assert(k <= langCounts(l))
+      assert(math.abs(k - minN.toDouble) <= math.max(4.0, 3 * math.sqrt(minN.toDouble)),
+        s"lang $l kept $k vs target $minN")
+    }
+    // the cut must actually thin something on this corpus (en is ~40%)
+    assert(out.length < docs.count())
+  }
+
+  test("budget pack: two-level prefix sum equals one global window, the " +
+      "kept set is maximal, and the offsets join broadcasts") {
+    val out = Sampling.queries("sample_budget_pack")(spark, TestSpark.sf0001)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference: single global window (what the DuckDB oracle runs)
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs
+      .select(col("doc_id"), col("n_chars"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val want = ref.filter(col("cum_tokens") <= 12000L)
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+    // maximal greedy prefix: every kept row is within budget and the
+    // first excluded row (in pack order) would overshoot.
+    assert(got.forall(_._3 <= 12000L))
+    val firstExcluded = ref.filter(col("cum_tokens") > 12000L)
+      .orderBy(col("cum_tokens")).limit(1)
+      .collect().headOption.map(_.getAs[Long]("cum_tokens"))
+    firstExcluded.foreach(c => assert(c > 12000L))
+    // scale shape: the per-bucket offsets attach via broadcast, and no
+    // single-partition global sort of the full corpus appears before
+    // the final presentation ORDER BY.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    // bucketing must never change the result: rerun with a different
+    // bucket count and compare exactly.
+    val alt = Sampling.budgetPack(docs, 12000L, buckets = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(alt.toSeq == got.toSeq)
+  }
+
+  test("60-bit uniform parity: Spark conv-path equals the direct " +
+      "BigInteger parse of the md5 prefix") {
+    // pins the exactness claim the mix oracle relies on: first 15 hex
+    // chars parse to the same long in [0, 2^60), never negative.
+    val rows = docs.limit(64)
+      .select(col("doc_id"),
+        md5(concat(lit("mix1:"), col("doc_id").cast("string"))).as("h"),
+        conv(substring(md5(concat(lit("mix1:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("u"))
+      .collect()
+    rows.foreach { r =>
+      val want = new java.math.BigInteger(r.getString(1).take(15), 16).longValueExact()
+      assert(r.getLong(2) == want && want >= 0 && want < (1L << 60))
+    }
+  }
+}
