@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Corpus term statistics — TF-IDF keyterm extraction and unigram
+  * language-model scoring (builder north star: text analysis / quality
+  * scoring for an LLM-data pipeline; EXT keys, the reference has no
+  * text surface).
+  *
+  * Shape at 100 TB: both operators are explode → keyed aggregate
+  * pipelines. The (doc_id, word) and (word) aggregates shuffle their
+  * keys with map-side partial aggregation (word counts combine before
+  * the exchange, so the shuffle carries the *distinct* vocabulary per
+  * partition, not the token stream). The vocabulary table joins back by
+  * word — an equi-join AQE broadcasts when the vocab is small and
+  * sort-merges when it isn't; nothing here collects to the driver.
+  *
+  * Float discipline (oracle parity): per-row scores are products /
+  * single ln() calls — deterministic given the inputs — and rounded to
+  * 6 dp on both engines. Per-doc score SUMS are reassociation-noisy
+  * (~1e-13 relative), far below the 6 dp rounding, so hashes match.
+  * Ranking never compares raw doubles: the window orders by the
+  * ROUNDED score (ties then by word), so both engines rank identically
+  * even where their libm ln() differs in the last ulp.
+  */
+object TermStats {
+
+  /** (doc_id, word) token stream — empty tokens dropped. */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(Text.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+
+  /** Top-k terms per document by tf·idf, idf = ln(N / df). */
+  def tfidfTop(docs: DataFrame, k: Int): DataFrame = {
+    val toks = tokens(docs)
+    val tf = toks.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("word"), col("tf"),
+        col("df"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Per-document mean unigram log-probability under the corpus MLE —
+    * the cheap "perplexity-lite" quality score (low = off-distribution
+    * text). p(w) = corpus_count(w) / total_tokens.
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = tokens(docs)
+    val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val scoredTokens = toks.join(freq, "word")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(col("cnt").cast("double") / col("total")).as("lp"))
+    scoredTokens.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_top" -> ((s, d) => tfidfTop(Tables.documents(s, d), 3)),
+    "text_unigram_logprob" -> ((s, d) => unigramLogprob(Tables.documents(s, d)))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "text_tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM toks
+        |  WHERE length(word) > 0 GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word, CAST(tf.tf AS BIGINT) AS tf, dfreq.df,
+        |         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS score
+        |  FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, word, tf, df, score FROM ranked
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tok AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+        |freq AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |       round(sum(ln(CAST(freq.cnt AS DOUBLE) / tot.total)) / count(*), 6)
+        |         AS avg_logprob
+        |FROM tok JOIN freq USING (word) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

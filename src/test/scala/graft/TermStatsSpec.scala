@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.TermStats
+import graft.model.Tables
+
+class TermStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tfidf on a hand-built corpus: shared word scores 0, rare word wins") {
+    // 4 docs; "common" appears in all (idf = ln(1) = 0), "rare" in one.
+    val docs = Seq(
+      (1L, "common rare rare alpha"),
+      (2L, "common alpha beta"),
+      (3L, "common beta beta gamma"),
+      (4L, "common gamma")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val top = TermStats.tfidfTop(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getDouble(5)))
+      .toMap
+    // doc 1's winner is "rare": tf=2, df=1, score = 2·ln(4)
+    assert(top((1L, 1L))._1 == "rare")
+    assert(math.abs(top((1L, 1L))._2 - 2 * math.log(4.0)) < 1e-6)
+    // "common" scores exactly 0 everywhere it appears in the output
+    top.values.filter(_._1 == "common").foreach(v => assert(v._2 == 0.0))
+    // every doc got at most k=2 rows, ranks are 1-based and contiguous
+    top.keys.groupBy(_._1).values.foreach { ks =>
+      assert(ks.map(_._2).toSeq.sorted == (1L to ks.size).toSeq)
+    }
+  }
+
+  test("unigram logprob on a hand-built corpus matches the closed form " +
+      "and orders uniform text above rare text") {
+    // vocab: a ×6, b ×2 over 8 tokens → p(a)=3/4, p(b)=1/4
+    val docs = Seq(
+      (1L, "a a a a"),   // avg lp = ln(3/4)
+      (2L, "a a b b")    // avg lp = (2·ln(3/4) + 2·ln(1/4)) / 4
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val got = TermStats.unigramLogprob(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 4L && got(2L)._1 == 4L)
+    assert(math.abs(got(1L)._2 - math.log(0.75)) < 1e-6)
+    assert(math.abs(got(2L)._2 - (2 * math.log(0.75) + 2 * math.log(0.25)) / 4) < 1e-6)
+    assert(got(1L)._2 > got(2L)._2) // common-word text scores higher
+  }
+
+  test("corpus invariants at sf0.001: ranks dense per doc, logprob " +
+      "strictly negative and finite, every doc with words covered") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val top = TermStats.queries("text_tfidf_top")(spark, TestSpark.sf0001)
+    val perDoc = top.groupBy("doc_id").agg(
+        count(lit(1)).as("k"), max(col("rnk")).as("mx"), min(col("rnk")).as("mn"))
+      .collect()
+    perDoc.foreach { r =>
+      assert(r.getAs[Long]("mn") == 1L && r.getAs[Long]("mx") == r.getAs[Long]("k"))
+      assert(r.getAs[Long]("k") <= 3L)
+    }
+    val lp = TermStats.queries("text_unigram_logprob")(spark, TestSpark.sf0001)
+      .collect()
+    assert(lp.length == docs.filter(length(col("text")) > 0).count())
+    lp.foreach { r =>
+      val v = r.getDouble(2)
+      assert(v < 0.0 && !v.isNaN && !v.isInfinite, r)
+    }
+  }
+}
