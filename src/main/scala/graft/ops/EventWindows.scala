@@ -115,6 +115,30 @@ object EventWindows {
       .select(col("window.start").as("w_start"), col("n"))
   }
 
+  /** Purchase→click attribution within a lookback window — the batch
+    * twin of a stream-stream INTERVAL JOIN (two watermarked streams
+    * joined on user_id with a time-bound condition; StreamsSpec runs
+    * the live form on the same data and asserts equality). Shape at
+    * 100 TB: an equi-join keyed on user_id — both sides shuffle (or
+    * co-partition from the source) by key, never a cartesian; the time
+    * bound lives IN the join condition, which is what lets the stream
+    * engine bound its state to `lookback` worth of clicks per key
+    * instead of the whole history. */
+  def intervalJoin(events: DataFrame, lookbackHours: Int = 6): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackHours HOURS") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"),
+        col("c_ts"))
+      .orderBy("p_id", "c_id")
+  }
+
   /** Per-user session windows with a 30-minute gap; end = last event +
     * gap, exactly Spark's session_window semantics. */
   def sessions(events: DataFrame): DataFrame =
@@ -140,7 +164,9 @@ object EventWindows {
     // batch twin of the watermark late-drop (arrival order = event_id;
     // running-max watermark - 10 min; survivors per 5 s window).
     "stream_watermark_late" -> ((s, d) =>
-      watermarkLateSurvivors(Tables.events(s, d)).orderBy("w_start"))
+      watermarkLateSurvivors(Tables.events(s, d)).orderBy("w_start")),
+    "stream_interval_join" -> ((s, d) =>
+      intervalJoin(Tables.events(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -193,6 +219,14 @@ object EventWindows {
         |  SELECT ts FROM wm
         |  WHERE w IS NULL OR ts >= w - INTERVAL '10 minutes')
         |SELECT time_bucket(INTERVAL '5 seconds', ts) AS w_start, count(*) AS n
-        |FROM keep GROUP BY 1 ORDER BY w_start""".stripMargin
+        |FROM keep GROUP BY 1 ORDER BY w_start""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+        |       c.event_id AS c_id, c.ts AS c_ts
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts < p.ts
+        |ORDER BY p_id, c_id""".stripMargin
   )
 }

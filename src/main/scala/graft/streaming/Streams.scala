@@ -68,6 +68,28 @@ object Streams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Live stream-stream interval join — the streaming form of
+    * [[graft.ops.EventWindows.intervalJoin]] (purchase→click
+    * attribution). Both sides carry a watermark ≥ the lookback so the
+    * engine can evict click state older than the bound and finalize
+    * inner-join results; the time bound is IN the join condition, which
+    * is what makes the state bounded. */
+  def intervalJoinStream(events: DataFrame, lookbackHours: Int = 6): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", s"$lookbackHours hours")
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", s"$lookbackHours hours")
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackHours HOURS") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"),
+        col("c_ts"))
+  }
+
   /** Custom state: running per-user event count + last-seen timestamp —
     * the `Value` counters of bulkupload.py:409-416 as keyed state. */
   final case class UserStat(userId: Long, n: Long, lastTs: java.sql.Timestamp)

@@ -69,6 +69,27 @@ class StreamsSpec extends AnyFunSuite {
     assert(preAgg == single)
   }
 
+  test("stream-stream interval join equals the batch (oracle-checked) twin") {
+    val stream = Streams.intervalJoinStream(
+      Streams.eventsStream(spark, TestSpark.sf0001))
+    runToMemory(stream, "ivj_out")
+    val got = spark.table("ivj_out")
+      .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+    val want = EventWindows.intervalJoin(Tables.events(spark, TestSpark.sf0001))
+      .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+    // inner interval join: every emitted pair is a batch pair, and all
+    // pairs whose purchase is older than the watermark tail must have
+    // been emitted (AvailableNow never finalizes the final lookback).
+    assert(got.nonEmpty)
+    assert(got.subsetOf(want))
+    val maxTs = Tables.events(spark, TestSpark.sf0001)
+      .agg(max(col("ts")).cast("long")).as[Long].collect().head
+    val mustHave = EventWindows.intervalJoin(Tables.events(spark, TestSpark.sf0001))
+      .filter(col("p_ts").cast("long") < maxTs - 2 * 6 * 3600)
+      .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(mustHave.subsetOf(got))
+  }
+
   test("dropDuplicatesWithinWatermark removes duplicate event_ids") {
     val events = Tables.events(spark, TestSpark.sf0001).limit(100)
     val dir = Files.createTempDirectory("graft-dup").toString
