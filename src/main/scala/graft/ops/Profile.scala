@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Dataset profiling + partition-layout operators (EXT; builder north
+  * star "data management at 100 TB" — the reference's only profiling is
+  * its row-count progress report, prepareupload.py:49-60).
+  *
+  * - [[profileColumns]] is the one-pass `DESCRIBE`-style corpus audit:
+  *   per column, null count / distinct count / min / max. ONE scan of
+  *   the table computes every measure (the multi-distinct agg plans as
+  *   a single pass with Expand), then the 1×(4·k) row pivots to k rows
+  *   driver-free. At 100 TB the exact distinct counts are the expensive
+  *   part — swap `countDistinct` for `approx_count_distinct` when a
+  *   ±2 % answer is acceptable; the oracle pins the exact form.
+  * - [[queries]]' `sink_partitioned_prune` demonstrates the layout that
+  *   makes a 100 TB corpus queryable at all: write partitioned by a
+  *   low-cardinality column (`lang`), read back with a partition
+  *   predicate, and the scan must list only the matching directories
+  *   (PartitionFilters, asserted in ProfileSpec) — I/O proportional to
+  *   the selected partition, not the corpus.
+  */
+object Profile {
+
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  def profileColumns(docs: DataFrame): DataFrame = {
+    val aggs = docCols.flatMap { c =>
+      Seq((count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = docs.agg(aggs.head, aggs.tail: _*)
+    val structs = array(docCols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__min").as("min_val"),
+        col(s"${c}__max").as("max_val"))
+    }: _*)
+    one.select(explode(structs).as("p")).select("p.*").orderBy("col_name")
+  }
+
+  // one partitioned copy per (session, sfDir), cleaned up with the session
+  private val memo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
+
+  private[ops] def partitionedCopy(s: SparkSession, d: String): String =
+    memo.getOrElseUpdate((s, d), {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+      Tables.documents(s, d).write.mode("overwrite")
+        .partitionBy("lang").parquet(tmp)
+      SessionCleanup.onEnd(s) {
+        memo.remove((s, d))
+        SessionCleanup.deleteRecursively(tmp)
+      }
+      tmp
+    })
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_columns" -> ((s, d) => profileColumns(Tables.documents(s, d))),
+    // write partitioned by lang → read back with a partition predicate;
+    // must equal a plain filter on the source table (and ProfileSpec
+    // asserts the scan carries PartitionFilters, i.e. directory pruning).
+    "sink_partitioned_prune" -> ((s, d) => {
+      val dir = partitionedCopy(s, d)
+      s.read.parquet(dir)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "profile_columns" -> (
+      docCols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    "sink_partitioned_prune" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Profile
+import graft.model.Tables
+
+class ProfileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("profile_columns matches direct recomputation and scans once") {
+    val out = Profile.queries("profile_columns")(spark, TestSpark.sf0001)
+    val rows = out.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toMap
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val n = docs.count()
+    assert(rows.keySet ==
+      Set("doc_id", "text", "lang", "source", "n_chars"))
+    assert(rows("doc_id") == ((0L, n,
+      docs.agg(min("doc_id")).head().getLong(0).toString,
+      docs.agg(max("doc_id")).head().getLong(0).toString)))
+    assert(rows("lang")._2 == docs.select("lang").distinct().count())
+    assert(rows("lang")._3 == "de" && rows("lang")._4 == "zh")
+    // one-pass: a single parquet scan feeds every aggregate (AQE prints
+    // the plan twice — Final + Initial — so count only the final section)
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("sink_partitioned_prune equals the source filter and prunes " +
+      "partitions in the scan") {
+    val out = Profile.queries("sink_partitioned_prune")(spark, TestSpark.sf0001)
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = Tables.documents(spark, TestSpark.sf0001)
+      .filter(col("lang") === "en")
+      .select("doc_id", "lang").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == want && got.nonEmpty)
+    // the predicate must reach the scan as a PARTITION filter with the
+    // lang=en equality (directory pruning), and must NOT appear as a
+    // data filter over all partitions.
+    val scan = out.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert("PartitionFilters: \\[[^\\]]*lang[^\\]]* = en".r
+      .findFirstIn(scan).isDefined, scan)
+    assert(scan.contains("PushedFilters: []"), scan)
+  }
+}
