@@ -115,6 +115,24 @@ object ScaleTrend {
         graft.ops.Dedup.queries("dedup_simhash_pairs_wide")(spark, sf))
       val tCorpusPrep = time(
         graft.ops.CorpusPrep.queries("pipeline_corpus_prep")(spark, sf))
+      // round 6: token-budget pack — the two-level distributed prefix
+      // sum vs the single-global-window composed form (the one-partition
+      // sort). Budget fixed (12k): the prefix sum runs over ALL rows
+      // before the filter, so cost tracks n, not the budget.
+      val tBudgetPack = time(
+        graft.ops.Sampling.queries("sample_budget_pack")(spark, sf))
+      val tBudgetGlobal = time(
+        graft.ops.Sampling.budgetPackGlobal(docs, 12000L))
+      // round 6: term-statistics shuffles (explode → keyed aggs → join)
+      val tTfidf = time(
+        graft.ops.TermStats.queries("text_tfidf_top")(spark, sf))
+      val tUnigram = time(
+        graft.ops.TermStats.queries("text_unigram_logprob")(spark, sf))
+      val tSampleHash = time(
+        graft.ops.Sampling.queries("sample_hash")(spark, sf))
+      val tIntervalJoin = if (hasEvents)
+        time(graft.ops.EventWindows.queries("stream_interval_join")(spark, sf))
+      else -1.0
 
       System.err.println(s"[scale] $sf docs=$nDocs done")
       println(s"""{"sf":"$sf","n_docs":$nDocs,"n_emb":$nEmb,""" +
@@ -134,7 +152,13 @@ object ScaleTrend {
         s""""t_stream_session":${r3(tSession)},"t_dedup_exact":${r3(tExact)},""" +
         s""""t_dedup_simhash_pairs":${r3(tSimhashPairs)},""" +
         s""""t_dedup_simhash_pairs_wide":${r3(tSimhashWide)},""" +
-        s""""t_pipeline_corpus_prep":${r3(tCorpusPrep)}}""")
+        s""""t_pipeline_corpus_prep":${r3(tCorpusPrep)},""" +
+        s""""t_sample_budget_pack":${r3(tBudgetPack)},""" +
+        s""""t_budget_pack_global":${r3(tBudgetGlobal)},""" +
+        s""""t_text_tfidf_top":${r3(tTfidf)},""" +
+        s""""t_text_unigram_logprob":${r3(tUnigram)},""" +
+        s""""t_sample_hash":${r3(tSampleHash)},""" +
+        s""""t_stream_interval_join":${r3(tIntervalJoin)}}""")
     }
     spark.stop()
     synthDir.foreach(graft.ops.SessionCleanup.deleteRecursively)

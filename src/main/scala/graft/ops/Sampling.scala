@@ -109,6 +109,21 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Single-global-window composed form of [[budgetPack]] — semantically
+    * identical (SamplingSpec asserts equality; the DuckDB oracle runs
+    * this shape), kept as the executable spec and as ScaleTrend's
+    * baseline for what the one-partition sort costs as n grows. */
+  private[graft] def budgetPackGlobal(docs: DataFrame, budget: Long): DataFrame = {
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("n_chars"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Equalize the language mix: thin every language to the rarest
     * language's volume, deterministically — the standard rebalancing
     * cut before training (the corpus' sources are uniform by
