@@ -48,7 +48,7 @@ object Profile {
   private val memo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
 
-  private[ops] def partitionedCopy(s: SparkSession, d: String): String =
+  private[graft] def partitionedCopy(s: SparkSession, d: String): String =
     memo.getOrElseUpdate((s, d), {
       val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
       Tables.documents(s, d).write.mode("overwrite")
@@ -60,8 +60,39 @@ object Profile {
       tmp
     })
 
+  // one JSONL copy per (session, sfDir), cleaned up with the session
+  private val jsonlMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
+
+  private[graft] def jsonlCopy(s: SparkSession, d: String, shards: Int): String =
+    jsonlMemo.getOrElseUpdate((s, d), {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      // range-repartition on the sort key → shards hold contiguous id
+      // ranges (the layout a training loader reads sequentially), and
+      // the shard count is the explicit dial (at 100 TB: total/512 MB).
+      Tables.documents(s, d)
+        .repartitionByRange(shards, col("doc_id"))
+        .write.mode("overwrite").json(tmp)
+      SessionCleanup.onEnd(s) {
+        jsonlMemo.remove((s, d))
+        SessionCleanup.deleteRecursively(tmp)
+      }
+      tmp
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_columns" -> ((s, d) => profileColumns(Tables.documents(s, d))),
+    // JSONL shard round-trip — the interchange format training loaders
+    // consume. Write N range-sharded JSONL files, read back with the
+    // EXPLICIT schema (inference would be a second full pass at 100 TB
+    // and type-unstable), must equal the source table exactly.
+    "sink_jsonl_shards" -> ((s, d) => {
+      val dir = jsonlCopy(s, d, shards = 4)
+      s.read.schema(Tables.documents(s, d).schema).json(dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
     // write partitioned by lang → read back with a partition predicate;
     // must equal a plain filter on the source table (and ProfileSpec
     // asserts the scan carries PartitionFilters, i.e. directory pruning).
@@ -86,6 +117,9 @@ object Profile {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
     "sink_partitioned_prune" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    "sink_jsonl_shards" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin
   )
 }

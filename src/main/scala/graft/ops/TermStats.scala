@@ -73,9 +73,34 @@ object TermStats {
       .orderBy("doc_id")
   }
 
+  /** Tokenize every document to vocabulary ids — the id-mapping pass a
+    * training pipeline runs after text prep. The vocabulary is the
+    * corpus' distinct words with dense alphabetic ids (one window over
+    * the VOCAB — model-sized, like centroids — never over the corpus);
+    * documents then join the vocab by word (AQE broadcasts a small
+    * vocab) and re-assemble ids in token order. The id sequence is
+    * emitted as a space-joined string: order is pinned by the position
+    * from posexplode, not by collect order.
+    */
+  def tokenizeVocabIds(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(Text.words(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    val vocab = toks.select(col("word")).distinct()
+      .withColumn("id", row_number().over(Window.orderBy(col("word"))).cast("long"))
+    toks.join(vocab, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id").cast("string"))).as("ids"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf_top" -> ((s, d) => tfidfTop(Tables.documents(s, d), 3)),
-    "text_unigram_logprob" -> ((s, d) => unigramLogprob(Tables.documents(s, d)))
+    "text_unigram_logprob" -> ((s, d) => unigramLogprob(Tables.documents(s, d))),
+    "tokenize_vocab_ids" -> ((s, d) => tokenizeVocabIds(Tables.documents(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -109,6 +134,21 @@ object TermStats {
         |       round(sum(ln(CAST(freq.cnt AS DOUBLE) / tot.total)) / count(*), 6)
         |         AS avg_logprob
         |FROM tok JOIN freq USING (word) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "tokenize_vocab_ids" ->
+      """WITH toks AS (
+        |  SELECT doc_id, pos, word FROM (
+        |    SELECT doc_id, words[i] AS word, i AS pos FROM (
+        |      SELECT doc_id, string_split(text, ' ') AS words,
+        |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        |      FROM documents))
+        |  WHERE length(word) > 0),
+        |vocab AS (
+        |  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS id
+        |  FROM (SELECT DISTINCT word FROM toks))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       string_agg(CAST(vocab.id AS VARCHAR), ' ' ORDER BY toks.pos) AS ids
+        |FROM toks JOIN vocab USING (word)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -48,4 +48,31 @@ class ProfileSpec extends AnyFunSuite {
       .findFirstIn(scan).isDefined, scan)
     assert(scan.contains("PushedFilters: []"), scan)
   }
+
+  test("sink_jsonl_shards writes the requested shard count and round-trips " +
+      "exactly") {
+    val out = Profile.queries("sink_jsonl_shards")(spark, TestSpark.sf0001)
+    val got = out.collect()
+    val want = Tables.documents(spark, TestSpark.sf0001)
+      .orderBy("doc_id").collect()
+    assert(got.length == want.length)
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    // shard layout: exactly 4 part files, range-sharded so files hold
+    // disjoint contiguous id ranges
+    val dir = Profile.jsonlCopy(spark, TestSpark.sf0001, 4)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sorted
+    assert(parts.length == 4, parts.mkString(","))
+    val ranges = parts.map { f =>
+      val ids = spark.read
+        .schema(Tables.documents(spark, TestSpark.sf0001).schema)
+        .json(f.getPath).select("doc_id")
+        .collect().map(_.getLong(0))
+      (ids.min, ids.max)
+    }
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo)
+      case _ =>
+    }
+  }
 }

@@ -46,6 +46,38 @@ class TermStatsSpec extends AnyFunSuite {
     assert(got(1L)._2 > got(2L)._2) // common-word text scores higher
   }
 
+  test("tokenize_vocab_ids assigns alphabetic ids and preserves token order") {
+    val docs = Seq(
+      (1L, "b a c a"),
+      (2L, "c b")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    // vocab sorted: a=1, b=2, c=3
+    val got = TermStats.tokenizeVocabIds(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got(1L) == ((4L, "2 1 3 1")))
+    assert(got(2L) == ((2L, "3 2")))
+  }
+
+  test("tokenize_vocab_ids round-trips: ids decode back to the original " +
+      "token stream (sf0.001)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val out = TermStats.tokenizeVocabIds(docs)
+    // rebuild the id→word map exactly as the operator builds word→id
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .orderBy("word").collect().map(_.getString(0))
+    val decoded = out.collect().map { r =>
+      r.getLong(0) -> r.getString(2).split(" ")
+        .map(i => vocab(i.toInt - 1)).mkString(" ")
+    }.toMap
+    val want = docs.select(col("doc_id"),
+        concat_ws(" ", filter(split(col("text"), " "), w => length(w) > 0)))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.nonEmpty).toMap
+    assert(decoded == want)
+  }
+
   test("corpus invariants at sf0.001: ranks dense per doc, logprob " +
       "strictly negative and finite, every doc with words covered") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
