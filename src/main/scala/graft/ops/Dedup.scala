@@ -191,6 +191,53 @@ object Dedup {
       .select("a_id", "b_id")
   }
 
+  /** Incremental-ingest dedup: accept a NEW batch only where it does not
+    * duplicate the EXISTING corpus — the nightly-crawl operator (dedup
+    * the increment against the corpus without re-deduping the corpus).
+    * The split is deterministic (doc_id % mod == 0 is "new") so the
+    * oracle reproduces it. A new doc is dropped iff (a) its exact digest
+    * already exists, or (b) a band-bucket candidate against an EXISTING
+    * doc verifies at Jaccard ≥ threshold. Work shape: banding stays
+    * map-only per doc; the candidate join is new-bands ⋈ existing-bands
+    * (never existing × existing); verification joins shingles for
+    * candidate docs only. At 100 TB the existing side's digest and band
+    * tables are precomputed artifacts — the increment scans only itself
+    * and probes them.
+    */
+  def incrementalSurvivors(docs: DataFrame, jacThreshold: Double = 0.5,
+      k: Int = 8, bands: Int = 4, mod: Int = 5): DataFrame = {
+    val newDocs = docs.filter(pmod(col("doc_id"), lit(mod)) === 0)
+    val exist = docs.filter(pmod(col("doc_id"), lit(mod)) =!= 0)
+    val dupExact = newDocs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .join(exist.select(md5(col("text").cast("binary")).as("h")).distinct(),
+        Seq("h"))
+      .select("doc_id").distinct()
+    val bb = replicableBands(shingles(docs), k, bands)
+    val nb = bb.filter(pmod(col("doc_id"), lit(mod)) === 0)
+      .select(col("band"), col("bucket"), col("doc_id").as("a_id"),
+        col("n_shingles").as("na"))
+    val eb = bb.filter(pmod(col("doc_id"), lit(mod)) =!= 0)
+      .select(col("band"), col("bucket"), col("doc_id").as("b_id"),
+        col("n_shingles").as("nb"))
+    val cand = nb.join(eb, Seq("band", "bucket"))
+      .select("a_id", "b_id", "na", "nb").distinct()
+    val sh = shingles(docs)
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).as("inter"))
+    val dupNear = inter
+      .filter(col("inter") * 1.0 / (col("na") + col("nb") - col("inter"))
+        >= jacThreshold)
+      .select(col("a_id").as("doc_id")).distinct()
+    newDocs
+      .join(dupExact.union(dupNear).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   def nearDupSurvivors(docs: DataFrame, jacThreshold: Double = 0.5,
       k: Int = 8, bands: Int = 4): DataFrame = {
     val dropped = nearDupVerifiedPairs(docs, jacThreshold, k, bands)
@@ -421,6 +468,10 @@ object Dedup {
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id", "h")
         .orderBy("doc_id")),
+    // incremental ingest: the doc_id%5==0 batch deduped against the rest
+    // (exact digest + banded near-dup, cross-set candidates only).
+    "dedup_incremental" -> ((s, d) =>
+      incrementalSurvivors(Tables.documents(s, d))),
     // nearest doc by 3-gram Jaccard for the first 20 docs (exact form;
     // the LSH path replaces the self-join at scale).
     "dedup_ngram_jaccard" -> ((s, d) => {
@@ -491,6 +542,34 @@ object Dedup {
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS h
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    // mirrors incrementalSurvivors: same banding CTEs, cross-set (new ⋈
+    // existing) candidates instead of a<b, plus the exact-digest probe.
+    "dedup_incremental" ->
+      s"""WITH ${sqlBandsCtes()},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS inter
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |dup_near AS (
+         |  SELECT DISTINCT i.a_id AS doc_id FROM inter i
+         |  JOIN cnt ca ON ca.doc_id = i.a_id
+         |  JOIN cnt cb ON cb.doc_id = i.b_id
+         |  WHERE i.inter * 1.0 / (ca.n + cb.n - i.inter) >= 0.5),
+         |dup_exact AS (
+         |  SELECT DISTINCT n.doc_id FROM documents n JOIN documents e
+         |    ON md5(n.text) = md5(e.text)
+         |   AND n.doc_id % 5 = 0 AND e.doc_id % 5 <> 0)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id % 5 = 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM dup_near)
+         |  AND doc_id NOT IN (SELECT doc_id FROM dup_exact)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents

@@ -103,6 +103,18 @@ object Relational {
         .agg(count(lit(1)).as("n_cust"))
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     }),
+    // explicit GROUPING SETS (the general form rollup/cube specialize):
+    // two independent one-column groupings + the grand total in ONE scan
+    // (plans as a single Expand pass, not three aggregations).
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              |       round(sum(o_totalprice), 2) AS total
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY o_orderstatus NULLS FIRST,
+              |         o_orderpriority NULLS FIRST""".stripMargin)
+    }),
     // full grouping-set lattice over the dim hierarchy.
     "agg_cube" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -222,6 +234,13 @@ object Relational {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY ROLLUP (r.r_name, n.n_name)
         |ORDER BY r.r_name NULLS FIRST, n.n_name NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST,
+        |         o_orderpriority NULLS FIRST""".stripMargin,
     "agg_cube" ->
       """SELECT r.r_name, c.c_mktsegment, count(*) AS n_cust
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

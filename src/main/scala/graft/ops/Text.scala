@@ -201,6 +201,18 @@ object Text {
           round((n - longWords).cast("double") / n, 6).as("short_word_ratio"))
         .orderBy("doc_id")
     }),
+    // normalization: lowercase, strip non-alphanumerics to spaces,
+    // collapse runs, trim — the canonical-form pass before hashing /
+    // shingling. Map-only, one codegen'd expression chain; the ASCII
+    // character class keeps Java-regex and RE2 byte-identical.
+    "text_normalize" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), norm.as("norm_text"),
+          length(norm).cast("long").as("n_chars_norm"))
+        .orderBy("doc_id")
+    }),
     // PII scrub: per-doc email/URL counts + the redacted text. Map-only
     // regexp_count/regexp_replace over the (deterministically enriched)
     // corpus — at 100 TB this is one codegen'd pass, no shuffle.
@@ -329,6 +341,13 @@ object Text {
         |  round(CAST(len(string_split(text, ' '))
         |             - len(regexp_extract_all(text, '(?:^| )[^ ]{3,}')) AS DOUBLE)
         |        / len(string_split(text, ' ')), 6) AS short_word_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_pii_mask" ->
       s"""WITH enr AS (

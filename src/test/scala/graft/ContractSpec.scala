@@ -42,6 +42,24 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() >= 1)
   }
 
+  test("agg_grouping_sets covers both groupings plus the grand total in " +
+      "one Expand pass") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("agg_grouping_sets")(spark, TestSpark.sf0001)
+    val rows = out.collect()
+    val orders = graft.model.Tables.orders(spark, TestSpark.sf0001)
+    val nStatus = orders.select("o_orderstatus").distinct().count()
+    val nPrio = orders.select("o_orderpriority").distinct().count()
+    assert(rows.length == nStatus + nPrio + 1)
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand.head.getLong(2) == orders.count())
+    // one scan, one Expand — not three separate aggregations
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("Expand"), plan)
+  }
+
   test("agg_approx_distinct HLL error is within 3x the configured rsd " +
       "(quantitative backing for its no-oracle status)") {
     import org.apache.spark.sql.functions._

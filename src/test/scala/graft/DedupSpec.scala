@@ -23,6 +23,34 @@ class DedupSpec extends AnyFunSuite {
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
   }
 
+  test("incrementalSurvivors drops new docs duplicating the existing set " +
+      "(exact and near) and never drops novel ones") {
+    val unrelated = "completely different content about spark shuffles and " +
+      "partitions and codegen stages running on many executors tonight"
+    // mod=5: ids 5,10,15 are NEW; 1..4 are EXISTING.
+    val docs = Seq(
+      (1L, base),                              // existing
+      (2L, unrelated),                         // existing
+      (5L, base),                              // new, exact dup of 1
+      (10L, base.replace("quick", "swift")),   // new, near dup of 1
+      (15L, "utterly novel words about trains and rivers flowing north " +
+        "past seven bridges while lanterns glow quietly on the water"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val kept = Dedup.incrementalSurvivors(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(15L))
+    // existing-side docs are never in the output (only the increment is)
+    assert(!kept.exists(id => id % 5 != 0))
+    // a second run over (existing + accepted increment) is a fixpoint:
+    // the accepted doc is novel, so re-ingesting drops nothing new
+    val second = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .union(docs.filter(col("doc_id") === 15L))
+    assert(Dedup.incrementalSurvivors(second)
+      .select("doc_id").as[Long].collect().toSet == Set(15L))
+  }
+
   test("nearDupSurvivors drops the planted near-dup (higher id) and keeps " +
       "the original and unrelated docs") {
     val nearDup = base.replace("quick", "swift")

@@ -31,6 +31,26 @@ class TextSpec extends AnyFunSuite {
     assert(native(9004L)(1) == 3L) // "the the the" scores 3 for en
   }
 
+  test("text_normalize: hand-checked forms + idempotence on the corpus") {
+    val rows = Seq((1L, "A,b!!C  d"), (2L, "  spaced   out  "), (3L, ""),
+      (4L, "already clean text"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    rows.createOrReplaceTempView("t_norm")
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val got = rows.select(col("doc_id"), norm.as("n")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a b c d" && got(2L) == "spaced out" && got(3L) == "")
+    assert(got(4L) == "already clean text")
+    // idempotence on the real corpus: normalizing twice changes nothing
+    val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
+    val once = docs.select(col("doc_id"), norm.as("text"))
+    val twice = once.select(col("doc_id"), trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      .as("text"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
   test("repetition ratios: hand-checked example + [0,1] bounds on the corpus") {
     // "a b a b c": bigrams (a b, b a, a b, b c) -> 3 distinct of 4;
     // trigrams (a b a, b a b, a b c) -> 3 distinct of 3
