@@ -85,8 +85,47 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  /** The composed CURATION pipeline (round 6) — what runs AFTER prep to
+    * turn a cleaned corpus into a training cut, built entirely from the
+    * round-6 registered operators and gated end-to-end as one query:
+    *
+    *   documents
+    *     → language-mix equalize     (sample_mix_equalize semantics)
+    *     → token-budget pack         (sample_budget_pack: greedy prefix,
+    *                                  longest-first, Σtokens ≤ budget)
+    *     → vocab-id tokenization     (tokenize_vocab_ids over the packed
+    *                                  set — the vocab is the CUT's vocab)
+    *
+    * Stage arithmetic at sf0.01: 500 docs → 310 (mix) → ~150 (pack at
+    * 8k tokens) → same rows tokenized. Scale shape: the mix stage is a
+    * map-side accept against a broadcast rate table; the pack is the
+    * two-level distributed prefix sum; tokenization shuffles (doc, word)
+    * keys with map-side partials. Nothing corpus².
+    */
+  def trainingMix(docs: DataFrame, budget: Long = 8000L,
+      buckets: Int = 8): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min(col("n_lang")).as("mn"))
+    val rates = broadcast(
+      counts.crossJoin(broadcast(minN))
+        .select(col("lang"),
+          (col("mn").cast("double") / col("n_lang")).as("p_keep")))
+    val mixed = docs.join(rates, "lang")
+      .filter(Sampling.rowUniform("mix1:", col("doc_id")) < col("p_keep"))
+      .select("doc_id", "text", "n_chars")
+    val packed = Sampling.budgetPack(mixed, budget, buckets)
+      .select("doc_id", "cum_tokens")
+    val packDocs = mixed.join(packed, Seq("doc_id"))
+    TermStats.tokenizeVocabIds(packDocs)
+      .withColumnRenamed("n_tokens", "n_words")
+      .join(packed, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("cum_tokens"), col("ids"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_corpus_prep" -> ((s, d) => prepare(Tables.documents(s, d)))
+    "pipeline_corpus_prep" -> ((s, d) => prepare(Tables.documents(s, d))),
+    "pipeline_training_mix" -> ((s, d) => trainingMix(Tables.documents(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -119,6 +158,43 @@ object CorpusPrep {
          |  ${Text.sqlLangPredCase.linesIterator.mkString(" ")} AS lang_pred
          |FROM base b
          |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.b_id = b.doc_id)
-         |ORDER BY b.doc_id""".stripMargin
+         |ORDER BY b.doc_id""".stripMargin,
+    // Mirrors trainingMix stage for stage: the mix accept is the same
+    // 60-bit uniform as sample_mix_equalize, the pack is the same global
+    // window the sample_budget_pack oracle runs, tokenization is the
+    // tokenize_vocab_ids chain re-sourced at the packed subset.
+    "pipeline_training_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+         |m AS (SELECT min(n_lang) AS mn FROM c),
+         |mixed AS (
+         |  SELECT d.doc_id, d.text, d.n_chars
+         |  FROM documents d JOIN c USING (lang) CROSS JOIN m
+         |  WHERE ${Sampling.sqlU60("mix1:")} < CAST(m.mn AS DOUBLE) / c.n_lang),
+         |packed AS (
+         |  SELECT doc_id, cum_tokens FROM (
+         |    SELECT doc_id,
+         |      CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))
+         |        OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens
+         |    FROM mixed)
+         |  WHERE cum_tokens <= 8000),
+         |psrc AS (
+         |  SELECT x.doc_id, x.text FROM packed p JOIN mixed x USING (doc_id)),
+         |ptoks AS (
+         |  SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, words[i] AS word, i AS pos FROM (
+         |      SELECT doc_id, string_split(text, ' ') AS words,
+         |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+         |      FROM psrc))
+         |  WHERE length(word) > 0),
+         |vocab AS (
+         |  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS id
+         |  FROM (SELECT DISTINCT word FROM ptoks)),
+         |g AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |         string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY t.pos) AS ids
+         |  FROM ptoks t JOIN vocab v USING (word) GROUP BY t.doc_id)
+         |SELECT g.doc_id, g.n_words, p.cum_tokens, g.ids
+         |FROM g JOIN packed p USING (doc_id)
+         |ORDER BY g.doc_id""".stripMargin
   )
 }

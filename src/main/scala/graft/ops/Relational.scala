@@ -92,6 +92,16 @@ object Relational {
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")),
+    // bivariate statistics per group — corr is scale-free (round 6);
+    // covariance is price-scale (round 2, same discipline as money sums).
+    "agg_corr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+            .as("cov"))
+        .orderBy("l_returnflag")),
     // subtotal hierarchy region→nation (generalizes end_reporting totals).
     "agg_rollup" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -234,6 +244,11 @@ object Relational {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY ROLLUP (r.r_name, n.n_name)
         |ORDER BY r.r_name NULLS FIRST, n.n_name NULLS FIRST""".stripMargin,
+    "agg_corr" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS r,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |       round(sum(o_totalprice), 2) AS total
@@ -314,6 +329,18 @@ object Relational {
       daily.withColumn("delta",
           col("n") - lag(col("n"), 1).over(Window.orderBy("day")))
         .orderBy("day")
+    }),
+    // relative standing within a group — percent_rank/cume_dist over a
+    // UNIQUE ordering (totalprice, orderkey), so both are exact integer
+    // ratios and the rounding never sits on an engine boundary.
+    "win_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderpriority", "o_orderkey")
     })
   )
 
@@ -341,6 +368,14 @@ object Relational {
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1)
         |SELECT day, n, n - lag(n, 1) OVER (ORDER BY day) AS delta
-        |FROM daily ORDER BY day""".stripMargin
+        |FROM daily ORDER BY day""".stripMargin,
+    "win_percent_rank" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin
   )
 }

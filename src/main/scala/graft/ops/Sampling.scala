@@ -39,7 +39,7 @@ object Sampling {
     md5(concat(lit(salt), id.cast("string")))
 
   /** First 60 hash bits as an exact uniform double in [0,1). */
-  private def rowUniform(salt: String, id: Column): Column =
+  private[ops] def rowUniform(salt: String, id: Column): Column =
     conv(substring(rowHex(salt, id), 1, 15), 16, 10)
       .cast("long").cast("double") / pow2_60
 
@@ -165,7 +165,7 @@ object Sampling {
   )
 
   private val tokRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
-  private def sqlU60(salt: String) =
+  private[ops] def sqlU60(salt: String) =
     s"""CAST(CAST(concat('0x', substr(md5(concat('$salt',
        |  CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
        |  / 1152921504606846976.0""".stripMargin

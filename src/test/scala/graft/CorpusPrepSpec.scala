@@ -30,6 +30,27 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(out.filter(col("n_pii") === 2).count() > 0, "no PII-carrying survivor")
   }
 
+  test("composed training-mix pipeline: output is a packed subset of the " +
+      "mixed cut, budget holds, ids decode against the cut's vocab") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val out = CorpusPrep.trainingMix(docs)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // budget holds on every packed row
+    assert(rows.forall(_.getAs[Long]("cum_tokens") <= 8000L))
+    // the pipeline thins: packed ⊂ corpus, and the mix stage dropped rows
+    assert(rows.length < docs.count())
+    // stage consistency: every output doc passes the mix-accept predicate
+    val mixedIds = graft.ops.Sampling
+      .queries("sample_mix_equalize")(spark, TestSpark.sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_.getLong(0)).forall(mixedIds))
+    // the id sequences decode: n_words equals the id count per doc
+    rows.foreach { r =>
+      assert(r.getString(3).split(" ").length.toLong == r.getAs[Long]("n_words"))
+    }
+  }
+
   test("a planted near-duplicate inside the quality-passing subset is dropped " +
       "by the final stage, not by the filters") {
     // two near-dup docs engineered to pass lang+quality gates
