@@ -212,6 +212,25 @@ object Multimodal {
       resizeStubExprs(withBinaryContent(
           Tables.documents(s, d).filter(length(col("text")) > 0)))
         .orderBy("doc_id"))
+,
+    // exact binary-asset dedup: digest groupBy over the PAYLOAD bytes —
+    // the first pass of any image/audio dedup (only the (digest, min-id,
+    // count) triple shuffles; payloads stay put). The corpus' payloads
+    // are unique per doc, so shared assets are PLANTED deterministically
+    // (every 7th doc carries one of 3 shared blobs — same technique as
+    // the PII enrichment), which both engines reproduce from doc_id.
+    "multimodal_dedup_exact" -> ((s, d) => {
+      val payloadStr = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit("SHARED-ASSET-"), pmod(col("doc_id"), lit(3)).cast("string")))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(payloadStr, "UTF-8").as("content"))
+        .groupBy(md5(col("content")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_copies"))
+        .select("doc_id", "h", "n_copies")
+        .orderBy("doc_id")
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -259,6 +278,17 @@ object Multimodal {
         |       greatest(1, CAST(floor(w * (64.0 / greatest(w, h))) AS INT)) AS out_w,
         |       greatest(1, CAST(floor(h * (64.0 / greatest(w, h))) AS INT)) AS out_h,
         |       substr(hx, 1, 128) AS thumb_hex
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // md5 over the same UTF-8 bytes Spark's encode() hashes.
+    "multimodal_dedup_exact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0
+        |              THEN 'SHARED-ASSET-' || CAST(doc_id % 3 AS VARCHAR)
+        |              ELSE text END AS payload
+        |  FROM documents)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(payload) AS h,
+        |       count(*) AS n_copies
+        |FROM p GROUP BY md5(payload) ORDER BY doc_id""".stripMargin
   )
 }

@@ -95,6 +95,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(alt.toSeq == got.toSeq)
   }
 
+  test("budget pack degenerate bucketing: constant sort key collapses the " +
+      "quantile splits to one bucket and the result still matches") {
+    // all n_chars equal ⇒ approxQuantile returns one distinct split ⇒
+    // a single bucket; the two-level form must degrade gracefully to
+    // the global-window result (ordering falls through to doc_id).
+    val docs = (1L to 40L).map(i => (i, s"tok$i word $i common text"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", lit(20L))
+    val twoLevel = Sampling.budgetPack(docs, 120L, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val global = Sampling.budgetPackGlobal(docs, 120L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(twoLevel.toSeq == global.toSeq && twoLevel.nonEmpty)
+  }
+
   test("60-bit uniform parity: Spark conv-path equals the direct " +
       "BigInteger parse of the md5 prefix") {
     // pins the exactness claim the mix oracle relies on: first 15 hex
