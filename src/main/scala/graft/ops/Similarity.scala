@@ -411,6 +411,17 @@ object Similarity {
     "sim_topk" -> ((s, d) =>
       bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
         .orderBy("q_id", "rnk")),
+    // per-label mean vectors as per-dimension COLUMN aggregates — the
+    // Lloyd-update pattern (ivfCentroids' training step) as a public
+    // gated key: explode to (label, dim, v), map-side partial avg, never
+    // a row-per-vector collect. 100 TB shape: shuffle carries
+    // labels × dims partials, not vectors.
+    "embed_label_centroids" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+        .agg(round(avg(col("v")), 6).as("m"), count(lit(1)).as("n_vecs"))
+        .orderBy("label", "dim")),
     // embedding-cosine keep-first dedup, hash-gated against the DuckDB
     // all-pairs form (identical arithmetic ⇒ identical drop decisions).
     "dedup_embedding" -> ((s, d) =>
@@ -478,6 +489,17 @@ object Similarity {
     sys.env.getOrElse("SPARK_GRAFT_IVF_MEMBERSHIPS", "2").toInt
 
   def oracle: Map[String, String] = Map(
+    // avg(FLOAT) widens to DOUBLE identically in both engines; the
+    // per-component rounding absorbs reassociation noise (~1e-13).
+    "embed_label_centroids" ->
+      """SELECT label, CAST(i AS BIGINT) AS dim, round(avg(v), 6) AS m,
+        |       count(*) AS n_vecs
+        |FROM (
+        |  SELECT label, embedding[i] AS v, i FROM (
+        |    SELECT label, embedding,
+        |           unnest(range(1, len(embedding) + 1)) AS i
+        |    FROM embeddings))
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 10),
