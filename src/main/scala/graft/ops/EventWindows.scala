@@ -166,7 +166,30 @@ object EventWindows {
     "stream_watermark_late" -> ((s, d) =>
       watermarkLateSurvivors(Tables.events(s, d)).orderBy("w_start")),
     "stream_interval_join" -> ((s, d) =>
-      intervalJoin(Tables.events(s, d)))
+      intervalJoin(Tables.events(s, d))),
+    // per-day view → click → purchase conversion funnel: one conditional
+    // aggregation per (user, day) — the shuffle carries user-day rows,
+    // never the event stream — then a tiny per-day rollup. Ordering uses
+    // the per-day MIN timestamp per stage (strict <, so a stage must
+    // happen strictly after the previous one to count).
+    "funnel_daily_conversion" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+      val perUserDay = e
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_v"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_c"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_p"))
+      perUserDay.groupBy(col("day"))
+        .agg(
+          sum(when(col("t_v").isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("t_c") > col("t_v"), 1L).otherwise(0L))
+            .as("n_click_after_view"),
+          sum(when(col("t_c") > col("t_v") && col("t_p") > col("t_c"), 1L)
+            .otherwise(0L)).as("n_purchase_funnel"))
+        .orderBy("day")
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -227,6 +250,25 @@ object EventWindows {
         |  ON p.user_id = c.user_id
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts < p.ts
-        |ORDER BY p_id, c_id""".stripMargin
+        |ORDER BY p_id, c_id""".stripMargin,
+    // NULL comparisons fall out identically: t_c > t_v is false-ish
+    // (not counted) when either side is NULL in both engines' CASE.
+    "funnel_daily_conversion" ->
+      """WITH ud AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t_v,
+        |         min(CASE WHEN event_type = 'click' THEN ts END) AS t_c,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_p
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY user_id, CAST(ts AS DATE))
+        |SELECT day,
+        |  CAST(sum(CASE WHEN t_v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_view,
+        |  CAST(sum(CASE WHEN t_c > t_v THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_click_after_view,
+        |  CAST(sum(CASE WHEN t_c > t_v AND t_p > t_c THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase_funnel
+        |FROM ud GROUP BY day ORDER BY day""".stripMargin
   )
 }

@@ -160,6 +160,19 @@ object Sampling {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")),
     "sample_mix_equalize" -> ((s, d) => mixEqualize(Tables.documents(s, d))),
+    // deterministic train/val/test assignment (75/12.5/12.5): one hash,
+    // disjoint + total by construction (nibble ranges partition the hex
+    // space), stable under repartition — the split every training run
+    // needs to be able to reproduce.
+    "sample_splits" -> ((s, d) => {
+      val h = rowHex("sp1:", col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(h < lit(thr("c")), "train")
+            .when(h < lit(thr("e")), "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
     "sample_budget_pack" -> ((s, d) =>
       budgetPack(Tables.documents(s, d), budget = 12000L, buckets = 16))
   )
@@ -185,6 +198,14 @@ object Sampling {
          |            WHEN 'zh' THEN '${thr("g")}'
          |            ELSE '${thr("4")}' END
          |ORDER BY doc_id""".stripMargin,
+    "sample_splits" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN md5(concat('sp1:', CAST(doc_id AS VARCHAR))) < '${thr("c")}'
+         |       THEN 'train'
+         |       WHEN md5(concat('sp1:', CAST(doc_id AS VARCHAR))) < '${thr("e")}'
+         |       THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_mix_equalize" ->
       s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
          |m AS (SELECT min(n_lang) AS mn FROM c)

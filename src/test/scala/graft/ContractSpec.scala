@@ -42,6 +42,18 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() >= 1)
   }
 
+  test("funnel stages are monotone: view >= click-after-view >= " +
+      "purchase-after-click, with real conversions present") {
+    val rows = SparkEntry
+      .queries("funnel_daily_conversion")(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, c, p) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(v >= c && c >= p, r)
+    }
+    assert(rows.map(_.getLong(2)).sum > 0, "no click-after-view conversions")
+  }
+
   test("agg_grouping_sets covers both groupings plus the grand total in " +
       "one Expand pass") {
     import org.apache.spark.sql.functions._

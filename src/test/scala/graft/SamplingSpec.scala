@@ -95,6 +95,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(alt.toSeq == got.toSeq)
   }
 
+  test("sample_splits: disjoint, total, deterministic, and near the " +
+      "75/12.5/12.5 design rates") {
+    val rows = Sampling.queries("sample_splits")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val n = docs.count()
+    assert(rows.length.toLong == n)             // total: every doc assigned
+    assert(rows.map(_._1).distinct.length == rows.length) // one split each
+    val byName = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(math.abs(byName("train").toDouble / n - 0.75) < 0.08)
+    assert(math.abs(byName("val").toDouble / n - 0.125) < 0.06)
+    assert(math.abs(byName("test").toDouble / n - 0.125) < 0.06)
+  }
+
   test("budget pack degenerate bucketing: constant sort key collapses the " +
       "quantile splits to one bucket and the result still matches") {
     // all n_chars equal ⇒ approxQuantile returns one distinct split ⇒
