@@ -60,12 +60,14 @@ object Profile {
       tmp
     })
 
-  // one JSONL copy per (session, sfDir), cleaned up with the session
+  // one JSONL copy per (session, sfDir, shards), cleaned up with the
+  // session — shards is part of the key so a different shard count never
+  // silently reuses an old layout
   private val jsonlMemo =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, Int), String]
 
   private[graft] def jsonlCopy(s: SparkSession, d: String, shards: Int): String =
-    jsonlMemo.getOrElseUpdate((s, d), {
+    jsonlMemo.getOrElseUpdate((s, d, shards), {
       val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
       // range-repartition on the sort key → shards hold contiguous id
       // ranges (the layout a training loader reads sequentially), and
@@ -74,7 +76,7 @@ object Profile {
         .repartitionByRange(shards, col("doc_id"))
         .write.mode("overwrite").json(tmp)
       SessionCleanup.onEnd(s) {
-        jsonlMemo.remove((s, d))
+        jsonlMemo.remove((s, d, shards))
         SessionCleanup.deleteRecursively(tmp)
       }
       tmp
