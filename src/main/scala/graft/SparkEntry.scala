@@ -89,6 +89,33 @@ object SparkEntry {
           col("path"), lit(false).as("uploaded"))
       m.union(appended).orderBy("id")
     }),
+    // MERGE/upsert in one pass — the reference's per-row INSERT +
+    // UPDATE lifecycle (olrcdb.py insert_path; bulkupload.py mark) as a
+    // single declarative plan: flag updates apply via a BROADCAST left
+    // join (ids only — payload rows never reshuffle, same plan as
+    // manifest_mark_uploaded), inserts append via the distributed
+    // range-id form. No full-outer shuffle: at 100 TB the update batch
+    // is small relative to the snapshot, which is exactly what makes
+    // the broadcast + union decomposition the right MERGE plan.
+    "manifest_merge_upsert" -> ((s, d) => {
+      val m = Manifest.fromDocuments(s, d)
+      val updMark = broadcast(
+        m.filter(col("id") % 4 === 0)
+          .select(col("id"), lit(true).as("_mark")))
+      val updated = m.join(updMark, Seq("id"), "left_outer")
+        .select(col("id"), col("path"),
+          coalesce(col("_mark"), col("uploaded")).as("uploaded"))
+      val newScan = graft.model.Tables.documents(s, d)
+        .filter(col("doc_id") <= 10)
+        .select(concat(lit("newbatch/doc_"), col("doc_id"), lit(".txt"))
+          .as("path"))
+      val mx = m.agg(max(col("id")).as("_mx"))
+      val inserted = Scale.assignIdsByRange(newScan, "path")
+        .crossJoin(broadcast(mx))
+        .select((col("_mx") + col("id")).as("id"), col("path"),
+          lit(false).as("uploaded"))
+      updated.unionByName(inserted).orderBy("id")
+    }),
     "join_anti_resume" -> ((s, d) => {
       val m = Manifest.fromDocuments(s, d)
       Manifest.antiResume(m.select("path"), Manifest.filterUploaded(m).select("path"))
@@ -154,6 +181,22 @@ object SparkEntry {
          |  FROM newscan)
          |SELECT id, path, uploaded FROM manifest
          |UNION ALL SELECT id, path, uploaded FROM appended
+         |ORDER BY id""".stripMargin,
+    "manifest_merge_upsert" ->
+      s"""$M, updated AS (
+         |  SELECT id, path,
+         |         CASE WHEN id % 4 = 0 THEN true ELSE uploaded END AS uploaded
+         |  FROM manifest),
+         |newscan AS (
+         |  SELECT 'newbatch/doc_' || doc_id || '.txt' AS path FROM documents
+         |  WHERE doc_id <= 10),
+         |inserted AS (
+         |  SELECT (SELECT max(id) FROM manifest)
+         |           + CAST(row_number() OVER (ORDER BY path) AS BIGINT) AS id,
+         |         path, false AS uploaded
+         |  FROM newscan)
+         |SELECT id, path, uploaded FROM updated
+         |UNION ALL SELECT id, path, uploaded FROM inserted
          |ORDER BY id""".stripMargin,
     "join_anti_resume" ->
       s"""$M SELECT path FROM manifest m

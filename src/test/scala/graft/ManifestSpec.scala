@@ -25,6 +25,28 @@ class ManifestSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, false), (2L, true), (3L, true)))
   }
 
+  test("merge upsert: updates flip exactly the id%4 rows, inserts continue " +
+      "ids, and the update path broadcasts (no full-outer shuffle)") {
+    val out = SparkEntry.queries("manifest_merge_upsert")(spark, TestSpark.sf0001)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val base = Manifest.fromDocuments(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    val mx = base.keys.max
+    rows.filter(_._1 <= mx).foreach { case (id, path, up) =>
+      assert(path == base(id)._1)
+      assert(up == (id % 4 == 0 || base(id)._2), s"id $id")
+    }
+    val inserted = rows.filter(_._1 > mx)
+    assert(inserted.nonEmpty)
+    assert(inserted.map(_._1).sorted.toSeq ==
+      (mx + 1 to mx + inserted.length).toSeq) // dense continuation
+    assert(inserted.forall(r => !r._3 && r._2.startsWith("newbatch/")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("FullOuter"), plan)
+  }
+
   test("resume fixpoint: pending after marking all pending is empty") {
     val m = Manifest.fromDocuments(spark, TestSpark.sf0001)
     val pendingIds = Manifest.filterPending(m).select("id")
