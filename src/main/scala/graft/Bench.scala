@@ -16,7 +16,13 @@ import org.apache.spark.sql.SparkSession
   *      (default 3); reported time = MIN across runs. The sandbox shows
   *      documented 2-3x environment-noise spikes, so the min is the
   *      honest steady-state estimate (a noisy spike can only inflate,
-  *      never deflate, a query's time).
+  *      never deflate, a query's time). Round 7: min-of-N cannot defend
+  *      against a slow WINDOW (every run slow — the r6 artifact), so the
+  *      pass also computes a noise sentinel — the median per-query
+  *      max/min spread — reruns the whole pass once when it exceeds
+  *      SPARK_GRAFT_BENCH_NOISE_MAX (default 3.0), and records the
+  *      spread in both artifacts as "noise" (+"noise_retried"), making a
+  *      bad window self-evident to any reader of the artifact.
   *
   * Artifact hygiene (round 5): the driver's tail capture is exactly
   * 2000 characters (measured in BENCH_r01..r04.json — every round), and
@@ -96,25 +102,62 @@ object Bench {
       name -> t
     }
 
-    // (3) timed pass: min of `runs`
-    val results = ordered.map { case (name, fn) =>
-      val t =
-        if (errors.contains(name)) -1.0
-        else {
-          val ts = (1 to runs).map { _ =>
-            try timeOne(fn) catch { case e: Throwable =>
-              errors += name
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              Double.MaxValue
-            }
+    // (3) timed pass: min of `runs`, with the max kept for the noise
+    // sentinel below.
+    def timedPass(): Seq[(String, Double, Double)] = ordered.map { case (name, fn) =>
+      if (errors.contains(name)) (name, -1.0, -1.0)
+      else {
+        val ts = (1 to runs).map { _ =>
+          try timeOne(fn) catch { case e: Throwable =>
+            errors += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            Double.MaxValue
           }
-          // ANY failed run invalidates the query's timing: report -1 and
-          // leave it in errors — never both a time and an error flag.
-          if (ts.contains(Double.MaxValue)) -1.0 else ts.min
         }
+        // ANY failed run invalidates the query's timing: report -1 and
+        // leave it in errors — never both a time and an error flag.
+        if (ts.contains(Double.MaxValue)) (name, -1.0, -1.0)
+        else (name, ts.min, ts.max)
+      }
+    }
+
+    // Noise sentinel (VERDICT r6 "What's wrong" #1): min-of-N defends
+    // against a noisy RUN but not a noisy WINDOW — r6 committed an
+    // artifact where unchanged map-only queries read 25-100× their quiet
+    // times because every run of the pass was slow. The sentinel is the
+    // MEDIAN per-query max/min spread across the pass (median, so a few
+    // genuinely bimodal queries can't trip it; sub-50 ms queries are
+    // excluded — their spread is timer jitter). A quiet window sits near
+    // 1; the r6 window would have read ≫3. When the spread exceeds the
+    // threshold the whole timed pass reruns once, the per-query mins
+    // merge element-wise, and the artifact records the better window's
+    // spread plus a "noise_retried" flag — so a bad window is visible in
+    // the artifact itself, not discoverable only by re-running.
+    def spreadOf(p: Seq[(String, Double, Double)]): Double = {
+      val rs = p.collect { case (_, mn, mx) if mn >= 0.05 => mx / mn }.sorted
+      if (rs.isEmpty) 1.0 else r3(rs(rs.size / 2))
+    }
+    val noiseMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_NOISE_MAX", "3.0").toDouble
+    val passA = timedPass()
+    val noiseA = spreadOf(passA)
+    val (passFinal, noise, noiseRetried) =
+      if (noiseA > noiseMax && runs > 1) {
+        System.err.println(f"[bench] NOISY WINDOW: median max/min spread " +
+          f"$noiseA%.2f > $noiseMax%.1f — retrying the timed pass once")
+        val passB = timedPass()
+        val noiseB = spreadOf(passB)
+        val merged = passA.zip(passB).map { case ((n, amn, _), (_, bmn, _)) =>
+          (n, if (amn < 0 || bmn < 0) -1.0 else math.min(amn, bmn))
+        }
+        (merged, math.min(noiseA, noiseB), true)
+      } else (passA.map(t => (t._1, t._2)), noiseA, false)
+    val results = passFinal.map { case (name, t) =>
       System.err.println(f"[bench] min   $name%-28s ${t}%8.3f s")
       name -> t
     }
+    System.err.println(f"[bench] window noise (median max/min spread): " +
+      f"$noise%.3f retried=$noiseRetried")
 
     // Build (first-run, setup-inclusive) times and the full steady map:
     // stderr only — diagnostics; the stdout line must stay tiny.
@@ -122,14 +165,15 @@ object Bench {
     System.err.println(s"""[bench] build-pass times: {"build":${jmap(build)},"build_total":$buildTotal}""")
     System.err.println(s"""[bench] steady-state times: {"queries":${jmap(results)}}""")
     val full = fullArtifact(results, build, runs, sfDir, cpus,
-      errors.distinct.toSeq)
+      errors.distinct.toSeq, noise, noiseRetried)
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       new java.io.File(sys.props("user.dir"), "BENCH_FULL.json").getPath)
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
-    println(artifactLine(results, runs, sfDir, errors.distinct.toSeq))
+    println(artifactLine(results, runs, sfDir, errors.distinct.toSeq,
+      noise = noise, noiseRetried = noiseRetried))
     spark.stop()
     graft.ops.SessionCleanup.deleteRecursively(warehouse)
     graft.ops.SessionCleanup.deleteRecursively(metastore)
@@ -148,13 +192,15 @@ object Bench {
     * legal local[*] setting, not a number). */
   private[graft] def fullArtifact(results: Seq[(String, Double)],
       build: Seq[(String, Double)], runs: Int, sfDir: String, cpus: String,
-      errors: Seq[String]): String = {
+      errors: Seq[String], noise: Double = 1.0,
+      noiseRetried: Boolean = false): String = {
     val okResults = results.filter(_._2 >= 0)
     val okBuild = build.filter(_._2 >= 0)
     val total = r3(okResults.map(_._2).sum)
     val buildTotal = r3(okBuild.map(_._2).sum)
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sfDir","cpus":"$cpus",""" +
+      s""""noise":${r3(noise)},"noise_retried":$noiseRetried,""" +
       s""""errors":$errs,"queries":${jmap(okResults)},""" +
       s""""build":${jmap(okBuild)},"build_total":$buildTotal,"value":$total}"""
   }
@@ -171,13 +217,15 @@ object Bench {
     * field so even a head-truncated capture keeps it. ContractSpec
     * asserts the budget at absurd widths for every registered query. */
   private[graft] def artifactLine(results: Seq[(String, Double)], runs: Int,
-      sfDir: String, errors: Seq[String], budget: Int = 1400): String = {
+      sfDir: String, errors: Seq[String], budget: Int = 1400,
+      noise: Double = 1.0, noiseRetried: Boolean = false): String = {
     val ok = results.filter(_._2 >= 0)
     val total = r3(ok.map(_._2).sum)
     val sf = new java.io.File(sfDir).getName
     val shownErrs = errors.take(8)
     val errs = shownErrs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val prefix = s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sf",""" +
+      s""""noise":${r3(noise)},"noise_retried":$noiseRetried,""" +
       s""""errors":$errs,"errors_n":${errors.size},"nq":${results.size},"queries":{"""
     // worst-case suffix: },"omitted":NNN,"omitted_sum":NNNNN.NNN,"value":NNNNN.NNN}
     val suffixAllowance = 64

@@ -96,22 +96,20 @@ object CorpusPrep {
     *     → vocab-id tokenization     (tokenize_vocab_ids over the packed
     *                                  set — the vocab is the CUT's vocab)
     *
-    * Stage arithmetic at sf0.01: 500 docs → 310 (mix) → ~150 (pack at
-    * 8k tokens) → same rows tokenized. Scale shape: the mix stage is a
-    * map-side accept against a broadcast rate table; the pack is the
-    * two-level distributed prefix sum; tokenization shuffles (doc, word)
-    * keys with map-side partials. Nothing corpus².
+    * Stage arithmetic at sf0.01 (measured, matches README): 500 docs
+    * → 310 (mix) → 95 (pack at 8k tokens) → same 95 rows tokenized.
+    * Scale shape: the mix stage is a map-side accept against a broadcast
+    * rate table; the pack is the two-level distributed prefix sum;
+    * tokenization shuffles (doc, word) keys with map-side partials.
+    * Nothing corpus².
     */
   def trainingMix(docs: DataFrame, budget: Long = 8000L,
       buckets: Int = 8): DataFrame = {
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-    val minN = counts.agg(min(col("n_lang")).as("mn"))
-    val rates = broadcast(
-      counts.crossJoin(broadcast(minN))
-        .select(col("lang"),
-          (col("mn").cast("double") / col("n_lang")).as("p_keep")))
-    val mixed = docs.join(rates, "lang")
-      .filter(Sampling.rowUniform("mix1:", col("doc_id")) < col("p_keep"))
+    // rate table + accept predicate come from Sampling — the SAME
+    // definitions the standalone sample_mix_equalize key runs, so the
+    // composed pipeline cannot drift from the operator its oracle mirrors.
+    val mixed = docs.join(Sampling.mixRates(docs), "lang")
+      .filter(Sampling.mixAccept)
       .select("doc_id", "text", "n_chars")
     val packed = Sampling.budgetPack(mixed, budget, buckets)
       .select("doc_id", "cum_tokens")

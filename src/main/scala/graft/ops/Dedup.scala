@@ -213,7 +213,11 @@ object Dedup {
       .join(exist.select(md5(col("text").cast("binary")).as("h")).distinct(),
         Seq("h"))
       .select("doc_id").distinct()
-    val bb = replicableBands(shingles(docs), k, bands)
+    // one shingle frame feeds both the banding and the verification joins
+    // — the increment-probes-precomputed-artifacts shape needs exactly one
+    // corpus shingle pass, not one per consumer.
+    val sh = shingles(docs)
+    val bb = replicableBands(sh, k, bands)
     val nb = bb.filter(pmod(col("doc_id"), lit(mod)) === 0)
       .select(col("band"), col("bucket"), col("doc_id").as("a_id"),
         col("n_shingles").as("na"))
@@ -222,7 +226,6 @@ object Dedup {
         col("n_shingles").as("nb"))
     val cand = nb.join(eb, Seq("band", "bucket"))
       .select("a_id", "b_id", "na", "nb").distinct()
-    val sh = shingles(docs)
     val inter = cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
@@ -245,6 +248,71 @@ object Dedup {
     docs.join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id")
+  }
+
+  /** Cross-document duplicate text SPANS — substring-level dedup, the
+    * operator that finds EXACT shared passages (boilerplate, licenses,
+    * quoted templates) across documents rather than whole-document
+    * near-dups. Output: every maximal shared span of length >= `w`
+    * code points, as (a_id, b_id, a_start, b_start, span_len) with
+    * 1-based positions and a_id < b_id.
+    *
+    * Plan (all candidate-routed, never text×text):
+    *   1. window fingerprints: the native O(n) Karp-Rabin rolling-hash
+    *      windows expression ([[graft.functions.RollingHash]]) emits one
+    *      64-bit hash per w-length window — the shuffle carries
+    *      (hash, doc_id, pos), never window text;
+    *   2. candidates: self-equi-join on the hash (a_id < b_id) — pair mass
+    *      is bounded by shared-window frequency, the same routing argument
+    *      as the shingle join;
+    *   3. exact verify: candidate-bounded joins back to the two texts
+    *      compare the actual substrings, so Karp-Rabin collisions cannot
+    *      produce a false span (and the oracle can join on substring
+    *      equality directly — same result by construction);
+    *   4. maximal spans: matching windows of one pair lie on diagonals
+    *      (b_pos - a_pos constant); gaps-and-islands per
+    *      (pair, diagonal) merges runs of consecutive positions into one
+    *      maximal span. The window is partitioned by (pair, diagonal) —
+    *      many small partitions, no global sort.
+    *
+    * At 100 TB step 2's index would not keep every window: winnowing
+    * (fingerprint_winnow selects the min hash per window-of-windows,
+    * guaranteeing any span >= w + stride - 1 shares a selected
+    * fingerprint) cuts the index ~stride×; detected anchors then extend
+    * to maximal extents with this same diagonal merge. The every-window
+    * form here IS the exact semantic spec that path approximates.
+    *
+    * Positions are code-point indices (the rolling window unit); for the
+    * BMP-only corpora here they coincide with the character indices
+    * `substr` uses on both engines.
+    */
+  def substringSpans(docs: DataFrame, w: Int = 40): DataFrame = {
+    val wins = docs.filter(length(col("text")) >= w)
+      .select(col("doc_id"),
+        posexplode(graft.functions.RollingHash.rolling_hash_windows(col("text"), w)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+    val a = wins.select(col("h"), col("doc_id").as("a_id"), col("pos").as("a_pos"))
+    val b = wins.select(col("h"), col("doc_id").as("b_id"), col("pos").as("b_pos"))
+    val hits = a.join(b, Seq("h")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_pos", "b_pos")
+    val ta = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+    val tb = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    val verified = hits
+      .join(ta, Seq("a_id")).join(tb, Seq("b_id"))
+      .filter(col("a_text").substr(col("a_pos").cast("int"), lit(w)) ===
+        col("b_text").substr(col("b_pos").cast("int"), lit(w)))
+      .select(col("a_id"), col("b_id"),
+        (col("b_pos") - col("a_pos")).as("diag"), col("a_pos"))
+    val islands = verified.withColumn("grp",
+      col("a_pos") - row_number().over(
+        Window.partitionBy("a_id", "b_id", "diag").orderBy("a_pos")))
+    islands.groupBy("a_id", "b_id", "diag", "grp")
+      .agg(min("a_pos").as("a_start"),
+        (max("a_pos") - min("a_pos") + lit(w)).cast("long").as("span_len"))
+      .select(col("a_id"), col("b_id"), col("a_start"),
+        (col("a_start") + col("diag")).as("b_start"), col("span_len"))
+      .orderBy("a_id", "b_id", "a_start", "b_start")
   }
 
   /** Near-dup CLUSTERS: connected components over the verified near-dup
@@ -516,6 +584,11 @@ object Dedup {
     // verify -> drop higher id -> surviving corpus.
     "dedup_near_drop" -> ((s, d) =>
       nearDupSurvivors(Tables.documents(s, d))),
+    // maximal exact shared substrings (>= 40 cp) across document pairs:
+    // rolling-hash window fingerprints -> hash equi-join -> substring
+    // verify -> diagonal gaps-and-islands merge.
+    "dedup_substring_spans" -> ((s, d) =>
+      substringSpans(Tables.documents(s, d))),
     // connected components of the verified near-dup graph (min reachable
     // doc_id), hash-gated vs a DuckDB RECURSIVE CTE over the same edges.
     "dedup_cluster" -> ((s, d) =>
@@ -610,6 +683,30 @@ object Dedup {
          |SELECT doc_id, n_chars FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.b_id = d.doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // Mirrors substringSpans with the hash join collapsed: Spark joins on
+    // the rolling hash then verifies the substrings are equal, which is
+    // exactly a join on substring equality (equal substrings always
+    // hash-equal; hash-equal-but-unequal rows are filtered) — so the
+    // oracle joins on the window text directly.
+    "dedup_substring_spans" ->
+      """WITH wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         substr(text, CAST(i AS INT), 40) AS s
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 38)) AS i
+        |        FROM documents WHERE length(text) >= 40)),
+        |hits AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS a_pos, b.pos AS b_pos
+        |  FROM wins a JOIN wins b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT a_id, b_id, b_pos - a_pos AS diag, a_pos,
+        |         a_pos - row_number() OVER (PARTITION BY a_id, b_id, b_pos - a_pos
+        |                                    ORDER BY a_pos) AS grp
+        |  FROM hits)
+        |SELECT a_id, b_id, min(a_pos) AS a_start,
+        |       min(a_pos) + diag AS b_start,
+        |       max(a_pos) - min(a_pos) + 40 AS span_len
+        |FROM isl GROUP BY a_id, b_id, diag, grp
+        |ORDER BY a_id, b_id, a_start, b_start""".stripMargin,
     // Same pipeline through `jac`, then connected components as a
     // transitive-closure RECURSIVE CTE: cluster = min reachable doc_id
     // over the symmetric verified-pair edges — the closed form of the

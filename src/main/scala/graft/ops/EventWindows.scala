@@ -139,6 +139,31 @@ object EventWindows {
       .orderBy("p_id", "c_id")
   }
 
+  /** Per-day view → click → purchase conversion funnel: one conditional
+    * aggregation per (user, day) — the shuffle carries user-day rows,
+    * never the event stream — then a tiny per-day rollup. Ordering uses
+    * the per-day MIN timestamp per stage (strict <, so a stage must
+    * happen strictly after the previous one to count). Factored out so
+    * the streaming twin ([[graft.streaming.Streams.funnelDailyStream]])
+    * and the registered batch query share one definition. */
+  def funnelDaily(events: DataFrame): DataFrame = {
+    val e = events.filter(col("event_type").isin("view", "click", "purchase"))
+    val perUserDay = e
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_v"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_c"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_p"))
+    perUserDay.groupBy(col("day"))
+      .agg(
+        sum(when(col("t_v").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("t_c") > col("t_v"), 1L).otherwise(0L))
+          .as("n_click_after_view"),
+        sum(when(col("t_c") > col("t_v") && col("t_p") > col("t_c"), 1L)
+          .otherwise(0L)).as("n_purchase_funnel"))
+      .orderBy("day")
+  }
+
   /** Per-user session windows with a 30-minute gap; end = last event +
     * gap, exactly Spark's session_window semantics. */
   def sessions(events: DataFrame): DataFrame =
@@ -167,29 +192,9 @@ object EventWindows {
       watermarkLateSurvivors(Tables.events(s, d)).orderBy("w_start")),
     "stream_interval_join" -> ((s, d) =>
       intervalJoin(Tables.events(s, d))),
-    // per-day view → click → purchase conversion funnel: one conditional
-    // aggregation per (user, day) — the shuffle carries user-day rows,
-    // never the event stream — then a tiny per-day rollup. Ordering uses
-    // the per-day MIN timestamp per stage (strict <, so a stage must
-    // happen strictly after the previous one to count).
-    "funnel_daily_conversion" -> ((s, d) => {
-      val e = Tables.events(s, d)
-        .filter(col("event_type").isin("view", "click", "purchase"))
-      val perUserDay = e
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(
-          min(when(col("event_type") === "view", col("ts"))).as("t_v"),
-          min(when(col("event_type") === "click", col("ts"))).as("t_c"),
-          min(when(col("event_type") === "purchase", col("ts"))).as("t_p"))
-      perUserDay.groupBy(col("day"))
-        .agg(
-          sum(when(col("t_v").isNotNull, 1L).otherwise(0L)).as("n_view"),
-          sum(when(col("t_c") > col("t_v"), 1L).otherwise(0L))
-            .as("n_click_after_view"),
-          sum(when(col("t_c") > col("t_v") && col("t_p") > col("t_c"), 1L)
-            .otherwise(0L)).as("n_purchase_funnel"))
-        .orderBy("day")
-    })
+    // per-day view → click → purchase conversion funnel (see funnelDaily;
+    // the streaming twin runs the same two-level aggregation live).
+    "funnel_daily_conversion" -> ((s, d) => funnelDaily(Tables.events(s, d)))
   )
 
   def oracle: Map[String, String] = Map(

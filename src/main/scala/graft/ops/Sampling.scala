@@ -43,6 +43,13 @@ object Sampling {
     conv(substring(rowHex(salt, id), 1, 15), 16, 10)
       .cast("long").cast("double") / pow2_60
 
+  /** Two-key uniform (doc, copy) — for replicate-and-accept decisions
+    * where each COPY of a row needs its own independent draw. */
+  private[ops] def rowUniform2(salt: String, id: Column, copy: Column): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"), lit(":"),
+      copy.cast("string"))), 1, 15), 16, 10)
+      .cast("long").cast("double") / pow2_60
+
   private val pow2_60 = 1152921504606846976.0 // 2^60, exact in double
 
   /** Hex thresholds: first nibble n keeps n/16 of the mass. */
@@ -124,6 +131,24 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Equalize-mix rate table: per-language (lang, n_lang, p_keep =
+    * min_count / count), broadcast. ONE definition of the rate table
+    * shared by [[mixEqualize]] and the composed curation pipeline
+    * (CorpusPrep.trainingMix) so the two can never drift. */
+  private[ops] def mixRates(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min(col("n_lang")).as("mn"))
+    broadcast(
+      counts.crossJoin(broadcast(minN))
+        .select(col("lang"), col("n_lang"),
+          (col("mn").cast("double") / col("n_lang")).as("p_keep")))
+  }
+
+  /** The equalize-mix accept predicate over a frame joined to
+    * [[mixRates]] — single definition of the salt and comparison. */
+  private[ops] def mixAccept: Column =
+    rowUniform("mix1:", col("doc_id")) < col("p_keep")
+
   /** Equalize the language mix: thin every language to the rarest
     * language's volume, deterministically — the standard rebalancing
     * cut before training (the corpus' sources are uniform by
@@ -131,18 +156,54 @@ object Sampling {
     * aggregate (|langs| rows) broadcast back onto the corpus; the
     * accept test is the 60-bit uniform against p = min_count / count.
     */
-  def mixEqualize(docs: DataFrame): DataFrame = {
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-    val minN = counts.agg(min(col("n_lang")).as("mn"))
-    val rates = broadcast(
-      counts.crossJoin(broadcast(minN))
-        .select(col("lang"), col("n_lang"),
-          (col("mn").cast("double") / col("n_lang")).as("p_keep")))
-    docs.join(rates, "lang")
-      .filter(rowUniform("mix1:", col("doc_id")) < col("p_keep"))
+  def mixEqualize(docs: DataFrame): DataFrame =
+    docs.join(mixRates(docs), "lang")
+      .filter(mixAccept)
       .select(col("doc_id"), col("lang"), col("n_lang"),
         round(col("p_keep"), 6).as("p_keep"))
       .orderBy("doc_id")
+
+  /** Temperature-based mix with UPSAMPLING — completes the mixing family
+    * (equalize can only thin; real training mixes also replicate rare
+    * sources). Target share of language l ∝ (n_l/N)^(1/τ); its per-doc
+    * replication rate is the volume-preserving
+    *   rate_l = (n_l^(1/τ) / Σ_k n_k^(1/τ)) · N / n_l
+    * — τ=1 is the natural mix (every rate exactly 1 after rounding),
+    * τ→∞ approaches equal shares; rates > 1 REPLICATE rare languages.
+    *
+    * Replicate-and-accept, fully deterministic: each doc explodes into
+    * ⌈rate⌉ candidate copies; copies below ⌊rate⌋ are always kept, the
+    * one fractional copy is kept iff the 60-bit uniform keyed by
+    * (doc_id, copy) clears the fractional part — so expected copies =
+    * rate, and the kept multiset is a pure function of the data
+    * (repartition/AQE/resume-stable, like every sampler here).
+    *
+    * Oracle discipline: the rate is ROUNDED to 6 dp on both engines
+    * before the accept compare — the only non-IEEE-pinned op in the rate
+    * (pow and the Σ over languages) agrees across engines well inside
+    * 1e-6, so the rounded rates are identical and the accept decisions
+    * hash-match. Scale shape: one |langs|-row aggregate broadcast back;
+    * the explode is map-side with fan-out ⌈rate⌉ (model-sized maximum —
+    * the worst case is N/n_min); no shuffle beyond the final sort.
+    */
+  def mixTemperature(docs: DataFrame, tau: Double = 2.0): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val tot = counts.agg(sum(col("n_lang")).cast("double").as("n"),
+      sum(pow(col("n_lang").cast("double"), lit(1.0 / tau))).as("z"))
+    val rates = broadcast(
+      counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_lang"),
+          round(pow(col("n_lang").cast("double"), lit(1.0 / tau))
+            / col("z") * col("n") / col("n_lang"), 6).as("rate")))
+    docs.join(rates, "lang")
+      .select(col("doc_id"), col("lang"), col("rate"),
+        explode(sequence(lit(0L), ceil(col("rate")) - 1)).as("copy_id"))
+      .filter(col("copy_id") < floor(col("rate")) ||
+        (col("copy_id") === floor(col("rate")) &&
+          rowUniform2("mixT:", col("doc_id"), col("copy_id"))
+            < col("rate") - floor(col("rate"))))
+      .select(col("doc_id"), col("copy_id"), col("lang"), col("rate"))
+      .orderBy("doc_id", "copy_id")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -160,6 +221,10 @@ object Sampling {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")),
     "sample_mix_equalize" -> ((s, d) => mixEqualize(Tables.documents(s, d))),
+    // τ=2 temperature mix: rare languages replicate (rate > 1), dominant
+    // ones thin — deterministic replicate-and-accept.
+    "sample_mix_temperature" -> ((s, d) =>
+      mixTemperature(Tables.documents(s, d), tau = 2.0)),
     // deterministic train/val/test assignment (75/12.5/12.5): one hash,
     // disjoint + total by construction (nibble ranges partition the hex
     // space), stable under repartition — the split every training run
@@ -214,6 +279,32 @@ object Sampling {
          |FROM documents d JOIN c USING (lang) CROSS JOIN m
          |WHERE ${sqlU60("mix1:")} < CAST(m.mn AS DOUBLE) / c.n_lang
          |ORDER BY doc_id""".stripMargin,
+    // mirrors mixTemperature (τ=2): identical rate arithmetic rounded to
+    // 6 dp before the accept compare, identical (doc, copy)-keyed 60-bit
+    // uniform for the fractional copy. `ex` is MATERIALIZED: DuckDB
+    // 1.0's binder hits an internal error when an unnest alias from a
+    // joined CTE is referenced inside a multi-column expression in the
+    // outer WHERE; materializing the CTE sidesteps it (same rows).
+    "sample_mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_lang) AS DOUBLE) AS n,
+        |             sum(pow(CAST(n_lang AS DOUBLE), 0.5)) AS z FROM c),
+        |r AS (SELECT lang,
+        |             round(pow(CAST(n_lang AS DOUBLE), 0.5) / z * n / n_lang, 6)
+        |               AS rate
+        |      FROM c CROSS JOIN t),
+        |ex AS MATERIALIZED (
+        |       SELECT d.doc_id, d.lang, r.rate,
+        |              unnest(range(0, CAST(ceil(r.rate) AS BIGINT))) AS copy_id
+        |       FROM documents d JOIN r USING (lang))
+        |SELECT doc_id, copy_id, lang, rate FROM ex
+        |WHERE copy_id < floor(rate)
+        |   OR (copy_id = floor(rate)
+        |       AND CAST(CAST(concat('0x', substr(md5(concat('mixT:',
+        |             CAST(doc_id AS VARCHAR), ':', CAST(copy_id AS VARCHAR))), 1, 15))
+        |             AS BIGINT) AS DOUBLE) / 1152921504606846976.0
+        |           < rate - floor(rate))
+        |ORDER BY doc_id, copy_id""".stripMargin,
     // single global window — semantically identical to the two-level
     // prefix sum (the Spark side must never depend on its bucketing).
     "sample_budget_pack" ->

@@ -75,10 +75,15 @@ object TermStats {
 
   /** Tokenize every document to vocabulary ids — the id-mapping pass a
     * training pipeline runs after text prep. The vocabulary is the
-    * corpus' distinct words with dense alphabetic ids (one window over
-    * the VOCAB — model-sized, like centroids — never over the corpus);
-    * documents then join the vocab by word (AQE broadcasts a small
-    * vocab) and re-assemble ids in token order. The id sequence is
+    * corpus' distinct words with dense alphabetic ids assigned by the
+    * DISTRIBUTED range form ([[Scale.assignIdsByRange]]: range-partition
+    * by word + per-partition offsets) — identical ids to a
+    * `row_number().over(Window.orderBy(word))` for any unique key
+    * (ScaleSpec asserts it on this very path), but with no
+    * one-partition sort, so the operator survives vocabularies that are
+    * NOT model-sized (byte-pair merge tables, URL vocabularies at corpus
+    * scale). Documents then join the vocab by word (AQE broadcasts a
+    * small vocab) and re-assemble ids in token order. The id sequence is
     * emitted as a space-joined string: order is pinned by the position
     * from posexplode, not by collect order.
     */
@@ -86,8 +91,7 @@ object TermStats {
     val toks = docs
       .select(col("doc_id"), posexplode(Text.words(col("text"))).as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
-    val vocab = toks.select(col("word")).distinct()
-      .withColumn("id", row_number().over(Window.orderBy(col("word"))).cast("long"))
+    val vocab = Scale.assignIdsByRange(toks.select(col("word")).distinct(), "word")
     toks.join(vocab, "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),

@@ -70,11 +70,20 @@ object Streams {
 
   /** Live stream-stream interval join — the streaming form of
     * [[graft.ops.EventWindows.intervalJoin]] (purchase→click
-    * attribution). Both sides carry a watermark ≥ the lookback so the
-    * engine can evict click state older than the bound and finalize
-    * inner-join results; the time bound is IN the join condition, which
-    * is what makes the state bounded. */
-  def intervalJoinStream(events: DataFrame, lookbackHours: Int = 6): DataFrame = {
+    * attribution). Both sides carry a watermark so the engine can evict
+    * click state and finalize inner-join results; the time bound is IN
+    * the join condition, which is what makes the state bounded.
+    *
+    * The CLICK side's watermark is lookback + an explicit 1-hour
+    * out-of-orderness allowance: with exactly `lookback`, click state
+    * can be evicted at the bound and a purchase arriving up to 1 h late
+    * relative to its clicks would silently miss pairs. With the
+    * allowance, completeness holds for any purchase no more than 1 h
+    * disordered against its click stream; a purchase later than that
+    * may under-join (the inner-join subset property still holds —
+    * emitted ⊆ batch — which is what StreamsSpec asserts). */
+  def intervalJoinStream(events: DataFrame, lookbackHours: Int = 6,
+      disorderAllowanceHours: Int = 1): DataFrame = {
     val p = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"),
         col("ts").as("p_ts"))
@@ -82,12 +91,43 @@ object Streams {
     val c = events.filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
-      .withWatermark("c_ts", s"$lookbackHours hours")
+      .withWatermark("c_ts", s"${lookbackHours + disorderAllowanceHours} hours")
     p.join(c, col("user_id") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackHours HOURS") &&
         col("c_ts") < col("p_ts"))
       .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"),
         col("c_ts"))
+  }
+
+  /** Live per-day conversion funnel — the streaming form of
+    * [[graft.ops.EventWindows.funnelDaily]], as two CHAINED stateful
+    * aggregations (Spark's multiple-stateful-operator support): the
+    * per-(user, day-window) conditional min-timestamps finalize when the
+    * watermark passes the day, then re-window into the per-day rollup.
+    * Both levels are append-mode windowed aggs — no custom state needed;
+    * the second groupBy windows ON the first's window column
+    * (window-of-window), which is what lets the engine chain the two
+    * watermarked aggregations. StreamsSpec asserts emitted days equal
+    * the batch funnel exactly for every day older than the watermark. */
+  def funnelDailyStream(events: DataFrame): DataFrame = {
+    val e = events.withWatermark("ts", "1 hour")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+    val perUserDay = e
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_v"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_c"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_p"))
+    perUserDay
+      .groupBy(window(col("window"), "1 day"))
+      .agg(
+        sum(when(col("t_v").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("t_c") > col("t_v"), 1L).otherwise(0L))
+          .as("n_click_after_view"),
+        sum(when(col("t_c") > col("t_v") && col("t_p") > col("t_c"), 1L)
+          .otherwise(0L)).as("n_purchase_funnel"))
+      .select(col("window.start").cast("date").as("day"),
+        col("n_view"), col("n_click_after_view"), col("n_purchase_funnel"))
   }
 
   /** Custom state: running per-user event count + last-seen timestamp —

@@ -127,7 +127,8 @@ class ContractSpec extends AnyFunSuite {
       (Seq.empty[(String, Double)], Seq.empty[String]))
     for ((results, errors) <- cases) {
       val line = Bench.artifactLine(results, runs = 3,
-        sfDir = "/root/testdata/sf0.1", errors = errors)
+        sfDir = "/root/testdata/sf0.1", errors = errors,
+        noise = 2.345, noiseRetried = true)
       // measured (BENCH_r01..r04.json): tail keep = 2000 chars, sbt's
       // "[success] Total time …" footer ~80 — the line must leave room
       assert(line.length <= 1500, s"artifact line ${line.length}B would truncate")
@@ -135,6 +136,10 @@ class ContractSpec extends AnyFunSuite {
       // total must be the LAST field (a head-truncated capture keeps it)
       assert(line.endsWith("}") && line.lastIndexOf("\"value\":") >
         line.lastIndexOf("\"queries\":"))
+      // the noise sentinel (r7): window-quality spread + retried flag
+      // must ride every line so a bad window is readable off the artifact
+      assert(math.abs(node.get("noise").asDouble() - 2.345) < 1e-9)
+      assert(node.get("noise_retried").asBoolean())
       // self-consistency: value == sum(named queries) + omitted_sum
       val named = node.get("queries").fields()
       var sum = 0.0
@@ -167,11 +172,13 @@ class ContractSpec extends AnyFunSuite {
     val results = keys.map(_ -> 1.5)
     val build = keys.map(_ -> 2.5)
     val full = Bench.fullArtifact(results, build, 3, "/root/testdata/sf0.1",
-      "32", Seq.empty)
+      "32", Seq.empty, noise = 1.08)
     val node = mapper.readTree(full)
     assert(node.get("queries").size() == keys.size)
     assert(node.get("build").size() == keys.size)
     assert(math.abs(node.get("value").asDouble() - 1.5 * keys.size) < 0.01)
     assert(math.abs(node.get("build_total").asDouble() - 2.5 * keys.size) < 0.01)
+    assert(math.abs(node.get("noise").asDouble() - 1.08) < 1e-9)
+    assert(!node.get("noise_retried").asBoolean())
   }
 }

@@ -270,4 +270,42 @@ class DedupSpec extends AnyFunSuite {
       .select("sig").as[Seq[Long]].collect()
     assert(sigs(0) == sigs(1))
   }
+
+  test("substringSpans finds the planted shared span at its exact extent " +
+      "and reports nothing across disjoint docs") {
+    val shared =
+      "every training corpus carries one license paragraph verbatim copy"
+    assert(shared.length >= 40)
+    val pa = "A-doc header: "           // char before span: ' '
+    val pb = "totally different b prefix Q" // char before span: 'Q'
+    val docA = pa + shared + "X trailing tail of doc a"  // char after: 'X'
+    val docB = pb + shared + "y other ending over here"  // char after: 'y'
+    val docC = "no overlap at all in this third document which talks " +
+      "about rivers and lanterns and nothing else besides"
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // exactly one maximal span: starts just past each prefix, spans the
+    // whole shared passage and not one code point more (the flanking
+    // chars differ on purpose).
+    assert(spans == Seq(
+      (1L, 2L, pa.length + 1L, pb.length + 1L, shared.length.toLong)))
+    val disjoint = Seq((1L, docA), (3L, docC)).toDF("doc_id", "text")
+    assert(Dedup.substringSpans(disjoint).count() == 0)
+  }
+
+  test("substringSpans merges only consecutive diagonal runs: two planted " +
+      "spans on different diagonals stay separate") {
+    val s1 = "first shared passage with at least forty characters inside it"
+    val s2 = "second shared block also comfortably longer than forty chars"
+    // digits flank every planted span so no span can extend by accident:
+    // s1 is 1…2 in A, 7…8 in B; s2 is 3…4 in A, 5…6 in B.
+    val docA = "aaHEAD1" + s1 + "2FILLERA3" + s2 + "4TAILa"
+    val docB = "bprefixlongerhere5" + s2 + "6anotherB7" + s1 + "8ZendB"
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans.map(_._5).sorted == Seq(s2.length.toLong, s1.length.toLong).sorted)
+    assert(spans.size == 2)
+  }
 }

@@ -124,6 +124,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(twoLevel.toSeq == global.toSeq && twoLevel.nonEmpty)
   }
 
+  test("mixTemperature: τ=1 reproduces the natural mix exactly; τ=2 " +
+      "realizes each language's rate within binomial tolerance and " +
+      "upsamples the rarest language above its natural count") {
+    // τ=1: every rate rounds to exactly 1.0 → one always-kept copy per
+    // doc — output rows == input rows, all copies 0.
+    val natural = Sampling.mixTemperature(docs, tau = 1.0).collect()
+    assert(natural.length == docs.count())
+    assert(natural.forall(r => r.getLong(1) == 0L))
+    assert(natural.forall(r => math.abs(r.getDouble(3) - 1.0) < 1e-9))
+    // τ=2: realized per-language counts track n_l·rate_l (expected
+    // copies) within ~4σ of the fractional-accept binomial.
+    val out = Sampling.mixTemperature(docs, tau = 2.0)
+      .groupBy("lang").agg(count(lit(1)).as("kept"),
+        first(col("rate")).as("rate"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, n) <- byLang) {
+      val (kept, rate) = out(lang)
+      val expect = n * rate
+      val sigma = math.sqrt(n.toDouble) / 2 + 1
+      assert(math.abs(kept - expect) <= 4 * sigma,
+        s"$lang kept=$kept expect=$expect n=$n rate=$rate")
+      // determinism: a rerun keeps the identical multiset
+    }
+    val rarest = byLang.minBy(_._2)._1
+    assert(out(rarest)._1 > byLang(rarest), "rarest language must upsample")
+    val rerun = Sampling.mixTemperature(docs, tau = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first2 = Sampling.mixTemperature(docs, tau = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rerun == first2)
+  }
+
   test("60-bit uniform parity: Spark conv-path equals the direct " +
       "BigInteger parse of the md5 prefix") {
     // pins the exactness claim the mix oracle relies on: first 15 hex

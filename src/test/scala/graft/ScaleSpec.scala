@@ -44,6 +44,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(scans == 5, s"sorted partitions materialized $scans times, want 5")
   }
 
+  test("tokenize_vocab_ids' range-form vocab ids equal the global-window " +
+      "form end-to-end") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val out = graft.ops.TermStats.tokenizeVocabIds(docs)
+      .as[(Long, Long, String)].collect().toSeq
+    // twin with the one-partition window vocab the operator replaced
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    val vocab = toks.select("word").distinct()
+      .withColumn("id",
+        row_number().over(Window.orderBy("word")).cast("long"))
+    val twin = toks.join(vocab, "word").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id").cast("string"))).as("ids"))
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(out == twin)
+  }
+
   test("salted join equals the plain join on skewed data") {
     // skew: one hot key with 5k rows, long tail of 100 keys
     val large = spark.range(5000).select(lit(1L).as("k"), col("id").as("v"))

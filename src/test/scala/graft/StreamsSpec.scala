@@ -90,6 +90,33 @@ class StreamsSpec extends AnyFunSuite {
     assert(mustHave.subsetOf(got))
   }
 
+  test("streaming daily funnel equals the batch (oracle-checked) twin on " +
+      "every finalized day") {
+    val stream = Streams.funnelDailyStream(
+      Streams.eventsStream(spark, TestSpark.sf0001))
+    runToMemory(stream, "funnel_out")
+    val got = spark.table("funnel_out")
+      .select(col("day").cast("string"), col("n_view"),
+        col("n_click_after_view"), col("n_purchase_funnel"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val want = EventWindows.funnelDaily(Tables.events(spark, TestSpark.sf0001))
+      .select(col("day").cast("string"), col("n_view"),
+        col("n_click_after_view"), col("n_purchase_funnel"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // append mode: every emitted day matches batch exactly; every day
+    // whose end precedes the final watermark (max ts - 1 h) must have
+    // been emitted.
+    assert(got.nonEmpty)
+    assert(got.forall { case (d, v) => want.get(d).contains(v) })
+    val maxDay = Tables.events(spark, TestSpark.sf0001)
+      .agg(max(to_date(col("ts"))).cast("string")).as[String].collect().head
+    val mustHave = want.keySet.filter(_ < maxDay) // closed strictly-prior days
+    assert(mustHave.subsetOf(got.keySet),
+      s"missing finalized days: ${mustHave -- got.keySet}")
+  }
+
   test("dropDuplicatesWithinWatermark removes duplicate event_ids") {
     val events = Tables.events(spark, TestSpark.sf0001).limit(100)
     val dir = Files.createTempDirectory("graft-dup").toString
