@@ -133,6 +133,27 @@ object ScaleTrend {
       val tIntervalJoin = if (hasEvents)
         time(graft.ops.EventWindows.queries("stream_interval_join")(spark, sf))
       else -1.0
+      // round 7: incremental dedup — cross-set banded candidate mass vs
+      // the n_new × n_exist pairs a full re-join would touch, plus wall
+      // time (the claim at Dedup.incrementalSurvivors is that the
+      // increment PROBES the corpus, so candidates must grow far slower
+      // than the cross product).
+      val nNew = docs.filter(pmod(col("doc_id"), lit(5)) === 0).count()
+      val incCands = graft.ops.Dedup.incrementalCandidates(docs).count()
+      val incCrossPairs = nNew * (nDocs - nNew)
+      val tIncremental = time(
+        graft.ops.Dedup.queries("dedup_incremental")(spark, sf))
+      // round 7: exact multimodal dedup — digest groupBy, the linear
+      // baseline every asset corpus runs first.
+      val tMmDedup = time(
+        graft.ops.Multimodal.queries("multimodal_dedup_exact")(spark, sf))
+      // round 7: substring-span dedup — window-hash candidate mass vs the
+      // n_windows² a naive all-pairs window compare would touch.
+      val nWindows = docs
+        .agg(sum(greatest(col("n_chars") - 39, lit(0L)))).head().getLong(0)
+      val spanCands = graft.ops.Dedup.substringWindowCandidates(docs).count()
+      val tSpans = time(
+        graft.ops.Dedup.queries("dedup_substring_spans")(spark, sf))
 
       System.err.println(s"[scale] $sf docs=$nDocs done")
       println(s"""{"sf":"$sf","n_docs":$nDocs,"n_emb":$nEmb,""" +
@@ -158,7 +179,13 @@ object ScaleTrend {
         s""""t_text_tfidf_top":${r3(tTfidf)},""" +
         s""""t_text_unigram_logprob":${r3(tUnigram)},""" +
         s""""t_sample_hash":${r3(tSampleHash)},""" +
-        s""""t_stream_interval_join":${r3(tIntervalJoin)}}""")
+        s""""t_stream_interval_join":${r3(tIntervalJoin)},""" +
+        s""""n_new_docs":$nNew,"inc_cand_pairs":$incCands,""" +
+        s""""inc_cross_pairs":$incCrossPairs,""" +
+        s""""t_dedup_incremental":${r3(tIncremental)},""" +
+        s""""t_multimodal_dedup_exact":${r3(tMmDedup)},""" +
+        s""""n_span_windows":$nWindows,"span_cand_pairs":$spanCands,""" +
+        s""""t_dedup_substring_spans":${r3(tSpans)}}""")
     }
     spark.stop()
     synthDir.foreach(graft.ops.SessionCleanup.deleteRecursively)

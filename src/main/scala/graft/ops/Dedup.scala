@@ -217,15 +217,7 @@ object Dedup {
     // — the increment-probes-precomputed-artifacts shape needs exactly one
     // corpus shingle pass, not one per consumer.
     val sh = shingles(docs)
-    val bb = replicableBands(sh, k, bands)
-    val nb = bb.filter(pmod(col("doc_id"), lit(mod)) === 0)
-      .select(col("band"), col("bucket"), col("doc_id").as("a_id"),
-        col("n_shingles").as("na"))
-    val eb = bb.filter(pmod(col("doc_id"), lit(mod)) =!= 0)
-      .select(col("band"), col("bucket"), col("doc_id").as("b_id"),
-        col("n_shingles").as("nb"))
-    val cand = nb.join(eb, Seq("band", "bucket"))
-      .select("a_id", "b_id", "na", "nb").distinct()
+    val cand = incrementalCandidatePairs(sh, k, bands, mod)
     val inter = cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
@@ -240,6 +232,30 @@ object Dedup {
       .select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id")
   }
+
+  /** Cross-set (new ⋈ existing) banded candidate pairs with shingle
+    * counts — the join [[incrementalSurvivors]] verifies. */
+  private def incrementalCandidatePairs(sh: DataFrame, k: Int, bands: Int,
+      mod: Int): DataFrame = {
+    val bb = replicableBands(sh, k, bands)
+    val nb = bb.filter(pmod(col("doc_id"), lit(mod)) === 0)
+      .select(col("band"), col("bucket"), col("doc_id").as("a_id"),
+        col("n_shingles").as("na"))
+    val eb = bb.filter(pmod(col("doc_id"), lit(mod)) =!= 0)
+      .select(col("band"), col("bucket"), col("doc_id").as("b_id"),
+        col("n_shingles").as("nb"))
+    nb.join(eb, Seq("band", "bucket"))
+      .select("a_id", "b_id", "na", "nb").distinct()
+  }
+
+  /** Cross-set candidate pairs of the incremental dedup — public for
+    * scale-trend observability: candidate mass vs n_new × n_exist is THE
+    * number that shows the increment PROBES the corpus instead of
+    * re-joining it. */
+  def incrementalCandidates(docs: DataFrame, k: Int = 8, bands: Int = 4,
+      mod: Int = 5): DataFrame =
+    incrementalCandidatePairs(shingles(docs), k, bands, mod)
+      .select("a_id", "b_id")
 
   def nearDupSurvivors(docs: DataFrame, jacThreshold: Double = 0.5,
       k: Int = 8, bands: Int = 4): DataFrame = {
@@ -286,7 +302,10 @@ object Dedup {
     * BMP-only corpora here they coincide with the character indices
     * `substr` uses on both engines.
     */
-  def substringSpans(docs: DataFrame, w: Int = 40): DataFrame = {
+  /** Pre-verify window-hash candidate pairs of [[substringSpans]] —
+    * public for scale-trend observability (candidate mass vs the
+    * n_windows² a naive all-pairs window compare would touch). */
+  def substringWindowCandidates(docs: DataFrame, w: Int = 40): DataFrame = {
     val wins = docs.filter(length(col("text")) >= w)
       .select(col("doc_id"),
         posexplode(graft.functions.RollingHash.rolling_hash_windows(col("text"), w)))
@@ -294,8 +313,12 @@ object Dedup {
         col("col").as("h"))
     val a = wins.select(col("h"), col("doc_id").as("a_id"), col("pos").as("a_pos"))
     val b = wins.select(col("h"), col("doc_id").as("b_id"), col("pos").as("b_pos"))
-    val hits = a.join(b, Seq("h")).filter(col("a_id") < col("b_id"))
+    a.join(b, Seq("h")).filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "a_pos", "b_pos")
+  }
+
+  def substringSpans(docs: DataFrame, w: Int = 40): DataFrame = {
+    val hits = substringWindowCandidates(docs, w)
     val ta = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
     val tb = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
     val verified = hits
