@@ -108,11 +108,20 @@ object CorpusPrep {
     // rate table + accept predicate come from Sampling — the SAME
     // definitions the standalone sample_mix_equalize key runs, so the
     // composed pipeline cannot drift from the operator its oracle mirrors.
+    //
+    // Stage boundaries MATERIALIZE (localCheckpoint): budgetPack's
+    // quantile pass and the tokenizer's range-id pass are eager actions,
+    // and without a cut each one would re-execute the whole upstream
+    // chain (measured 2.6× on the sf0.1 bench). At cluster scale this
+    // is the persisted stage boundary any multi-pass pipeline writes;
+    // locally the truncated lineage serves the same role.
     val mixed = docs.join(Sampling.mixRates(docs), "lang")
       .filter(Sampling.mixAccept)
       .select("doc_id", "text", "n_chars")
+      .localCheckpoint()
     val packed = Sampling.budgetPack(mixed, budget, buckets)
       .select("doc_id", "cum_tokens")
+      .localCheckpoint()
     val packDocs = mixed.join(packed, Seq("doc_id"))
     TermStats.tokenizeVocabIds(packDocs)
       .withColumnRenamed("n_tokens", "n_words")

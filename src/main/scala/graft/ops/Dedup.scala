@@ -266,6 +266,61 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Eval-set DECONTAMINATION — drop every training document that shares
+    * ANY word shingle with a held-out evaluation split (the benchmark-
+    * overlap filter an LLM data pipeline runs before training; public
+    * LM corpus reports describe the same n-gram-overlap construction,
+    * typically at 13-grams — this corpus' short template sentences make
+    * the dedup family's 3-word shingle the calibrated unit, and the
+    * shingle definition is SHARED with that family, one `shingles`).
+    *
+    * The eval split is deterministic (doc_id % evalMod == 0) so the
+    * oracle reproduces it. Scale shape: the eval set is benchmark-sized
+    * by construction — thousands of documents, never corpus-sized — so
+    * its distinct shingles BROADCAST and contamination detection is a
+    * map-side hash probe of the training shingle stream (no corpus-wide
+    * shuffle); the surviving-doc anti join then carries only the
+    * contaminated id set, left unhinted so AQE broadcasts it in the
+    * common case where few documents overlap the benchmarks. */
+  def decontaminate(docs: DataFrame, evalMod: Int = 53): DataFrame = {
+    val sh = shingles(docs)
+    val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    val evalShingles = broadcast(
+      sh.filter(isEval).select("shingle").distinct())
+    val contaminated = sh.filter(!isEval)
+      .join(evalShingles, Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(!isEval)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Edit-distance similarity on CANDIDATE pairs — the Levenshtein
+    * verify stage of a fuzzy-dedup pipeline. Band-bucket candidates
+    * (the same replicable LSH routing every dedup here uses) keep the
+    * O(len²)-per-pair dynamic program off the corpus cross product:
+    * edit distance is only ever computed on pairs the index already
+    * suspects. Output: (a_id, b_id, edit_dist, edit_sim) where
+    * edit_sim = 1 - dist / max(len_a, len_b), rounded 6 dp.
+    *
+    * `levenshtein` is a codegen'd Spark builtin with the classic
+    * unit-cost insert/delete/substitute semantics DuckDB's
+    * `levenshtein` shares, so the whole pipeline hash-gates. */
+  def editDistancePairs(docs: DataFrame, k: Int = 8,
+      bands: Int = 4): DataFrame = {
+    val cand = candidatePairs(docs, k, bands).select("a_id", "b_id")
+    val ta = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+    val tb = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    cand.join(ta, "a_id").join(tb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_text"), col("b_text")).cast("long").as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("a_text"), col("b_text")) /
+          greatest(length(col("a_text")), length(col("b_text")))
+            .cast("double"), 6).as("edit_sim"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Cross-document duplicate text SPANS — substring-level dedup, the
     * operator that finds EXACT shared passages (boilerplate, licenses,
     * quoted templates) across documents rather than whole-document
@@ -631,7 +686,14 @@ object Dedup {
     // — the gated 30-bit twin above checks the pipeline; DedupSpec pins
     // this one to the brute-force hamming join exactly).
     "dedup_simhash_pairs64" -> ((s, d) =>
-      simhashPairs64(Tables.documents(s, d)))
+      simhashPairs64(Tables.documents(s, d))),
+    // benchmark decontamination: training docs sharing any shingle with
+    // the deterministic eval split are dropped before training.
+    "text_decontaminate" -> ((s, d) =>
+      decontaminate(Tables.documents(s, d))),
+    // Levenshtein verify on LSH candidates — edit-distance fuzzy dedup.
+    "dedup_edit_distance" -> ((s, d) =>
+      editDistancePairs(Tables.documents(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -751,7 +813,33 @@ object Dedup {
     // bit_count(xor) verify — the full SimHash index is hash-checked
     // (once per registered block geometry).
     "dedup_simhash_pairs" -> sqlSimhashPairs(maxHamming = 3),
-    "dedup_simhash_pairs_wide" -> sqlSimhashPairs(maxHamming = 2)
+    "dedup_simhash_pairs_wide" -> sqlSimhashPairs(maxHamming = 2),
+    // mirrors decontaminate: same shingle CTEs, eval split by doc_id mod.
+    "text_decontaminate" ->
+      s"""WITH ${sqlShinglesCtes()},
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 53 = 0),
+         |cont AS (
+         |  SELECT DISTINCT t.doc_id FROM sh t JOIN ev ON t.shingle = ev.shingle
+         |  WHERE t.doc_id % 53 <> 0)
+         |SELECT doc_id, lang, n_chars FROM documents d
+         |WHERE doc_id % 53 <> 0
+         |  AND NOT EXISTS (SELECT 1 FROM cont c WHERE c.doc_id = d.doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // mirrors editDistancePairs: same banding CTEs through candidates,
+    // then DuckDB's own levenshtein on the candidate-bounded pairs.
+    "dedup_edit_distance" ->
+      s"""WITH ${sqlBandsCtes()},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |   AND a.doc_id < b.doc_id)
+         |SELECT c.a_id, c.b_id,
+         |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+         |       round(1.0 - levenshtein(da.text, db.text) * 1.0 /
+         |             greatest(length(da.text), length(db.text)), 6) AS edit_sim
+         |FROM cand c JOIN documents da ON da.doc_id = c.a_id
+         |JOIN documents db ON db.doc_id = c.b_id
+         |ORDER BY c.a_id, c.b_id""".stripMargin
   )
 
   /** DuckDB replication of simhashReplicable + simhashPairs for a given
@@ -797,9 +885,9 @@ object Dedup {
     * band buckets (mirrors shingles + replicableBands). `src` is the
     * relation the pipeline reads — "documents" for the standalone dedup
     * keys, an upstream CTE for composed pipelines (CorpusPrep). */
-  private[graft] def sqlBandsCtes(src: String = "documents"): String = {
-    val minCols = (0 until 8).map(i =>
-      s"min(${sqlHashOf(s"'$i|' || shingle")}) AS m$i").mkString(",\n  ")
+  /** Shingle-only CTE prefix (w → ex → sh) — the shared word-shingle
+    * definition every shingle-consuming oracle builds on. */
+  private[graft] def sqlShinglesCtes(src: String = "documents"): String =
     s"""w AS (
        |  SELECT doc_id, string_split(text, ' ') AS words FROM $src
        |  WHERE len(string_split(text, ' ')) >= 3),
@@ -808,7 +896,12 @@ object Dedup {
        |sh AS (
        |  SELECT DISTINCT doc_id,
        |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-       |  FROM ex),
+       |  FROM ex)""".stripMargin
+
+  private[graft] def sqlBandsCtes(src: String = "documents"): String = {
+    val minCols = (0 until 8).map(i =>
+      s"min(${sqlHashOf(s"'$i|' || shingle")}) AS m$i").mkString(",\n  ")
+    s"""${sqlShinglesCtes(src)},
        |sig AS (SELECT doc_id,
        |  $minCols
        |  FROM sh GROUP BY doc_id),

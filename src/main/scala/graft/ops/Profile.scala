@@ -44,6 +44,32 @@ object Profile {
     one.select(explode(structs).as("p")).select("p.*").orderBy("col_name")
   }
 
+  /** Equi-width HISTOGRAM of a numeric column (n_chars, `nb` buckets
+    * between the observed min/max) — the distribution profile
+    * `profileColumns`' min/max summary can't show (skew, modality,
+    * truncation artifacts in a corpus' length distribution).
+    *
+    * Bucketing is pure INTEGER arithmetic — bucket = least((x - mn) ·
+    * nb div (mx - mn + 1), nb - 1) — so both engines compute identical
+    * buckets (no FP rounding at the edges, the classic histogram-parity
+    * trap). Two scans: a 1-row min/max aggregate broadcast back, then a
+    * map-side bucket assignment + a `nb`-key groupBy with map-side
+    * partials. Empty buckets are absent on both engines. At 100 TB both
+    * scans are scan-bound; fold the bounds pass into a prior
+    * profileColumns run when one exists. */
+  def histogram(docs: DataFrame, nb: Int = 10): DataFrame = {
+    val bounds = docs.agg(min(col("n_chars")).as("mn"),
+      max(col("n_chars")).as("mx"))
+    docs.crossJoin(broadcast(bounds))
+      .select(least(expr(s"((n_chars - mn) * $nb) div (mx - mn + 1)"),
+        lit(nb - 1L)).as("bucket"), col("n_chars"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("lo_chars"),
+        max(col("n_chars")).as("hi_chars"))
+      .orderBy("bucket")
+  }
+
   // one partitioned copy per (session, sfDir), cleaned up with the session
   private val memo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
@@ -84,6 +110,8 @@ object Profile {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_columns" -> ((s, d) => profileColumns(Tables.documents(s, d))),
+    // 10-bucket equi-width length histogram, integer-exact bucketing.
+    "profile_histogram" -> ((s, d) => histogram(Tables.documents(s, d))),
     // JSONL shard round-trip — the interchange format training loaders
     // consume. Write N range-sharded JSONL files, read back with the
     // EXPLICIT schema (inference would be a second full pass at 100 TB
@@ -117,6 +145,15 @@ object Profile {
            |  CAST(max($c) AS VARCHAR) AS max_val
            |FROM documents""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    // integer bucket arithmetic mirrors histogram() exactly (// is
+    // DuckDB's integer division, div is Spark's).
+    "profile_histogram" ->
+      """WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)
+        |SELECT least(((n_chars - mn) * 10) // (mx - mn + 1), 9) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
+        |FROM documents CROSS JOIN b
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "sink_partitioned_prune" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,

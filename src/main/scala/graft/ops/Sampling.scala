@@ -206,6 +206,29 @@ object Sampling {
       .orderBy("doc_id", "copy_id")
   }
 
+  /** Per-source quality QUOTA — keep the best `k` documents of every
+    * source, ranked by a deterministic quality key (n_chars DESC — the
+    * corpus' honest quality proxy — with doc_id as total tie-break).
+    * The per-domain cap every curation pipeline applies so no single
+    * crawl domain dominates the mix.
+    *
+    * Shape: one row_number window partitioned by source — the shuffle
+    * is keyed by source, each partition holds one source's rows. At
+    * 100 TB a pathological mega-source would make that one reducer hot;
+    * the fix is a per-partition local top-k (mapPartitions heap or a
+    * (source, salt) pre-rank) BEFORE the window so each reducer sees at
+    * most parts×k rows — the same two-level shape as budgetPack. The
+    * single-window form here is the semantic spec; k rows per source is
+    * tiny, so the pre-top-k refinement changes cost, never results. */
+  def quotaTopK(docs: DataFrame, k: Int = 40): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(desc("n_chars"), asc("doc_id"))
+    docs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "source", "n_chars", "rk")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // uniform 25 % cut — one codegen'd map-side predicate, no shuffle.
     "sample_hash" -> ((s, d) =>
@@ -239,7 +262,12 @@ object Sampling {
         .orderBy("doc_id")
     }),
     "sample_budget_pack" -> ((s, d) =>
-      budgetPack(Tables.documents(s, d), budget = 12000L, buckets = 16))
+      budgetPack(Tables.documents(s, d), budget = 12000L, buckets = 16)),
+    // per-source quality quota: best 10 docs per source by length
+    // (sources are 25-doc uniform in this corpus, so the quota BINDS —
+    // 200 of 500 rows survive).
+    "sample_quota_topk" -> ((s, d) =>
+      quotaTopK(Tables.documents(s, d), k = 10))
   )
 
   private val tokRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -314,6 +342,13 @@ object Sampling {
          |    CAST(sum(len(regexp_extract_all(text, '$tokRe')))
          |      OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens
          |  FROM documents)
-         |WHERE cum_tokens <= 12000 ORDER BY doc_id""".stripMargin
+         |WHERE cum_tokens <= 12000 ORDER BY doc_id""".stripMargin,
+    "sample_quota_topk" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin
   )
 }

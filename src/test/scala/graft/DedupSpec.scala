@@ -308,4 +308,49 @@ class DedupSpec extends AnyFunSuite {
     assert(spans.map(_._5).sorted == Seq(s2.length.toLong, s1.length.toLong).sorted)
     assert(spans.size == 2)
   }
+
+  test("decontaminate drops exactly the training docs sharing a shingle " +
+      "with the eval split and keeps the eval split out of the output") {
+    val evalDoc = base                       // id 0 -> eval (0 % 53 == 0)
+    val copied = "prefix words here " + base // contains eval shingles
+    val clean = "utterly novel words about trains and rivers flowing north " +
+      "past seven bridges while lanterns glow quietly on the water"
+    val docs = Seq((0L, evalDoc), (1L, copied), (2L, clean))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val kept = Dedup.decontaminate(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+    // with NO eval overlap, every training doc survives
+    val disjoint = Seq((0L, evalDoc), (1L, clean))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    assert(Dedup.decontaminate(disjoint)
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("editDistancePairs: zero distance iff identical text on a candidate " +
+      "pair; a planted one-word edit measures exactly its character delta") {
+    val edited = base.replace("quick", "swift") // quick->swift: same length
+    val docs = Seq((1L, base), (2L, base), (3L, edited))
+      .toDF("doc_id", "text")
+    val dists = Dedup.editDistancePairs(docs)
+      .select("a_id", "b_id", "edit_dist")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, d) => (a, b) -> d }.toMap
+    assert(dists((1L, 2L)) == 0L)
+    // quick -> swift shares no aligned characters at the same offsets
+    // except 'i' (qu-i-ck / sw-i-ft): 4 substitutions, equal length
+    assert(dists((1L, 3L)) == 4L)
+    assert(dists((2L, 3L)) == 4L)
+    // similarity is 1 exactly when distance is 0
+    val sims = Dedup.editDistancePairs(docs)
+      .select("a_id", "b_id", "edit_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(sims((1L, 2L)) == 1.0)
+    assert(sims((1L, 3L)) < 1.0)
+  }
 }

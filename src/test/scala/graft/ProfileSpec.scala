@@ -75,4 +75,24 @@ class ProfileSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("histogram: counts total to the corpus, buckets stay in range, " +
+      "observed lo/hi nest inside the bucket edges, empty buckets absent") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val nb = 10
+    val rows = Profile.histogram(docs, nb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).sum == docs.count())
+    assert(rows.forall(t => t._1 >= 0 && t._1 < nb))
+    // re-derive bucket edges driver-side; every row's observed min/max
+    // must land in its bucket
+    val (mn, mx) = docs.agg(min("n_chars"), max("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    def bucketOf(x: Long): Long = math.min((x - mn) * nb / (mx - mn + 1), nb - 1L)
+    rows.foreach { case (b, _, lo, hi) =>
+      assert(lo <= hi && bucketOf(lo) == b && bucketOf(hi) == b)
+    }
+    // buckets are strictly increasing (orderBy) with no duplicates
+    assert(rows.map(_._1).toSeq == rows.map(_._1).distinct.sorted.toSeq)
+  }
 }

@@ -174,4 +174,27 @@ class SamplingSpec extends AnyFunSuite {
       assert(r.getLong(2) == want && want >= 0 && want < (1L << 60))
     }
   }
+
+  test("quotaTopK: at most k rows per source, exactly the k longest by " +
+      "(n_chars desc, doc_id), stable under repartition") {
+    val k = 5
+    val out = Sampling.quotaTopK(docs, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySource = out.groupBy(_._2)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length <= k, s"$src exceeded the quota")
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // oracle semantics re-derived driver-side on the raw table
+    val raw = docs.select("doc_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    raw.groupBy(_._2).foreach { case (src, rows) =>
+      val want = rows.sortBy(t => (-t._3, t._1)).take(k).map(_._1).toSet
+      val got = bySource.getOrElse(src, Array.empty).map(_._1).toSet
+      assert(got == want, s"$src quota mismatch")
+    }
+    val shuffled = Sampling.quotaTopK(docs.repartition(13), k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(shuffled.toSeq == out.toSeq)
+  }
 }
