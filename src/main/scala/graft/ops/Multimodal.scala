@@ -172,6 +172,114 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "src_bytes")
   }
 
+  /** Deterministic PNG payloads for the PERCEPTUAL dedup key: every 7th
+    * doc renders one of 3 shared base images (13×11, pixels a pure
+    * function of the asset id and position), half of them with a single
+    * pixel perturbed (one bit-3 flip per channel at (0,0)) so the
+    * planted duplicates are NEAR-identical, not byte-identical — byte
+    * dedup misses them, perceptual dedup must not. All other docs render
+    * unique images whose pixels mix doc_id into every position. The
+    * pixel formulas are integer arithmetic both engines reproduce, which
+    * is what upgrades this key from rows-only to hash-gated: the oracle
+    * re-derives the pixels, the Spark side DECODES them. */
+  def phashPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("nb"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        it.map { case (id, nb) =>
+          val planted = id % 7 == 0
+          val w = if (planted) 13 else (1 + nb % 16).toInt
+          val h = if (planted) 11 else (1 + (nb * 7) % 16).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var rgb =
+                if (planted)
+                  ((id % 3 + 1) * 7919L * (x + 1) * (y + 3) + x * 31 + y * 7) & 0xffffff
+                else
+                  ((id % 65536 + 1) * 2654435761L * (x + 1) * (y + 3) + x * 31 + y * 7) & 0xffffff
+              if (planted && (id / 7) % 2 == 1 && x == 0 && y == 0)
+                rgb ^= 0x080808L
+              img.setRGB(x, y, rgb.toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.close()
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
+  /** 30-bit average-hash (aHash) from REAL decoded pixels: decode the
+    * PNG (one reader per partition), nearest-neighbor-sample a 6×5
+    * grid, sum RGB per sample, threshold each sample against the image
+    * mean (30·s > Σs — integer-exact), pack the bits. The classic
+    * perceptual fingerprint: robust to single-pixel noise, discriminative
+    * across distinct content. 30 bits so the fingerprint and its block
+    * arithmetic stay comfortably inside BIGINT on both engines — the
+    * same geometry as the gated SimHash family. */
+  def phashFingerprints(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        it.map { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis)
+          val img = reader.read(0)
+          iis.close()
+          val w = img.getWidth
+          val h = img.getHeight
+          val s = new Array[Long](30)
+          var tot = 0L
+          var gy = 0
+          while (gy < 5) {
+            var gx = 0
+            while (gx < 6) {
+              val rgb = img.getRGB(gx * w / 6, gy * h / 5) & 0xffffff
+              val v = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              s(gy * 6 + gx) = v.toLong
+              tot += v
+              gx += 1
+            }
+            gy += 1
+          }
+          var fp = 0L
+          var k = 0
+          while (k < 30) {
+            if (30L * s(k) > tot) fp |= 1L << k
+            k += 1
+          }
+          (id, fp)
+        }
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Perceptual near-dup image pairs: real decode → aHash → the SAME
+    * Manku bit-block candidate routing every hamming join here uses
+    * ([[Dedup.simhashPairsFrom]]) — planted near-identical assets land
+    * within hamming 1, distinct images scatter. */
+  def phashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairsFrom(phashFingerprints(phashPayloads(docs)),
+      maxHamming, bits = 30)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary payload + typed metadata: byte counts differ from char counts
     // on non-ASCII (zh) docs — that difference is the point.
@@ -230,7 +338,12 @@ object Multimodal {
           count(lit(1)).as("n_copies"))
         .select("doc_id", "h", "n_copies")
         .orderBy("doc_id")
-    })
+    }),
+    // perceptual near-dup image dedup: render → REAL decode → aHash →
+    // block-routed hamming pairs; the planted single-pixel variants are
+    // invisible to byte dedup and land at hamming <= 1 here.
+    "multimodal_dedup_phash" -> ((s, d) =>
+      phashPairs(Tables.documents(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -289,6 +402,61 @@ object Multimodal {
         |  FROM documents)
         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(payload) AS h,
         |       count(*) AS n_copies
-        |FROM p GROUP BY md5(payload) ORDER BY doc_id""".stripMargin
+        |FROM p GROUP BY md5(payload) ORDER BY doc_id""".stripMargin,
+    // Re-derives the pixels from the generation formulas (the Spark side
+    // DECODES them from real PNG bytes — that's the gate), samples the
+    // same 6×5 grid, thresholds against the image mean, packs 30 bits,
+    // and routes pairs through the same 4×8-bit block geometry as
+    // Dedup.sqlSimhashPairs.
+    "multimodal_dedup_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents),
+        |dim AS (
+        |  SELECT doc_id, nb,
+        |         CASE WHEN doc_id % 7 = 0 THEN 13 ELSE 1 + nb % 16 END AS w,
+        |         CASE WHEN doc_id % 7 = 0 THEN 11 ELSE 1 + (nb * 7) % 16 END AS h
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id, gx, gy, (gx * w) // 6 AS sx, (gy * h) // 5 AS sy
+        |  FROM dim
+        |  CROSS JOIN (SELECT unnest(range(0, 6)) AS gx) gxs
+        |  CROSS JOIN (SELECT unnest(range(0, 5)) AS gy) gys),
+        |px AS (
+        |  SELECT doc_id, gx, gy,
+        |    xor(CASE WHEN doc_id % 7 = 0 THEN
+        |          ((doc_id % 3 + 1) * 7919 * (sx + 1) * (sy + 3)
+        |            + sx * 31 + sy * 7) & 16777215
+        |        ELSE
+        |          ((doc_id % 65536 + 1) * 2654435761 * (sx + 1) * (sy + 3)
+        |            + sx * 31 + sy * 7) & 16777215
+        |        END,
+        |        CASE WHEN doc_id % 7 = 0 AND (doc_id // 7) % 2 = 1
+        |              AND sx = 0 AND sy = 0
+        |             THEN 526344 ELSE 0 END) AS p
+        |  FROM g),
+        |sm AS (
+        |  SELECT doc_id, gy * 6 + gx AS k,
+        |         (p // 65536) % 256 + (p // 256) % 256 + p % 256 AS s
+        |  FROM px),
+        |tot AS (SELECT doc_id, sum(s) AS tot FROM sm GROUP BY doc_id),
+        |fp AS (
+        |  SELECT sm.doc_id,
+        |         CAST(sum(CASE WHEN 30 * s > tot
+        |                       THEN CAST(1 AS BIGINT) << k ELSE 0 END)
+        |           AS BIGINT) AS simhash
+        |  FROM sm JOIN tot USING (doc_id) GROUP BY sm.doc_id),
+        |blk AS (
+        |  SELECT doc_id, simhash, t.blk, t.v FROM fp CROSS JOIN LATERAL (VALUES
+        |    (0, (simhash // 1) % 256), (1, (simhash // 256) % 256),
+        |    (2, (simhash // 65536) % 256), (3, (simhash // 16777216) % 256))
+        |    t(blk, v)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.v = b.v
+        |   AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 3
+        |ORDER BY a_id, b_id""".stripMargin
   )
 }

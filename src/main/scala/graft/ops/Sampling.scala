@@ -229,6 +229,32 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Deterministic GLOBAL SHUFFLE into training shards — the "shuffle
+    * the corpus before training" stage. Hash order (md5 over a salt +
+    * id) destroys source/time locality the way a random permutation
+    * would, but as a pure function of the data: re-runs, engines and
+    * partitionings agree on the exact permutation. Each doc lands in
+    * shard = hash mod nShards with pos = its rank in the shard's
+    * hash order — a training loader reading shards round-robin sees a
+    * reproducible global shuffle.
+    *
+    * Scale shape: shard assignment is map-side; the rank window is
+    * PARTITIONED by shard, so shards sort independently in parallel.
+    * nShards is the dial — at 100 TB pick corpus_bytes / ~512 MB
+    * (thousands of shards), so each per-shard sort is one task-sized
+    * run, never a global sort. */
+  def shuffleShards(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    val h = rowHex("shuf1:", col("doc_id"))
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard",
+        pmod(conv(substring(col("h"), 1, 15), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // uniform 25 % cut — one codegen'd map-side predicate, no shuffle.
     "sample_hash" -> ((s, d) =>
@@ -267,7 +293,10 @@ object Sampling {
     // (sources are 25-doc uniform in this corpus, so the quota BINDS —
     // 200 of 500 rows survive).
     "sample_quota_topk" -> ((s, d) =>
-      quotaTopK(Tables.documents(s, d), k = 10))
+      quotaTopK(Tables.documents(s, d), k = 10)),
+    // deterministic global shuffle into 8 training shards.
+    "sample_shuffle_shards" -> ((s, d) =>
+      shuffleShards(Tables.documents(s, d), nShards = 8))
   )
 
   private val tokRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -349,6 +378,18 @@ object Sampling {
         |         CAST(row_number() OVER (PARTITION BY source
         |           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
         |  FROM documents)
-        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+    "sample_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(concat('shuf1:', CAST(doc_id AS VARCHAR))) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, h,
+        |         CAST(concat('0x', substr(h, 1, 15)) AS BIGINT) % 8 AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |         AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }

@@ -71,4 +71,34 @@ class MultimodalSpec extends AnyFunSuite {
       assert((img.getRGB(x, y) & 0xffffff) == expect, s"pixel ($x,$y)")
     }
   }
+
+  test("phash: planted same-asset images (including the single-pixel " +
+      "variants) pair within hamming 1; distinct assets never pair") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val fps = Multimodal.phashFingerprints(Multimodal.phashPayloads(docs))
+      .as[(Long, Long)].collect().toMap
+    // byte-identical planted images share the fingerprint exactly; the
+    // perturbed variants differ by at most one bit
+    val planted = fps.keys.filter(_ % 7 == 0).toSeq
+    planted.groupBy(_ % 3).foreach { case (_, ids) =>
+      val ref = fps(ids.head)
+      ids.foreach { id =>
+        assert(java.lang.Long.bitCount(fps(id) ^ ref) <= 2,
+          s"asset member $id drifted")
+      }
+    }
+    val pairs = Multimodal.phashPairs(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // every same-asset pair must be found (hamming <= 1+1 <= 3) …
+    val byAsset = planted.groupBy(_ % 3).values
+    byAsset.foreach { ids =>
+      val sorted = ids.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        assert(pairs.contains((sorted(i), sorted(j))),
+          s"missed planted pair ${sorted(i)},${sorted(j)}")
+    }
+    // … and no pair straddles two assets
+    for ((a, b) <- pairs if a % 7 == 0 && b % 7 == 0)
+      assert(a % 3 == b % 3, s"cross-asset pair $a,$b")
+  }
 }

@@ -197,4 +197,26 @@ class SamplingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(shuffled.toSeq == out.toSeq)
   }
+
+  test("shuffleShards: total (every doc exactly once), positions dense " +
+      "1..shard_size, order decorrelated from doc_id, repartition-stable") {
+    val n = docs.count()
+    val out = Sampling.shuffleShards(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == n && out.map(_._1).distinct.length == n)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < 8)
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // the permutation actually shuffles: within a shard, walking in pos
+    // order must NOT walk doc_ids in order (a sorted permutation would
+    // mean the hash order degenerated to id order)
+    val big = out.groupBy(_._2).values.maxBy(_.length)
+    val idsInPosOrder = big.sortBy(_._3).map(_._1).toSeq
+    assert(idsInPosOrder != idsInPosOrder.sorted)
+    val re = Sampling.shuffleShards(docs.repartition(13), 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
 }
