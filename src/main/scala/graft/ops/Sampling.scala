@@ -255,6 +255,39 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * IPL 2006): each doc draws priority key ln(u)/w — equivalent in
+    * ordering to the classic u^(1/w) — and the sample is the top-k by
+    * key. P(doc in sample) rises with its weight w (here `n_chars`,
+    * the corpus' honest quality proxy), yet the draw stays a pure
+    * function of the data: u is the 60-bit md5 uniform shifted to
+    * (0, 1] (the +1 dodges ln(0) on both engines).
+    *
+    * Scale shape: the key is one map-side expression; the top-k is
+    * `orderBy(...).limit(k)` which Spark plans as TakeOrderedAndProject
+    * — per-partition k-heaps merged at the driver, never a global sort.
+    * The rank window afterward runs over k rows (model-sized). The
+    * oracle's single-window SQL is the semantic spec.
+    *
+    * Float discipline: ln is the one transcendental (Spark Math.log vs
+    * DuckDB libm, each ≤1 ulp); the key is ROUNDED to 9 dp before
+    * ranking on both engines so last-ulp noise cannot flip an order,
+    * with doc_id as the total tie-break (same discipline as
+    * text_tfidf_top's rounded-score ranking). */
+  def weightedTopK(docs: DataFrame, k: Int = 100): DataFrame = {
+    val u = (conv(substring(rowHex("wtk1:", col("doc_id")), 1, 15), 16, 10)
+      .cast("long") + 1).cast("double") / pow2_60
+    val key = round(log(u) / col("n_chars").cast("double"), 9)
+    val top = docs
+      .select(col("doc_id"), col("n_chars"), key.as("skey"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(k)
+    // rank window over exactly k rows — model-sized by construction.
+    val w = Window.orderBy(col("skey").desc, col("doc_id"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // uniform 25 % cut — one codegen'd map-side predicate, no shuffle.
     "sample_hash" -> ((s, d) =>
@@ -296,7 +329,10 @@ object Sampling {
       quotaTopK(Tables.documents(s, d), k = 10)),
     // deterministic global shuffle into 8 training shards.
     "sample_shuffle_shards" -> ((s, d) =>
-      shuffleShards(Tables.documents(s, d), nShards = 8))
+      shuffleShards(Tables.documents(s, d), nShards = 8)),
+    // weighted (quality-biased) 100-doc cut — A-ES priority top-k.
+    "sample_weighted" -> ((s, d) =>
+      weightedTopK(Tables.documents(s, d), k = 100))
   )
 
   private val tokRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -379,6 +415,23 @@ object Sampling {
         |           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
         |  FROM documents)
         |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+    // single-window form of the A-ES top-k: identical rounded keys
+    // (the +1-shifted 60-bit uniform, ln, /n_chars, round 9 dp), same
+    // (skey DESC, doc_id) total order.
+    "sample_weighted" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |         round(ln((CAST(concat('0x', substr(md5(concat('wtk1:',
+        |             CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1)
+        |             / 1152921504606846976.0) / n_chars, 9) AS skey
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_chars, skey,
+        |         CAST(row_number() OVER (ORDER BY skey DESC, doc_id)
+        |           AS BIGINT) AS rk
+        |  FROM s)
+        |SELECT doc_id, n_chars, skey, rk FROM r
+        |WHERE rk <= 100 ORDER BY doc_id""".stripMargin,
     "sample_shuffle_shards" ->
       """WITH h AS (
         |  SELECT doc_id, md5(concat('shuf1:', CAST(doc_id AS VARCHAR))) AS h

@@ -198,6 +198,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(shuffled.toSeq == out.toSeq)
   }
 
+  test("weightedTopK: exactly k rows ranked 1..k by the rounded A-ES key, " +
+      "biased toward heavier docs, repartition-stable, top-k not a sort") {
+    val k = 25
+    val out = Sampling.weightedTopK(docs, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.length == k)
+    assert(out.map(_._4).sorted.toSeq == (1L to k).toSeq)
+    // rank order is (skey desc, doc_id): walking ranks never increases skey
+    val byRank = out.sortBy(_._4)
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+    }
+    // the weight does its job: the kept set skews long (mean n_chars of
+    // the sample clearly above the corpus mean)
+    val corpusMean = docs.agg(avg("n_chars")).head.getDouble(0)
+    val keptMean = out.map(_._2).sum.toDouble / k
+    assert(keptMean > corpusMean, s"kept $keptMean vs corpus $corpusMean")
+    val shuffled = Sampling.weightedTopK(docs.repartition(11), k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(shuffled.toSeq == out.toSeq)
+    // scale shape: the k-cut plans as TakeOrderedAndProject (per-partition
+    // heaps), not a global Sort + Limit
+    val plan = Sampling.weightedTopK(docs, k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("shuffleShards: total (every doc exactly once), positions dense " +
       "1..shard_size, order decorrelated from doc_id, repartition-stable") {
     val n = docs.count()
