@@ -393,6 +393,82 @@ object Dedup {
       .orderBy("a_id", "b_id", "a_start", "b_start")
   }
 
+  // ---------------------------------------------------------------- //
+  // Paragraph-level dedup (the C4 / Dolma pass: drop REPEATED
+  // paragraphs corpus-wide, keep each distinct paragraph's first
+  // occurrence, reassemble the documents from what survives).
+  // ---------------------------------------------------------------- //
+
+  private val paraWords = 12
+  private[graft] val paraFooters = Seq(
+    "all rights reserved contact the site administrator for licensing terms",
+    "subscribe to our newsletter for weekly updates and exclusive offers")
+
+  /** Deterministic paragraphization: split each doc's word stream into
+    * fixed 12-word paragraphs (positional chunking — the corpus has no
+    * natural newlines), then plant a boilerplate footer paragraph on
+    * every 3rd doc (two variants by doc_id % 2) so the cross-document
+    * drop path does real work — the same deterministic-enrichment
+    * technique as text_pii_mask and multimodal_dedup_exact (the synth
+    * corpus has no natural repeated paragraphs at sf0.01). */
+  private[ops] def paragraphize(docs: DataFrame): DataFrame = {
+    val words = wordsOf(col("text"))
+    val nPara = ceil(size(words).cast("double") / paraWords).cast("int")
+    val chunks = transform(sequence(lit(0), nPara - 1),
+      i => array_join(slice(words, i * paraWords + 1, lit(paraWords)), " "))
+    val footer = element_at(
+      array(paraFooters.map(lit): _*), (col("doc_id") % 2 + 1).cast("int"))
+    val paras = when(col("doc_id") % 3 === 0,
+      concat(chunks, array(footer))).otherwise(chunks)
+    docs.select(col("doc_id"), posexplode(paras))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("para_idx"),
+        col("col").as("para"))
+  }
+
+  /** Corpus-wide paragraph dedup: an occurrence survives iff it is the
+    * FIRST global occurrence of its paragraph text (order = (doc_id,
+    * para_idx)); docs are reassembled from surviving paragraphs in
+    * original order. The C4/Dolma boilerplate-removal pass — repeated
+    * footers/navigation collapse to one occurrence corpus-wide.
+    *
+    * Scale shape, chosen for the hot-key reality (at 100 TB one footer
+    * paragraph repeats millions of times):
+    *   - first-occurrence = groupBy(para).agg(min(struct(doc_id, idx)))
+    *     — min is algebraic, so map-side partial aggregation absorbs the
+    *     hot paragraph before the shuffle (a row_number window
+    *     PARTITION BY para would put every copy of the hot key on one
+    *     reducer);
+    *   - the survivor mark-up is a left-semi join on the FULL occurrence
+    *     key (para, doc_id, para_idx) — distinct per row, skew-free;
+    *   - reassembly is one groupBy(doc_id) with order restored by
+    *     array_sort over (para_idx, para) structs — never collect order.
+    * At 100 TB, `para` as a join key carries full text; swap the key to
+    * xxhash64(para) + an equality re-check to shrink the exchange (the
+    * hash-gated form here keeps the text key so DuckDB replays it). */
+  def paragraphSurvivors(docs: DataFrame): DataFrame = {
+    val paras = paragraphize(docs)
+    val firsts = paras.groupBy(col("para"))
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("f"))
+      .select(col("para"), col("f.doc_id").as("doc_id"),
+        col("f.para_idx").as("para_idx"))
+    val kept = paras.join(firsts, Seq("para", "doc_id", "para_idx"),
+      "left_semi")
+    val totals = paras.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("para_idx"), col("para")))),
+            s => s.getField("para")),
+          "\n").as("text_clean"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup CLUSTERS: connected components over the verified near-dup
     * graph — the operator that turns pairwise dedup into dedup GROUPS
     * (pick a canonical doc per cluster, attribute provenance, measure
@@ -618,6 +694,10 @@ object Dedup {
     // (exact digest + banded near-dup, cross-set candidates only).
     "dedup_incremental" -> ((s, d) =>
       incrementalSurvivors(Tables.documents(s, d))),
+    // C4/Dolma paragraph pass: drop repeated paragraphs corpus-wide,
+    // keep first occurrences, reassemble the docs.
+    "dedup_paragraph" -> ((s, d) =>
+      paragraphSurvivors(Tables.documents(s, d))),
     // nearest doc by 3-gram Jaccard for the first 20 docs (exact form;
     // the LSH path replaces the self-join at scale).
     "dedup_ngram_jaccard" -> ((s, d) => {
@@ -700,6 +780,49 @@ object Dedup {
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS h
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    // mirrors paragraphSurvivors: same 12-word chunking (DuckDB's
+    // 1-based inclusive list slice clips like Spark's slice), same
+    // footer plant, first-occurrence keep as rn=1 over (doc_id, idx),
+    // reassembly as ORDER BY-ed string_agg.
+    "dedup_paragraph" ->
+      s"""WITH p0 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |p1 AS (
+         |  SELECT doc_id,
+         |         list_transform(range(0, CAST(ceil(len(words) / 12.0) AS BIGINT)),
+         |           i -> array_to_string(words[i*12+1 : i*12+12], ' '))
+         |           AS chunks
+         |  FROM p0),
+         |p2 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 0 THEN list_append(chunks,
+         |                CASE WHEN doc_id % 2 = 0 THEN '${paraFooters(0)}'
+         |                     ELSE '${paraFooters(1)}' END)
+         |              ELSE chunks END AS paras
+         |  FROM p1),
+         |e AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(paras,
+         |           (x, i) -> struct_pack(para_idx := CAST(i AS BIGINT),
+         |                                 para := x))) AS s
+         |  FROM p2),
+         |occ AS (SELECT doc_id, (s).para_idx AS para_idx, (s).para AS para
+         |        FROM e),
+         |r AS (
+         |  SELECT doc_id, para_idx, para,
+         |         row_number() OVER (PARTITION BY para
+         |           ORDER BY doc_id, para_idx) AS rn
+         |  FROM occ),
+         |t AS (SELECT doc_id, count(*) AS n_paras FROM occ GROUP BY doc_id),
+         |o AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(para, chr(10) ORDER BY para_idx) AS text_clean
+         |  FROM r WHERE rn = 1 GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_paras,
+         |       coalesce(o.n_kept, 0) AS n_kept,
+         |       coalesce(o.text_clean, '') AS text_clean
+         |FROM t LEFT JOIN o USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // mirrors incrementalSurvivors: same banding CTEs, cross-set (new ⋈
     // existing) candidates instead of a<b, plus the exact-digest probe.
     "dedup_incremental" ->

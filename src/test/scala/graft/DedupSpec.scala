@@ -353,4 +353,66 @@ class DedupSpec extends AnyFunSuite {
     assert(sims((1L, 2L)) == 1.0)
     assert(sims((1L, 3L)) < 1.0)
   }
+
+  test("paragraphSurvivors: a repeated paragraph survives exactly once " +
+      "(earliest doc), unique paragraphs all survive, docs reassemble " +
+      "in order, repartition-stable") {
+    // 24-word docs -> two 12-word paragraphs each. Docs 1 and 2 share
+    // their SECOND paragraph verbatim; doc 4's text is entirely unique.
+    // Ids avoid doc_id % 3 == 0 so no footer plant muddies the counts.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu"
+    val own1 = "one two three four five six seven eight nine ten eleven twelve"
+    val own2 = "red blue green yellow purple orange pink brown black " +
+      "white gray cyan"
+    val own4 = "north south east west up down left right front back " +
+      "inside outside"
+    val docs = Seq(
+      (1L, s"$own1 $shared"), (2L, s"$own2 $shared"),
+      (4L, s"$own4 plus twelve more words to stay clear of any collision " +
+        "risk here"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val out = Dedup.paragraphSurvivors(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byId = out.map(t => t._1 -> t).toMap
+    // doc 1 keeps both paragraphs, doc 2 loses the shared one
+    assert(byId(1L)._2 == 2 && byId(1L)._3 == 2)
+    assert(byId(2L)._2 == 2 && byId(2L)._3 == 1)
+    assert(byId(1L)._4 == s"$own1\n$shared")
+    assert(byId(2L)._4 == own2)
+    // the unique doc is untouched and reassembles to its chunking
+    assert(byId(4L)._3 == byId(4L)._2)
+    // the shared paragraph text appears exactly once corpus-wide
+    val occurrences = out.map(_._4).mkString("\n").split("\n")
+      .count(_ == shared)
+    assert(occurrences == 1)
+    val shuffled = Dedup.paragraphSurvivors(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(shuffled.toSeq == out.toSeq)
+  }
+
+  test("paragraphSurvivors plants the boilerplate footer on doc_id % 3 " +
+      "== 0 and the dedup keeps each footer variant exactly once") {
+    // six docs, all with identical-length unique bodies; ids 0, 3, 6
+    // receive footers (variants by id % 2: 0 -> f0, 3 -> f1, 6 -> f0)
+    val docs = (0L to 6L).map { id =>
+      val body = (1 to 12).map(w => s"w${id}_$w").mkString(" ")
+      (id, body)
+    }.toDF("doc_id", "text")
+    val out = Dedup.paragraphSurvivors(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byId = out.map(t => t._1 -> t).toMap
+    // footer'd docs have 2 paragraphs, the rest 1
+    Seq(0L, 3L, 6L).foreach(id => assert(byId(id)._2 == 2, s"doc $id"))
+    Seq(1L, 2L, 4L, 5L).foreach(id => assert(byId(id)._2 == 1, s"doc $id"))
+    // doc 0 keeps f0 (first occurrence), doc 3 keeps f1 (only f1),
+    // doc 6's f0 copy is dropped
+    assert(byId(0L)._3 == 2 &&
+      byId(0L)._4.endsWith(Dedup.paraFooters(0)))
+    assert(byId(3L)._3 == 2 &&
+      byId(3L)._4.endsWith(Dedup.paraFooters(1)))
+    assert(byId(6L)._3 == 1 &&
+      !byId(6L)._4.contains(Dedup.paraFooters(0)))
+  }
 }
