@@ -164,6 +164,45 @@ object EventWindows {
       .orderBy("day")
   }
 
+  /** Trailing-window rate ANOMALY detection: hourly event counts per
+    * type, each bucket scored against the mean/stddev of its previous
+    * `trailing` OBSERVED buckets (a rows-frame, not range — hours with
+    * zero events produce no bucket, so the baseline slides over observed
+    * buckets; a gap-aware baseline is one `sequence()` densify away).
+    * The alerting operator the reference's poll-loop progress monitor
+    * (bulkupload.py:370-390) grows into at fleet scale: "this hour's
+    * error rate is 2σ above its trailing baseline".
+    *
+    * Scale shape: one (event_type, hour) count aggregation with map-side
+    * partials reduces the stream to types×hours rows; the scoring window
+    * is PARTITIONED by event_type over that model-sized frame — the
+    * stream itself never enters a window.
+    *
+    * Float discipline: mean and stddev are ROUNDED to 6 dp first, z is
+    * computed from the rounded inputs and rounded again, and the flag
+    * compares the rounded z — both engines threshold the identical
+    * number, so summation-order noise can't flip a flag. stddev 0
+    * (six equal baseline counts) yields NULL z / false flag on both. */
+  def anomalyZscore(events: DataFrame, trailing: Int = 6,
+      zThreshold: Double = 2.0): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-trailing, -1)
+    hourly
+      .withColumn("n_prev", count(col("n")).over(w))
+      .withColumn("mean_n", round(avg(col("n")).over(w), 6))
+      .withColumn("sd_n", round(stddev_samp(col("n")).over(w), 6))
+      .filter(col("n_prev") === trailing)
+      .withColumn("z", when(col("sd_n") > 0,
+        round((col("n") - col("mean_n")) / col("sd_n"), 6)))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > zThreshold,
+        lit(false)))
+      .select("event_type", "hour", "n", "mean_n", "sd_n", "z", "is_anomaly")
+      .orderBy("event_type", "hour")
+  }
+
   /** Per-user session windows with a 30-minute gap; end = last event +
     * gap, exactly Spark's session_window semantics. */
   def sessions(events: DataFrame): DataFrame =
@@ -194,7 +233,10 @@ object EventWindows {
       intervalJoin(Tables.events(s, d))),
     // per-day view → click → purchase conversion funnel (see funnelDaily;
     // the streaming twin runs the same two-level aggregation live).
-    "funnel_daily_conversion" -> ((s, d) => funnelDaily(Tables.events(s, d)))
+    "funnel_daily_conversion" -> ((s, d) => funnelDaily(Tables.events(s, d))),
+    // trailing-6-hour z-score per (event_type, hour) — the alerting op.
+    "events_anomaly_zscore" -> ((s, d) =>
+      anomalyZscore(Tables.events(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -274,6 +316,30 @@ object EventWindows {
         |    AS n_click_after_view,
         |  CAST(sum(CASE WHEN t_c > t_v AND t_p > t_c THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_purchase_funnel
-        |FROM ud GROUP BY day ORDER BY day""".stripMargin
+        |FROM ud GROUP BY day ORDER BY day""".stripMargin,
+    // mirrors anomalyZscore: identical rows-frame trailing window,
+    // identical round-before-compare discipline (mean/sd rounded 6 dp,
+    // z from the rounded inputs, flag on the rounded z).
+    "events_anomaly_zscore" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, hour, n,
+        |         count(n) OVER w AS n_prev,
+        |         round(avg(n) OVER w, 6) AS mean_n,
+        |         round(stddev_samp(n) OVER w, 6) AS sd_n
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, hour, n, mean_n, sd_n,
+        |         CASE WHEN sd_n > 0
+        |              THEN round((n - mean_n) / sd_n, 6) END AS z
+        |  FROM s WHERE n_prev = 6)
+        |SELECT event_type, hour, n, mean_n, sd_n, z,
+        |       coalesce(abs(z) > 2.0, false) AS is_anomaly
+        |FROM z ORDER BY event_type, hour""".stripMargin
   )
 }

@@ -117,6 +117,43 @@ class StreamsSpec extends AnyFunSuite {
       s"missing finalized days: ${mustHave -- got.keySet}")
   }
 
+  test("anomalyZscore flags a planted spike against its trailing baseline, " +
+      "not a normal bucket; warm-up buckets are absent; repartition-stable") {
+    // hourly counts for one type: [4,5,6,4,5,6] baseline, then a normal
+    // hour (5) and a 50-event spike. Buckets 0-5 are warm-up (n_prev<6).
+    val counts = Seq(4, 5, 6, 4, 5, 6, 5, 50)
+    val rows = for {
+      (c, h) <- counts.zipWithIndex
+      i <- 0 until c
+    } yield (s"evt_${h}_$i", java.sql.Timestamp.valueOf(
+      f"2024-03-01 $h%02d:00:${i % 60}%02d"), "error")
+    val events = rows.toDF("event_id", "ts", "event_type")
+    val out = EventWindows.anomalyZscore(events).collect()
+      .map(r => (r.getTimestamp(1), r.getLong(2), r.getBoolean(6)))
+    // exactly the two post-warm-up buckets surface
+    assert(out.length == 2, out.mkString(", "))
+    val Seq(normal, spike) = out.sortBy(_._1.getTime).toSeq
+    assert(normal._2 == 5 && !normal._3, s"normal bucket flagged: $normal")
+    assert(spike._2 == 50 && spike._3, s"spike not flagged: $spike")
+    val shuffled = EventWindows.anomalyZscore(events.repartition(5))
+      .collect().map(r => (r.getTimestamp(1), r.getLong(2), r.getBoolean(6)))
+    assert(shuffled.sortBy(_._1.getTime).toSeq == out.sortBy(_._1.getTime).toSeq)
+  }
+
+  test("anomalyZscore: a constant baseline (stddev 0) yields NULL z and " +
+      "no flag even for a large spike — the documented degenerate case") {
+    val counts = Seq(5, 5, 5, 5, 5, 5, 50)
+    val rows = for {
+      (c, h) <- counts.zipWithIndex
+      i <- 0 until c
+    } yield (s"e_${h}_$i", java.sql.Timestamp.valueOf(
+      f"2024-03-02 $h%02d:00:${i % 60}%02d"), "warn")
+    val out = EventWindows.anomalyZscore(rows.toDF("event_id", "ts", "event_type"))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(5) && !out.head.getBoolean(6))
+  }
+
   test("dropDuplicatesWithinWatermark removes duplicate event_ids") {
     val events = Tables.events(spark, TestSpark.sf0001).limit(100)
     val dir = Files.createTempDirectory("graft-dup").toString
