@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 import graft.ops.Manifest
 
@@ -50,11 +51,60 @@ object FileFormats {
     "source_json" -> ((s, d) => {
       val root = ensureWritten(s, d)
       s.read.schema(manifestSchema).json(s"$root/json").orderBy("id")
+    }),
+    // two parquet generations with DIFFERENT schemas read as one table.
+    "source_schema_evolution" -> ((s, d) => {
+      val root = ensureEvolved(s, d)
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$root/v1", s"$root/v2")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
+  private val evoMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Schema EVOLUTION fixture: the corpus written as two parquet
+    * "generations" with different column sets — v1 (even doc_ids) has
+    * (doc_id, text, lang), v2 (odd doc_ids) dropped `lang` and gained
+    * (source, n_chars), the way a crawler's output schema actually
+    * drifts between runs. `mergeSchema` reads the two directories as
+    * ONE table with the union-by-name schema, NULL-filling each side's
+    * missing columns — the 100 TB reality where re-writing old
+    * generations to the new schema is not an option. (mergeSchema costs
+    * a footer read per file at planning; a production lake pins the
+    * merged schema in a catalog instead — semantics identical, which is
+    * what the oracle checks.) */
+  private def ensureEvolved(s: SparkSession, d: String): String =
+    evoMemo.computeIfAbsent((s, d), { case (spark, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-evo").toString
+      val docs = graft.model.Tables.documents(spark, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$root/v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$root/v2")
+      graft.ops.SessionCleanup.onEnd(spark) {
+        evoMemo.remove((spark, dir))
+        graft.ops.SessionCleanup.deleteRecursively(root)
+      }
+      root
+    })
+
   def oracle: Map[String, String] = Map(
     "source_csv" -> graft.model.OracleSql.manifestSelect,
-    "source_json" -> graft.model.OracleSql.manifestSelect
+    "source_json" -> graft.model.OracleSql.manifestSelect,
+    // union-by-name with NULL-filled absent columns, exactly what the
+    // merged read must produce.
+    "source_schema_evolution" ->
+      """SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
+        |       CAST(NULL AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, source, n_chars
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -18,4 +18,26 @@ class FileFormatsSpec extends AnyFunSuite {
       assert(got.collect().map(_.toString).toSeq == want, key)
     }
   }
+
+  test("schema-evolution read: merged schema is the union by name, each " +
+      "generation's missing columns are NULL, every doc surfaces once") {
+    val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect()
+    val got = FileFormats.queries("source_schema_evolution")(
+      spark, TestSpark.sf0001).collect()
+    assert(got.length == docs.length)
+    got.zip(docs).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0))
+      val even = g.getLong(0) % 2 == 0
+      // v1 (even ids) kept lang, never had source/n_chars; v2 inverse
+      assert(g.isNullAt(2) == even && g.isNullAt(3) == even, g.toString)
+      assert(g.isNullAt(1) == !even, g.toString)
+      if (even) assert(g.getString(1) == w.getString(1))
+      else {
+        assert(g.getString(2) == w.getString(2))
+        assert(g.getLong(3) == w.getLong(3))
+      }
+    }
+  }
 }
