@@ -200,7 +200,43 @@ object Relational {
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-        .limit(10))
+        .limit(10)),
+    // per-group MODE with a total tie-break (count desc, value asc) —
+    // Spark's built-in `mode` is tie-nondeterministic, so the portable
+    // form is count-per-(group, value) + a rank window over the tiny
+    // (groups × distinct values) aggregate, never over the fact table.
+    "agg_mode" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(desc("n"), asc("l_quantity"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("n"))
+        .orderBy("l_returnflag")
+    }),
+    // MULTISET difference: every lineitem orderkey occurrence minus ONE
+    // occurrence per urgent order — bag semantics (`exceptAll`), which
+    // set_except_pending's DISTINCT form cannot express. Plans as a
+    // count-aggregate + replicate (map-side partials absorb hot keys),
+    // not a join.
+    "set_except_all" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("k"))
+      li.exceptAll(urgent).orderBy("k")
+    }),
+    // MULTISET intersection: min of per-side multiplicities per key.
+    "set_intersect_all" -> ((s, d) => {
+      val all = Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+      val heavy = Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 25)
+        .select(col("l_orderkey").as("k"))
+      all.intersectAll(heavy).orderBy("k")
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -292,7 +328,27 @@ object Relational {
         |ORDER BY o_orderpriority, quartile""".stripMargin,
     "limit_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "agg_mode" ->
+      """SELECT l_returnflag, mode_qty, n FROM (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, count(*) AS n,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY count(*) DESC, l_quantity) AS rk
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+    "set_except_all" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey AS k FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT o_orderkey AS k FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY k""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey AS k FROM lineitem
+        |  INTERSECT ALL
+        |  SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 25)
+        |ORDER BY k""".stripMargin
   )
 
   // ----- §2.5 window functions -----
@@ -329,6 +385,23 @@ object Relational {
       daily.withColumn("delta",
           col("n") - lag(col("n"), 1).over(Window.orderBy("day")))
         .orderBy("day")
+    }),
+    // first/last/nth-value per group over an EXPLICIT full frame —
+    // "customer's first order value vs their latest vs their second".
+    // The default frame (unbounded preceding → current row) makes
+    // last_value echo the current row; the full frame is the form that
+    // means what it says, and it's identical on both engines. Ordering
+    // (o_orderdate, o_orderkey) is unique, so no value ambiguity.
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
     }),
     // relative standing within a group — percent_rank/cume_dist over a
     // UNIQUE ordering (totalprice, orderkey), so both are exact integer
@@ -369,6 +442,17 @@ object Relational {
         |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1)
         |SELECT day, n, n - lag(n, 1) OVER (ORDER BY day) AS delta
         |FROM daily ORDER BY day""".stripMargin,
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_percent_rank" ->
       """SELECT o_orderpriority, o_orderkey,
         |  round(percent_rank() OVER w, 6) AS pr,

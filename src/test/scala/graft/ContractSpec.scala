@@ -72,6 +72,61 @@ class ContractSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), plan)
   }
 
+  test("agg_mode breaks count ties deterministically (lowest value wins) " +
+      "and picks the true per-group maximum count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // group g1: 7.0 ×2 vs 3.0 ×2 (tie -> 3.0), plus 9.0 ×1
+    val df = Seq(("g1", 7.0), ("g1", 7.0), ("g1", 3.0), ("g1", 3.0),
+      ("g1", 9.0), ("g2", 1.0)).toDF("l_returnflag", "l_quantity")
+    val counts = df.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(desc("n"), asc("l_quantity"))
+    val out = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("l_returnflag", "l_quantity", "n")
+      .as[(String, Double, Long)].collect()
+      .map { case (g, q, n) => g -> (q, n) }.toMap
+    assert(out("g1") == (3.0, 2L))
+    assert(out("g2") == (1.0, 1L))
+  }
+
+  test("exceptAll / intersectAll implement bag semantics: per-key counts " +
+      "are max(a-b, 0) and min(a, b)") {
+    import spark.implicits._
+    val a = Seq(1L, 1L, 1L, 2L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 2L, 4L).toDF("k")
+    val ex = a.exceptAll(b).as[Long].collect().groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(ex == Map(1L -> 2, 3L -> 1)) // 3-1, 2-3->0, 1-0
+    val in = a.intersectAll(b).as[Long].collect().groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(in == Map(1L -> 1, 2L -> 2)) // min(3,1), min(2,3)
+  }
+
+  test("win_first_last full frame: last_value is the group's true last " +
+      "(not a current-row echo) and nth_value(2) is NULL for " +
+      "single-order customers") {
+    val out = SparkEntry.queries("win_first_last")(spark, TestSpark.sf0001)
+      .collect()
+    val byCust = out.groupBy(_.getLong(0))
+    assert(byCust.nonEmpty)
+    byCust.foreach { case (cust, rows) =>
+      // every row of a group reports the same first/last/second
+      assert(rows.map(_.getDouble(2)).distinct.length == 1, s"cust $cust")
+      assert(rows.map(_.getDouble(3)).distinct.length == 1, s"cust $cust")
+      if (rows.length == 1)
+        assert(rows.head.isNullAt(4), s"cust $cust second_price")
+      else
+        assert(!rows.head.isNullAt(4), s"cust $cust second_price")
+    }
+    // at least one multi-order customer exists and its first != last
+    assert(byCust.exists { case (_, rows) =>
+      rows.length > 1 && rows.head.getDouble(2) != rows.head.getDouble(3) })
+  }
+
   test("agg_approx_distinct HLL error is within 3x the configured rsd " +
       "(quantitative backing for its no-oracle status)") {
     import org.apache.spark.sql.functions._
