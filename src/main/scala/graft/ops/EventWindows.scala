@@ -164,6 +164,48 @@ object EventWindows {
       .orderBy("day")
   }
 
+  /** Windowed (1 h wide / 15 min slide) per-type counts in the
+    * SINGLE-aggregation form a watermarked stream can run (chained
+    * aggregations are not allowed in append mode). The live twin
+    * ([[graft.streaming.Streams.trendingStream]]) runs exactly this. */
+  def trendingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Batch-optimized form of [[trendingCounts]], output-identical
+    * (StreamsSpec asserts equality): pre-aggregate per (15-min bucket,
+    * type) FIRST, then expand each bucket row into the 4 sliding windows
+    * covering it — the Expand and the second shuffle run over the bucket
+    * histogram, never the event stream (same trick as slidingPreAgg;
+    * exact because the slide divides the width). */
+  private[graft] def trendingCountsPreAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "15 minutes").as("wb"), col("event_type"))
+      .agg(count(lit(1)).as("pc"))
+      .select(unix_micros(col("wb.start")).as("bs"), col("event_type"),
+        col("pc"))
+      .withColumn("i", explode(sequence(lit(0L), lit(3L))))
+      .groupBy(timestamp_micros(col("bs") - col("i") * lit(900000000L))
+          .as("w_start"), col("event_type"))
+      .agg(sum(col("pc")).cast("long").as("n"))
+
+  /** TRENDING top-k: the k most frequent event types per sliding window
+    * — the "what's hot right now" dashboard rollup over the monitor
+    * stream. Counts come from the pre-aggregated path; the rank window
+    * is PARTITIONED by window start over the (windows × types) frame,
+    * so the event stream enters neither the Expand nor a window.
+    * Tie-break (n desc, event_type asc) is total on both engines. */
+  def trendingTopK(events: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("w_start").orderBy(desc("n"),
+      asc("event_type"))
+    trendingCountsPreAgg(events)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("w_start", "rk")
+  }
+
   /** Trailing-window rate ANOMALY detection: hourly event counts per
     * type, each bucket scored against the mean/stddev of its previous
     * `trailing` OBSERVED buckets (a rows-frame, not range — hours with
@@ -236,7 +278,10 @@ object EventWindows {
     "funnel_daily_conversion" -> ((s, d) => funnelDaily(Tables.events(s, d))),
     // trailing-6-hour z-score per (event_type, hour) — the alerting op.
     "events_anomaly_zscore" -> ((s, d) =>
-      anomalyZscore(Tables.events(s, d)))
+      anomalyZscore(Tables.events(s, d))),
+    // top-3 event types per sliding hour window (15-min slide).
+    "stream_trending_topk" -> ((s, d) =>
+      trendingTopK(Tables.events(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -340,6 +385,23 @@ object EventWindows {
         |  FROM s WHERE n_prev = 6)
         |SELECT event_type, hour, n, mean_n, sd_n, z,
         |       coalesce(abs(z) > 2.0, false) AS is_anomaly
-        |FROM z ORDER BY event_type, hour""".stripMargin
+        |FROM z ORDER BY event_type, hour""".stripMargin,
+    // each event contributes to the 4 15-min-aligned windows covering
+    // it (the stream_sliding expansion), then per-window rank.
+    "stream_trending_topk" ->
+      """WITH e AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - i * INTERVAL '15 minutes' AS w_start,
+        |         event_type
+        |  FROM events, (SELECT unnest(range(0, 4)) AS i)),
+        |c AS (SELECT w_start, event_type, count(*) AS n
+        |      FROM e GROUP BY 1, 2),
+        |r AS (
+        |  SELECT w_start, event_type, n,
+        |         CAST(row_number() OVER (PARTITION BY w_start
+        |           ORDER BY n DESC, event_type) AS BIGINT) AS rk
+        |  FROM c)
+        |SELECT w_start, event_type, n, rk FROM r
+        |WHERE rk <= 3 ORDER BY w_start, rk""".stripMargin
   )
 }

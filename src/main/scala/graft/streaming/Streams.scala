@@ -130,6 +130,16 @@ object Streams {
         col("n_view"), col("n_click_after_view"), col("n_purchase_funnel"))
   }
 
+  /** Live windowed per-type counts for the trending dashboard — exactly
+    * [[graft.ops.EventWindows.trendingCounts]] over the stream (the
+    * single-aggregation form; the top-k rank over each window's handful
+    * of type rows runs downstream of the sink, since a rank window
+    * cannot chain onto a streaming agg in append mode — StreamsSpec
+    * ranks the emitted windows and asserts equality with the batch
+    * trendingTopK). */
+  def trendingStream(events: DataFrame): DataFrame =
+    EventWindows.trendingCounts(events.withWatermark("ts", "30 minutes"))
+
   /** Custom state: running per-user event count + last-seen timestamp —
     * the `Value` counters of bulkupload.py:409-416 as keyed state. */
   final case class UserStat(userId: Long, n: Long, lastTs: java.sql.Timestamp)

@@ -117,6 +117,51 @@ class StreamsSpec extends AnyFunSuite {
       s"missing finalized days: ${mustHave -- got.keySet}")
   }
 
+  test("batch pre-aggregated trending counts equal the single-aggregation " +
+      "stream form") {
+    val ev = graft.model.Tables.events(spark, TestSpark.sf0001)
+    val single = EventWindows.trendingCounts(ev)
+      .orderBy("w_start", "event_type").collect().map(_.toString).toSeq
+    val preAgg = EventWindows.trendingCountsPreAgg(ev)
+      .orderBy("w_start", "event_type").collect().map(_.toString).toSeq
+    assert(preAgg == single)
+  }
+
+  test("streaming trending counts, ranked downstream, equal the batch " +
+      "(oracle-checked) trendingTopK on every emitted window") {
+    import org.apache.spark.sql.expressions.Window
+    val stream = Streams.trendingStream(
+      Streams.eventsStream(spark, TestSpark.sf0001))
+    runToMemory(stream, "trending_out")
+    val w = Window.partitionBy("w_start").orderBy(desc("n"),
+      asc("event_type"))
+    val got = spark.table("trending_out")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("w_start").cast("long"), col("event_type"), col("n"),
+        col("rk"))
+      .as[(Long, String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._3).toSeq)
+      .toMap
+    val want = EventWindows.trendingTopK(
+        graft.model.Tables.events(spark, TestSpark.sf0001))
+      .select(col("w_start").cast("long"), col("event_type"), col("n"),
+        col("rk"))
+      .as[(Long, String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._3).toSeq)
+      .toMap
+    // append-mode contract: every emitted window's top-3 matches batch
+    // exactly; all windows fully closed before (max ts - watermark) must
+    // have been emitted.
+    assert(got.nonEmpty)
+    got.foreach { case (ws, rows) =>
+      assert(want.get(ws).contains(rows), s"window $ws") }
+    val maxTs = graft.model.Tables.events(spark, TestSpark.sf0001)
+      .agg(max(col("ts")).cast("long")).as[Long].collect().head
+    val mustHave = want.keySet.filter(_ < maxTs - 1800 - 3600)
+    assert(mustHave.subsetOf(got.keySet))
+  }
+
   test("anomalyZscore flags a planted spike against its trailing baseline, " +
       "not a normal bucket; warm-up buckets are absent; repartition-stable") {
     // hourly counts for one type: [4,5,6,4,5,6] baseline, then a normal
