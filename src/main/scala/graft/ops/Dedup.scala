@@ -191,6 +191,79 @@ object Dedup {
       .select("a_id", "b_id")
   }
 
+  /** CONTAINMENT-scored near-dup pairs: the asymmetric companion to
+    * [[nearDupVerifiedPairs]]. Containment C = |A∩B| / min(|A|, |B|)
+    * scores "doc B is doc A plus twice as much new text" at 1.0 where
+    * symmetric Jaccard reports ≈ 1/3 — the sub-/super-document case
+    * (quote inflation, boilerplate wrapping) that threshold-Jaccard
+    * dedup structurally misses. Same band routing and candidate-bounded
+    * verification joins as the Jaccard form; only the score and the
+    * explicit `contained_id` (the smaller side, ties to a_id) change.
+    *
+    * Recall note, honestly: the banding is Jaccard-tuned, so a
+    * containment pair with very unequal sizes (low Jaccard) has reduced
+    * band-collision probability. At production scale the fix is to
+    * route candidates from the SMALL side's shingles alone (or via
+    * substring fingerprints — [[substringSpans]] covers that end); the
+    * scoring and verification here are unchanged under either routing.
+    */
+  def containmentPairs(docs: DataFrame, cThreshold: Double = 0.6,
+      k: Int = 8, bands: Int = 4): DataFrame = {
+    val sh = shingles(docs)
+    val cand = candidatePairs(docs, k, bands)
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("containment",
+        round(col("inter") * 1.0 / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= cThreshold)
+      .withColumn("contained_id",
+        when(col("na") <= col("nb"), col("a_id")).otherwise(col("b_id")))
+      .select("a_id", "b_id", "containment", "contained_id")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** URL-canonicalization dedup — the crawl-frontier pass that runs
+    * BEFORE any content dedup: normalize each doc's URL (lowercase
+    * host, strip `www.`, drop query string + fragment, trim the
+    * trailing slash) and collapse docs sharing a canonical URL to the
+    * earliest doc_id. Tracking parameters (`utm_*`, `ref`) and
+    * scheme/host case are the classic sources of crawl duplicates.
+    *
+    * Enrichment: the corpus has no URL column, so deterministic raw
+    * URLs are derived per doc (the text_pii_mask technique): the pair
+    * (2k, 2k+1) points at the same logical page — site token and item
+    * number both derive from k — but the even member carries a
+    * shouting-case `WWW.` host, a tracking query string, a fragment and
+    * a trailing slash while the odd member is the clean form, so every
+    * pair collapses to one canonical URL (500 → 250 at sf0.01) and the
+    * collapse exercises each normalization rule. All normalization is
+    * regexp/string ops identical under Java regex and RE2; map-side
+    * until the one digest-style groupBy on the canonical key (min/count
+    * are algebraic — hot canonical URLs combine map-side). */
+  def urlCanonicalSurvivors(docs: DataFrame): DataFrame = {
+    val itemNo = expr("CAST(doc_id div 2 AS STRING)")
+    val site = expr("CAST((doc_id div 2) % 50 AS STRING)")
+    val url = when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit("HTTPS://WWW.Site"), site, lit(".Example.COM/item/"),
+        itemNo, lit("/?utm_source=feed&ref=rss#frag")))
+      .otherwise(concat(lit("https://site"), site,
+        lit(".example.com/item/"), itemNo))
+    val host = regexp_replace(
+      lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/]+)", 1)),
+      "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(col("url"), "^[a-zA-Z]+://[^/]+([^?#]*)", 1), "/$", "")
+    docs.select(col("doc_id"), url.as("url"))
+      .withColumn("canonical_url", concat(host, path))
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("canonical_url")
+  }
+
   /** Incremental-ingest dedup: accept a NEW batch only where it does not
     * duplicate the EXISTING corpus — the nightly-crawl operator (dedup
     * the increment against the corpus without re-deduping the corpus).
@@ -698,6 +771,12 @@ object Dedup {
     // keep first occurrences, reassemble the docs.
     "dedup_paragraph" -> ((s, d) =>
       paragraphSurvivors(Tables.documents(s, d))),
+    // asymmetric containment scoring over the banded candidates.
+    "dedup_containment" -> ((s, d) =>
+      containmentPairs(Tables.documents(s, d))),
+    // crawl-frontier URL canonicalization + collapse.
+    "dedup_url_canonical" -> ((s, d) =>
+      urlCanonicalSurvivors(Tables.documents(s, d))),
     // nearest doc by 3-gram Jaccard for the first 20 docs (exact form;
     // the LSH path replaces the self-join at scale).
     "dedup_ngram_jaccard" -> ((s, d) => {
@@ -885,6 +964,47 @@ object Dedup {
          |       FROM bands GROUP BY 1, 2)
          |SELECT band, bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
          |FROM sz GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // mirrors urlCanonicalSurvivors: same URL derivation, same
+    // normalization regexes (ASCII classes — Java regex and RE2 agree).
+    "dedup_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0
+        |           THEN 'HTTPS://WWW.Site'
+        |                || CAST((doc_id // 2) % 50 AS VARCHAR)
+        |                || '.Example.COM/item/'
+        |                || CAST(doc_id // 2 AS VARCHAR)
+        |                || '/?utm_source=feed&ref=rss#frag'
+        |           ELSE 'https://site'
+        |                || CAST((doc_id // 2) % 50 AS VARCHAR)
+        |                || '.example.com/item/'
+        |                || CAST(doc_id // 2 AS VARCHAR)
+        |         END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         regexp_replace(lower(regexp_extract(url,
+        |             '^[a-zA-Z]+://([^/]+)', 1)), '^www\.', '')
+        |         || regexp_replace(regexp_extract(url,
+        |             '^[a-zA-Z]+://[^/]+([^?#]*)', 1), '/$', '')
+        |           AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+    // same CTE chain as the Jaccard family through `inter`/`cnt`; only
+    // the score (inter / least) and the contained-side CASE differ.
+    "dedup_containment" ->
+      s"""WITH ${sqlJacCtes()},
+         |con AS (
+         |  SELECT i.a_id, i.b_id,
+         |         round(i.inter * 1.0 / least(ca.n, cb.n), 6) AS containment,
+         |         CASE WHEN ca.n <= cb.n THEN i.a_id ELSE i.b_id END
+         |           AS contained_id
+         |  FROM inter i JOIN cnt ca ON ca.doc_id = i.a_id
+         |  JOIN cnt cb ON cb.doc_id = i.b_id)
+         |SELECT a_id, b_id, containment, contained_id FROM con
+         |WHERE containment >= 0.6 ORDER BY a_id, b_id""".stripMargin,
     "dedup_near_drop" ->
       s"""WITH ${sqlJacCtes()},
          |dropped AS (SELECT DISTINCT b_id FROM jac WHERE jac >= 0.5)

@@ -108,6 +108,42 @@ object Profile {
       tmp
     })
 
+  // one compacted copy per (session, sfDir): a deliberately fragmented
+  // 64-file write, then the size-targeted compaction rewrite
+  private val compactMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), (String, Int)]
+
+  /** Small-file COMPACTION — the table-maintenance pass every long-lived
+    * lake table needs: streaming appends and per-task writes fragment a
+    * table into thousands of KB-sized files, and at 100 TB the resulting
+    * per-file open/footer overhead dominates scan time. The rewrite
+    * sizes the output from the DATA (n_out = ⌈total_bytes / target⌉ from
+    * the actual file listing, the 512 MB dial scaled to this corpus) and
+    * uses `coalesce`, not `repartition`: compaction only needs to merge
+    * read-partitions, so the rewrite is shuffle-free — each output task
+    * concatenates a set of input files. (`repartition` is the variant
+    * when output SIZE BALANCE matters more than avoiding the shuffle,
+    * e.g. after skewed deletes.) Returns (root, n_out); the gated query
+    * reads the compacted table back — compaction must be row-invisible,
+    * which is exactly what the oracle checks. */
+  private[graft] def compactCopy(s: SparkSession, d: String): (String, Int) =
+    compactMemo.getOrElseUpdate((s, d), {
+      val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      Tables.documents(s, d).repartition(64)
+        .write.mode("overwrite").parquet(s"$root/small")
+      val smallBytes = new java.io.File(s"$root/small").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      val targetBytes = 256L * 1024
+      val nOut = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
+      s.read.parquet(s"$root/small").coalesce(nOut)
+        .write.mode("overwrite").parquet(s"$root/compact")
+      SessionCleanup.onEnd(s) {
+        compactMemo.remove((s, d))
+        SessionCleanup.deleteRecursively(root)
+      }
+      (root, nOut)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_columns" -> ((s, d) => profileColumns(Tables.documents(s, d))),
     // 10-bucket equi-width length histogram, integer-exact bucketing.
@@ -121,6 +157,14 @@ object Profile {
       s.read.schema(Tables.documents(s, d).schema).json(dir)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    // fragment into 64 small files, compact to size-targeted files,
+    // read back — compaction must be row-invisible.
+    "sink_compact_sized" -> ((s, d) => {
+      val (root, _) = compactCopy(s, d)
+      s.read.parquet(s"$root/compact")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
     }),
     // write partitioned by lang → read back with a partition predicate;
@@ -159,6 +203,9 @@ object Profile {
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
     "sink_jsonl_shards" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "sink_compact_sized" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -354,6 +354,47 @@ class DedupSpec extends AnyFunSuite {
     assert(sims((1L, 3L)) < 1.0)
   }
 
+  test("containmentPairs scores a sub-document at 1.0 with the smaller " +
+      "side reported as contained, and ignores unrelated docs") {
+    // doc 2 = doc 1 plus extra text: containment(1 in 2) = 1.0 while
+    // Jaccard = |A|/|B| < 1 — the asymmetric case the op exists for.
+    val superDoc = base + " moreover the silver river flows quietly north " +
+      "past the old stone bridge"
+    val unrelated = "entirely different words about compilers and type " +
+      "systems and lattices and abstract interpretation all day long"
+    val docs = Seq((1L, base), (2L, superDoc), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs)
+      .select("a_id", "b_id", "containment", "contained_id")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.length == 1, out.mkString(", "))
+    val (a, b, c, contained) = out.head
+    assert((a, b) == (1L, 2L) && c == 1.0 && contained == 1L)
+    // the same pair verifies BELOW symmetric-Jaccard full-dup levels:
+    // containment sees what Jaccard under-scores
+    val jac = Dedup.nearDupVerifiedPairs(docs, jacThreshold = 0.95)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
+  test("urlCanonicalSurvivors: each raw-URL pair (shouting host + " +
+      "tracking params + fragment + trailing slash vs clean) collapses " +
+      "to one canonical URL keeping the even id") {
+    val docs = (0L to 5L).map(id => (id, s"text $id"))
+      .toDF("doc_id", "text")
+    val out = Dedup.urlCanonicalSurvivors(docs)
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(out.length == 3)
+    out.foreach { case (canonical, keepId, nCopies) =>
+      assert(nCopies == 2, canonical)
+      assert(keepId % 2 == 0, canonical)
+      val k = keepId / 2
+      // every normalization rule applied: lowercase, www. stripped,
+      // query/fragment gone, no trailing slash
+      assert(canonical == s"site$k.example.com/item/$k", canonical)
+    }
+  }
+
   test("paragraphSurvivors: a repeated paragraph survives exactly once " +
       "(earliest doc), unique paragraphs all survive, docs reassemble " +
       "in order, repartition-stable") {

@@ -76,6 +76,33 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("sink_compact_sized: 64 fragment files compact to the size-derived " +
+      "count, rows survive exactly, and the rewrite is shuffle-free") {
+    val (root, nOut) = Profile.compactCopy(spark, TestSpark.sf0001)
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val small = parquetFiles(s"$root/small")
+    val compact = parquetFiles(s"$root/compact")
+    assert(small.length == 64)
+    assert(compact.length == nOut && nOut < 64,
+      s"nOut=$nOut files=${compact.length}")
+    // n_out really derives from the data: ceil(total / 256 KB)
+    val total = small.map(_.length).sum
+    assert(nOut == math.max(1, math.ceil(total / (256.0 * 1024)).toInt))
+    // row-invisible: compacted table equals the source
+    val got = SparkEntry.queries("sink_compact_sized")(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    val want = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got == want)
+    // coalesce, not repartition: the compaction read+rewrite plans no
+    // exchange
+    val plan = spark.read.parquet(s"$root/small").coalesce(nOut)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("histogram: counts total to the corpus, buckets stay in range, " +
       "observed lo/hi nest inside the bucket edges, empty buckets absent") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
