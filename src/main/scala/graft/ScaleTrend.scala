@@ -154,6 +154,32 @@ object ScaleTrend {
       val spanCands = graft.ops.Dedup.substringWindowCandidates(docs).count()
       val tSpans = time(
         graft.ops.Dedup.queries("dedup_substring_spans")(spark, sf))
+      // round 7 session 2: paragraph-level dedup — occurrence volume vs
+      // distinct paragraphs is the hot-key spectrum the algebraic
+      // min-struct groupBy absorbs map-side; wall time should track the
+      // occurrence count (one agg + one skew-free semi-join + rebuild).
+      val paras = graft.ops.Dedup.paragraphize(docs)
+      val nParas = paras.count()
+      val nDistinctParas = paras.select("para").distinct().count()
+      val tParagraph = time(
+        graft.ops.Dedup.queries("dedup_paragraph")(spark, sf))
+      // containment rides the SAME banded candidates as dedup_near_drop
+      // (dedup_cand_pairs above) — only the verify arithmetic differs.
+      val tContainment = time(
+        graft.ops.Dedup.queries("dedup_containment")(spark, sf))
+      // URL canonicalization: map-side normalize + one algebraic groupBy.
+      val tUrlCanonical = time(
+        graft.ops.Dedup.queries("dedup_url_canonical")(spark, sf))
+      // A-ES weighted top-k: map-side keys + TakeOrderedAndProject.
+      val tWeighted = time(
+        graft.ops.Sampling.queries("sample_weighted")(spark, sf))
+      // trending top-k: the pre-agg path vs the single-agg stream form —
+      // the Expand-over-histogram-vs-Expand-over-stream gap.
+      val (tTrendPre, tTrendSingle) = if (hasEvents) {
+        val ev = graft.model.Tables.events(spark, sf)
+        (time(graft.ops.EventWindows.trendingCountsPreAgg(ev)),
+         time(graft.ops.EventWindows.trendingCounts(ev)))
+      } else (-1.0, -1.0)
 
       System.err.println(s"[scale] $sf docs=$nDocs done")
       println(s"""{"sf":"$sf","n_docs":$nDocs,"n_emb":$nEmb,""" +
@@ -185,7 +211,14 @@ object ScaleTrend {
         s""""t_dedup_incremental":${r3(tIncremental)},""" +
         s""""t_multimodal_dedup_exact":${r3(tMmDedup)},""" +
         s""""n_span_windows":$nWindows,"span_cand_pairs":$spanCands,""" +
-        s""""t_dedup_substring_spans":${r3(tSpans)}}""")
+        s""""t_dedup_substring_spans":${r3(tSpans)},""" +
+        s""""n_para_occurrences":$nParas,"n_distinct_paras":$nDistinctParas,""" +
+        s""""t_dedup_paragraph":${r3(tParagraph)},""" +
+        s""""t_dedup_containment":${r3(tContainment)},""" +
+        s""""t_dedup_url_canonical":${r3(tUrlCanonical)},""" +
+        s""""t_sample_weighted":${r3(tWeighted)},""" +
+        s""""t_trending_preagg":${r3(tTrendPre)},""" +
+        s""""t_trending_single":${r3(tTrendSingle)}}""")
     }
     spark.stop()
     synthDir.foreach(graft.ops.SessionCleanup.deleteRecursively)

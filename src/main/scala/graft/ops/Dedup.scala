@@ -191,6 +191,51 @@ object Dedup {
       .select("a_id", "b_id")
   }
 
+  /** MinHash Jaccard-ESTIMATION quality, gated end-to-end: for every
+    * banded candidate pair, the estimated Jaccard (fraction of agreeing
+    * signature components — the estimator LSH theory is built on,
+    * E[est] = J, sd = √(J(1−J)/k) ≈ 0.17 at k = 8) next to the exact
+    * shingle Jaccard and the absolute error. Production pipelines RANK
+    * by the estimate and verify only near the threshold; this operator
+    * is the measured grounds for that trust, and it closes the MinHash
+    * family loop: bands route (dedup_minhash_stats), estimates rank
+    * (here), exact verify decides (dedup_near_drop).
+    *
+    * Work shape: the signature aggregate is the same one groupBy as the
+    * banding (algebraic mins); the estimate join carries k BIGINTs per
+    * candidate side — candidate-bounded, never corpus². Hash-gated via
+    * the same replicable Karp-Rabin family as the whole gated MinHash
+    * surface; est_jac = matches/8 is exact in binary, the exact Jaccard
+    * is rounded 6 dp on both engines. */
+  def minhashEstimates(docs: DataFrame, k: Int = 8,
+      bands: Int = 4): DataFrame = {
+    val sh = shingles(docs)
+    val mins = (0 until k).map(i =>
+      min(graft.functions.RollingHash.rolling_hash(
+        concat(lit(s"$i|"), col("shingle")))).as(s"m$i"))
+    val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val a = sigs.select(col("doc_id").as("a_id") +:
+      (0 until k).map(i => col(s"m$i").as(s"a_m$i")): _*)
+    val b = sigs.select(col("doc_id").as("b_id") +:
+      (0 until k).map(i => col(s"m$i").as(s"b_m$i")): _*)
+    val cand = candidatePairs(docs, k, bands)
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).as("inter"))
+    val matches = (0 until k).map(i =>
+      when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    inter.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("est_jac", matches / lit(k.toDouble))
+      .withColumn("jac", round(col("inter") * 1.0 /
+        (col("na") + col("nb") - col("inter")), 6))
+      .withColumn("abs_err", round(abs(col("est_jac") - col("jac")), 6))
+      .select("a_id", "b_id", "est_jac", "jac", "abs_err")
+      .orderBy("a_id", "b_id")
+  }
+
   /** CONTAINMENT-scored near-dup pairs: the asymmetric companion to
     * [[nearDupVerifiedPairs]]. Containment C = |A∩B| / min(|A|, |B|)
     * scores "doc B is doc A plus twice as much new text" at 1.0 where
@@ -484,7 +529,7 @@ object Dedup {
     * drop path does real work — the same deterministic-enrichment
     * technique as text_pii_mask and multimodal_dedup_exact (the synth
     * corpus has no natural repeated paragraphs at sf0.01). */
-  private[ops] def paragraphize(docs: DataFrame): DataFrame = {
+  private[graft] def paragraphize(docs: DataFrame): DataFrame = {
     val words = wordsOf(col("text"))
     val nPara = ceil(size(words).cast("double") / paraWords).cast("int")
     val chunks = transform(sequence(lit(0), nPara - 1),
@@ -777,6 +822,9 @@ object Dedup {
     // crawl-frontier URL canonicalization + collapse.
     "dedup_url_canonical" -> ((s, d) =>
       urlCanonicalSurvivors(Tables.documents(s, d))),
+    // estimated-vs-exact Jaccard per banded candidate pair.
+    "dedup_minhash_estimate" -> ((s, d) =>
+      minhashEstimates(Tables.documents(s, d))),
     // nearest doc by 3-gram Jaccard for the first 20 docs (exact form;
     // the LSH path replaces the self-join at scale).
     "dedup_ngram_jaccard" -> ((s, d) => {
@@ -964,6 +1012,22 @@ object Dedup {
          |       FROM bands GROUP BY 1, 2)
          |SELECT band, bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
          |FROM sz GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same CTE chain: `sig` already carries m0..m7 (the replicable
+    // family), `jac` the exact scores — the estimate is component
+    // agreement over the same mins.
+    "dedup_minhash_estimate" -> {
+      val agree = (0 until 8).map(i =>
+        s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH ${sqlJacCtes()},
+         |est AS (
+         |  SELECT j.a_id, j.b_id, ($agree) / 8.0 AS est_jac,
+         |         round(j.jac, 6) AS jac
+         |  FROM jac j JOIN sig sa ON sa.doc_id = j.a_id
+         |  JOIN sig sb ON sb.doc_id = j.b_id)
+         |SELECT a_id, b_id, est_jac, jac,
+         |       round(abs(est_jac - jac), 6) AS abs_err
+         |FROM est ORDER BY a_id, b_id""".stripMargin
+    },
     // mirrors urlCanonicalSurvivors: same URL derivation, same
     // normalization regexes (ASCII classes — Java regex and RE2 agree).
     "dedup_url_canonical" ->

@@ -377,6 +377,27 @@ class DedupSpec extends AnyFunSuite {
     assert(jac.isEmpty)
   }
 
+  test("minhashEstimates: identical docs estimate 1.0 with zero error; " +
+      "every estimate is a multiple of 1/8 in [0,1] and abs_err is " +
+      "consistent with (est_jac, jac)") {
+    val nearDup = base.replace("quick", "swift")
+    val docs = Seq((1L, base), (2L, base), (3L, nearDup))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashEstimates(docs)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    val byPair = out.map(t => (t._1, t._2) -> (t._3, t._4, t._5)).toMap
+    // the identical pair is a candidate and estimates perfectly
+    assert(byPair((1L, 2L)) == ((1.0, 1.0, 0.0)))
+    out.foreach { case (a, b, est, jac, err) =>
+      assert(est >= 0.0 && est <= 1.0 && (est * 8) == math.rint(est * 8),
+        s"($a,$b) est=$est")
+      assert(jac > 0.0 && jac <= 1.0, s"($a,$b) jac=$jac")
+      assert(math.abs(err - math.rint(math.abs(est - jac) * 1e6) / 1e6)
+        < 1e-9, s"($a,$b)")
+    }
+  }
+
   test("urlCanonicalSurvivors: each raw-URL pair (shouting host + " +
       "tracking params + fragment + trailing slash vs clean) collapses " +
       "to one canonical URL keeping the even id") {
