@@ -125,6 +125,42 @@ object Relational {
               |ORDER BY o_orderstatus NULLS FIRST,
               |         o_orderpriority NULLS FIRST""".stripMargin)
     }),
+    // long→wide PIVOT: order counts by status × priority as a 3×5 grid.
+    // The priority values are listed EXPLICITLY so Spark skips the
+    // distinct-collect pre-pass and the output schema is static — the
+    // 100 TB form (one partial+final hash agg over the fact table; the
+    // pivot itself is just projection of the grouped row). Absent cells
+    // are 0 (not null) on both engines via the conditional-sum form.
+    "agg_pivot" -> ((s, d) => {
+      val prios = Seq("1-URGENT" -> "urgent", "2-HIGH" -> "high",
+        "3-MEDIUM" -> "medium", "4-NOT SPECIFIED" -> "not_specified",
+        "5-LOW" -> "low")
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", prios.map(_._1))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus") +:
+          prios.map { case (v, a) =>
+            coalesce(col(s"`$v`"), lit(0L)).as(a) }: _*)
+        .orderBy("o_orderstatus")
+    }),
+    // wide→long UNPIVOT (melt): per-nation customer stats stacked to
+    // (nation, metric, value) rows — the normalization step every
+    // profiling export runs. Values share one DOUBLE type by contract;
+    // the melt is pure projection+Expand over the (tiny) grouped result.
+    "agg_unpivot" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val wide = c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).cast("double").as("n_cust"),
+             round(avg(col("c_acctbal")), 4).as("avg_bal"),
+             round(max(col("c_acctbal")), 2).as("max_bal"))
+      wide.unpivot(Array(col("n_name")),
+          Array(col("n_cust"), col("avg_bal"), col("max_bal")),
+          "metric", "value")
+        .orderBy("n_name", "metric")
+    }),
     // full grouping-set lattice over the dim hierarchy.
     "agg_cube" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -292,6 +328,31 @@ object Relational {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST,
         |         o_orderpriority NULLS FIRST""".stripMargin,
+    // the conditional-sum form IS the pivot's semantics (one grouped
+    // pass; absent cells count 0), so it mirrors the Spark plan too.
+    "agg_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+        |  CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+        |  CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+        |  CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS not_specified,
+        |  CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_unpivot" ->
+      """WITH wide AS (
+        |  SELECT n.n_name,
+        |         CAST(count(*) AS DOUBLE) AS n_cust,
+        |         round(avg(c.c_acctbal), 4) AS avg_bal,
+        |         round(max(c.c_acctbal), 2) AS max_bal
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name)
+        |SELECT n_name, metric, value FROM (
+        |  SELECT n_name, 'n_cust' AS metric, n_cust AS value FROM wide
+        |  UNION ALL
+        |  SELECT n_name, 'avg_bal', avg_bal FROM wide
+        |  UNION ALL
+        |  SELECT n_name, 'max_bal', max_bal FROM wide)
+        |ORDER BY n_name, metric""".stripMargin,
     "agg_cube" ->
       """SELECT r.r_name, c.c_mktsegment, count(*) AS n_cust
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -386,6 +447,20 @@ object Relational {
           col("n") - lag(col("n"), 1).over(Window.orderBy("day")))
         .orderBy("day")
     }),
+    // 7-day trailing moving average of the daily event rate — the
+    // smoothing window every monitoring dashboard draws. The window runs
+    // over the DAILY aggregate (one map-side-partial count reduces the
+    // stream first), rows-frame so partial leading windows average the
+    // rows that exist — identical semantics on both engines.
+    "win_moving_avg" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily.withColumn("ma7",
+          round(avg(col("n")).over(Window.orderBy("day")
+            .rowsBetween(-6, Window.currentRow)), 4))
+        .orderBy("day")
+    }),
     // first/last/nth-value per group over an EXPLICIT full frame —
     // "customer's first order value vs their latest vs their second".
     // The default frame (unbounded preceding → current row) makes
@@ -441,6 +516,13 @@ object Relational {
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1)
         |SELECT day, n, n - lag(n, 1) OVER (ORDER BY day) AS delta
+        |FROM daily ORDER BY day""".stripMargin,
+    "win_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT day, n, round(avg(n) OVER (ORDER BY day
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
         |FROM daily ORDER BY day""".stripMargin,
     "win_first_last" ->
       """SELECT o_custkey, o_orderkey,
