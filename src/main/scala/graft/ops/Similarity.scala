@@ -407,7 +407,39 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Symmetric int8 scalar-quantization quality report, per vector:
+    * the compression step every billion-vector ANN index runs before
+    * the IVF/LSH routing this file already gates (quantize to 1 byte
+    * per dimension = 4× smaller lists, then re-rank survivors at full
+    * precision). scale = 127/max|x|, q_i = round-half-up(x_i·scale)
+    * (so q ∈ [-127,127] by construction — no clipping branch), and the
+    * report carries the reconstruction error a re-ranker would see:
+    * per-vector RMSE and max abs error against the dequantized grid.
+    *
+    * Work shape: pure per-row higher-order functions (transform /
+    * aggregate / array_max) — zero shuffle, codegen-friendly, scan-
+    * bounded at 100 TB. Determinism for the gate: float→double widening
+    * is exact, ·, /, floor are IEEE-identical in both engines, and the
+    * two order-insensitive maxes plus one fixed left-fold sum land
+    * inside round(…, 6). Half-up via floor(x+0.5) rather than each
+    * engine's round() so tie behavior is pinned by construction. */
+  def quantizeInt8Report(emb: DataFrame): DataFrame = {
+    val xs = transform(col("embedding"), x => x.cast("double"))
+    val amax = array_max(transform(xs, x => abs(x)))
+    val scale = lit(127.0) / amax
+    val errs = transform(xs, x =>
+      x - floor(x * scale + lit(0.5)) / scale)
+    emb.select(col("vec_id"),
+        round(scale, 6).as("scale"),
+        round(sqrt(aggregate(errs, lit(0.0), (acc, e) => acc + e * e) /
+          size(col("embedding"))), 6).as("rmse"),
+        round(array_max(transform(errs, e => abs(e))), 6).as("max_err"))
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_quantize_int8" -> ((s, d) =>
+      quantizeInt8Report(Tables.embeddings(s, d))),
     "sim_topk" -> ((s, d) =>
       bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
         .orderBy("q_id", "rnk")),
@@ -489,6 +521,26 @@ object Similarity {
     sys.env.getOrElse("SPARK_GRAFT_IVF_MEMBERSHIPS", "2").toInt
 
   def oracle: Map[String, String] = Map(
+    // same arithmetic, same fixed fold: lambdas capture the outer
+    // per-row scale exactly as the Spark transform does.
+    "embed_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |         127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM e),
+        |err AS (
+        |  SELECT vec_id, scale, len(v) AS n,
+        |         list_transform(v,
+        |           x -> x - floor(x * scale + 0.5) / scale) AS errs
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |       round(sqrt(list_sum(list_transform(errs, x -> x * x)) / n),
+        |             6) AS rmse,
+        |       round(list_max(list_transform(errs, x -> abs(x))), 6)
+        |         AS max_err
+        |FROM err ORDER BY vec_id""".stripMargin,
     // avg(FLOAT) widens to DOUBLE identically in both engines; the
     // per-component rounding absorbs reassociation noise (~1e-13).
     "embed_label_centroids" ->

@@ -20,6 +20,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(1) == 0.0)
   }
 
+  test("quantizeInt8Report: per-component error is bounded by half the " +
+      "grid step (0.5/scale), rmse <= max_err, and a vector on the grid " +
+      "reconstructs exactly") {
+    // amax=1 ⇒ scale=127, grid step 1/127: generic components land off
+    // the grid (bounded error); a vector of only ±amax hits it exactly.
+    val offGrid = Array(1.0f, -0.5f, 0.25f, 0f)
+    val exact = Array(1.0f, -1.0f, 1.0f)        // all ±amax ⇒ q = ±127, err 0
+    val emb = Seq((1L, offGrid), (2L, exact))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8Report(emb)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    out.foreach { case (id, scale, rmse, maxErr) =>
+      assert(scale > 0, s"vec $id")
+      assert(maxErr <= 0.5 / scale + 1e-9, s"vec $id: $maxErr vs ${0.5 / scale}")
+      assert(rmse <= maxErr + 1e-9, s"vec $id")
+    }
+    assert(out(1)._3 == 0.0 && out(1)._4 == 0.0, "±amax vector must be exact")
+  }
+
   test("LSH top-k recall vs brute force is usable (>= 0.4 on sf0.001)") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
