@@ -437,9 +437,54 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** SQ8-routed top-k with exact re-rank — the production pairing of
+    * [[quantizeInt8Report]]'s compression with the search itself: rank
+    * ALL candidates by quantized cosine (int8 codes: 4× less memory
+    * bandwidth than float32 on the scan that dominates ANN cost), keep
+    * the top `rerank` per query, then re-score only those at full
+    * precision for the final top `k`. At 100 TB the code arrays are
+    * what lives in executor memory / the IVF lists; full-precision
+    * vectors are fetched for the `rerank` survivors only.
+    *
+    * Gated exactly (not recall-bounded like sim_ann_lsh): quantized
+    * dots are sums of small-integer products — exact in doubles, no
+    * reassociation sensitivity — so the routed candidate set is
+    * bit-identical on both engines, and the re-rank reuses sim_topk's
+    * gated arithmetic. Scale factors cancel in the quantized cosine, so
+    * the route needs only the codes and their norms. */
+  def quantizedRerankTopK(emb: DataFrame, queryPred: Column, k: Int = 5,
+      rerank: Int = 20): DataFrame = {
+    val xs = toDoubleArr(col("embedding"))
+    val scale = lit(127.0) / array_max(transform(xs, x => abs(x)))
+    // floor yields LONG; the codes go back to double so the native dot
+    // applies — exact either way at |q| <= 127.
+    val q8 = transform(xs, x => floor(x * scale + lit(0.5)).cast("double"))
+    def side(df: DataFrame, p: String): DataFrame =
+      df.select(col("vec_id").as(s"${p}_id"), xs.as(s"${p}e"), q8.as(s"${p}q"))
+        .withColumn(s"${p}qn", sqrt(dot(col(s"${p}q"), col(s"${p}q"))))
+        .withColumn(s"${p}fn", sqrt(dot(col(s"${p}e"), col(s"${p}e"))))
+    val q = broadcast(side(emb.filter(queryPred), "q"))
+    val c = side(emb, "n")
+    val routed = q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+      .withColumn("qcos", dot(col("qq"), col("nq")) / (col("qqn") * col("nqn")))
+      .withColumn("qrnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("qcos"), asc("n_id"))))
+      .filter(col("qrnk") <= rerank)
+    routed
+      .withColumn("cos", dot(col("qe"), col("ne")) / (col("qfn") * col("nfn")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_quantize_int8" -> ((s, d) =>
       quantizeInt8Report(Tables.embeddings(s, d))),
+    "sim_ann_quantized" -> ((s, d) =>
+      quantizedRerankTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
     "sim_topk" -> ((s, d) =>
       bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
         .orderBy("q_id", "rnk")),
@@ -541,6 +586,43 @@ object Similarity {
         |       round(list_max(list_transform(errs, x -> abs(x))), 6)
         |         AS max_err
         |FROM err ORDER BY vec_id""".stripMargin,
+    // the quantized route is exact integer arithmetic (scale factors
+    // cancel), so candidates AND final ranks replicate bit-identically.
+    "sim_ann_quantized" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |         127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM e),
+        |qz AS (
+        |  SELECT vec_id, v,
+        |         list_transform(v, x -> floor(x * scale + 0.5)) AS q8
+        |  FROM s),
+        |n AS (
+        |  SELECT vec_id, v, q8,
+        |         sqrt(list_inner_product(q8, q8)) AS qn,
+        |         sqrt(list_inner_product(v, v)) AS fn
+        |  FROM qz),
+        |routed AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.v AS qv, c.v AS cv,
+        |         q.fn AS qfn, c.fn AS cfn,
+        |         list_inner_product(q.q8, c.q8) / (q.qn * c.qn) AS qcos
+        |  FROM n q, n c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |topr AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY qcos DESC, n_id) AS qrnk
+        |  FROM routed),
+        |rer AS (
+        |  SELECT q_id, n_id,
+        |         list_inner_product(qv, cv) / (qfn * cfn) AS cos
+        |  FROM topr WHERE qrnk <= 20),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+        |  FROM rer)
+        |SELECT q_id, rnk, n_id, round(cos, 6) AS cos_sim FROM ranked
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // avg(FLOAT) widens to DOUBLE identically in both engines; the
     // per-component rounding absorbs reassociation noise (~1e-13).
     "embed_label_centroids" ->

@@ -39,6 +39,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(1)._3 == 0.0 && out(1)._4 == 0.0, "±amax vector must be exact")
   }
 
+  test("quantizedRerankTopK: SQ8 route + exact re-rank recovers nearly " +
+      "all of brute force (recall >= 0.9 on sf0.001) and re-ranked " +
+      "scores equal the exact cosine") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      .select("q_id", "n_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val sq8 = Similarity.quantizedRerankTopK(emb, col("vec_id") < 10)
+      .select("q_id", "n_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val exactSet = exact.map(t => (t._1, t._2)).toSet
+    val recall = sq8.map(t => (t._1, t._2)).count(exactSet) /
+      exactSet.size.toDouble
+    assert(recall >= 0.9, s"recall=$recall")
+    // where the route agrees on a neighbor, the re-ranked score is the
+    // exact full-precision cosine — identical to brute force's.
+    val exactScore = exact.map(t => (t._1, t._2) -> t._3).toMap
+    sq8.foreach { case (q, n, c) =>
+      exactScore.get((q, n)).foreach(e => assert(e == c, s"($q,$n)")) }
+  }
+
   test("LSH top-k recall vs brute force is usable (>= 0.4 on sf0.001)") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
