@@ -226,10 +226,22 @@ object EventWindows {
     * number, so summation-order noise can't flip a flag. stddev 0
     * (six equal baseline counts) yields NULL z / false flag on both. */
   def anomalyZscore(events: DataFrame, trailing: Int = 6,
+      zThreshold: Double = 2.0): DataFrame =
+    anomalyFromHourly(
+      events
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n")),
+      trailing, zThreshold)
+
+  /** The z-score stage of [[anomalyZscore]] over an ALREADY-hourly
+    * (event_type, hour, n) frame — split out so the live twin
+    * ([[graft.streaming.Streams.anomalyStream]]) can run the identical
+    * arithmetic downstream of its sink: a rank/frame window cannot chain
+    * onto a streaming aggregation in append mode (same constraint as
+    * trendingStream's top-k), so the stream emits the hourly counts and
+    * this stage scores them wherever they land. */
+  def anomalyFromHourly(hourly: DataFrame, trailing: Int = 6,
       zThreshold: Double = 2.0): DataFrame = {
-    val hourly = events
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("event_type").orderBy("hour")
       .rowsBetween(-trailing, -1)
     hourly

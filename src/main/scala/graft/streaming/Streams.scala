@@ -140,6 +140,21 @@ object Streams {
   def trendingStream(events: DataFrame): DataFrame =
     EventWindows.trendingCounts(events.withWatermark("ts", "30 minutes"))
 
+  /** Live hourly per-type counts for the anomaly monitor — the
+    * streaming half of [[graft.ops.EventWindows.anomalyZscore]]. The
+    * trailing-baseline z-score is a frame window over the aggregate,
+    * which append mode cannot chain onto a streaming agg (same split as
+    * [[trendingStream]]'s rank), so the stream finalizes each hour on
+    * the watermark and [[graft.ops.EventWindows.anomalyFromHourly]]
+    * scores the emitted rows downstream — identical arithmetic, so
+    * StreamsSpec asserts exact equality with the batch detector on
+    * every scored hour. Hour-window start == date_trunc('hour'). */
+  def anomalyStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("window.start").as("hour"), col("n"))
+
   /** Custom state: running per-user event count + last-seen timestamp —
     * the `Value` counters of bulkupload.py:409-416 as keyed state. */
   final case class UserStat(userId: Long, n: Long, lastTs: java.sql.Timestamp)

@@ -185,6 +185,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(shuffled.sortBy(_._1.getTime).toSeq == out.sortBy(_._1.getTime).toSeq)
   }
 
+  test("streaming hourly counts, scored downstream by anomalyFromHourly, " +
+      "equal the batch anomalyZscore on every emitted hour") {
+    val stream = Streams.anomalyStream(
+      Streams.eventsStream(spark, TestSpark.sf0001))
+    runToMemory(stream, "anomaly_out")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), col("hour").cast("long"), col("n"),
+        col("mean_n"), col("sd_n"), col("z"), col("is_anomaly"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.get(3), r.get(4), r.get(5), r.getBoolean(6)))
+      .toMap
+    val got = keyed(EventWindows.anomalyFromHourly(spark.table("anomaly_out")))
+    val want = keyed(EventWindows.anomalyZscore(
+      Tables.events(spark, TestSpark.sf0001)))
+    assert(got.nonEmpty)
+    // every streamed-scored hour matches the batch detector exactly
+    assert(got.forall { case (k, v) => want.get(k).contains(v) })
+    // and everything except the watermark tail (30 min) plus the last
+    // open hour must have finalized and been scored
+    val maxTs = Tables.events(spark, TestSpark.sf0001)
+      .agg(max(col("ts")).cast("long")).as[Long].collect().head
+    val mustHave = want.keySet.filter(_._2 < maxTs - 1800 - 3600)
+    assert(mustHave.subsetOf(got.keySet))
+  }
+
   test("anomalyZscore: a constant baseline (stddev 0) yields NULL z and " +
       "no flag even for a large spike — the documented degenerate case") {
     val counts = Seq(5, 5, 5, 5, 5, 5, 50)
