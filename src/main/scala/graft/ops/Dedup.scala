@@ -613,14 +613,23 @@ object Dedup {
     new java.util.concurrent.atomic.AtomicInteger(0)
 
   def nearDupClusters(docs: DataFrame, jacThreshold: Double = 0.5,
-      k: Int = 8, bands: Int = 4, checkpointEvery: Int = 10): DataFrame = {
-    val spark = docs.sparkSession
+      k: Int = 8, bands: Int = 4, checkpointEvery: Int = 3): DataFrame =
+    ccLabels(docs.select(col("doc_id")),
+      nearDupVerifiedPairs(docs, jacThreshold, k, bands), checkpointEvery)
+
+  /** The min-label-propagation loop of [[nearDupClusters]], generalized
+    * over any (doc_id) node set and (a_id, b_id) edge list so the
+    * embedding-similarity clustering ([[Similarity.embeddingClusters]])
+    * runs the identical one-job-per-round machinery. */
+  private[ops] def ccLabels(nodes: DataFrame, rawPairs: DataFrame,
+      checkpointEvery: Int): DataFrame = {
+    val spark = nodes.sparkSession
     import spark.implicits._
-    val pairs = nearDupVerifiedPairs(docs, jacThreshold, k, bands).cache()
+    val pairs = rawPairs.cache()
     val edges = pairs.union(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .withColumnRenamed("a_id", "src").withColumnRenamed("b_id", "dst")
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster")).cache()
     val toRelease = scala.collection.mutable.Buffer(pairs, labels)
     var lastCached = labels
     var changed = 1L
@@ -652,10 +661,20 @@ object Dedup {
         .toDF("doc_id", "cluster")
       // every k-th round: eager localCheckpoint instead of cache+count —
       // same single job, but it also truncates lineage so diameter-deep
-      // graphs don't grow an unbounded plan tree.
+      // graphs don't grow an unbounded plan tree. k must stay SMALL:
+      // each un-truncated round references `labels` twice (the step join
+      // and nbrMin), so the logical-plan RENDERING doubles per round —
+      // at k=10 a diameter-18 graph (the embedding-threshold components)
+      // OOMed the driver building AQE's explain string before any data
+      // moved; k=3 caps the nesting at 4× the base plan.
       val next =
         if (round % checkpointEvery == 0) stepped.localCheckpoint()
         else { val c = stepped.cache(); c.count(); c }
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round=$round changedPrev=$changed " +
+          s"planNodes=${stepped.queryExecution.logical.collect { case _ => 1 }.sum} " +
+          s"nextPlan=${next.queryExecution.logical.getClass.getSimpleName}/" +
+          s"${next.queryExecution.logical.collect { case _ => 1 }.sum}")
       changed = acc.value
       toRelease += next
       lastCached = next
@@ -670,10 +689,10 @@ object Dedup {
     val fin = labels
     toRelease.filterNot(_ eq lastCached).foreach(_.unpersist(blocking = false))
     val keep = lastCached
-    val prev = lastClusterCache.put(docs.sparkSession, keep)
+    val prev = lastClusterCache.put(spark, keep)
     if (prev != null && (prev ne keep)) prev.unpersist(blocking = false)
-    SessionCleanup.onEnd(docs.sparkSession) {
-      lastClusterCache.remove(docs.sparkSession)
+    SessionCleanup.onEnd(spark) {
+      lastClusterCache.remove(spark)
       keep.unpersist(blocking = false)
     }
     fin.orderBy("doc_id")

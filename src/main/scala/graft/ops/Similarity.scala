@@ -386,7 +386,11 @@ object Similarity {
     * local[32]; ≥64 (4096 cells) on a 1000-executor cluster. Shuffle
     * volume grows ×blocks (each side replicated), per-reducer work
     * shrinks ÷blocks² — the same trade as [[nearDupPairCounts]]. */
-  def embeddingDedupSurvivors(emb: DataFrame, threshold: Double,
+  /** All (a_id < b_id) pairs with cosine above `threshold`, via the
+    * blocked cartesian — the shared edge generator for keep-first dedup
+    * ([[embeddingDedupSurvivors]]) and cluster assignment
+    * ([[embeddingClusters]]). */
+  def embeddingThresholdPairs(emb: DataFrame, threshold: Double,
       blocks: Int): DataFrame = {
     val e = emb.select(col("vec_id"), toDoubleArr(col("embedding")).as("emb"))
       .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
@@ -398,14 +402,38 @@ object Similarity {
         col("norm").as("bn"))
       .withColumn("bb", pmod(col("b_id"), lit(blocks)).cast("int"))
       .withColumn("ba", explode(sequence(lit(0), lit(blocks - 1))))
-    val dropped = a.join(b, Seq("ba", "bb"))
+    a.join(b, Seq("ba", "bb"))
       .filter(col("a_id") < col("b_id"))
       .filter(dot(col("ae"), col("be")) / (col("an") * col("bn")) > threshold)
+      .select("a_id", "b_id")
+  }
+
+  def embeddingDedupSurvivors(emb: DataFrame, threshold: Double,
+      blocks: Int): DataFrame = {
+    val dropped = embeddingThresholdPairs(emb, threshold, blocks)
       .select(col("b_id").as("vec_id")).distinct()
     emb.select(col("vec_id"), col("label"))
       .join(dropped, Seq("vec_id"), "left_anti")
       .orderBy("vec_id")
   }
+
+  /** Semantic-dedup CLUSTERS: connected components over the
+    * cosine-threshold graph — the grouping form of
+    * [[embeddingDedupSurvivors]] (which keeps min-id per component's
+    * EDGE-reachable drops; this names the whole component so a curator
+    * can pick a canonical doc, attribute provenance, or cap cluster
+    * contribution — the SemDeDup-style pass over an embedded corpus).
+    * Edges are the same blocked-cartesian exact pairs as the keep-first
+    * key (at scale: swap in [[lshDedupCandidates]]/[[ivfDedupCandidates]]
+    * routing, identical downstream); labels propagate through
+    * [[Dedup.ccLabels]] — the same one-job-per-round min-label loop the
+    * shingle clustering gates. */
+  def embeddingClusters(emb: DataFrame, threshold: Double = 0.35,
+      blocks: Int = 8): DataFrame =
+    Dedup.ccLabels(emb.select(col("vec_id").as("doc_id")),
+        embeddingThresholdPairs(emb, threshold, blocks), checkpointEvery = 3)
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+      .orderBy("vec_id")
 
   /** Symmetric int8 scalar-quantization quality report, per vector:
     * the compression step every billion-vector ANN index runs before
@@ -503,6 +531,9 @@ object Similarity {
     // all-pairs form (identical arithmetic ⇒ identical drop decisions).
     "dedup_embedding" -> ((s, d) =>
       embeddingDedupSurvivors(Tables.embeddings(s, d), 0.35, blocks = 8)),
+    // component labels over the same exact cosine-threshold edges.
+    "dedup_embedding_cluster" -> ((s, d) =>
+      embeddingClusters(Tables.embeddings(s, d))),
     // hash-gated despite being approximate: the seeded hyperplanes are
     // embedded in the oracle SQL as literals (see lshPlanes), so DuckDB
     // computes the SAME buckets and the full LSH pipeline is checked.
@@ -683,6 +714,26 @@ object Similarity {
         |SELECT e.vec_id, e.label FROM e
         |WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
         |ORDER BY e.vec_id""".stripMargin,
+    // same edge arithmetic as dedup_embedding; the component labels are
+    // the min-id fixpoint, which the RECURSIVE reach-set replays.
+    "dedup_embedding_cluster" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |good AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_inner_product(a.emb, b.emb) /
+        |        (sqrt(list_inner_product(a.emb, a.emb)) *
+        |         sqrt(list_inner_product(b.emb, b.emb))) > 0.35),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM good
+        |  UNION ALL SELECT b_id, a_id FROM good),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS lab FROM embeddings
+        |  UNION
+        |  SELECT e2.dst AS id, r.lab FROM reach r JOIN edges e2 ON e2.src = r.id)
+        |SELECT id AS vec_id, min(lab) AS cluster
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     // Replicates ivfCentroids(iters=0) + ivfProbe exactly: stride-seeded
     // centroids are data rows; assignment/probing tie-breaks follow
     // Spark's array_max/array_sort struct ordering (cos DESC, then k

@@ -20,6 +20,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(1) == 0.0)
   }
 
+  test("embeddingClusters: two planted similarity groups get two labels " +
+      "(each the group's min id, propagated through a CHAIN, not a " +
+      "clique) and the isolated vector stays a singleton") {
+    // group A: 1-2-3 chained (1~2 and 2~3 similar; 1·3 = 0 so the label
+    // must propagate through 2); group B: 10-11 similar; 20 isolated.
+    val docs = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.7f, 0.7f, 0f)),
+      (3L, Array(0f, 1f, 0f)),
+      (10L, Array(0f, 0f, 1f)),
+      (11L, Array(0.1f, 0f, 1f)),
+      (20L, Array(-1f, 0.2f, -0.2f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingClusters(docs, threshold = 0.5, blocks = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L), got.toString)
+  }
+
   test("quantizeInt8Report: per-component error is bounded by half the " +
       "grid step (0.5/scale), rmse <= max_err, and a vector on the grid " +
       "reconstructs exactly") {
