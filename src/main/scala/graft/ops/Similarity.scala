@@ -508,9 +508,28 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** SemDeDup's prune step: cap each semantic cluster's contribution at
+    * `keep` representatives (min-id order — deterministic, and at scale
+    * the natural slot for "keep the highest-quality member" by swapping
+    * the window ordering). The per-cluster window is skew-bounded by
+    * cluster size, which the threshold bounds — no global window. */
+  def embeddingClusterPrune(emb: DataFrame, threshold: Double = 0.35,
+      blocks: Int = 8, keep: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    embeddingClusters(emb, threshold, blocks)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster").orderBy("vec_id")))
+      .filter(col("rk") <= keep)
+      .select(col("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_quantize_int8" -> ((s, d) =>
       quantizeInt8Report(Tables.embeddings(s, d))),
+    // ≤2 representatives per cosine-component cluster.
+    "dedup_embedding_prune" -> ((s, d) =>
+      embeddingClusterPrune(Tables.embeddings(s, d))),
     "sim_ann_quantized" -> ((s, d) =>
       quantizedRerankTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
     "sim_topk" -> ((s, d) =>
@@ -734,6 +753,31 @@ object Similarity {
         |  SELECT e2.dst AS id, r.lab FROM reach r JOIN edges e2 ON e2.src = r.id)
         |SELECT id AS vec_id, min(lab) AS cluster
         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+    // the cluster CTE chain plus one ranked window — min-2 per label.
+    "dedup_embedding_prune" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |good AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_inner_product(a.emb, b.emb) /
+        |        (sqrt(list_inner_product(a.emb, a.emb)) *
+        |         sqrt(list_inner_product(b.emb, b.emb))) > 0.35),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM good
+        |  UNION ALL SELECT b_id, a_id FROM good),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS lab FROM embeddings
+        |  UNION
+        |  SELECT e2.dst AS id, r.lab FROM reach r JOIN edges e2 ON e2.src = r.id),
+        |labs AS (
+        |  SELECT id AS vec_id, min(lab) AS cluster FROM reach GROUP BY id),
+        |ranked AS (
+        |  SELECT vec_id, cluster,
+        |         row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rk
+        |  FROM labs)
+        |SELECT vec_id, cluster FROM ranked WHERE rk <= 2
+        |ORDER BY vec_id""".stripMargin,
     // Replicates ivfCentroids(iters=0) + ivfProbe exactly: stride-seeded
     // centroids are data rows; assignment/probing tie-breaks follow
     // Spark's array_max/array_sort struct ordering (cos DESC, then k

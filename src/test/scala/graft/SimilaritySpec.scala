@@ -39,6 +39,24 @@ class SimilaritySpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L), got.toString)
   }
 
+  test("embeddingClusterPrune caps each cluster at `keep` members, " +
+      "keeping min ids; singletons always survive") {
+    val docs = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.7f, 0.7f, 0f)),
+      (3L, Array(0f, 1f, 0f)),
+      (10L, Array(0f, 0f, 1f)),
+      (11L, Array(0.1f, 0f, 1f)),
+      (20L, Array(-1f, 0.2f, -0.2f))
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity
+      .embeddingClusterPrune(docs, threshold = 0.5, blocks = 2, keep = 2)
+      .as[(Long, Long)].collect().toMap
+    // cluster {1,2,3} → keeps 1,2; {10,11} fits; 20 is a singleton
+    assert(kept == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L), kept.toString)
+  }
+
   test("quantizeInt8Report: per-component error is bounded by half the " +
       "grid step (0.5/scale), rmse <= max_err, and a vector on the grid " +
       "reconstructs exactly") {
