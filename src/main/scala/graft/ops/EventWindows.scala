@@ -164,6 +164,27 @@ object EventWindows {
       .orderBy("day")
   }
 
+  /** Day-0 cohort retention matrix — the product-analytics staple over
+    * the event stream: users grouped by their FIRST active day, then for
+    * each (cohort, day-offset) the count of cohort members active that
+    * day. Three shuffles, all user- or cohort-keyed with map-side
+    * partials: first-day per user, distinct (user, day) activity, then
+    * the (cohort, offset) rollup — the activity distinct makes the final
+    * count a plain count(*) (each user contributes at most one row per
+    * day). At 100 TB the user dimension is the natural bucketing key for
+    * the first two. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort"))
+    val active = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    active.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
   /** Windowed (1 h wide / 15 min slide) per-type counts in the
     * SINGLE-aggregation form a watermarked stream can run (chained
     * aggregations are not allowed in append mode). The live twin
@@ -288,6 +309,9 @@ object EventWindows {
     // per-day view → click → purchase conversion funnel (see funnelDaily;
     // the streaming twin runs the same two-level aggregation live).
     "funnel_daily_conversion" -> ((s, d) => funnelDaily(Tables.events(s, d))),
+    // day-0 cohorts × day-offset activity counts.
+    "events_retention_cohorts" -> ((s, d) =>
+      retentionCohorts(Tables.events(s, d))),
     // trailing-6-hour z-score per (event_type, hour) — the alerting op.
     "events_anomaly_zscore" -> ((s, d) =>
       anomalyZscore(Tables.events(s, d))),
@@ -374,6 +398,18 @@ object EventWindows {
         |  CAST(sum(CASE WHEN t_c > t_v AND t_p > t_c THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_purchase_funnel
         |FROM ud GROUP BY day ORDER BY day""".stripMargin,
+    "events_retention_cohorts" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT fd.cohort,
+        |       CAST(datediff('day', fd.cohort, act.day) AS BIGINT)
+        |         AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM act JOIN fd ON act.user_id = fd.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
     // mirrors anomalyZscore: identical rows-frame trailing window,
     // identical round-before-compare discipline (mean/sd rounded 6 dp,
     // z from the rounded inputs, flag on the rounded z).

@@ -107,7 +107,53 @@ object Text {
       |          || '.example/p/' || doc_id
       |     ELSE text END""".stripMargin.linesIterator.mkString(" ")
 
+  // --- HTML boilerplate strip (text_html_strip) ---------------------
+  // The crawl-ingest cleaning stage: drop markup, decode the common
+  // entities, collapse the whitespace the removed tags leave behind.
+  // Tag pattern is RE2-safe (no lookaround); entity decodes are plain
+  // string replaces with '&amp;' decoded LAST, so '&amp;lt;' yields the
+  // literal '&lt;' instead of double-decoding to '<' — and tags are
+  // stripped BEFORE any decode, so decoded entities are never re-parsed
+  // as markup. Both engines run the identical order.
+  private[graft] val tagRe = "<[^>]*>"
+
+  /** Strip tags → decode &lt; &gt; &quot; &amp; → collapse spaces. */
+  def htmlStrip(text: Column): Column =
+    trim(regexp_replace(
+      replace(replace(replace(replace(
+        regexp_replace(text, tagRe, " "),
+        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")), lit("&amp;"), lit("&")),
+      " +", " "))
+
+  /** The synthetic corpus is plain text, so the registered key wraps
+    * every fourth document in deterministic markup (heading, paragraph,
+    * a link, an entity) on BOTH engines — same move as [[piiEnrich]]. */
+  private[graft] def htmlEnrich(text: Column, docId: Column): Column =
+    when(docId % 4 === 0,
+      concat(lit("<h1>Doc "), docId, lit("</h1><p>"), text,
+        lit(" <a href=\"/d/"), docId,
+        lit("\">more &amp; info</a><br/></p>")))
+      .otherwise(text)
+
+  private[graft] val sqlHtmlEnrich =
+    """CASE WHEN doc_id % 4 = 0
+      |     THEN '<h1>Doc ' || doc_id || '</h1><p>' || text
+      |          || ' <a href="/d/' || doc_id
+      |          || '">more &amp; info</a><br/></p>'
+      |     ELSE text END""".stripMargin.linesIterator.mkString(" ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // markup strip: per-doc tag count + the cleaned text. Map-only
+    // codegen'd regex pass, no shuffle — same 100 TB shape as pii_mask.
+    "text_html_strip" -> ((s, d) => {
+      val enriched = htmlEnrich(col("text"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(enriched, lit(tagRe)).cast("long").as("n_tags"),
+          htmlStrip(enriched).as("text_clean"))
+        .orderBy("doc_id")
+    }),
     // per-doc character/word stats (SURVEY §2.13 text_stats).
     "text_stats" -> ((s, d) =>
       Tables.documents(s, d)
@@ -349,6 +395,19 @@ object Text {
         |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_html_strip" ->
+      s"""WITH enr AS (
+         |  SELECT doc_id, $sqlHtmlEnrich AS etext FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(etext, '$tagRe')) AS BIGINT)
+         |    AS n_tags,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(
+         |      regexp_replace(etext, '$tagRe', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'),
+         |      '&quot;', '"'), '&amp;', '&'),
+         |    ' +', ' ', 'g')) AS text_clean
+         |FROM enr ORDER BY doc_id""".stripMargin,
     "text_pii_mask" ->
       s"""WITH enr AS (
          |  SELECT doc_id, $sqlPiiEnrich AS etext FROM documents)

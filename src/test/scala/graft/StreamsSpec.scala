@@ -162,6 +162,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(mustHave.subsetOf(got.keySet))
   }
 
+  test("retentionCohorts: planted two-cohort activity yields the exact " +
+      "(cohort, offset, count) matrix; repeat events within a day count " +
+      "once") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // cohort A (day 1): users 1,2 — both active d1; user 1 returns d2
+    // (twice) and d3. cohort B (day 2): user 3 active d2, returns d3.
+    val events = Seq(
+      (1L, ts("2024-03-01 10:00:00")), (2L, ts("2024-03-01 11:00:00")),
+      (1L, ts("2024-03-02 09:00:00")), (1L, ts("2024-03-02 20:00:00")),
+      (1L, ts("2024-03-03 09:00:00")),
+      (3L, ts("2024-03-02 12:00:00")), (3L, ts("2024-03-03 12:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventWindows.retentionCohorts(events)
+      .select(col("cohort").cast("string"), col("day_offset"), col("n_users"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-03-01", 0L, 2L), ("2024-03-01", 1L, 1L), ("2024-03-01", 2L, 1L),
+      ("2024-03-02", 0L, 1L), ("2024-03-02", 1L, 1L)), got.toString)
+  }
+
   test("anomalyZscore flags a planted spike against its trailing baseline, " +
       "not a normal bucket; warm-up buckets are absent; repartition-stable") {
     // hourly counts for one type: [4,5,6,4,5,6] baseline, then a normal

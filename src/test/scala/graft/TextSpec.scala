@@ -9,6 +9,24 @@ class TextSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("htmlStrip removes tags, decodes entities in double-decode-safe " +
+      "order, collapses the left-over whitespace, and is a no-op on " +
+      "already-clean text") {
+    val rows = Seq(
+      (1L, "<h1>Title</h1><p>a <b>bold</b> word</p>"),
+      (2L, "x &amp;lt; y &amp; z &lt;tag&gt; &quot;q\""),
+      (3L, "plain text stays"),
+      (4L, "<br/><br/>  spaced   <span class=\"s\">out</span>  "))
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"), Text.htmlStrip(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "Title a bold word")
+    // '&amp;lt;' must become '&lt;' (one decode), not '<'
+    assert(got(2L) == "x &lt; y & z <tag> \"q\"")
+    assert(got(3L) == "plain text stays")
+    assert(got(4L) == "spaced out")
+  }
+
   test("native word_set_count scoring equals the composed size(filter(...)) " +
       "forms value-for-value (sf0.001 corpus + edge cases)") {
     val corpus = Tables.documents(spark, TestSpark.sf0001)
