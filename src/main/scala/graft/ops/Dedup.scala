@@ -844,6 +844,15 @@ object Dedup {
     // estimated-vs-exact Jaccard per banded candidate pair.
     "dedup_minhash_estimate" -> ((s, d) =>
       minhashEstimates(Tables.documents(s, d))),
+    // cluster-size spectrum of the near-dup components — the dedup
+    // observability row every run should log (how much mass sits in
+    // big dup families vs singletons). Two tiny aggs over the labels.
+    "dedup_cluster_stats" -> ((s, d) =>
+      nearDupClusters(Tables.documents(s, d))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")),
     // nearest doc by 3-gram Jaccard for the first 20 docs (exact form;
     // the LSH path replaces the self-join at scale).
     "dedup_ngram_jaccard" -> ((s, d) => {
@@ -1134,6 +1143,24 @@ object Dedup {
          |  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id AS doc_id, min(lab) AS cluster
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the same reach-set chain rolled up to the size spectrum.
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE ${sqlJacCtes()},
+         |good AS (SELECT a_id, b_id FROM jac WHERE jac >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM good
+         |  UNION ALL SELECT b_id, a_id FROM good),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         |labs AS (
+         |  SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+         |sz AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM labs GROUP BY cluster)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     // Replicates simhashReplicable + simhashPairs exactly: same word
     // split, same rolling-hash bit votes, same block routing, same
     // bit_count(xor) verify — the full SimHash index is hash-checked

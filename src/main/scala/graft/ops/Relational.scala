@@ -191,6 +191,31 @@ object Relational {
              round(avg(col("value")), 4).as("avg_v"),
              round(stddev_samp(col("value")), 4).as("sd_v"))
         .orderBy("event_type")),
+    // percentile-clip outlier cleaning (winsorize at p1/p99) — the
+    // metric-hygiene pass before any averaged dashboard: exact per-type
+    // bounds (one grouped agg, broadcast back — the bounds table is
+    // type-sized), then a map-side clip and one summary agg. Clip
+    // decisions compare raw values against the UNROUNDED interpolated
+    // percentile: an interpolated bound lies strictly between adjacent
+    // order statistics (or IS a data value when the rank is integral),
+    // so engine-ulp differences cannot flip a comparison; only the
+    // averages need the usual rounding.
+    "events_value_winsorize" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.01)).as("lo"),
+             percentile(col("value"), lit(0.99)).as("hi"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("clipped",
+          least(greatest(col("value"), col("lo")), col("hi")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          round(avg(col("value")), 4).as("avg_raw"),
+          round(avg(col("clipped")), 4).as("avg_winsor"))
+        .orderBy("event_type")
+    }),
     // exact linear-interpolated percentiles per group.
     "agg_percentile" -> ((s, d) =>
       Tables.orders(s, d)
@@ -377,6 +402,21 @@ object Relational {
         |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
         |       count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "events_value_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.01) AS lo,
+        |         quantile_cont(value, 0.99) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lo,
+        |  CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hi,
+        |  round(avg(e.value), 4) AS avg_raw,
+        |  round(avg(least(greatest(e.value, b.lo), b.hi)), 4) AS avg_winsor
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "win_ntile" ->
       """SELECT o_orderpriority, quartile, count(*) AS n,
         |       round(min(o_totalprice), 2) AS lo,

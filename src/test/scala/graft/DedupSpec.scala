@@ -377,6 +377,20 @@ class DedupSpec extends AnyFunSuite {
     assert(jac.isEmpty)
   }
 
+  test("cluster-size spectrum: sizes sum to the corpus and match a " +
+      "direct rollup of the labels (sf0.001)") {
+    val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
+    val labels = Dedup.nearDupClusters(docs)
+    val direct = labels.groupBy("cluster").count()
+      .groupBy("count").count()
+      .as[(Long, Long)].collect().toMap
+    val stats = Dedup.queries("dedup_cluster_stats")(spark, TestSpark.sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(stats == direct, s"$stats vs $direct")
+    val total = stats.map { case (sz, n) => sz * n }.sum
+    assert(total == docs.count())
+  }
+
   test("minhashEstimates: identical docs estimate 1.0 with zero error; " +
       "every estimate is a multiple of 1/8 in [0,1] and abs_err is " +
       "consistent with (est_jac, jac)") {

@@ -182,6 +182,30 @@ class StreamsSpec extends AnyFunSuite {
       ("2024-03-02", 0L, 1L), ("2024-03-02", 1L, 1L)), got.toString)
   }
 
+  test("winsorize on 1..100: exactly one value clips at each end and the " +
+      "clipped average equals the raw (symmetric clip)") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 00:${i / 60}%02d:${i % 60}%02d")
+    val events = (1 to 100).map(i => ("m", ts(i), i.toDouble))
+      .toDF("event_type", "ts", "value")
+    val bounds = events.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.01)).as("lo"),
+           percentile(col("value"), lit(0.99)).as("hi"))
+    val got = events.join(bounds, Seq("event_type"))
+      .agg(
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        avg(col("value")).as("avg_raw"),
+        avg(least(greatest(col("value"), col("lo")), col("hi")))
+          .as("avg_winsor"))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got._1 == 1L && got._2 == 1L, got.toString)
+    assert(got._3 == 50.5 && math.abs(got._4 - 50.5) < 1e-9, got.toString)
+    // the registered query exposes the same arithmetic per event type
+    assert(graft.ops.Relational.queries("events_value_winsorize")(
+        spark, TestSpark.sf0001).columns.toSeq ==
+      Seq("event_type", "n", "n_lo", "n_hi", "avg_raw", "avg_winsor"))
+  }
+
   test("anomalyZscore flags a planted spike against its trailing baseline, " +
       "not a normal bucket; warm-up buckets are absent; repartition-stable") {
     // hourly counts for one type: [4,5,6,4,5,6] baseline, then a normal
