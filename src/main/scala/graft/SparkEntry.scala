@@ -116,6 +116,33 @@ object SparkEntry {
           lit(false).as("uploaded"))
       updated.unionByName(inserted).orderBy("id")
     }),
+    // SCD2 history for the manifest — the audit-grade form of the
+    // upsert: instead of overwriting the uploaded flag, close the old
+    // version (valid_to = this batch) and append the new one. Batch
+    // numbers, not wall-clock, stamp validity (deterministic, and at
+    // scale the ingest batch id is exactly what a lakehouse history
+    // table carries). Plan: one BROADCAST of the changed-id set against
+    // the snapshot (payload rows never reshuffle) + a union of the
+    // (small) new-version rows — history grows by the change volume,
+    // never by the snapshot size.
+    "manifest_scd2" -> ((s, d) => {
+      val m = Manifest.fromDocuments(s, d)
+      val chg = broadcast(
+        m.filter(col("id") % 4 === 0 && !col("uploaded"))
+          .select(col("id"), lit(true).as("_new_uploaded")))
+      val v1 = m.join(chg, Seq("id"), "left_outer")
+        .select(col("id"), col("path"), col("uploaded"),
+          lit(1L).as("version"), lit(1L).as("valid_from_batch"),
+          when(col("_new_uploaded").isNotNull, 2L).as("valid_to_batch"),
+          col("_new_uploaded").isNull.as("is_current"))
+      val v2 = m.join(chg, Seq("id"))
+        .select(col("id"), col("path"),
+          col("_new_uploaded").as("uploaded"),
+          lit(2L).as("version"), lit(2L).as("valid_from_batch"),
+          lit(null).cast("long").as("valid_to_batch"),
+          lit(true).as("is_current"))
+      v1.unionByName(v2).orderBy("id", "version")
+    }),
     "join_anti_resume" -> ((s, d) => {
       val m = Manifest.fromDocuments(s, d)
       Manifest.antiResume(m.select("path"), Manifest.filterUploaded(m).select("path"))
@@ -198,6 +225,24 @@ object SparkEntry {
          |SELECT id, path, uploaded FROM updated
          |UNION ALL SELECT id, path, uploaded FROM inserted
          |ORDER BY id""".stripMargin,
+    "manifest_scd2" ->
+      s"""$M, chg AS (
+         |  SELECT id FROM manifest WHERE id % 4 = 0 AND NOT uploaded),
+         |hist AS (
+         |  SELECT m.id, m.path, m.uploaded,
+         |         CAST(1 AS BIGINT) AS version,
+         |         CAST(1 AS BIGINT) AS valid_from_batch,
+         |         CASE WHEN c.id IS NOT NULL THEN CAST(2 AS BIGINT) END
+         |           AS valid_to_batch,
+         |         c.id IS NULL AS is_current
+         |  FROM manifest m LEFT JOIN chg c ON m.id = c.id
+         |  UNION ALL
+         |  SELECT m.id, m.path, true, CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+         |         CAST(NULL AS BIGINT), true
+         |  FROM manifest m JOIN chg c ON m.id = c.id)
+         |SELECT id, path, uploaded, version, valid_from_batch,
+         |       valid_to_batch, is_current
+         |FROM hist ORDER BY id, version""".stripMargin,
     "join_anti_resume" ->
       s"""$M SELECT path FROM manifest m
          |WHERE NOT EXISTS (SELECT 1 FROM manifest u WHERE u.uploaded AND u.path = m.path)

@@ -16,6 +16,30 @@ class ManifestSpec extends AnyFunSuite {
     assert(ids.toSeq == (1L to ids.length).toSeq)
   }
 
+  test("SCD2 history invariants: exactly one current row per id, closed " +
+      "rows chain valid_to = successor's valid_from, and only changed " +
+      "ids grow a second version") {
+    val hist = graft.SparkEntry.queries("manifest_scd2")(
+        spark, TestSpark.sf0001)
+      .select("id", "uploaded", "version", "valid_from_batch",
+        "valid_to_batch", "is_current")
+      .as[(Long, Boolean, Long, Long, Option[Long], Boolean)]
+      .collect().groupBy(_._1)
+    val m = Manifest.fromDocuments(spark, TestSpark.sf0001)
+      .select("id", "uploaded").as[(Long, Boolean)].collect().toMap
+    assert(hist.keySet == m.keySet)
+    hist.foreach { case (id, rows) =>
+      assert(rows.count(_._6) == 1, s"id $id current rows")
+      val changed = id % 4 == 0 && !m(id)
+      assert(rows.length == (if (changed) 2 else 1), s"id $id versions")
+      if (changed) {
+        val Seq(r1, r2) = rows.sortBy(_._3).toSeq
+        assert(!r1._6 && r1._5.contains(r2._4), s"id $id chain")
+        assert(!r1._2 && r2._2, s"id $id flag transition")
+      }
+    }
+  }
+
   test("markUploaded flips exactly the given ids and nothing else") {
     val m = Seq((1L, "a", false), (2L, "b", false), (3L, "c", true))
       .toDF("id", "path", "uploaded")
