@@ -185,6 +185,29 @@ object EventWindows {
       .orderBy("cohort", "day_offset")
   }
 
+  /** Per-user event-type transition matrix — the first-order Markov
+    * view of behavior (what follows what): lag each user's type stream
+    * by one, count (prev → cur) pairs, and rate each row against its
+    * source-state total. One window partitioned by user (user streams
+    * are short — the window never sees more than one user's events) +
+    * two grouped aggs; ordering (ts, event_id) is unique so the lag is
+    * deterministic. */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(totals, Seq("prev_type"))
+      .select(col("prev_type"), col("cur_type"), col("n"),
+        round(col("n") * 1.0 / col("n_from"), 6).as("p"))
+      .orderBy("prev_type", "cur_type")
+  }
+
   /** Windowed (1 h wide / 15 min slide) per-type counts in the
     * SINGLE-aggregation form a watermarked stream can run (chained
     * aggregations are not allowed in append mode). The live twin
@@ -312,6 +335,9 @@ object EventWindows {
     // day-0 cohorts × day-offset activity counts.
     "events_retention_cohorts" -> ((s, d) =>
       retentionCohorts(Tables.events(s, d))),
+    // first-order type-transition counts and rates.
+    "events_type_transitions" -> ((s, d) =>
+      typeTransitions(Tables.events(s, d))),
     // trailing-6-hour z-score per (event_type, hour) — the alerting op.
     "events_anomaly_zscore" -> ((s, d) =>
       anomalyZscore(Tables.events(s, d))),
@@ -410,6 +436,22 @@ object EventWindows {
         |       CAST(count(*) AS BIGINT) AS n_users
         |FROM act JOIN fd ON act.user_id = fd.user_id
         |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
+    "events_type_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT prev_type, event_type AS cur_type,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT prev_type, sum(n) AS n_from FROM pairs GROUP BY 1)
+        |SELECT p.prev_type, p.cur_type, p.n,
+        |       round(p.n * 1.0 / t.n_from, 6) AS p
+        |FROM pairs p JOIN tot t ON p.prev_type = t.prev_type
+        |ORDER BY p.prev_type, p.cur_type""".stripMargin,
     // mirrors anomalyZscore: identical rows-frame trailing window,
     // identical round-before-compare discipline (mean/sd rounded 6 dp,
     // z from the rounded inputs, flag on the rounded z).

@@ -182,6 +182,27 @@ class StreamsSpec extends AnyFunSuite {
       ("2024-03-02", 0L, 1L), ("2024-03-02", 1L, 1L)), got.toString)
   }
 
+  test("typeTransitions: planted a->b->a->c stream yields exact counts, " +
+      "per-source rates sum to 1, and user boundaries break chains") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: a b a c  → a->b, b->a, a->c
+      (1L, 1L, ts("2024-03-01 10:00:00"), "a"),
+      (2L, 1L, ts("2024-03-01 10:01:00"), "b"),
+      (3L, 1L, ts("2024-03-01 10:02:00"), "a"),
+      (4L, 1L, ts("2024-03-01 10:03:00"), "c"),
+      // user 2: b a  → b->a only; the c(end of user1)->b join must NOT appear
+      (5L, 2L, ts("2024-03-01 10:00:30"), "b"),
+      (6L, 2L, ts("2024-03-01 10:01:30"), "a"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventWindows.typeTransitions(events)
+      .as[(String, String, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(got == Map(
+      ("a", "b") -> (1L, 0.5), ("a", "c") -> (1L, 0.5),
+      ("b", "a") -> (2L, 1.0)), got.toString)
+  }
+
   test("winsorize on 1..100: exactly one value clips at each end and the " +
       "clipped average equals the raw (symmetric clip)") {
     def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 00:${i / 60}%02d:${i % 60}%02d")
