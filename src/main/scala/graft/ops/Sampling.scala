@@ -116,6 +116,49 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Sequence-length bucketing for batch assembly: bin docs by
+    * power-of-2 token length (so batch members pad to at most 2× the
+    * shortest — the standard dynamic-batching move), then give every
+    * doc a deterministic batch number within its bin. The within-bin
+    * rank uses the SAME two-level prefix-sum machinery as
+    * [[budgetPack]], with the level-1 ranges cut on doc_id (bucketing
+    * affects only partitioning, never ranks): per-(bin, range) counts
+    * get a per-bin window cumsum over O(bins × ranges) rows, and the
+    * heavy level-2 rank runs partitioned by (bin, range) — no bin ever
+    * lands on one partition, which a plain per-bin window would force.
+    * The bin itself is a fold of integer comparisons against powers of
+    * two (floor(log2) without touching libm — log2 of an exact power is
+    * engine-ulp territory; `n >= 2^k` is not). */
+  def lengthBucketBatches(docs: DataFrame, batchSize: Int = 16,
+      ranges: Int = 32): DataFrame = {
+    val toks = Text.tokenCount(col("text")).cast("long")
+    val base = docs.select(col("doc_id"), toks.as("n_tokens"))
+    val bin = (1 to 20).foldLeft(lit(0)) { (acc, k) =>
+      acc + when(col("n_tokens") >= lit(1L << k), 1).otherwise(0)
+    }
+    val probes = (1 until ranges).map(_.toDouble / ranges).toArray
+    val splits =
+      if (probes.isEmpty) Array.empty[Double]
+      else base.stat.approxQuantile("doc_id", probes, 0.001).distinct.sorted
+    val rng = splits.foldLeft(lit(0)) { (acc, s) =>
+      acc + when(col("doc_id") >= lit(s), 1).otherwise(0)
+    }
+    val rows = base.withColumn("bin", bin).withColumn("rng", rng)
+    val offsets = rows.groupBy(col("bin"), col("rng"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("bin")).orderBy(col("rng"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bin"), col("rng"), col("off"))
+    val inRange = Window.partitionBy(col("bin"), col("rng"))
+      .orderBy(col("doc_id"))
+    rows.join(broadcast(offsets), Seq("bin", "rng"))
+      .withColumn("rk", col("off") + row_number().over(inRange))
+      .select(col("doc_id"), col("n_tokens"), col("bin").cast("long").as("bin"),
+        ((col("rk") - 1) / batchSize).cast("long").as("batch_id"))
+      .orderBy("doc_id")
+  }
+
   /** Single-global-window composed form of [[budgetPack]] — semantically
     * identical (SamplingSpec asserts equality; the DuckDB oracle runs
     * this shape), kept as the executable spec and as ScaleTrend's
@@ -320,6 +363,9 @@ object Sampling {
             .otherwise("test").as("split"))
         .orderBy("doc_id")
     }),
+    // power-of-2 length bins → deterministic within-bin batch numbers.
+    "sample_length_batches" -> ((s, d) =>
+      lengthBucketBatches(Tables.documents(s, d))),
     "sample_budget_pack" -> ((s, d) =>
       budgetPack(Tables.documents(s, d), budget = 12000L, buckets = 16)),
     // per-source quality quota: best 10 docs per source by length
@@ -398,6 +444,27 @@ object Sampling {
         |             AS BIGINT) AS DOUBLE) / 1152921504606846976.0
         |           < rate - floor(rate))
         |ORDER BY doc_id, copy_id""".stripMargin,
+    // per-bin window — identical ranks to the two-level form (the
+    // Spark side must never depend on its range bucketing); the bin is
+    // the same fold of power-of-2 comparisons.
+    "sample_length_batches" -> {
+      val binSql = (1 to 20).map(k =>
+        s"(CASE WHEN n_tokens >= ${1L << k} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$tokRe')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT doc_id, n_tokens,
+         |        CAST($binSql AS BIGINT) AS bin FROM t),
+         |r AS (SELECT doc_id, n_tokens, bin,
+         |        row_number() OVER (PARTITION BY bin ORDER BY doc_id) AS rk
+         |      FROM b)
+         |SELECT doc_id, n_tokens, bin,
+         |       CAST((rk - 1) // 16 AS BIGINT) AS batch_id
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
     // single global window — semantically identical to the two-level
     // prefix sum (the Spark side must never depend on its bucketing).
     "sample_budget_pack" ->

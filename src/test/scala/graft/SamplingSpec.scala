@@ -175,6 +175,34 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("lengthBucketBatches: bins hold only lengths in [2^b, 2^(b+1)), " +
+      "batches within a bin are dense with at most batchSize members, " +
+      "and ranks are invariant to the range-bucketing dial") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val got = Sampling.lengthBucketBatches(docs, batchSize = 16, ranges = 32)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == docs.count())
+    got.foreach { case (id, n, bin, _) =>
+      val lo = if (bin == 0) 0L else 1L << bin
+      assert(n >= lo && n < (1L << (bin + 1)), s"doc $id: n=$n bin=$bin")
+    }
+    got.groupBy(t => (t._3, t._4)).foreach { case ((bin, batch), rows) =>
+      assert(rows.length <= 16, s"bin $bin batch $batch overfull")
+    }
+    got.groupBy(_._3).foreach { case (bin, rows) =>
+      val batches = rows.map(_._4).distinct.sorted
+      assert(batches.toSeq == (0L until batches.length).toSeq,
+        s"bin $bin batches not dense")
+      // only the LAST batch may be partial
+      val sizes = rows.groupBy(_._4).view.mapValues(_.length)
+      batches.dropRight(1).foreach(b =>
+        assert(sizes(b) == 16, s"bin $bin batch $b partial"))
+    }
+    val oneRange = Sampling.lengthBucketBatches(docs, 16, ranges = 1)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(oneRange.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
   test("quotaTopK: at most k rows per source, exactly the k longest by " +
       "(n_chars desc, doc_id), stable under repartition") {
     val k = 5
