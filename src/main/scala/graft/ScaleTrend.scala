@@ -181,6 +181,20 @@ object ScaleTrend {
          time(graft.ops.EventWindows.trendingCounts(ev)))
       } else (-1.0, -1.0)
 
+      // round 7 session 3: SQ8 route+rerank vs the float32 brute force
+      // it approximates; component clustering over the cosine graph
+      // (rounds + edge mass are the scale dials); length-bucket batch
+      // assignment (two-level rank machinery under a per-bin contract).
+      val tSq8 = time(graft.ops.Similarity.quantizedRerankTopK(
+        emb, col("vec_id") < 10))
+      val tBrute = time(graft.ops.Similarity.bruteForceTopK(
+        emb, col("vec_id") < 10, 5))
+      val embClusterEdges = graft.ops.Similarity
+        .embeddingThresholdPairs(emb, 0.35, 8).count()
+      val tEmbCluster = time(graft.ops.Similarity.embeddingClusters(emb))
+      val embCcRounds = graft.ops.Dedup.lastClusterRounds.get()
+      val tLenBatches = time(graft.ops.Sampling.lengthBucketBatches(docs))
+
       System.err.println(s"[scale] $sf docs=$nDocs done")
       println(s"""{"sf":"$sf","n_docs":$nDocs,"n_emb":$nEmb,""" +
         s""""dedup_cand_pairs":$dedupCands,"dedup_all_pairs":$allPairs,""" +
@@ -218,7 +232,13 @@ object ScaleTrend {
         s""""t_dedup_url_canonical":${r3(tUrlCanonical)},""" +
         s""""t_sample_weighted":${r3(tWeighted)},""" +
         s""""t_trending_preagg":${r3(tTrendPre)},""" +
-        s""""t_trending_single":${r3(tTrendSingle)}}""")
+        s""""t_trending_single":${r3(tTrendSingle)},""" +
+        s""""t_sim_ann_quantized":${r3(tSq8)},""" +
+        s""""t_sim_brute":${r3(tBrute)},""" +
+        s""""emb_cluster_edges":$embClusterEdges,""" +
+        s""""emb_cluster_rounds":$embCcRounds,""" +
+        s""""t_emb_cluster":${r3(tEmbCluster)},""" +
+        s""""t_length_batches":${r3(tLenBatches)}}""")
     }
     spark.stop()
     synthDir.foreach(graft.ops.SessionCleanup.deleteRecursively)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -31,6 +31,34 @@ object VectorOps {
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.column(DotProductExpr(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Symmetric int8 scalar quantization codes in one compiled two-pass
+    * loop (amax, then floor(x·127/amax + 0.5)) — the composed
+    * `transform(...)/array_max` form is three interpreted per-element
+    * passes. Codes come back as array<double> so [[dot]] applies
+    * directly (values are exact small integers). All-zero input yields
+    * all-zero codes (the composed form's 127/0 → NaN chain is
+    * noise, not semantics — SimilaritySpec pins both behaviors). */
+  def quantizeInt8(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getDouble(i)); if (v > amax) amax = v; i += 1
+    }
+    val out = new Array[Double](n)
+    if (amax > 0) {
+      val scale = 127.0 / amax
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(a.getDouble(i) * scale + 0.5); i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  def quantize_int8(a: Column): Column =
+    GraftBridge.column(QuantizeInt8Expr(GraftBridge.expression(a)))
 }
 
 case class DotProductExpr(left: Expression, right: Expression)
@@ -55,4 +83,20 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
+}
+
+case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"quantize_int8 requires array<double>, got $t")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "quantize_int8"
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.quantizeInt8(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.quantizeInt8($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): QuantizeInt8Expr = copy(child = newChild)
 }

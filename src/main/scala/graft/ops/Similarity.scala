@@ -483,10 +483,10 @@ object Similarity {
   def quantizedRerankTopK(emb: DataFrame, queryPred: Column, k: Int = 5,
       rerank: Int = 20): DataFrame = {
     val xs = toDoubleArr(col("embedding"))
-    val scale = lit(127.0) / array_max(transform(xs, x => abs(x)))
-    // floor yields LONG; the codes go back to double so the native dot
-    // applies — exact either way at |q| <= 127.
-    val q8 = transform(xs, x => floor(x * scale + lit(0.5)).cast("double"))
+    // native one-pass kernel (codegen'd); the composed
+    // transform/array_max form is its executable spec, equality-pinned
+    // in SimilaritySpec for nonzero vectors.
+    val q8 = graft.functions.VectorOps.quantize_int8(xs)
     def side(df: DataFrame, p: String): DataFrame =
       df.select(col("vec_id").as(s"${p}_id"), xs.as(s"${p}e"), q8.as(s"${p}q"))
         .withColumn(s"${p}qn", sqrt(dot(col(s"${p}q"), col(s"${p}q"))))

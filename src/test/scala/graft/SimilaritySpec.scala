@@ -76,6 +76,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(1)._3 == 0.0 && out(1)._4 == 0.0, "±amax vector must be exact")
   }
 
+  test("native quantize_int8 equals the composed transform/array_max " +
+      "form on the corpus; the all-zero vector yields zero codes") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val xs = Similarity.toDoubleArr(col("embedding"))
+    val scale = lit(127.0) / array_max(transform(xs, x => abs(x)))
+    val composed = transform(xs, x => floor(x * scale + lit(0.5)).cast("double"))
+    val native = graft.functions.VectorOps.quantize_int8(xs)
+    val diff = emb.select(col("vec_id"), composed.as("c"), native.as("n"))
+      .filter(col("c") =!= col("n")).count()
+    assert(diff == 0)
+    val zero = Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val z = zero.select(graft.functions.VectorOps.quantize_int8(
+        Similarity.toDoubleArr(col("embedding"))).as("q"))
+      .as[Array[Double]].collect().head
+    assert(z.toSeq == Seq(0.0, 0.0, 0.0))
+  }
+
   test("quantizedRerankTopK: SQ8 route + exact re-rank recovers nearly " +
       "all of brute force (recall >= 0.9 on sf0.001) and re-ranked " +
       "scores equal the exact cosine") {
