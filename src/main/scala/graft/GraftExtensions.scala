@@ -19,7 +19,7 @@ import graft.functions._
   * registers every graft native Catalyst expression as a first-class SQL
   * function — `rolling_hash(text)`, `rolling_hash_windows(text, w)`,
   * `word_shingles(text, n)`, `simhash64(text)`, `minhash_sig(text, k)`,
-  * `dot_product(a, b)`, `word_set_count(text, array(...))` — session-wide
+  * `dot_product(a, b)`, `quantize_int8(a)`, `word_set_count(text, array(...))` — session-wide
   * and for every session built with
   * the extension, unlike the per-session temp registration in
   * `RollingHash.registerSql`. The builders hand Catalyst the same
@@ -77,6 +77,8 @@ object GraftExtensions {
       es => MinHashSigExpr(es.head, intLit(es(1), "minhash_sig"))),
     d("dot_product", classOf[DotProductExpr],
       es => DotProductExpr(es.head, es(1))),
+    d("quantize_int8", classOf[QuantizeInt8Expr],
+      es => QuantizeInt8Expr(es.head)),
     d("word_set_count", classOf[WordSetCountExpr],
       es => WordSetCountExpr(es.head, stringSeqLit(es(1), "word_set_count")))
   )

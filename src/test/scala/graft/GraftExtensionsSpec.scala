@@ -51,6 +51,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT word_set_count('the cat and the dog', array('the','and')) AS n")
         .head().getInt(0)
       assert(wsc == 3)
+      // quantize_int8: amax maps to ±127, half-scale to ±64 (half-up)
+      val q8 = ext.sql(
+        "SELECT quantize_int8(array(1.0D, -1.0D, 0.5D, 0.0D)) AS q")
+        .head().getSeq[Double](0)
+      assert(q8 == Seq(127.0, -127.0, 64.0, 0.0))
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
