@@ -144,8 +144,45 @@ object Profile {
       (root, nOut)
     })
 
+  /** Per-source distribution-drift score: the two-sample KS statistic
+    * of each source's length distribution against the whole corpus —
+    * the monitoring row that catches "source X started sending
+    * truncated docs" before it poisons a training mix. ECDFs are
+    * evaluated on the shared value axis: per-(source, value) counts
+    * cumsum along the axis (window PARTITIONED by source), corpus
+    * cumsum once. The only unpartitioned window runs over the DISTINCT
+    * value axis — domain-bounded (lengths), not corpus-bounded.
+    * Every F is an exact integer ratio, so the max |ΔF| is
+    * engine-identical before its display rounding. */
+  def sourceDriftKs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perVal = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val fAll = perVal
+      .withColumn("cum", sum(col("c")).over(Window.orderBy("n_chars")))
+      .crossJoin(broadcast(total))
+      .select(col("n_chars"),
+        (col("cum").cast("double") / col("n_total")).as("f_all"))
+    val srcs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val grid = perVal.select("n_chars").crossJoin(broadcast(srcs))
+    val perSrcVal = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("sc"))
+    val fSrc = grid.join(perSrcVal, Seq("source", "n_chars"), "left")
+      .withColumn("cum", sum(coalesce(col("sc"), lit(0L))).over(
+        Window.partitionBy("source").orderBy("n_chars")))
+      .select(col("source"), col("n_chars"), col("n_src"),
+        (col("cum").cast("double") / col("n_src")).as("f_src"))
+    fSrc.join(fAll, Seq("n_chars"))
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_docs"),
+        round(max(abs(col("f_src") - col("f_all"))), 6).as("ks"))
+      .orderBy("source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_columns" -> ((s, d) => profileColumns(Tables.documents(s, d))),
+    // per-source KS drift vs the corpus length distribution.
+    "profile_drift_ks" -> ((s, d) => sourceDriftKs(Tables.documents(s, d))),
     // 10-bucket equi-width length histogram, integer-exact bucketing.
     "profile_histogram" -> ((s, d) => histogram(Tables.documents(s, d))),
     // JSONL shard round-trip — the interchange format training loaders
@@ -180,6 +217,32 @@ object Profile {
   )
 
   def oracle: Map[String, String] = Map(
+    "profile_drift_ks" ->
+      """WITH pv AS (
+        |  SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
+        |fall AS (
+        |  SELECT n_chars,
+        |         CAST(sum(c) OVER (ORDER BY n_chars) AS DOUBLE) /
+        |           (SELECT count(*) FROM documents) AS f_all
+        |  FROM pv),
+        |srcs AS (
+        |  SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+        |grid AS (
+        |  SELECT s.source, s.n_src, v.n_chars FROM srcs s, pv v),
+        |psv AS (
+        |  SELECT source, n_chars, count(*) AS sc FROM documents
+        |  GROUP BY 1, 2),
+        |fsrc AS (
+        |  SELECT g.source, g.n_chars, g.n_src,
+        |         CAST(sum(coalesce(p.sc, 0)) OVER (
+        |           PARTITION BY g.source ORDER BY g.n_chars) AS DOUBLE) /
+        |           g.n_src AS f_src
+        |  FROM grid g LEFT JOIN psv p
+        |    ON p.source = g.source AND p.n_chars = g.n_chars)
+        |SELECT f.source, CAST(max(f.n_src) AS BIGINT) AS n_docs,
+        |       round(max(abs(f.f_src - a.f_all)), 6) AS ks
+        |FROM fsrc f JOIN fall a ON f.n_chars = a.n_chars
+        |GROUP BY f.source ORDER BY f.source""".stripMargin,
     "profile_columns" -> (
       docCols.map { c =>
         s"""SELECT '$c' AS col_name,

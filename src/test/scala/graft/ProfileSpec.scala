@@ -30,6 +30,21 @@ class ProfileSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("sourceDriftKs: identical sources score 0; a disjoint-range " +
+      "source scores exactly the pooled-ECDF gap of 0.5") {
+    def docs(ranges: (String, Range)*) = ranges.flatMap { case (s, r) =>
+      r.map(i => (s"$s-$i", s, i.toLong))
+    }.toDF("doc_id", "source", "n_chars")
+    val same = Profile.sourceDriftKs(
+        docs("a" -> (1 to 100), "b" -> (1 to 100)))
+      .select("source", "ks").as[(String, Double)].collect().toMap
+    assert(same == Map("a" -> 0.0, "b" -> 0.0), same.toString)
+    val shifted = Profile.sourceDriftKs(
+        docs("a" -> (1 to 100), "b" -> (101 to 200)))
+      .select("source", "ks").as[(String, Double)].collect().toMap
+    assert(shifted == Map("a" -> 0.5, "b" -> 0.5), shifted.toString)
+  }
+
   test("sink_partitioned_prune equals the source filter and prunes " +
       "partitions in the scan") {
     val out = Profile.queries("sink_partitioned_prune")(spark, TestSpark.sf0001)
