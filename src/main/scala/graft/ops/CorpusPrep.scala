@@ -130,12 +130,81 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  /** The composed SEMANTIC curation pipeline (round 7) — the
+    * embedding-era chain, built entirely from this round's registered
+    * operators and gated end-to-end as one query:
+    *
+    *   documents + embeddings
+    *     → HTML boilerplate strip   (text_html_strip: tags out, entities
+    *                                 decoded; batching sees CLEAN tokens)
+    *     → semantic cluster prune   (dedup_embedding_prune: cosine
+    *                                 components capped at 2 members,
+    *                                 joined on doc_id = vec_id)
+    *     → length-bucket batches    (sample_length_batches over the
+    *                                 survivors' cleaned text)
+    *
+    * Scale shape: the strip is map-only; the prune is the
+    * candidate-bounded CC loop (edges from the blocked cartesian —
+    * LSH/IVF-routable at corpus scale); the batch ranks are the
+    * two-level machinery. Stage boundaries localCheckpoint for the same
+    * reason as [[trainingMix]] (the CC labels are referenced by both
+    * the batch pass and the final join; without the cut the loop would
+    * re-run per reference). */
+  def semanticPrep(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val enriched = Text.htmlEnrich(col("text"), col("doc_id"))
+    val cleaned = docs.select(col("doc_id"),
+      Text.htmlStrip(enriched).as("text"),
+      regexp_count(enriched, lit(Text.tagRe)).cast("long").as("n_tags"))
+    val kept = Similarity.embeddingClusterPrune(emb)
+      .withColumnRenamed("vec_id", "doc_id")
+    val keptDocs = cleaned.join(kept, Seq("doc_id")).localCheckpoint()
+    Sampling.lengthBucketBatches(keptDocs)
+      .join(keptDocs.select("doc_id", "cluster", "n_tags"), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster"), col("n_tags"),
+        col("n_tokens"), col("bin"), col("batch_id"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_corpus_prep" -> ((s, d) => prepare(Tables.documents(s, d))),
-    "pipeline_training_mix" -> ((s, d) => trainingMix(Tables.documents(s, d)))
+    "pipeline_training_mix" -> ((s, d) => trainingMix(Tables.documents(s, d))),
+    "pipeline_semantic_prep" -> ((s, d) =>
+      semanticPrep(Tables.documents(s, d), Tables.embeddings(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
+    // Mirrors semanticPrep stage for stage from the SHARED fragments:
+    // Similarity.sqlClusterLabsCtes (cluster+prune), Text.sqlHtmlStrip /
+    // sqlHtmlEnrich (strip), Sampling.sqlBinExpr + tokRe (batches).
+    "pipeline_semantic_prep" ->
+      s"""WITH RECURSIVE ${Similarity.sqlClusterLabsCtes()},
+         |ranked AS (
+         |  SELECT vec_id, cluster,
+         |         row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rk
+         |  FROM labs),
+         |kept AS (SELECT vec_id, cluster FROM ranked WHERE rk <= 2),
+         |enr AS (
+         |  SELECT doc_id, ${Text.sqlHtmlEnrich} AS etext FROM documents),
+         |clean AS (
+         |  SELECT doc_id, ${Text.sqlHtmlStrip("etext")} AS text,
+         |         CAST(len(regexp_extract_all(etext, '${Text.tagRe}'))
+         |           AS BIGINT) AS n_tags
+         |  FROM enr),
+         |kd AS (
+         |  SELECT c.doc_id, c.text, c.n_tags, k.cluster
+         |  FROM clean c JOIN kept k ON k.vec_id = c.doc_id),
+         |t AS (
+         |  SELECT doc_id, cluster, n_tags,
+         |         CAST(len(regexp_extract_all(text, '${Sampling.tokRe}'))
+         |           AS BIGINT) AS n_tokens
+         |  FROM kd),
+         |b AS (SELECT *, CAST(${Sampling.sqlBinExpr("n_tokens")} AS BIGINT)
+         |        AS bin FROM t),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY bin ORDER BY doc_id) AS rk2 FROM b)
+         |SELECT doc_id, cluster, n_tags, n_tokens, bin,
+         |       CAST((rk2 - 1) // 16 AS BIGINT) AS batch_id
+         |FROM r ORDER BY doc_id""".stripMargin,
     // Mirrors prepare() stage for stage; the near-dup CTEs are the SAME
     // chain as the dedup_near_drop oracle, re-sourced at `base`.
     "pipeline_corpus_prep" ->

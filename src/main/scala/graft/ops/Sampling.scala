@@ -381,7 +381,14 @@ object Sampling {
       weightedTopK(Tables.documents(s, d), k = 100))
   )
 
-  private val tokRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  private[ops] val tokRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Power-of-2 bin as a fold of integer comparisons — the SQL twin of
+    * [[lengthBucketBatches]]' bin column, shared with composed
+    * pipelines. */
+  private[ops] def sqlBinExpr(c: String): String =
+    (1 to 20).map(k =>
+      s"(CASE WHEN $c >= ${1L << k} THEN 1 ELSE 0 END)").mkString(" + ")
   private[ops] def sqlU60(salt: String) =
     s"""CAST(CAST(concat('0x', substr(md5(concat('$salt',
        |  CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
@@ -448,9 +455,7 @@ object Sampling {
     // Spark side must never depend on its range bucketing); the bin is
     // the same fold of power-of-2 comparisons.
     "sample_length_batches" -> {
-      val binSql = (1 to 20).map(k =>
-        s"(CASE WHEN n_tokens >= ${1L << k} THEN 1 ELSE 0 END)")
-        .mkString(" + ")
+      val binSql = sqlBinExpr("n_tokens")
       s"""WITH t AS (
          |  SELECT doc_id,
          |    CAST(len(regexp_extract_all(text, '$tokRe')) AS BIGINT)

@@ -615,6 +615,29 @@ object Similarity {
   private[graft] def ivfDedupMemberships: Int =
     sys.env.getOrElse("SPARK_GRAFT_IVF_MEMBERSHIPS", "2").toInt
 
+  /** Shared CTE chain for the cosine-component clustering oracles
+    * (requires WITH RECURSIVE at the call site): `labs` carries
+    * (vec_id, cluster) — single source of truth for
+    * dedup_embedding_cluster, dedup_embedding_prune, and composed
+    * pipelines, so the edge arithmetic can never drift between them. */
+  private[graft] def sqlClusterLabsCtes(threshold: Double = 0.35): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |good AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE list_inner_product(a.emb, b.emb) /
+       |        (sqrt(list_inner_product(a.emb, a.emb)) *
+       |         sqrt(list_inner_product(b.emb, b.emb))) > $threshold),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM good
+       |  UNION ALL SELECT b_id, a_id FROM good),
+       |reach AS (
+       |  SELECT vec_id AS id, vec_id AS lab FROM embeddings
+       |  UNION
+       |  SELECT e2.dst AS id, r.lab FROM reach r JOIN edges e2 ON e2.src = r.id),
+       |labs AS (
+       |  SELECT id AS vec_id, min(lab) AS cluster FROM reach GROUP BY id)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // same arithmetic, same fixed fold: lambdas capture the outer
     // per-row scale exactly as the Spark transform does.
@@ -736,48 +759,17 @@ object Similarity {
     // same edge arithmetic as dedup_embedding; the component labels are
     // the min-id fixpoint, which the RECURSIVE reach-set replays.
     "dedup_embedding_cluster" ->
-      """WITH RECURSIVE
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |good AS (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |  WHERE list_inner_product(a.emb, b.emb) /
-        |        (sqrt(list_inner_product(a.emb, a.emb)) *
-        |         sqrt(list_inner_product(b.emb, b.emb))) > 0.35),
-        |edges AS (
-        |  SELECT a_id AS src, b_id AS dst FROM good
-        |  UNION ALL SELECT b_id, a_id FROM good),
-        |reach AS (
-        |  SELECT vec_id AS id, vec_id AS lab FROM embeddings
-        |  UNION
-        |  SELECT e2.dst AS id, r.lab FROM reach r JOIN edges e2 ON e2.src = r.id)
-        |SELECT id AS vec_id, min(lab) AS cluster
-        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+      s"""WITH RECURSIVE ${sqlClusterLabsCtes()}
+         |SELECT vec_id, cluster FROM labs ORDER BY vec_id""".stripMargin,
     // the cluster CTE chain plus one ranked window — min-2 per label.
     "dedup_embedding_prune" ->
-      """WITH RECURSIVE
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |good AS (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |  WHERE list_inner_product(a.emb, b.emb) /
-        |        (sqrt(list_inner_product(a.emb, a.emb)) *
-        |         sqrt(list_inner_product(b.emb, b.emb))) > 0.35),
-        |edges AS (
-        |  SELECT a_id AS src, b_id AS dst FROM good
-        |  UNION ALL SELECT b_id, a_id FROM good),
-        |reach AS (
-        |  SELECT vec_id AS id, vec_id AS lab FROM embeddings
-        |  UNION
-        |  SELECT e2.dst AS id, r.lab FROM reach r JOIN edges e2 ON e2.src = r.id),
-        |labs AS (
-        |  SELECT id AS vec_id, min(lab) AS cluster FROM reach GROUP BY id),
-        |ranked AS (
-        |  SELECT vec_id, cluster,
-        |         row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rk
-        |  FROM labs)
-        |SELECT vec_id, cluster FROM ranked WHERE rk <= 2
-        |ORDER BY vec_id""".stripMargin,
+      s"""WITH RECURSIVE ${sqlClusterLabsCtes()},
+         |ranked AS (
+         |  SELECT vec_id, cluster,
+         |         row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rk
+         |  FROM labs)
+         |SELECT vec_id, cluster FROM ranked WHERE rk <= 2
+         |ORDER BY vec_id""".stripMargin,
     // Replicates ivfCentroids(iters=0) + ivfProbe exactly: stride-seeded
     // centroids are data rows; assignment/probing tie-breaks follow
     // Spark's array_max/array_sort struct ordering (cos DESC, then k

@@ -143,6 +143,16 @@ object Text {
       |          || '">more &amp; info</a><br/></p>'
       |     ELSE text END""".stripMargin.linesIterator.mkString(" ")
 
+  /** The [[htmlStrip]] chain over an arbitrary SQL expression — single
+    * source of truth for the standalone oracle AND composed pipelines. */
+  private[graft] def sqlHtmlStrip(e: String): String =
+    s"""trim(regexp_replace(
+       |    replace(replace(replace(replace(
+       |      regexp_replace($e, '$tagRe', ' ', 'g'),
+       |      '&lt;', '<'), '&gt;', '>'),
+       |      '&quot;', '"'), '&amp;', '&'),
+       |    ' +', ' ', 'g'))""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // markup strip: per-doc tag count + the cleaned text. Map-only
     // codegen'd regex pass, no shuffle — same 100 TB shape as pii_mask.
@@ -401,12 +411,7 @@ object Text {
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(etext, '$tagRe')) AS BIGINT)
          |    AS n_tags,
-         |  trim(regexp_replace(
-         |    replace(replace(replace(replace(
-         |      regexp_replace(etext, '$tagRe', ' ', 'g'),
-         |      '&lt;', '<'), '&gt;', '>'),
-         |      '&quot;', '"'), '&amp;', '&'),
-         |    ' +', ' ', 'g')) AS text_clean
+         |  ${sqlHtmlStrip("etext")} AS text_clean
          |FROM enr ORDER BY doc_id""".stripMargin,
     "text_pii_mask" ->
       s"""WITH enr AS (

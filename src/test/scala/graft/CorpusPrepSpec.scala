@@ -51,6 +51,23 @@ class CorpusPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("composed semantic-prep pipeline: output ids are exactly the " +
+      "cluster-prune survivors, tag counts surface on every enriched " +
+      "doc, and batch ids respect the per-bin contract") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val out = CorpusPrep.semanticPrep(docs, emb)
+      .select("doc_id", "cluster", "n_tags", "bin", "batch_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val kept = graft.ops.Similarity.embeddingClusterPrune(emb)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet == kept)
+    out.foreach { case (id, _, nTags, _, _) =>
+      assert((nTags > 0) == (id % 4 == 0), s"doc $id n_tags=$nTags") }
+    out.groupBy(t => (t._4, t._5)).foreach { case ((bin, b), rows) =>
+      assert(rows.length <= 16, s"bin $bin batch $b overfull") }
+  }
+
   test("a planted near-duplicate inside the quality-passing subset is dropped " +
       "by the final stage, not by the filters") {
     // two near-dup docs engineered to pass lang+quality gates
