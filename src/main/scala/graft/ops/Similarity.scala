@@ -452,16 +452,28 @@ object Similarity {
     * inside round(…, 6). Half-up via floor(x+0.5) rather than each
     * engine's round() so tie behavior is pinned by construction. */
   def quantizeInt8Report(emb: DataFrame): DataFrame = {
-    val xs = transform(col("embedding"), x => x.cast("double"))
-    val amax = array_max(transform(xs, x => abs(x)))
-    val scale = lit(127.0) / amax
-    val errs = transform(xs, x =>
-      x - floor(x * scale + lit(0.5)) / scale)
-    emb.select(col("vec_id"),
-        round(scale, 6).as("scale"),
-        round(sqrt(aggregate(errs, lit(0.0), (acc, e) => acc + e * e) /
-          size(col("embedding"))), 6).as("rmse"),
-        round(array_max(transform(errs, e => abs(e))), 6).as("max_err"))
+    // All array passes are native kernels or dot products — a per-row
+    // scalar (scale) referenced inside a HOF lambda re-inlines its
+    // array_max subtree PER ELEMENT (O(d²), interpreted, allocating;
+    // measured 4.4 s for 2k×64 on the bench before this form). The
+    // error sum expands algebraically to three dots:
+    //   Σ(x − q/s)² = x·x − 2·(x·q)/s + (q·q)/s²
+    // and max|err| is its own one-pass kernel. greatest(…, 0) guards
+    // the sqrt against the identity landing at −1e−18 for exact
+    // reconstructions.
+    val xs = toDoubleArr(col("embedding"))
+    val scale = lit(127.0) / array_max(transform(xs, x => abs(x)))
+    val q8 = graft.functions.VectorOps.quantize_int8(xs)
+    val sumSq = dot(col("xs"), col("xs")) -
+      lit(2.0) * dot(col("xs"), col("q8")) / col("s") +
+      dot(col("q8"), col("q8")) / (col("s") * col("s"))
+    emb.select(col("vec_id"), xs.as("xs"), q8.as("q8"), scale.as("s"))
+      .select(col("vec_id"),
+        round(col("s"), 6).as("scale"),
+        round(sqrt(greatest(sumSq, lit(0.0)) / size(col("xs"))), 6)
+          .as("rmse"),
+        round(graft.functions.VectorOps.quantize_err_max(col("xs")), 6)
+          .as("max_err"))
       .orderBy("vec_id")
   }
 
@@ -639,8 +651,10 @@ object Similarity {
        |  SELECT id AS vec_id, min(lab) AS cluster FROM reach GROUP BY id)""".stripMargin
 
   def oracle: Map[String, String] = Map(
-    // same arithmetic, same fixed fold: lambdas capture the outer
-    // per-row scale exactly as the Spark transform does.
+    // same arithmetic as the Spark side's dot-identity form: the error
+    // sum is x·x − 2(x·q)/s + (q·q)/s² over identical left-fold inner
+    // products, so the doubles match before rounding; max|err| is the
+    // per-element form (order-independent max).
     "embed_quantize_int8" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -648,17 +662,20 @@ object Similarity {
         |  SELECT vec_id, v,
         |         127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
         |  FROM e),
-        |err AS (
-        |  SELECT vec_id, scale, len(v) AS n,
-        |         list_transform(v,
-        |           x -> x - floor(x * scale + 0.5) / scale) AS errs
+        |q AS (
+        |  SELECT vec_id, v, scale, len(v) AS n,
+        |         list_transform(v, x -> floor(x * scale + 0.5)) AS q8
         |  FROM s)
         |SELECT vec_id, round(scale, 6) AS scale,
-        |       round(sqrt(list_sum(list_transform(errs, x -> x * x)) / n),
-        |             6) AS rmse,
-        |       round(list_max(list_transform(errs, x -> abs(x))), 6)
+        |       round(sqrt(greatest(
+        |           list_inner_product(v, v)
+        |           - 2.0 * list_inner_product(v, q8) / scale
+        |           + list_inner_product(q8, q8) / (scale * scale),
+        |         0.0) / n), 6) AS rmse,
+        |       round(list_max(list_transform(v,
+        |         x -> abs(x - floor(x * scale + 0.5) / scale))), 6)
         |         AS max_err
-        |FROM err ORDER BY vec_id""".stripMargin,
+        |FROM q ORDER BY vec_id""".stripMargin,
     // the quantized route is exact integer arithmetic (scale factors
     // cancel), so candidates AND final ranks replicate bit-identically.
     "sim_ann_quantized" ->
