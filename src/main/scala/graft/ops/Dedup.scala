@@ -620,7 +620,17 @@ object Dedup {
   /** The min-label-propagation loop of [[nearDupClusters]], generalized
     * over any (doc_id) node set and (a_id, b_id) edge list so the
     * embedding-similarity clustering ([[Similarity.embeddingClusters]])
-    * runs the identical one-job-per-round machinery. */
+    * runs the identical one-job-per-round machinery.
+    *
+    * Deliberately ONE-HOP per round: pointer jumping (label doubling)
+    * was implemented and MEASURED SLOWER at every available scale —
+    * jumping over the in-flight frame recomputes the edge join twice
+    * (isolated sf0.1 bench: 23.1 s vs 14.1 s for the four CC keys), and
+    * jumping through the cached previous labels still lost (15.6 s) —
+    * the extra labels-sized join per round outweighs the rounds it
+    * saves while diameters stay ≤ ~18 (dense dup components converge in
+    * ~5 rounds regardless, SCALE_r07 session 3). Revisit only if a real
+    * corpus shows diameters in the hundreds. */
   private[ops] def ccLabels(nodes: DataFrame, rawPairs: DataFrame,
       checkpointEvery: Int): DataFrame = {
     val spark = nodes.sparkSession

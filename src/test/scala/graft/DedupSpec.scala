@@ -177,9 +177,10 @@ class DedupSpec extends AnyFunSuite {
       }
       (Dedup.lastClusterRounds.get, actions.get)
     } finally spark.listenerManager.unregister(qel)
-    // one eager DataFrame action per round (checkpoint rounds use an RDD
-    // localCheckpoint action instead, invisible to the SQL listener)
-    val expected = rounds - rounds / 10
+    // one eager DataFrame action per round (every-3rd-round checkpoints
+    // use an RDD localCheckpoint action instead, invisible to the SQL
+    // listener — cadence matches nearDupClusters' checkpointEvery)
+    val expected = rounds - rounds / 3
     assert(counted == expected, s"actions=$counted rounds=$rounds")
     // labels must equal union-find over the verified edges (independent
     // of both the Spark loop and the DuckDB oracle)
