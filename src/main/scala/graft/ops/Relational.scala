@@ -127,10 +127,13 @@ object Relational {
     }),
     // long→wide PIVOT: order counts by status × priority as a 3×5 grid.
     // The priority values are listed EXPLICITLY so Spark skips the
-    // distinct-collect pre-pass and the output schema is static — the
-    // 100 TB form (one partial+final hash agg over the fact table; the
-    // pivot itself is just projection of the grouped row). Absent cells
-    // are 0 (not null) on both engines via the conditional-sum form.
+    // distinct-collect pre-pass and the output schema is static. Spark
+    // plans Dataset.pivot as TWO aggregations (partial+final over
+    // (status, priority), then a regroup by status that lays the grid
+    // out wide) — both exchanges carry group-sized rows only, so the
+    // fact table still shuffles nothing but counters; the oracle's
+    // conditional-sum form is the single-agg equivalent of the same
+    // semantics. Absent cells are 0 (not null) on both engines.
     "agg_pivot" -> ((s, d) => {
       val prios = Seq("1-URGENT" -> "urgent", "2-HIGH" -> "high",
         "3-MEDIUM" -> "medium", "4-NOT SPECIFIED" -> "not_specified",
