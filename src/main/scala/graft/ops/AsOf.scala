@@ -62,6 +62,28 @@ object AsOf {
           col("_asof.click_ts").as("click_ts"),
           col("_asof.click_value").as("click_value"))
         .orderBy("event_id")
+    }),
+    // TOLERANCE-bounded as-of: the production form ("a quote older than
+    // the lookback is stale — no match") — the SAME single-shuffle
+    // union+window plan plus one map-side recency filter on the carried
+    // payload; "latest ≤ ts" within the window IS "latest within the
+    // window", so no second search is needed.
+    "join_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "ts").orderBy(desc("event_id"))))
+        .filter(col("rn") === 1)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      joinAsOf(errors, clicks, Seq("user_id"), "ts",
+        Map("ts" -> "click_ts", "value" -> "click_value"))
+        .filter(col("_asof").isNotNull &&
+          col("_asof.click_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("_asof.click_ts").as("click_ts"),
+          col("_asof.click_value").as("click_value"))
+        .orderBy("event_id")
     })
   )
 
@@ -77,6 +99,24 @@ object AsOf {
         |SELECT e.event_id, e.user_id, e.ts, c.ts AS click_ts,
         |       c.value AS click_value
         |FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+    // native ASOF picks the latest ≤ ts; the WHERE drops stale matches —
+    // identical semantics to the Spark-side recency filter. The match
+    // CTE is MATERIALIZED because DuckDB otherwise pushes the recency
+    // predicate into the ASOF join and rejects the second inequality.
+    "join_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, value,
+        |         row_number() OVER (PARTITION BY user_id, ts
+        |           ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts, value FROM clicks WHERE rn = 1),
+        |e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |m AS MATERIALIZED (
+        |  SELECT e.event_id, e.user_id, e.ts, c.ts AS click_ts,
+        |         c.value AS click_value
+        |  FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts)
+        |SELECT * FROM m WHERE click_ts >= ts - INTERVAL 1 HOUR
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -35,6 +35,26 @@ class AsOfSpec extends AnyFunSuite {
     assert(got(4L).contains(9.0)) // ts equality counts (<=)
   }
 
+  test("tolerance-bounded as-of: matches outside the lookback become " +
+      "non-matches; everything else equals the plain as-of") {
+    val tol = AsOf.queries("join_asof_tolerance")(spark, TestSpark.sf0001)
+      .select("event_id", "ts", "click_ts")
+      .as[(Long, Timestamp, Timestamp)].collect()
+    val plain = AsOf.queries("join_asof")(spark, TestSpark.sf0001)
+      .select("event_id", "ts", "click_ts")
+      .as[(Long, Timestamp, Timestamp)].collect()
+    val plainById = plain.map(t => t._1 -> t).toMap
+    // subset with identical matches
+    tol.foreach { case (id, t, ct) =>
+      assert(plainById(id) == ((id, t, ct)), s"event $id")
+      assert(t.getTime - ct.getTime <= 3600 * 1000L, s"event $id stale")
+    }
+    // the bound does observable work: the plain join has stale matches
+    val stale = plain.count { case (_, t, ct) =>
+      t.getTime - ct.getTime > 3600 * 1000L }
+    assert(stale > 0 && tol.length == plain.length - stale)
+  }
+
   test("all payload fields come from the same matched row (atomic struct)") {
     val left = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
     val right = Seq(
