@@ -129,34 +129,67 @@ object Sampling {
     * The bin itself is a fold of integer comparisons against powers of
     * two (floor(log2) without touching libm — log2 of an exact power is
     * engine-ulp territory; `n >= 2^k` is not). */
-  def lengthBucketBatches(docs: DataFrame, batchSize: Int = 16,
-      ranges: Int = 32): DataFrame = {
-    val toks = Text.tokenCount(col("text")).cast("long")
-    val base = docs.select(col("doc_id"), toks.as("n_tokens"))
-    val bin = (1 to 20).foldLeft(lit(0)) { (acc, k) =>
-      acc + when(col("n_tokens") >= lit(1L << k), 1).otherwise(0)
-    }
+  /** 1-based rank within `grp`, ordered by doc_id, via the two-level
+    * machinery: doc_id range buckets cut by approxQuantile (bucketing
+    * affects only partitioning, never ranks), per-(grp, range) counts
+    * cumsum to offsets over O(groups × ranges) rows, then the heavy
+    * rank runs partitioned by (grp, range) — no group ever lands on a
+    * single partition. Shared by [[lengthBucketBatches]] (rank within
+    * length bin) and [[interleaveBySource]] (rank within source). */
+  private def withGroupRank(rows: DataFrame, grp: String,
+      ranges: Int): DataFrame = {
     val probes = (1 until ranges).map(_.toDouble / ranges).toArray
     val splits =
       if (probes.isEmpty) Array.empty[Double]
-      else base.stat.approxQuantile("doc_id", probes, 0.001).distinct.sorted
+      else rows.stat.approxQuantile("doc_id", probes, 0.001).distinct.sorted
     val rng = splits.foldLeft(lit(0)) { (acc, s) =>
       acc + when(col("doc_id") >= lit(s), 1).otherwise(0)
     }
-    val rows = base.withColumn("bin", bin).withColumn("rng", rng)
-    val offsets = rows.groupBy(col("bin"), col("rng"))
+    val r = rows.withColumn("rng", rng)
+    val offsets = r.groupBy(col(grp), col("rng"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(sum(col("cnt")).over(
-        Window.partitionBy(col("bin")).orderBy(col("rng"))
+        Window.partitionBy(col(grp)).orderBy(col("rng"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bin"), col("rng"), col("off"))
-    val inRange = Window.partitionBy(col("bin"), col("rng"))
+      .select(col(grp), col("rng"), col("off"))
+    val inRange = Window.partitionBy(col(grp), col("rng"))
       .orderBy(col("doc_id"))
-    rows.join(broadcast(offsets), Seq("bin", "rng"))
+    r.join(broadcast(offsets), Seq(grp, "rng"))
       .withColumn("rk", col("off") + row_number().over(inRange))
+      .drop("rng", "off")
+  }
+
+  def lengthBucketBatches(docs: DataFrame, batchSize: Int = 16,
+      ranges: Int = 32): DataFrame = {
+    val toks = Text.tokenCount(col("text")).cast("long")
+    val bin = (1 to 20).foldLeft(lit(0)) { (acc, k) =>
+      acc + when(col("n_tokens") >= lit(1L << k), 1).otherwise(0)
+    }
+    val base = docs.select(col("doc_id"), toks.as("n_tokens"))
+      .withColumn("bin", bin)
+    withGroupRank(base, "bin", ranges)
       .select(col("doc_id"), col("n_tokens"), col("bin").cast("long").as("bin"),
         ((col("rk") - 1) / batchSize).cast("long").as("batch_id"))
       .orderBy("doc_id")
+  }
+
+  /** Proportional deterministic source interleave — the training ORDER
+    * operator: each source's k-th document sits at progress k/n_src, so
+    * consuming rows in (progress, source) order visits sources
+    * proportionally to their size (no source starves, none floods the
+    * front of training). The sort KEY is computed distributed (group
+    * ranks via [[withGroupRank]], counts broadcast); the total order is
+    * the consumer's sort, not a global window here. */
+  def interleaveBySource(docs: DataFrame, ranges: Int = 32): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"))
+    val counts = broadcast(
+      base.groupBy(col("source")).agg(count(lit(1)).as("n_src")))
+    withGroupRank(base, "source", ranges)
+      .join(counts, Seq("source"))
+      .select(col("doc_id"), col("source"),
+        col("rk").as("rank_in_source"),
+        round(col("rk").cast("double") / col("n_src"), 9).as("progress"))
+      .orderBy("progress", "source")
   }
 
   /** Single-global-window composed form of [[budgetPack]] — semantically
@@ -366,6 +399,9 @@ object Sampling {
     // power-of-2 length bins → deterministic within-bin batch numbers.
     "sample_length_batches" -> ((s, d) =>
       lengthBucketBatches(Tables.documents(s, d))),
+    // proportional source interleave (training order).
+    "sample_interleave_sources" -> ((s, d) =>
+      interleaveBySource(Tables.documents(s, d))),
     "sample_budget_pack" -> ((s, d) =>
       budgetPack(Tables.documents(s, d), budget = 12000L, buckets = 16)),
     // per-source quality quota: best 10 docs per source by length
@@ -451,6 +487,19 @@ object Sampling {
         |             AS BIGINT) AS DOUBLE) / 1152921504606846976.0
         |           < rate - floor(rate))
         |ORDER BY doc_id, copy_id""".stripMargin,
+    // per-source window — identical ranks to the two-level form; the
+    // integer-ratio progress is exact in both engines.
+    "sample_interleave_sources" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY source ORDER BY doc_id) AS BIGINT)
+        |           AS rank_in_source,
+        |         count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM documents)
+        |SELECT doc_id, source, rank_in_source,
+        |       round(CAST(rank_in_source AS DOUBLE) / n_src, 9) AS progress
+        |FROM r ORDER BY progress, source""".stripMargin,
     // per-bin window — identical ranks to the two-level form (the
     // Spark side must never depend on its range bucketing); the bin is
     // the same fold of power-of-2 comparisons.

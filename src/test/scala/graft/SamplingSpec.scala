@@ -203,6 +203,16 @@ class SamplingSpec extends AnyFunSuite {
     assert(oneRange.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
   }
 
+  test("interleaveBySource: a 4-doc and an 8-doc source interleave " +
+      "proportionally — the exact hand-computed (progress, source) order") {
+    val docs = ((1L to 4L).map(i => (i, "a")) ++
+      (11L to 18L).map(i => (i, "b"))).toDF("doc_id", "source")
+    val got = Sampling.interleaveBySource(docs)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(11L, 1L, 12L, 13L, 2L, 14L, 15L, 3L, 16L, 17L, 4L, 18L),
+      got.toString)
+  }
+
   test("quotaTopK: at most k rows per source, exactly the k longest by " +
       "(n_chars desc, doc_id), stable under repartition") {
     val k = 5
