@@ -86,6 +86,30 @@ object Profile {
       tmp
     })
 
+  // one range-sorted copy per (session, sfDir), cleaned with the session
+  private val sortedMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
+
+  /** Range-clustered parquet layout: repartitionByRange on the scan key
+    * + sortWithinPartitions, so every file owns a DISJOINT n_chars range
+    * and its footer min/max statistics let a filtered scan skip whole
+    * files — the sorted-layout half of table maintenance (compaction is
+    * [[compactCopy]]). ProfileSpec asserts the per-file ranges really
+    * are disjoint; the registered key gates the round trip. */
+  private[graft] def sortedCopy(s: SparkSession, d: String): String =
+    sortedMemo.getOrElseUpdate((s, d), {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+      Tables.documents(s, d)
+        .repartitionByRange(4, col("n_chars"))
+        .sortWithinPartitions("n_chars")
+        .write.mode("overwrite").parquet(tmp)
+      SessionCleanup.onEnd(s) {
+        sortedMemo.remove((s, d))
+        SessionCleanup.deleteRecursively(tmp)
+      }
+      tmp
+    })
+
   // one JSONL copy per (session, sfDir, shards), cleaned up with the
   // session — shards is part of the key so a different shard count never
   // silently reuses an old layout
@@ -204,6 +228,15 @@ object Profile {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    // range-clustered rewrite → read back; must be row-invisible
+    // (ProfileSpec asserts the disjoint per-file ranges that make the
+    // footer statistics prune files under an n_chars predicate).
+    "sink_sorted_layout" -> ((s, d) => {
+      val dir = sortedCopy(s, d)
+      s.read.parquet(dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     // write partitioned by lang → read back with a partition predicate;
     // must equal a plain filter on the source table (and ProfileSpec
     // asserts the scan carries PartitionFilters, i.e. directory pruning).
@@ -268,6 +301,10 @@ object Profile {
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
     "sink_compact_sized" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // layout rewrites are row-invisible by contract.
+    "sink_sorted_layout" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin
   )

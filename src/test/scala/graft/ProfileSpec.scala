@@ -45,6 +45,24 @@ class ProfileSpec extends AnyFunSuite {
     assert(shifted == Map("a" -> 0.5, "b" -> 0.5), shifted.toString)
   }
 
+  test("sorted layout: every parquet file owns a disjoint n_chars range " +
+      "(footer min/max can prune files) and the round trip is " +
+      "row-invisible") {
+    val dir = Profile.sortedCopy(spark, TestSpark.sf0001)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
+        count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2)
+    assert(perFile.length > 1)
+    perFile.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 < b._2, s"overlap: ${a._1} [${a._2},${a._3}] vs " +
+        s"${b._1} [${b._2},${b._3}]")
+    }
+    val n = spark.read.parquet(dir).count()
+    assert(n == Tables.documents(spark, TestSpark.sf0001).count())
+  }
+
   test("sink_partitioned_prune equals the source filter and prunes " +
       "partitions in the scan") {
     val out = Profile.queries("sink_partitioned_prune")(spark, TestSpark.sf0001)
