@@ -208,6 +208,30 @@ object EventWindows {
       .orderBy("prev_type", "cur_type")
   }
 
+  /** DAU / trailing-7-day WAU / stickiness per observed day — the
+    * engagement rollup. Exact sliding DISTINCT via the support-explode
+    * trick: each distinct (user, day) activity row supports the 7 daily
+    * windows ending at day..day+6, so exploding a 7-element offset
+    * array and re-distincting gives every window's exact user set with
+    * a bounded 7× blowup of USER-DAY rows (never raw events) — the
+    * standard shape for sliding count-distinct at scale. Output is
+    * restricted to days that actually occur. */
+  def activeUsers(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("i"),
+        col("day"))
+      .select(col("user_id"), date_add(col("day"), col("i")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Windowed (1 h wide / 15 min slide) per-type counts in the
     * SINGLE-aggregation form a watermarked stream can run (chained
     * aggregations are not allowed in append mode). The live twin
@@ -338,6 +362,9 @@ object EventWindows {
     // first-order type-transition counts and rates.
     "events_type_transitions" -> ((s, d) =>
       typeTransitions(Tables.events(s, d))),
+    // DAU / trailing-7d WAU / stickiness per observed day.
+    "events_active_users" -> ((s, d) =>
+      activeUsers(Tables.events(s, d))),
     // trailing-6-hour z-score per (event_type, hour) — the alerting op.
     "events_anomaly_zscore" -> ((s, d) =>
       anomalyZscore(Tables.events(s, d))),
@@ -436,6 +463,22 @@ object EventWindows {
         |       CAST(count(*) AS BIGINT) AS n_users
         |FROM act JOIN fd ON act.user_id = fd.user_id
         |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
+    // same support-explode construction; day+i is date arithmetic on
+    // both engines and the stickiness is an exact integer ratio.
+    "events_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |sup AS (
+        |  SELECT DISTINCT user_id, day + CAST(t.i AS INTEGER) AS day
+        |  FROM ud, unnest(range(0, 7)) AS t(i)),
+        |wau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS wau FROM sup GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau,
+        |       round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        |FROM dau d JOIN wau w ON d.day = w.day
+        |ORDER BY d.day""".stripMargin,
     "events_type_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

@@ -182,6 +182,26 @@ class StreamsSpec extends AnyFunSuite {
       ("2024-03-02", 0L, 1L), ("2024-03-02", 1L, 1L)), got.toString)
   }
 
+  test("activeUsers: planted activity yields exact DAU and trailing-7d " +
+      "WAU; a user active twice in the window counts once") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // day 1: users 1,2. day 2: user 1 (twice). day 9: user 3 (outside
+    // the 7-day window of days 1-2).
+    val events = Seq(
+      (1L, ts("2024-03-01 10:00:00")), (2L, ts("2024-03-01 11:00:00")),
+      (1L, ts("2024-03-02 09:00:00")), (1L, ts("2024-03-02 18:00:00")),
+      (3L, ts("2024-03-09 12:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventWindows.activeUsers(events)
+      .select(col("day").cast("string"), col("dau"), col("wau"))
+      .as[(String, Long, Long)].collect().toMap
+    // observed days only; WAU(3-01)={1,2}; WAU(3-02)={1,2} (trailing);
+    // WAU(3-09)={3} — days 1-2 fell out of the window
+    assert(got == Map(
+      "2024-03-01" -> (2L, 2L), "2024-03-02" -> (1L, 2L),
+      "2024-03-09" -> (1L, 1L)), got.toString)
+  }
+
   test("typeTransitions: planted a->b->a->c stream yields exact counts, " +
       "per-source rates sum to 1, and user boundaries break chains") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
