@@ -194,7 +194,8 @@ class StreamsSpec extends AnyFunSuite {
       .toDF("user_id", "ts")
     val got = EventWindows.activeUsers(events)
       .select(col("day").cast("string"), col("dau"), col("wau"))
-      .as[(String, Long, Long)].collect().toMap
+      .as[(String, Long, Long)].collect()
+      .map { case (d, dau, wau) => d -> ((dau, wau)) }.toMap
     // observed days only; WAU(3-01)={1,2}; WAU(3-02)={1,2} (trailing);
     // WAU(3-09)={3} — days 1-2 fell out of the window
     assert(got == Map(
