@@ -617,6 +617,41 @@ object Dedup {
     ccLabels(docs.select(col("doc_id")),
       nearDupVerifiedPairs(docs, jacThreshold, k, bands), checkpointEvery)
 
+  /** KEEP-BEST dedup: one surviving document per near-dup cluster, chosen
+    * by LENGTH (longest copy, ties to the smaller doc_id) instead of the
+    * keep-first rule every other dedup key uses. Production corpora keep
+    * the best copy, not the first: near-dup groups are usually one full
+    * document plus truncated or boilerplate-wrapped variants, and
+    * keep-min-id throws away the full text whenever a fragment got the
+    * smaller id. Length is the standard cheap "best" proxy and — unlike a
+    * model score — is bit-identical on both engines, so the whole
+    * operator stays inside the hash gate.
+    *
+    * Scale shape: clusters come from the shared candidate-bounded CC loop
+    * ([[ccLabels]]); the selection is then ONE hash aggregation —
+    * `max_by(doc_id, struct(n_chars, -doc_id))` — whose partial
+    * aggregates reduce each partition to one (len, id) pair per cluster
+    * before the exchange. The per-cluster sort window the oracle uses
+    * (`row_number() OVER (PARTITION BY cluster ORDER BY n DESC, id)`) is
+    * the executable spec, not the plan: an argmax needs no sort and no
+    * per-cluster partition materialization at 100 TB. */
+  def keepBestSurvivors(docs: DataFrame, jacThreshold: Double = 0.5,
+      k: Int = 8, bands: Int = 4): DataFrame = {
+    val labels = nearDupClusters(docs, jacThreshold, k, bands)
+    val scored = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n"))
+    labels.join(scored, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(
+        max_by(col("doc_id"), struct(col("n"), (-col("doc_id")).as("ni")))
+          .as("doc_id"),
+        max(col("n")).as("n_chars_kept"),
+        count(lit(1)).cast("long").as("cluster_size"))
+      .select(col("cluster"), col("doc_id"), col("n_chars_kept"),
+        col("cluster_size"))
+      .orderBy("cluster")
+  }
+
   /** The min-label-propagation loop of [[nearDupClusters]], generalized
     * over any (doc_id) node set and (a_id, b_id) edge list so the
     * embedding-similarity clustering ([[Similarity.embeddingClusters]])
@@ -916,6 +951,10 @@ object Dedup {
     // doc_id), hash-gated vs a DuckDB RECURSIVE CTE over the same edges.
     "dedup_cluster" -> ((s, d) =>
       nearDupClusters(Tables.documents(s, d))),
+    // keep-BEST (longest copy) per near-dup cluster — the production
+    // alternative to every keep-first key; single argmax aggregation.
+    "dedup_keep_best" -> ((s, d) =>
+      keepBestSurvivors(Tables.documents(s, d))),
     // SimHash near-dup pairs via bit-block routing (Manku et al.),
     // hash-gated end-to-end on the replicable hash family.
     "dedup_simhash_pairs" -> ((s, d) =>
@@ -1153,6 +1192,31 @@ object Dedup {
          |  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id AS doc_id, min(lab) AS cluster
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the same reach-set chain, then keep the LONGEST doc per cluster
+    // (ties to the smaller id). The window form here is the executable
+    // spec of the argmax aggregation the Spark side runs.
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE ${sqlJacCtes()},
+         |good AS (SELECT a_id, b_id FROM jac WHERE jac >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM good
+         |  UNION ALL SELECT b_id, a_id FROM good),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         |labs AS (
+         |  SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+         |scored AS (
+         |  SELECT l.cluster, d.doc_id,
+         |         CAST(length(d.text) AS BIGINT) AS n,
+         |         count(*) OVER (PARTITION BY l.cluster) AS cs,
+         |         row_number() OVER (PARTITION BY l.cluster
+         |           ORDER BY length(d.text) DESC, d.doc_id) AS rn
+         |  FROM labs l JOIN documents d ON d.doc_id = l.id)
+         |SELECT cluster, doc_id, n AS n_chars_kept,
+         |       CAST(cs AS BIGINT) AS cluster_size
+         |FROM scored WHERE rn = 1 ORDER BY cluster""".stripMargin,
     // the same reach-set chain rolled up to the size spectrum.
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE ${sqlJacCtes()},

@@ -88,6 +88,29 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters(9L) == 9L)
   }
 
+  test("keepBestSurvivors keeps the LONGEST copy per cluster (not the " +
+      "min id), ties to the smaller id; singletons keep themselves") {
+    // near-dup pair where the LATER id is the longer (fuller) copy:
+    // keep-first would keep 1, keep-best must keep 2.
+    val longer = base + " with an extra closing sentence the fragment lost"
+    val unrelated = "completely different content about spark shuffles and " +
+      "partitions and codegen stages running on many executors tonight"
+    val docs = Seq((1L, base), (2L, longer), (9L, unrelated))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Dedup.keepBestSurvivors(docs)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 2L, longer.length.toLong, 2L),
+      (9L, 9L, unrelated.length.toLong, 1L)), got.toString)
+    // equal lengths → the smaller id wins (deterministic tie-break)
+    val tied = Seq((5L, base), (6L, base)).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val keep = Dedup.keepBestSurvivors(tied)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(keep == List((5L, 5L, base.length.toLong, 2L)), keep.toString)
+  }
+
   test("simhashPairs: block routing finds the planted near-dup, skips unrelated, " +
       "and equals the brute-force hamming join") {
     val nearDup = base.replace("quick", "swift")
