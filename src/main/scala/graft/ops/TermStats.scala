@@ -101,10 +101,42 @@ object TermStats {
       .orderBy("doc_id")
   }
 
+  /** Top-k BPE merge candidates — the pair-statistics step every
+    * byte-pair-encoding vocabulary induction iterates: count adjacent
+    * symbol pairs (here character bigrams inside words) across the
+    * corpus, weighted by occurrence, and rank the winners. This is the
+    * inner loop of BPE training (Sennrich et al. 2016); one round is
+    * exactly SQL-expressible, so it rides the full hash gate.
+    *
+    * Scale shape: the token stream is NEVER exploded to character
+    * level. Words aggregate to the distinct vocabulary first (map-side
+    * combine on the word key — the shuffle carries vocab, not tokens),
+    * and only the VOCABULARY explodes into its ~|word| bigrams, each
+    * carrying the word's corpus count. At 100 TB the explode input is
+    * model-vocabulary-sized while the corpus-sized pass is a plain
+    * word-count. The final top-k is `TakeOrderedAndProject` (per-
+    * partition heads → driver merge), not a global sort; the rank
+    * window runs over the already-k-row result. */
+  def bpeTopMerges(docs: DataFrame, k: Int = 20): DataFrame = {
+    val freq = tokens(docs).filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val pairs = freq.select(col("cnt"), explode(transform(
+      sequence(lit(1), length(col("word")) - 1),
+      i => col("word").substr(i, lit(2)))).as("pair"))
+    val top = pairs.groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("n").desc, col("pair"))).cast("long"))
+      .select(col("rnk"), col("pair"), col("n"))
+      .orderBy("rnk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf_top" -> ((s, d) => tfidfTop(Tables.documents(s, d), 3)),
     "text_unigram_logprob" -> ((s, d) => unigramLogprob(Tables.documents(s, d))),
-    "tokenize_vocab_ids" -> ((s, d) => tokenizeVocabIds(Tables.documents(s, d)))
+    "tokenize_vocab_ids" -> ((s, d) => tokenizeVocabIds(Tables.documents(s, d))),
+    // one BPE merge round: corpus-weighted character-pair counts, top 20.
+    "tokenize_bpe_top_merges" -> ((s, d) => bpeTopMerges(Tables.documents(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -153,6 +185,25 @@ object TermStats {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |       string_agg(CAST(vocab.id AS VARCHAR), ' ' ORDER BY toks.pos) AS ids
         |FROM toks JOIN vocab USING (word)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // one BPE merge round over the distinct vocabulary: each word's
+    // char bigrams weighted by the word's corpus count. range(1, len)
+    // is end-exclusive = Spark's sequence(1, len - 1) inclusive.
+    "tokenize_bpe_top_merges" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |freq AS (
+        |  SELECT word, count(*) AS cnt FROM toks
+        |  WHERE length(word) >= 2 GROUP BY word),
+        |pairs AS (
+        |  SELECT substring(word, CAST(i AS INT), 2) AS pair, cnt
+        |  FROM (SELECT word, cnt, unnest(range(1, length(word))) AS i
+        |        FROM freq)),
+        |agg AS (
+        |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM pairs GROUP BY pair),
+        |ranked AS (
+        |  SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair)
+        |    AS BIGINT) AS rnk FROM agg)
+        |SELECT rnk, pair, n FROM ranked WHERE rnk <= 20 ORDER BY rnk""".stripMargin
   )
 }

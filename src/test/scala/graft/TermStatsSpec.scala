@@ -58,6 +58,23 @@ class TermStatsSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, "3 2")))
   }
 
+  test("bpeTopMerges counts corpus-weighted char bigrams: the hand-built " +
+      "winner and its exact count; single-char words contribute nothing") {
+    // "abab" ×3 → pairs ab,ba,ab each occurrence: ab=2/word, ba=1/word.
+    // "zq" ×1 → zq=1.  "x" is length-1: no pairs.
+    val docs = Seq(
+      (1L, "abab abab x"),
+      (2L, "abab zq x")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val got = TermStats.bpeTopMerges(docs, 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // counts: ab = 2 per "abab" × 3 occurrences = 6; ba = 3; zq = 1
+    assert(got.toList == List((1L, "ab", 6L), (2L, "ba", 3L), (3L, "zq", 1L)),
+      got.toList.toString)
+    // k caps the output
+    assert(TermStats.bpeTopMerges(docs, 2).count() == 2L)
+  }
+
   test("tokenize_vocab_ids round-trips: ids decode back to the original " +
       "token stream (sf0.001)") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
