@@ -333,6 +333,33 @@ object EventWindows {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n"))
 
+  /** Concurrent-session load per hour — the INTERVAL-OVERLAP
+    * aggregation ("how many intervals cover each point/bucket"), done
+    * the way it scales: each session row SCATTERS to the hours it
+    * covers (closed-interval convention on the hour of s_start..s_end)
+    * and a plain hash aggregate counts per hour. The naive form is a
+    * theta join (hours × sessions with an overlap predicate) — a
+    * nested-loop whose cost is |hours|·|sessions| at 100 TB; the
+    * scatter is linear in Σ hours-per-session, which the 30-minute gap
+    * bounds for any real corpus. The DuckDB oracle RUNS the naive
+    * theta form — the executable spec this plan must equal.
+    *
+    * n_users < n_sessions when one user's adjacent sessions touch the
+    * same hour; both counts are per-hour hash aggregates (the distinct
+    * shuffles (h, user) partials, never the session list). */
+  def sessionConcurrency(events: DataFrame): DataFrame = {
+    val se = sessions(events)
+    val h1 = floor(unix_timestamp(col("s_start")) / 3600).cast("long")
+    val h2 = floor(unix_timestamp(col("s_end")) / 3600).cast("long")
+    se.select(col("user_id"), explode(sequence(h1, h2)).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(timestamp_seconds(col("h") * 3600).as("hour"),
+        col("n_sessions"), col("n_users"))
+      .orderBy("hour")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_rate_tumbling" -> ((s, d) =>
       tumbling(Tables.events(s, d)).orderBy("w_start")),
@@ -370,7 +397,11 @@ object EventWindows {
       anomalyZscore(Tables.events(s, d))),
     // top-3 event types per sliding hour window (15-min slide).
     "stream_trending_topk" -> ((s, d) =>
-      trendingTopK(Tables.events(s, d)))
+      trendingTopK(Tables.events(s, d))),
+    // concurrent sessions/users per hour (interval-overlap aggregate,
+    // scatter plan vs the oracle's theta-join spec).
+    "events_session_concurrency" -> ((s, d) =>
+      sessionConcurrency(Tables.events(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -535,6 +566,42 @@ object EventWindows {
         |           ORDER BY n DESC, event_type) AS BIGINT) AS rk
         |  FROM c)
         |SELECT w_start, event_type, n, rk FROM r
-        |WHERE rk <= 3 ORDER BY w_start, rk""".stripMargin
+        |WHERE rk <= 3 ORDER BY w_start, rk""".stripMargin,
+    // the NAIVE theta form of the interval-overlap aggregate: an hour
+    // grid joined to sessions on the overlap predicate. This quadratic
+    // join is the executable spec the Spark scatter plan must equal.
+    // Sessions re-derive via the same gaps-and-islands chain as
+    // stream_session; hour-of via integer epoch division, and the hour
+    // re-materializes as a plain (UTC) TIMESTAMP on both engines.
+    "events_session_concurrency" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o),
+        |se AS (
+        |  SELECT user_id,
+        |         CAST(epoch(date_trunc('hour', min(ts))) AS BIGINT)
+        |           // 3600 AS h1,
+        |         CAST(epoch(date_trunc('hour',
+        |           max(ts) + INTERVAL '30 minutes')) AS BIGINT) // 3600 AS h2
+        |  FROM g GROUP BY user_id, sid),
+        |bounds AS (SELECT min(h1) AS hlo, max(h2) AS hhi FROM se),
+        |hrs AS (
+        |  SELECT unnest(generate_series(bounds.hlo, bounds.hhi)) AS h
+        |  FROM bounds),
+        |j AS (
+        |  SELECT hrs.h, se.user_id FROM hrs
+        |  JOIN se ON se.h1 <= hrs.h AND se.h2 >= hrs.h)
+        |SELECT TIMESTAMP '1970-01-01' + h * INTERVAL '3600 seconds' AS hour,
+        |       CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY h ORDER BY hour""".stripMargin
   )
 }

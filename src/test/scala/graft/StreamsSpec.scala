@@ -203,6 +203,35 @@ class StreamsSpec extends AnyFunSuite {
       "2024-03-09" -> (1L, 1L)), got.toString)
   }
 
+  test("sessionConcurrency: scatter covers the gap-padding end hour, " +
+      "overlapping sessions stack, and same-user adjacent sessions " +
+      "count once for n_users") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1, session [10:00, 11:30): hours 10, 11
+      (1L, ts("2024-03-01 10:00:00")), (1L, ts("2024-03-01 10:20:00")),
+      (1L, ts("2024-03-01 10:40:00")), (1L, ts("2024-03-01 11:00:00")),
+      // user 2, session [10:30, 11:00): hour 10, plus 11 by the
+      // closed-interval hour-of-end convention
+      (2L, ts("2024-03-01 10:30:00")),
+      // user 1 again, session [13:50, 14:20): hours 13, 14 — the end
+      // hour is reached only by the +30min gap padding
+      (1L, ts("2024-03-01 13:50:00")),
+      // user 3: TWO sessions (45-min gap splits) both touching hour 9
+      (3L, ts("2024-03-01 09:00:00")), (3L, ts("2024-03-01 09:45:00")))
+      .toDF("user_id", "ts")
+    val got = EventWindows.sessionConcurrency(events)
+      .select(col("hour").cast("string"), col("n_sessions"), col("n_users"))
+      .as[(String, Long, Long)].collect()
+      .map { case (h, s, u) => h -> ((s, u)) }.toMap
+    assert(got == Map(
+      "2024-03-01 09:00:00" -> ((2L, 1L)),
+      "2024-03-01 10:00:00" -> ((3L, 3L)),
+      "2024-03-01 11:00:00" -> ((2L, 2L)),
+      "2024-03-01 13:00:00" -> ((1L, 1L)),
+      "2024-03-01 14:00:00" -> ((1L, 1L))), got.toString)
+  }
+
   test("typeTransitions: planted a->b->a->c stream yields exact counts, " +
       "per-source rates sum to 1, and user boundaries break chains") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
