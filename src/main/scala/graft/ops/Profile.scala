@@ -203,10 +203,53 @@ object Profile {
       .orderBy("source")
   }
 
+  /** Per-source PSI (population stability index) against the corpus
+    * length distribution — the BINNED drift companion to
+    * [[sourceDriftKs]]: PSI = Σ_bins (p−q)·ln(p/q) weights tail mass
+    * where KS sees only the single worst ECDF gap, so the two together
+    * are the standard drift dashboard pair. Bins are [[histogram]]'s
+    * integer-exact equi-width buckets (no FP edge ambiguity); both
+    * p (source) and q (corpus) take +1/+nb Laplace smoothing so a
+    * source-empty bin contributes a finite penalty instead of ±∞, and
+    * a single-source corpus scores exactly 0.
+    *
+    * Work shape: one map-side bucket assignment against broadcast
+    * bounds, two small keyed aggregates, and a sources×buckets grid
+    * that is dashboard-sized (|sources|·nb rows) — nothing here scales
+    * with the corpus beyond the two scans, and the ln() terms follow
+    * the round-6dp-after-sum discipline the KS/z-score oracles pin. */
+  def sourceDriftPsi(docs: DataFrame, nb: Int = 10): DataFrame = {
+    val bounds = docs.agg(min(col("n_chars")).as("mn"),
+      max(col("n_chars")).as("mx"))
+    val binned = docs.crossJoin(broadcast(bounds))
+      .select(col("source"),
+        least(expr(s"((n_chars - mn) * $nb) div (mx - mn + 1)"),
+          lit(nb - 1L)).as("bucket"))
+    val allB = binned.groupBy("bucket").agg(count(lit(1)).as("c_all"))
+    val nAll = docs.agg(count(lit(1)).as("n_all"))
+    val srcs = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val perSrcB = binned.groupBy("source", "bucket")
+      .agg(count(lit(1)).as("c_src"))
+    srcs.crossJoin(broadcast(allB))
+      .join(perSrcB, Seq("source", "bucket"), "left")
+      .crossJoin(broadcast(nAll))
+      .select(col("source"), col("n_src"),
+        ((coalesce(col("c_src"), lit(0L)) + 1.0) / (col("n_src") + nb))
+          .as("p"),
+        ((col("c_all") + 1.0) / (col("n_all") + nb)).as("q"))
+      .groupBy("source")
+      .agg(max(col("n_src")).as("n_docs"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+          .as("psi"))
+      .orderBy("source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_columns" -> ((s, d) => profileColumns(Tables.documents(s, d))),
     // per-source KS drift vs the corpus length distribution.
     "profile_drift_ks" -> ((s, d) => sourceDriftKs(Tables.documents(s, d))),
+    // per-source PSI drift over the 10 histogram buckets.
+    "profile_drift_psi" -> ((s, d) => sourceDriftPsi(Tables.documents(s, d))),
     // 10-bucket equi-width length histogram, integer-exact bucketing.
     "profile_histogram" -> ((s, d) => histogram(Tables.documents(s, d))),
     // JSONL shard round-trip — the interchange format training loaders
@@ -276,6 +319,28 @@ object Profile {
         |       round(max(abs(f.f_src - a.f_all)), 6) AS ks
         |FROM fsrc f JOIN fall a ON f.n_chars = a.n_chars
         |GROUP BY f.source ORDER BY f.source""".stripMargin,
+    // same integer bucket formula as profile_histogram; Laplace +1/+10
+    // smoothing on both p and q; sum-then-round-6dp like the KS oracle.
+    "profile_drift_psi" ->
+      """WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+        |n AS (SELECT count(*) AS n_all FROM documents),
+        |bb AS (
+        |  SELECT source, least(((n_chars - mn) * 10) // (mx - mn + 1), 9)
+        |    AS bucket
+        |  FROM documents CROSS JOIN b),
+        |ca AS (SELECT bucket, count(*) AS c_all FROM bb GROUP BY 1),
+        |srcs AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+        |grid AS (SELECT s.source, s.n_src, a.bucket, a.c_all FROM srcs s, ca a),
+        |cs AS (SELECT source, bucket, count(*) AS c_src FROM bb GROUP BY 1, 2),
+        |t AS (
+        |  SELECT g.source, g.n_src,
+        |         (coalesce(cs.c_src, 0) + 1.0) / (g.n_src + 10) AS p,
+        |         (g.c_all + 1.0) / ((SELECT n_all FROM n) + 10) AS q
+        |  FROM grid g LEFT JOIN cs
+        |    ON cs.source = g.source AND cs.bucket = g.bucket)
+        |SELECT source, CAST(max(n_src) AS BIGINT) AS n_docs,
+        |       round(sum((p - q) * ln(p / q)), 6) AS psi
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "profile_columns" -> (
       docCols.map { c =>
         s"""SELECT '$c' AS col_name,

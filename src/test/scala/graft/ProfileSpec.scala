@@ -45,6 +45,28 @@ class ProfileSpec extends AnyFunSuite {
     assert(shifted == Map("a" -> 0.5, "b" -> 0.5), shifted.toString)
   }
 
+  test("sourceDriftPsi: a single-source corpus scores exactly 0 " +
+      "(smoothing cancels); a disjoint-range source scores far above " +
+      "a same-distribution one") {
+    def docs(ranges: (String, Range)*) = ranges.flatMap { case (s, r) =>
+      r.map(i => (s"$s-$i", s, i.toLong))
+    }.toDF("doc_id", "source", "n_chars")
+    // one source: p and q are the same smoothed ratio bin-for-bin
+    val single = Profile.sourceDriftPsi(docs("a" -> (1 to 100)))
+      .select("source", "psi").as[(String, Double)].collect().toMap
+    assert(single == Map("a" -> 0.0), single.toString)
+    // PSI scores each source against the POOLED corpus, so the drifted
+    // source must be a minority for the majority to score low: a and b
+    // share a distribution, small c occupies a disjoint range. Industry
+    // rule of thumb flags PSI > 0.25 as major drift.
+    val three = Profile.sourceDriftPsi(docs(
+        "a" -> (1 to 100), "b" -> (1 to 100), "c" -> (201 to 210)))
+      .select("source", "psi").as[(String, Double)].collect().toMap
+    assert(three("c") > 0.25, three.toString)
+    assert(three("a") < 0.15 && three("b") < 0.15, three.toString)
+    assert(three("a") == three("b"), three.toString)
+  }
+
   test("sorted layout: every parquet file owns a disjoint n_chars range " +
       "(footer min/max can prune files) and the round trip is " +
       "row-invisible") {
