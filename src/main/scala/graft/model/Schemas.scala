@@ -33,21 +33,26 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and rebuild a
-    * microsecond timestamp with integer division — all driver-generated
-    * values are exactly us-aligned, and DuckDB's TIMESTAMP is us too, so
-    * both engines see identical instants. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read nanos as long via the legacy conf
+    * and rebuild microseconds) and, in newer testdata generations, as
+    * plain timestamp[us] (which Spark reads as TIMESTAMP_NTZ). Branch on
+    * the type actually read so both generations land on one canonical
+    * TimestampType column. Every session we own pins
+    * spark.sql.session.timeZone=UTC, so the NTZ→Timestamp cast is
+    * wall-clock identity and DuckDB (naive us TIMESTAMP) sees the same
+    * instants. */
   def events(s: SparkSession, d: String): DataFrame = {
-    // The legacy flag is set unconditionally in every session builder we
-    // own (TestSpark/Sessions/Bench/Verify), so raw reads of
-    // events.parquet see the same (long) schema regardless of call order;
-    // this set is a defensive no-op there and only matters for foreign
-    // sessions.
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    // Defensive for foreign sessions; our own builders all set it.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

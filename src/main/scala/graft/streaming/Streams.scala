@@ -17,22 +17,22 @@ import graft.ops.EventWindows
   */
 object Streams {
 
-  /** Parquet schema for streaming reads of the events table (streams need
-    * a declared schema; ts arrives as TIMESTAMP(NANOS) → read long,
-    * rebuild microseconds — same convention as Tables.events). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
+  /** Streaming read of the events table. Streams need a declared schema,
+    * and `ts` has shipped both as TIMESTAMP(NANOS) (read as long under the
+    * legacy conf, rebuilt to microseconds) and as timestamp[us]
+    * (TIMESTAMP_NTZ) in newer testdata generations — sniff the batch
+    * schema (a footer-only read) and normalize to TimestampType, same
+    * convention as Tables.events. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsRawSchema)
-      .parquet(asStreamDir(s"$dir/events.parquet"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = asStreamDir(s"$dir/events.parquet")
+    val raw = spark.read.parquet(path).schema
+    val src = spark.readStream.schema(raw).parquet(path)
+    raw("ts").dataType match {
+      case LongType      => src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => src
+      case _             => src.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** The streaming file source lists a directory; the testdata tables are
