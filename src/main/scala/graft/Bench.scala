@@ -51,7 +51,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the machine's core count (the round-1 stub pinned "4",
+    // which left 28 of the driver box's 32 cores idle in every artifact
+    // through r6). SPARK_GRAFT_CPUS still overrides for A/B runs.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val warehouse = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val metastore = java.nio.file.Files.createTempDirectory("graft-ms").toString

@@ -414,6 +414,60 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination — result-identical to
+    * [[decontaminate]], built the way a 100 TB pipeline runs it when even
+    * the benchmark shingle set is wide enough that probing an exact
+    * broadcast hash relation for EVERY training shingle is the dominant
+    * cost: compress the eval shingles into an m-bit Bloom filter and
+    * probe that first, map-side.
+    *
+    *  - build: k=`numHashes` seeded xxhash64 bit positions per eval
+    *    shingle → (word, bit) → `bit_or` aggregate — the filter is built
+    *    DISTRIBUTED (partial aggregation collapses each partition before
+    *    the exchange) and collected as m/64 longs: 16 KiB at the default
+    *    2^17 bits, model-sized like the IVF centroids;
+    *  - probe: the words array travels as a literal; membership is
+    *    element_at + shiftright + bitwiseAND over codegen'd builtins — no
+    *    UDF, no shuffle, evaluated inline in the training shingle scan;
+    *  - verify: only might-contain survivors (true overlaps + the ~0.1%
+    *    false-positive mass) reach the exact broadcast semi-join. Bloom
+    *    false NEGATIVES are impossible, so the exact verify restores
+    *    exact semantics: output ≡ [[decontaminate]], and the operator
+    *    shares its DuckDB oracle verbatim.
+    */
+  def decontaminateBloom(docs: DataFrame, evalMod: Int = 53,
+      numBits: Int = 1 << 17, numHashes: Int = 5): DataFrame = {
+    require(numBits > 0 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
+    val sh = shingles(docs)
+    val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    val evalShingles = sh.filter(isEval).select("shingle").distinct()
+    def positions(c: Column): Seq[Column] =
+      (0 until numHashes).map(i => pmod(xxhash64(lit(i), c), lit(numBits.toLong)))
+    val words = new Array[Long](numBits / 64)
+    evalShingles
+      .select(explode(array(positions(col("shingle")): _*)).as("pos"))
+      .select((col("pos") / 64).cast("int").as("w"),
+        expr("shiftleft(1L, cast(pos % 64 AS int))").as("b"))
+      .groupBy("w").agg(bit_or(col("b")).as("word"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val wordsLit = typedLit(words.toSeq)
+    def mightContain(c: Column): Column =
+      positions(c).map { pos =>
+        call_function("shiftright",
+            element_at(wordsLit, (pos / 64).cast("int") + 1),
+            (pos % 64).cast("int"))
+          .bitwiseAND(lit(1L)) =!= 0L
+      }.reduce(_ && _)
+    val contaminated = sh.filter(!isEval)
+      .filter(mightContain(col("shingle")))
+      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(!isEval)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Edit-distance similarity on CANDIDATE pairs — the Levenshtein
     * verify stage of a fuzzy-dedup pipeline. Band-bucket candidates
     * (the same replicable LSH routing every dedup here uses) keep the
@@ -975,10 +1029,25 @@ object Dedup {
     // the deterministic eval split are dropped before training.
     "text_decontaminate" -> ((s, d) =>
       decontaminate(Tables.documents(s, d))),
+    // same semantics at the broadcast-won't-fit scale: Bloom prefilter on
+    // the training shingle stream, exact verify on might-contain survivors.
+    "text_decontaminate_bloom" -> ((s, d) =>
+      decontaminateBloom(Tables.documents(s, d))),
     // Levenshtein verify on LSH candidates — edit-distance fuzzy dedup.
     "dedup_edit_distance" -> ((s, d) =>
       editDistancePairs(Tables.documents(s, d)))
   )
+
+  private lazy val sqlDecontaminate: String =
+    s"""WITH ${sqlShinglesCtes()},
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 53 = 0),
+       |cont AS (
+       |  SELECT DISTINCT t.doc_id FROM sh t JOIN ev ON t.shingle = ev.shingle
+       |  WHERE t.doc_id % 53 <> 0)
+       |SELECT doc_id, lang, n_chars FROM documents d
+       |WHERE doc_id % 53 <> 0
+       |  AND NOT EXISTS (SELECT 1 FROM cont c WHERE c.doc_id = d.doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1242,16 +1311,10 @@ object Dedup {
     "dedup_simhash_pairs" -> sqlSimhashPairs(maxHamming = 3),
     "dedup_simhash_pairs_wide" -> sqlSimhashPairs(maxHamming = 2),
     // mirrors decontaminate: same shingle CTEs, eval split by doc_id mod.
-    "text_decontaminate" ->
-      s"""WITH ${sqlShinglesCtes()},
-         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 53 = 0),
-         |cont AS (
-         |  SELECT DISTINCT t.doc_id FROM sh t JOIN ev ON t.shingle = ev.shingle
-         |  WHERE t.doc_id % 53 <> 0)
-         |SELECT doc_id, lang, n_chars FROM documents d
-         |WHERE doc_id % 53 <> 0
-         |  AND NOT EXISTS (SELECT 1 FROM cont c WHERE c.doc_id = d.doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" -> sqlDecontaminate,
+    // the Bloom prefilter is exact-verified, so the bloom route shares the
+    // exact route's oracle verbatim.
+    "text_decontaminate_bloom" -> sqlDecontaminate,
     // mirrors editDistancePairs: same banding CTEs through candidates,
     // then DuckDB's own levenshtein on the candidate-bounded pairs.
     "dedup_edit_distance" ->

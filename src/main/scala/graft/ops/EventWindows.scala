@@ -139,6 +139,47 @@ object EventWindows {
       .orderBy("p_id", "c_id")
   }
 
+  /** FIRST-TOUCH attribution: each purchase attributed to the user's
+    * EARLIEST click inside the lookback window — the marketing twin of
+    * [[intervalJoin]] (all pairs) and join_asof (latest-before). Reuses
+    * the interval join verbatim, then collapses to one row per purchase
+    * with a struct-min aggregate ((c_ts, c_id) lexicographic, so a
+    * same-timestamp tie breaks on the lower click id — total order,
+    * deterministic). The aggregate is keyed by purchase id, so the
+    * per-key state is one struct, map-side combinable; no window over
+    * the pair stream. */
+  def firstTouchAttribution(events: DataFrame,
+      lookbackHours: Int = 6): DataFrame =
+    intervalJoin(events, lookbackHours)
+      .groupBy(col("p_id"), col("user_id"), col("p_ts"))
+      .agg(min(struct(col("c_ts"), col("c_id"))).as("ft"))
+      .select(col("p_id"), col("user_id"), col("p_ts"),
+        col("ft.c_id").as("first_click_id"),
+        col("ft.c_ts").as("first_click_ts"))
+      .orderBy("p_id")
+
+  /** Exponential time-decay engagement score per user:
+    * sum(value · 0.5^(age_h / halfLife)) with age measured back from the
+    * corpus' max timestamp — the recency-weighted aggregate feature
+    * stores compute (recent activity counts fully, day-old activity
+    * half, etc.). The max-ts scalar broadcasts; the decay weight is a
+    * map-side expression; the per-user sum is one shuffle with partial
+    * aggregation. Expressed as pow(0.5, _) — not exp/log — so the
+    * DuckDB oracle evaluates the identical primitive. */
+  def decayWeightedValue(events: DataFrame,
+      halfLifeHours: Double = 24.0): DataFrame = {
+    val maxTs = events.agg(max(col("ts")).as("t_max"))
+    events.crossJoin(broadcast(maxTs))
+      .withColumn("age_h",
+        (unix_micros(col("t_max")) - unix_micros(col("ts"))) / 3.6e9)
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(col("value") * pow(lit(0.5), col("age_h") / halfLifeHours)), 4)
+          .as("decayed_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   /** Per-day view → click → purchase conversion funnel: one conditional
     * aggregation per (user, day) — the shuffle carries user-day rows,
     * never the event stream — then a tiny per-day rollup. Ordering uses
@@ -380,6 +421,12 @@ object EventWindows {
       watermarkLateSurvivors(Tables.events(s, d)).orderBy("w_start")),
     "stream_interval_join" -> ((s, d) =>
       intervalJoin(Tables.events(s, d))),
+    // purchase → earliest in-window click (first-touch attribution).
+    "events_attribution" -> ((s, d) =>
+      firstTouchAttribution(Tables.events(s, d))),
+    // recency-weighted per-user engagement (24 h half-life).
+    "events_decay_weighted" -> ((s, d) =>
+      decayWeightedValue(Tables.events(s, d))),
     // per-day view → click → purchase conversion funnel (see funnelDaily;
     // the streaming twin runs the same two-level aggregation live).
     "funnel_daily_conversion" -> ((s, d) => funnelDaily(Tables.events(s, d))),
@@ -405,6 +452,30 @@ object EventWindows {
   )
 
   def oracle: Map[String, String] = Map(
+    // same pair set as stream_interval_join, collapsed to the earliest
+    // (c_ts, c_id) per purchase — row_number mirrors the struct-min.
+    "events_attribution" ->
+      """WITH pairs AS (
+        |  SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+        |         c.event_id AS c_id, c.ts AS c_ts
+        |  FROM events p JOIN events c
+        |    ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |   AND c.user_id = p.user_id
+        |   AND c.ts >= p.ts - INTERVAL 6 HOURS AND c.ts < p.ts)
+        |SELECT p_id, user_id, p_ts, c_id AS first_click_id,
+        |       c_ts AS first_click_ts
+        |FROM (SELECT *, row_number() OVER (PARTITION BY p_id
+        |        ORDER BY c_ts, c_id) AS rn FROM pairs)
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    // identical pow(0.5, age/halflife) primitive on both engines.
+    "events_decay_weighted" ->
+      """WITH m AS (SELECT max(ts) AS t_max FROM events)
+        |SELECT user_id,
+        |       round(sum(value * pow(0.5,
+        |         ((epoch_us(t_max) - epoch_us(ts)) / 3600000000.0) / 24.0)), 4)
+        |         AS decayed_value,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events, m GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_rate_tumbling" ->
       """SELECT time_bucket(INTERVAL '5 seconds', ts) AS w_start, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY w_start""".stripMargin,

@@ -244,8 +244,36 @@ object Profile {
       .orderBy("source")
   }
 
+  /** Pairwise Pearson correlation MATRIX over a table's numeric measures
+    * in ONE scan. All d·(d-1)/2 `corr` aggregates are computed
+    * simultaneously in a single aggregate (partial/map-side combine as
+    * usual), then the 1-row result unpivots to one row per pair with an
+    * inline explode — no driver loop, no per-pair re-scan. The naive
+    * form (one `df.stat.corr` job per pair) reads the fact table
+    * d·(d-1)/2 times; at 100 TB that's the difference between one pass
+    * over the corpus and fifteen. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"${a}__${b}") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"${a}__${b}").as("r")) }: _*)
+    one.select(explode(rows).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.r"))
+      .orderBy("col_a", "col_b")
+  }
+
+  private[ops] val corrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_columns" -> ((s, d) => profileColumns(Tables.documents(s, d))),
+    // full pairwise correlation matrix of lineitem's measures, one scan.
+    "profile_corr_matrix" -> ((s, d) =>
+      corrMatrix(Tables.lineitem(s, d), corrCols)),
     // per-source KS drift vs the corpus length distribution.
     "profile_drift_ks" -> ((s, d) => sourceDriftKs(Tables.documents(s, d))),
     // per-source PSI drift over the 10 histogram buckets.
@@ -293,6 +321,16 @@ object Profile {
   )
 
   def oracle: Map[String, String] = Map(
+    // one UNION ALL branch per pair, same pair order and rounding.
+    "profile_corr_matrix" -> {
+      val pairs = for { i <- corrCols.indices; j <- i + 1 until corrCols.size }
+        yield (corrCols(i), corrCols(j))
+      pairs.map { case (a, b) =>
+        s"SELECT '$a' AS col_a, '$b' AS col_b, " +
+          s"round(corr($a, $b), 6) AS r FROM lineitem"
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY col_a, col_b")
+    },
     "profile_drift_ks" ->
       """WITH pv AS (
         |  SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),

@@ -300,10 +300,43 @@ object Relational {
         .filter(col("l_quantity") > 25)
         .select(col("l_orderkey").as("k"))
       all.intersectAll(heavy).orderBy("k")
+    }),
+    // MERGEABLE cardinality sketches (Apache DataSketches HLL, built into
+    // Spark) — the warehouse pattern for incremental distinct counts at
+    // 100 TB: one binary sketch per (event_type, day) partition,
+    // persistable and re-aggregable, then hll_union_agg rolls days up to
+    // event_type WITHOUT re-touching the fact table. agg_approx_distinct
+    // answers one query; this materializes the reusable intermediate.
+    // Gate: sketch updates are order-independent and deterministic, so
+    // "merged estimate within 3% + 2 of exact" is a stable boolean the
+    // DuckDB oracle predicts as constant true; the exact per-type count
+    // rides along, making the row hash-comparable end to end.
+    "agg_hll_sketch_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val daySketches = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      val merged = daySketches.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
+          .as("est"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      merged.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("est") - col("n_users")) <= col("n_users") * 0.03 + lit(2.0))
+            .as("within_tol"))
+        .orderBy("event_type")
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // the HLL gate: exact counts plus the deterministic-sketch tolerance
+    // boolean, which the oracle predicts as constant true (see the query's
+    // comment for why that is stable).
+    "agg_hll_sketch_merge" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       true AS within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "join_equi_hash" ->
       """SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders,
         |       round(sum(o.o_totalprice), 2) AS total_spent

@@ -144,6 +144,27 @@ class ContractSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString(","))
   }
 
+  test("agg_hll_sketch_merge: day-sketch union estimates equal the " +
+      "single-pass sketch (mergeability) and every row is within_tol") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("agg_hll_sketch_merge")(
+      spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)), "tolerance boolean must be true")
+    // mergeability: union of per-day sketches == one sketch over all rows
+    val ev = graft.model.Tables.events(spark, TestSpark.sf0001)
+    val viaDays = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sk"), allowDifferentLgConfigK = false)).as("est"))
+    val onePass = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("est"))
+    val a = viaDays.orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1)))
+    val b = onePass.orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(a.sameElements(b))
+  }
+
   test("agg_approx_percentile rank error is within the sketch accuracy bound " +
       "(quantitative backing for its no-oracle status)") {
     import org.apache.spark.sql.functions._

@@ -355,6 +355,31 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("decontaminateBloom equals decontaminate on the test corpus and on " +
+      "planted contamination; a tiny filter still loses no contaminated doc") {
+    val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
+    val exact = Dedup.decontaminate(docs)
+      .as[(Long, String, Long)].collect().toSeq
+    val bloom = Dedup.decontaminateBloom(docs)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(bloom == exact)
+    // planted: id 0 is eval; 1 copies its shingles, 2 is clean
+    val evalDoc = base
+    val copied = "prefix words here " + base
+    val clean = "utterly novel words about trains and rivers flowing north " +
+      "past seven bridges while lanterns glow quietly on the water"
+    val planted = Seq((0L, evalDoc), (1L, copied), (2L, clean))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    assert(Dedup.decontaminateBloom(planted)
+      .select("doc_id").as[Long].collect().toSet == Set(2L))
+    // a deliberately saturated 64-bit filter floods false POSITIVES but can
+    // never produce a false negative: the exact verify keeps output exact.
+    assert(Dedup.decontaminateBloom(planted, numBits = 64, numHashes = 2)
+      .select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
   test("editDistancePairs: zero distance iff identical text on a candidate " +
       "pair; a planted one-word edit measures exactly its character delta") {
     val edited = base.replace("quick", "swift") // quick->swift: same length
