@@ -150,12 +150,14 @@ object CorpusPrep {
     * reason as [[trainingMix]] (the CC labels are referenced by both
     * the batch pass and the final join; without the cut the loop would
     * re-run per reference). */
-  def semanticPrep(docs: DataFrame, emb: DataFrame): DataFrame = {
+  def semanticPrep(docs: DataFrame, emb: DataFrame,
+      clusters: Option[DataFrame] = None): DataFrame = {
     val enriched = Text.htmlEnrich(col("text"), col("doc_id"))
     val cleaned = docs.select(col("doc_id"),
       Text.htmlStrip(enriched).as("text"),
       regexp_count(enriched, lit(Text.tagRe)).cast("long").as("n_tags"))
-    val kept = Similarity.embeddingClusterPrune(emb)
+    val kept = Similarity.embeddingClusterPruneFrom(
+        clusters.getOrElse(Similarity.embeddingClusters(emb)))
       .withColumnRenamed("vec_id", "doc_id")
     val keptDocs = cleaned.join(kept, Seq("doc_id")).localCheckpoint()
     Sampling.lengthBucketBatches(keptDocs)
@@ -169,7 +171,8 @@ object CorpusPrep {
     "pipeline_corpus_prep" -> ((s, d) => prepare(Tables.documents(s, d))),
     "pipeline_training_mix" -> ((s, d) => trainingMix(Tables.documents(s, d))),
     "pipeline_semantic_prep" -> ((s, d) =>
-      semanticPrep(Tables.documents(s, d), Tables.embeddings(s, d)))
+      semanticPrep(Tables.documents(s, d), Tables.embeddings(s, d),
+        clusters = Some(Similarity.clusterLabels(s, d))))
   )
 
   def oracle: Map[String, String] = Map(

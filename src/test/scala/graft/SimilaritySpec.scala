@@ -232,6 +232,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dropped.nonEmpty && survivors.nonEmpty) // non-degenerate at sf0.001
   }
 
+  test("memoized clusterLabels equal the definitional embeddingClusters " +
+      "and the second call returns the same materialized frame") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val defn = Similarity.embeddingClusters(emb)
+      .as[(Long, Long)].collect().toSeq
+    val memo = Similarity.clusterLabels(spark, TestSpark.sf0001)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(memo == defn)
+    // identity: the memo hands back the SAME checkpointed frame, so
+    // repeated consumers never re-run the CC loop
+    assert(Similarity.clusterLabels(spark, TestSpark.sf0001) eq
+      Similarity.clusterLabels(spark, TestSpark.sf0001))
+  }
+
   test("LSH-routed embedding dedup: candidates well below all-pairs, every " +
       "routed drop is a true drop, and some drops are actually routed") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
