@@ -355,6 +355,18 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("memoized docClusterLabels equal the definitional nearDupClusters " +
+      "and repeat calls return the same materialized frame") {
+    val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
+    val defn = Dedup.nearDupClusters(docs)
+      .as[(Long, Long)].collect().toSeq
+    val memo = Dedup.docClusterLabels(spark, TestSpark.sf0001)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(memo == defn)
+    assert(Dedup.docClusterLabels(spark, TestSpark.sf0001) eq
+      Dedup.docClusterLabels(spark, TestSpark.sf0001))
+  }
+
   test("decontaminateBloom equals decontaminate on the test corpus and on " +
       "planted contamination; a tiny filter still loses no contaminated doc") {
     val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
