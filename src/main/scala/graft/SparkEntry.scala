@@ -143,6 +143,45 @@ object SparkEntry {
           lit(true).as("is_current"))
       v1.unionByName(v2).orderBy("id", "version")
     }),
+    // SNAPSHOT DIFF — the table-diff audit between two manifest
+    // generations (what changed between yesterday's scan and today's):
+    // generation B deterministically deletes id % 13 = 0, flips the
+    // uploaded flag on id % 4 = 0 survivors, and appends a new batch.
+    // Plan: ONE full-outer equi-join on the snapshot key classifying
+    // added / deleted / changed rows map-side; unchanged rows are
+    // filtered before the ORDER BY so the diff output (and any sink it
+    // feeds) scales with the CHANGE volume. At 100 TB both generations
+    // bucket by id and the join is exchange-free.
+    "manifest_diff" -> ((s, d) => {
+      val a = Manifest.fromDocuments(s, d)
+      val survivors = a.filter(col("id") % 13 =!= 0)
+        .select(col("id"), col("path"),
+          when(col("id") % 4 === 0, !col("uploaded"))
+            .otherwise(col("uploaded")).as("uploaded"))
+      val mx = a.agg(max(col("id")).as("_mx"))
+      val appended = Scale.assignIdsByRange(
+          graft.model.Tables.documents(s, d).filter(col("doc_id") <= 7)
+            .select(concat(lit("gen2/doc_"), col("doc_id"), lit(".txt"))
+              .as("path")), "path")
+        .crossJoin(broadcast(mx))
+        .select((col("_mx") + col("id")).as("id"), col("path"),
+          lit(false).as("uploaded"))
+      val b = survivors.unionByName(appended)
+      a.select(col("id"), col("path").as("a_path"),
+          col("uploaded").as("a_up"))
+        .join(b.select(col("id"), col("path").as("b_path"),
+          col("uploaded").as("b_up")), Seq("id"), "full_outer")
+        .withColumn("change",
+          when(col("b_path").isNull, "deleted")
+            .when(col("a_path").isNull, "added")
+            .when(col("a_up") =!= col("b_up") || col("a_path") =!= col("b_path"),
+              "changed"))
+        .filter(col("change").isNotNull)
+        .select(col("id"), col("change"),
+          coalesce(col("b_path"), col("a_path")).as("path"),
+          col("a_up"), col("b_up"))
+        .orderBy("id")
+    }),
     "join_anti_resume" -> ((s, d) => {
       val m = Manifest.fromDocuments(s, d)
       Manifest.antiResume(m.select("path"), Manifest.filterUploaded(m).select("path"))
@@ -243,6 +282,29 @@ object SparkEntry {
          |SELECT id, path, uploaded, version, valid_from_batch,
          |       valid_to_batch, is_current
          |FROM hist ORDER BY id, version""".stripMargin,
+    "manifest_diff" ->
+      s"""$M, b AS (
+         |  SELECT id, path,
+         |         CASE WHEN id % 4 = 0 THEN NOT uploaded ELSE uploaded END
+         |           AS uploaded
+         |  FROM manifest WHERE id % 13 <> 0
+         |  UNION ALL
+         |  SELECT (SELECT max(id) FROM manifest)
+         |           + CAST(row_number() OVER (ORDER BY path) AS BIGINT),
+         |         path, false
+         |  FROM (SELECT 'gen2/doc_' || doc_id || '.txt' AS path
+         |        FROM documents WHERE doc_id <= 7)),
+         |d AS (
+         |  SELECT coalesce(a.id, b.id) AS id,
+         |         CASE WHEN b.id IS NULL THEN 'deleted'
+         |              WHEN a.id IS NULL THEN 'added'
+         |              WHEN a.uploaded <> b.uploaded OR a.path <> b.path
+         |                THEN 'changed' END AS change,
+         |         coalesce(b.path, a.path) AS path,
+         |         a.uploaded AS a_up, b.uploaded AS b_up
+         |  FROM manifest a FULL OUTER JOIN b ON a.id = b.id)
+         |SELECT id, change, path, a_up, b_up FROM d
+         |WHERE change IS NOT NULL ORDER BY id""".stripMargin,
     "join_anti_resume" ->
       s"""$M SELECT path FROM manifest m
          |WHERE NOT EXISTS (SELECT 1 FROM manifest u WHERE u.uploaded AND u.path = m.path)

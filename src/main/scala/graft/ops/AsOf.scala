@@ -84,6 +84,45 @@ object AsOf {
           col("_asof.click_ts").as("click_ts"),
           col("_asof.click_value").as("click_value"))
         .orderBy("event_id")
+    }),
+    // NEAREST-either-direction as-of: the closest click in absolute time,
+    // ties to the BACKWARD side. Composed from TWO sorted single-pass
+    // as-ofs (the same union+window machinery run forward and, via
+    // negated microseconds, backward) + a map-side pick — never a
+    // per-user pair join: at 100 TB both passes are one key-shuffle each
+    // and the candidate set per error is exactly two rows.
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "ts").orderBy(desc("event_id"))))
+        .filter(col("rn") === 1)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val back = joinAsOf(errors, clicks, Seq("user_id"), "ts",
+          Map("ts" -> "click_ts", "value" -> "click_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("_asof").as("_b"))
+      val errN = errors.withColumn("tsn", -unix_micros(col("ts")))
+      val clkN = clicks.withColumn("tsn", -unix_micros(col("ts")))
+      val fwd = joinAsOf(errN, clkN, Seq("user_id"), "tsn",
+          Map("ts" -> "click_ts", "value" -> "click_value"))
+        .select(col("event_id"), col("_asof").as("_f"))
+      back.join(fwd, Seq("event_id"))
+        .withColumn("db",
+          unix_micros(col("ts")) - unix_micros(col("_b.click_ts")))
+        .withColumn("df",
+          unix_micros(col("_f.click_ts")) - unix_micros(col("ts")))
+        .withColumn("pick",
+          when(col("_b").isNull, col("_f"))
+            .when(col("_f").isNull, col("_b"))
+            .when(col("db") <= col("df"), col("_b"))
+            .otherwise(col("_f")))
+        .filter(col("pick").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("pick.click_ts").as("click_ts"),
+          col("pick.click_value").as("click_value"))
+        .orderBy("event_id")
     })
   )
 
@@ -117,6 +156,28 @@ object AsOf {
         |         c.value AS click_value
         |  FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts)
         |SELECT * FROM m WHERE click_ts >= ts - INTERVAL 1 HOUR
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    // the executable SPEC of the two-pass composition: all (error, click)
+    // pairs per user ranked by (|Δt|, backward-first, click_ts) — the
+    // fwd flag reproduces the ties-to-backward pick, and the deduped
+    // clicks make the ordering total.
+    "join_asof_nearest" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, value,
+        |         row_number() OVER (PARTITION BY user_id, ts
+        |           ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts, value FROM clicks WHERE rn = 1),
+        |e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |cand AS (
+        |  SELECT e.event_id, e.user_id, e.ts, c.ts AS click_ts,
+        |         c.value AS click_value,
+        |         abs(epoch_us(e.ts) - epoch_us(c.ts)) AS dist,
+        |         CASE WHEN c.ts <= e.ts THEN 0 ELSE 1 END AS fwd
+        |  FROM e JOIN c ON e.user_id = c.user_id)
+        |SELECT event_id, user_id, ts, click_ts, click_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_id
+        |        ORDER BY dist, fwd, click_ts) AS rn FROM cand)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin
   )
 }

@@ -55,6 +55,26 @@ class AsOfSpec extends AnyFunSuite {
     assert(stale > 0 && tol.length == plain.length - stale)
   }
 
+  test("join_asof_nearest: at least as close as the backward match, covers " +
+      "forward-only errors, and actually uses the forward direction") {
+    val near = AsOf.queries("join_asof_nearest")(spark, TestSpark.sf0001)
+      .select("event_id", "ts", "click_ts")
+      .as[(Long, Timestamp, Timestamp)].collect()
+    val back = AsOf.queries("join_asof")(spark, TestSpark.sf0001)
+      .select("event_id", "ts", "click_ts")
+      .as[(Long, Timestamp, Timestamp)].collect()
+    val nearById = near.map(t => t._1 -> t).toMap
+    back.foreach { case (id, t, ct) =>
+      val (_, nt, nct) = nearById(id)
+      assert(nt == t, s"event $id")
+      assert(math.abs(nt.getTime - nct.getTime) <= t.getTime - ct.getTime,
+        s"event $id: nearest farther than backward")
+    }
+    assert(near.length >= back.length) // forward-only errors are covered
+    assert(near.exists { case (_, t, ct) => ct.after(t) },
+      "no forward match ever chosen — the second pass is vacuous")
+  }
+
   test("all payload fields come from the same matched row (atomic struct)") {
     val left = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
     val right = Seq(
