@@ -435,31 +435,49 @@ object Dedup {
     *    exact semantics: output ≡ [[decontaminate]], and the operator
     *    shares its DuckDB oracle verbatim.
     */
-  def decontaminateBloom(docs: DataFrame, evalMod: Int = 53,
-      numBits: Int = 1 << 17, numHashes: Int = 5): DataFrame = {
+  private def bloomPositions(c: Column, numBits: Int,
+      numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => pmod(xxhash64(lit(i), c), lit(numBits.toLong)))
+
+  /** Build the filter distributed: k bit positions per key → (word, bit)
+    * → `bit_or` aggregate, collected as numBits/64 longs (16 KiB at the
+    * default 2^17 — model-sized, like the IVF centroids). */
+  private[graft] def bloomWords(keys: DataFrame, keyCol: String,
+      numBits: Int, numHashes: Int): Array[Long] = {
     require(numBits > 0 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
-    val sh = shingles(docs)
-    val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
-    val evalShingles = sh.filter(isEval).select("shingle").distinct()
-    def positions(c: Column): Seq[Column] =
-      (0 until numHashes).map(i => pmod(xxhash64(lit(i), c), lit(numBits.toLong)))
     val words = new Array[Long](numBits / 64)
-    evalShingles
-      .select(explode(array(positions(col("shingle")): _*)).as("pos"))
+    keys
+      .select(explode(array(bloomPositions(col(keyCol), numBits, numHashes): _*))
+        .as("pos"))
       .select((col("pos") / 64).cast("int").as("w"),
         expr("shiftleft(1L, cast(pos % 64 AS int))").as("b"))
       .groupBy("w").agg(bit_or(col("b")).as("word"))
       .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** The map-side membership probe: element_at + shiftright + bitwiseAND
+    * over the literal words array — pure codegen'd builtins, no UDF. */
+  private[graft] def bloomMightContain(words: Array[Long], c: Column,
+      numHashes: Int): Column = {
+    val numBits = words.length * 64
     val wordsLit = typedLit(words.toSeq)
-    def mightContain(c: Column): Column =
-      positions(c).map { pos =>
-        call_function("shiftright",
-            element_at(wordsLit, (pos / 64).cast("int") + 1),
-            (pos % 64).cast("int"))
-          .bitwiseAND(lit(1L)) =!= 0L
-      }.reduce(_ && _)
+    bloomPositions(c, numBits, numHashes).map { pos =>
+      call_function("shiftright",
+          element_at(wordsLit, (pos / 64).cast("int") + 1),
+          (pos % 64).cast("int"))
+        .bitwiseAND(lit(1L)) =!= 0L
+    }.reduce(_ && _)
+  }
+
+  def decontaminateBloom(docs: DataFrame, evalMod: Int = 53,
+      numBits: Int = 1 << 17, numHashes: Int = 5): DataFrame = {
+    val sh = shingles(docs)
+    val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    val evalShingles = sh.filter(isEval).select("shingle").distinct()
+    val words = bloomWords(evalShingles, "shingle", numBits, numHashes)
     val contaminated = sh.filter(!isEval)
-      .filter(mightContain(col("shingle")))
+      .filter(bloomMightContain(words, col("shingle"), numHashes))
       .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
     docs.filter(!isEval)

@@ -269,11 +269,33 @@ object Profile {
   private[ops] val corrCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** Shannon entropy (bits) of each categorical column's value
+    * distribution — the profiling signal drift monitors and
+    * mix-balancing reports read (a collapsing `lang` column shows up as
+    * falling entropy long before a hard failure). One groupBy per
+    * column over (column, count) — the shuffle carries distinct values,
+    * never rows — then the −Σ p·log₂p fold over that tiny aggregate
+    * with the corpus total as a broadcast scalar. */
+  def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val tot = df.agg(count(lit(1)).cast("double").as("n_tot"))
+    cols.map { c =>
+      df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_distinct"),
+          round(-sum((col("cnt") / col("n_tot")) *
+            log2(col("cnt") / col("n_tot"))), 6).as("entropy"))
+        .select(lit(c).as("col_name"), col("n_distinct"), col("entropy"))
+    }.reduce(_ unionByName _).orderBy("col_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_columns" -> ((s, d) => profileColumns(Tables.documents(s, d))),
     // full pairwise correlation matrix of lineitem's measures, one scan.
     "profile_corr_matrix" -> ((s, d) =>
       corrMatrix(Tables.lineitem(s, d), corrCols)),
+    // Shannon entropy of the categorical distributions.
+    "profile_entropy" -> ((s, d) =>
+      columnEntropy(Tables.documents(s, d), Seq("lang", "source"))),
     // per-source KS drift vs the corpus length distribution.
     "profile_drift_ks" -> ((s, d) => sourceDriftKs(Tables.documents(s, d))),
     // per-source PSI drift over the 10 histogram buckets.
@@ -331,6 +353,15 @@ object Profile {
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
         "\n) ORDER BY col_a, col_b")
     },
+    // same −Σ p·log2 p fold per column, UNION ALL over the two columns.
+    "profile_entropy" -> Seq("lang", "source").map { c =>
+      s"""SELECT '$c' AS col_name,
+         |       CAST(count(*) AS BIGINT) AS n_distinct,
+         |       round(-sum(p * log2(p)), 6) AS entropy
+         |FROM (SELECT CAST(count(*) AS DOUBLE)
+         |               / (SELECT count(*) FROM documents) AS p
+         |      FROM documents GROUP BY $c)""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name"),
     "profile_drift_ks" ->
       """WITH pv AS (
         |  SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),

@@ -396,6 +396,17 @@ object Sampling {
             .otherwise("test").as("split"))
         .orderBy("doc_id")
     }),
+    // K-FOLD assignment (k=5): fold = floor(u60·k) from the shared
+    // 60-bit uniform — every doc lands in exactly one fold, folds are
+    // ~uniform, and any (train = folds≠i, test = fold i) rotation is
+    // reproducible from the table alone. Map-only; the u60 product and
+    // floor are IEEE-identical on both engines (same double pipeline
+    // every accept predicate here relies on).
+    "sample_kfold" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          floor(rowUniform("kf1:", col("doc_id")) * 5).cast("long").as("fold"))
+        .orderBy("doc_id")),
     // power-of-2 length bins → deterministic within-bin batch numbers.
     "sample_length_batches" -> ((s, d) =>
       lengthBucketBatches(Tables.documents(s, d))),
@@ -452,6 +463,10 @@ object Sampling {
          |       WHEN md5(concat('sp1:', CAST(doc_id AS VARCHAR))) < '${thr("e")}'
          |       THEN 'val'
          |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_kfold" ->
+      s"""SELECT doc_id,
+         |  CAST(floor(${sqlU60("kf1:")} * 5) AS BIGINT) AS fold
          |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_mix_equalize" ->
       s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),

@@ -392,6 +392,26 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("bloom prefilter selectivity: no false negatives, and false " +
+      "positives stay under 1% of the probed training shingles") {
+    val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
+    val sh = Dedup.shingles(docs)
+    val isEval = pmod(col("doc_id"), lit(53)) === 0
+    val evalSh = sh.filter(isEval).select("shingle").distinct()
+    val words = Dedup.bloomWords(evalSh, "shingle", 1 << 17, 5)
+    val train = sh.filter(!isEval).cache()
+    try {
+      val nTrain = train.count()
+      val pass = train
+        .filter(Dedup.bloomMightContain(words, col("shingle"), 5)).count()
+      val trueOverlap = train
+        .join(evalSh, Seq("shingle"), "left_semi").count()
+      assert(pass >= trueOverlap, "bloom lost a true overlap (false negative)")
+      assert(pass - trueOverlap <= nTrain / 100 + 50,
+        s"false-positive mass too high: pass=$pass true=$trueOverlap n=$nTrain")
+    } finally train.unpersist(blocking = false)
+  }
+
   test("editDistancePairs: zero distance iff identical text on a candidate " +
       "pair; a planted one-word edit measures exactly its character delta") {
     val edited = base.replace("quick", "swift") // quick->swift: same length

@@ -95,6 +95,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(alt.toSeq == got.toSeq)
   }
 
+  test("sample_kfold: every doc in exactly one of 5 folds, sizes near-uniform") {
+    val assign = graft.SparkEntry.queries("sample_kfold")(
+      spark, TestSpark.sf0001)
+    val n = docs.count()
+    assert(assign.count() == n) // total: one row per doc
+    val folds = assign.groupBy("fold").count()
+      .as[(Long, Long)].collect().toMap
+    assert(folds.keySet.subsetOf((0L until 5L).toSet))
+    assert(folds.values.sum == n)
+    // 500 docs over 5 folds: expect ~100 each; 3σ of binomial ≈ ±27
+    folds.values.foreach(c => assert(c > 60 && c < 140, folds.toString))
+  }
+
   test("sample_splits: disjoint, total, deterministic, and near the " +
       "75/12.5/12.5 design rates") {
     val rows = Sampling.queries("sample_splits")(spark, TestSpark.sf0001)
