@@ -960,6 +960,19 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Truncation-duplicate groups: documents sharing their first `k`
+    * chars (crawl re-fetches cut at different lengths — exact dedup
+    * misses them, near-dup over-pays). Same digest-groupBy shape as
+    * dedup_exact: only (prefix-md5, count, min-id) rows shuffle. */
+  def prefixDuplicates(docs: DataFrame, k: Int = 64): DataFrame =
+    docs
+      .groupBy(md5(substring(col("text"), 1, k).cast("binary")).as("pfx"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") > 1)
+      .select(col("pfx"), col("n_docs"), col("keep_id"),
+        (col("n_docs") - 1).as("n_drop"))
+      .orderBy("pfx")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup by content digest: keep first doc_id per md5(text).
     "dedup_exact" -> ((s, d) =>
@@ -968,6 +981,14 @@ object Dedup {
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id", "h")
         .orderBy("doc_id")),
+    // truncation-duplicate detection: docs sharing their first 64 chars
+    // (the crawl artifact where one page is fetched whole and again
+    // truncated — exact dedup misses it, near-dup over-pays for it).
+    // Same digest-groupBy shape as dedup_exact: only (prefix-md5,
+    // min-id, count) rows shuffle, payloads stay put; at 100 TB this is
+    // the cheapest pass in the dedup ladder and runs first.
+    "dedup_prefix" -> ((s, d) =>
+      prefixDuplicates(Tables.documents(s, d))),
     // incremental ingest: the doc_id%5==0 batch deduped against the rest
     // (exact digest + banded near-dup, cross-set candidates only).
     "dedup_incremental" -> ((s, d) =>
@@ -1095,6 +1116,11 @@ object Dedup {
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS h
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "dedup_prefix" ->
+      """SELECT md5(substr(text, 1, 64)) AS pfx, count(*) AS n_docs,
+        |       CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       count(*) - 1 AS n_drop
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY pfx""".stripMargin,
     // mirrors paragraphSurvivors: same 12-word chunking (DuckDB's
     // 1-based inclusive list slice clips like Spark's slice), same
     // footer plant, first-occurrence keep as rn=1 over (doc_id, idx),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
@@ -401,7 +401,76 @@ object EventWindows {
       .orderBy("hour")
   }
 
+  /** RFM segmentation — the classic user-value rollup (recency /
+    * frequency / monetary, each scored 1-4 by corpus quartile). The
+    * scale-honest form: per-user metrics are ONE grouped aggregate; the
+    * quartile thresholds are a 1-row broadcast (never a global ntile
+    * window, which would sort all users on one partition — the
+    * distributed shape [[Relational]] win_ntile documents as
+    * group-sized). Monetary sums in exact integer cents so the
+    * threshold comparisons are ulp-proof across engines; thresholds
+    * compare UNROUNDED (same strictly-between-order-statistics argument
+    * as events_value_winsorize). Output is the 4×4×4 segment rollup —
+    * segment-sized, not user-sized. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val maxTs = events.agg(max(col("ts")).as("corpus_max"))
+    val per = events
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+        sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .crossJoin(broadcast(maxTs))
+      .select(col("user_id"),
+        floor((unix_timestamp(col("corpus_max")) -
+          unix_timestamp(col("last_ts"))) / 86400L).cast("long")
+          .as("rec_days"),
+        col("freq"), col("cents"))
+    val q = per.agg(
+      percentile(col("rec_days"), lit(0.25)).as("r1"),
+      percentile(col("rec_days"), lit(0.5)).as("r2"),
+      percentile(col("rec_days"), lit(0.75)).as("r3"),
+      percentile(col("freq"), lit(0.25)).as("f1"),
+      percentile(col("freq"), lit(0.5)).as("f2"),
+      percentile(col("freq"), lit(0.75)).as("f3"),
+      percentile(col("cents"), lit(0.25)).as("m1"),
+      percentile(col("cents"), lit(0.5)).as("m2"),
+      percentile(col("cents"), lit(0.75)).as("m3"))
+    def score(v: Column, q1: Column, q2: Column, q3: Column): Column =
+      (lit(1) + (v > q1).cast("int") + (v > q2).cast("int") +
+        (v > q3).cast("int")).cast("long")
+    per.crossJoin(broadcast(q))
+      .select(col("user_id"), col("cents"),
+        score(col("rec_days"), col("r1"), col("r2"), col("r3")).as("r_q"),
+        score(col("freq"), col("f1"), col("f2"), col("f3")).as("f_q"),
+        score(col("cents"), col("m1"), col("m2"), col("m3")).as("m_q"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(col("cents")) / 100.0, 4).as("avg_monetary"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  /** Seasonality profile: activity by (day-of-week, hour-of-day) — the
+    * load-shape matrix capacity planning and anomaly baselines read.
+    * One hash aggregate; dow is 0=Sunday…6=Saturday (both engines'
+    * native numbering after Spark's 1-based shift). The mean folds over
+    * exact integer cents (one division at the end) — with 168 cells a
+    * float sum's addition-order ulp WILL land on a round() boundary
+    * somewhere, and did at sf0.001/sf0.1. */
+  def seasonality(events: DataFrame): DataFrame =
+    events
+      .groupBy((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .select(col("dow"), col("hod"), col("n"), col("n_users"),
+        round(col("cents") / 100.0 / col("n"), 4).as("avg_value"))
+      .orderBy("dow", "hod")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // quartile-scored RFM segment rollup (broadcast thresholds).
+    "events_rfm" -> ((s, d) => rfmSegments(Tables.events(s, d))),
+    // (dow × hour) activity matrix.
+    "events_seasonality" -> ((s, d) => seasonality(Tables.events(s, d))),
     "stream_rate_tumbling" -> ((s, d) =>
       tumbling(Tables.events(s, d)).orderBy("w_start")),
     // set_speed's Δcount/Δt per 5 s window (bulkupload.py:381-384) —
@@ -452,6 +521,48 @@ object EventWindows {
   )
 
   def oracle: Map[String, String] = Map(
+    // same integer-cents metrics, quantile_cont thresholds, 1-4 scores.
+    "events_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch((SELECT max(ts) FROM events) - max(ts))
+        |                    / 86400) AS BIGINT) AS rec_days,
+        |         count(*) AS freq,
+        |         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY user_id),
+        |q AS (
+        |  SELECT quantile_cont(rec_days, 0.25) AS r1,
+        |         quantile_cont(rec_days, 0.5)  AS r2,
+        |         quantile_cont(rec_days, 0.75) AS r3,
+        |         quantile_cont(freq, 0.25) AS f1,
+        |         quantile_cont(freq, 0.5)  AS f2,
+        |         quantile_cont(freq, 0.75) AS f3,
+        |         quantile_cont(cents, 0.25) AS m1,
+        |         quantile_cont(cents, 0.5)  AS m2,
+        |         quantile_cont(cents, 0.75) AS m3
+        |  FROM per)
+        |SELECT r_q, f_q, m_q, count(*) AS n_users,
+        |       round(avg(cents) / 100.0, 4) AS avg_monetary
+        |FROM (
+        |  SELECT CAST(1 + (rec_days > r1)::INT + (rec_days > r2)::INT
+        |              + (rec_days > r3)::INT AS BIGINT) AS r_q,
+        |         CAST(1 + (freq > f1)::INT + (freq > f2)::INT
+        |              + (freq > f3)::INT AS BIGINT) AS f_q,
+        |         CAST(1 + (cents > m1)::INT + (cents > m2)::INT
+        |              + (cents > m3)::INT AS BIGINT) AS m_q,
+        |         cents
+        |  FROM per, q)
+        |GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q""".stripMargin,
+    // DuckDB dayofweek() is already 0=Sunday — matches the Spark shift;
+    // mean via exact integer cents, divided once (ulp-proof).
+    "events_seasonality" ->
+      """SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+        |       CAST(hour(ts) AS BIGINT) AS hod,
+        |       count(*) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+        |             / count(*), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
     // same pair set as stream_interval_join, collapsed to the earliest
     // (c_ts, c_id) per purchase — row_number mirrors the struct-min.
     "events_attribution" ->

@@ -21,6 +21,28 @@ import graft.model.Tables
 object Relational {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ordered LISTAGG per group (string_agg): collect_set is a partial
+    // aggregate (map-side combine over the 5 distinct priorities), the
+    // sort+join happen on the final group-sized arrays — never a
+    // per-row window. The export-report op every summary email runs.
+    "agg_string_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
+            .as("priorities"))
+        .orderBy("o_orderstatus")),
+    // cumulative distribution within each segment — the "what share of
+    // this segment is at or below my balance" percentile-rank twin.
+    // Partitioned window (segment-sized partitions, never global); ties
+    // share a value, so the result is row-order-independent, and the
+    // ratio is a pure int/int division — identical on both engines.
+    "win_cume_dist" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          round(cume_dist().over(Window.partitionBy(col("c_mktsegment"))
+            .orderBy(col("c_acctbal"))), 6).as("cd"))
+        .orderBy("c_custkey")),
     // orders ⋈ customer FK equi-join + grouped agg (generalizes
     // join_manifest_results, bulkupload.py:253-261).
     "join_equi_hash" -> ((s, d) => {
@@ -337,6 +359,16 @@ object Relational {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |       true AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_string_agg" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       string_agg(DISTINCT o_orderpriority, ','
+        |                  ORDER BY o_orderpriority) AS priorities
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "win_cume_dist" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       round(cume_dist() OVER (PARTITION BY c_mktsegment
+        |                               ORDER BY c_acctbal), 6) AS cd
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "join_equi_hash" ->
       """SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders,
         |       round(sum(o.o_totalprice), 2) AS total_spent

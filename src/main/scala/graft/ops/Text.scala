@@ -153,7 +153,37 @@ object Text {
        |      '&quot;', '"'), '&amp;', '&'),
        |    ' +', ' ', 'g'))""".stripMargin
 
+  // --- Context-window chunking (text_chunk_overlap) -----------------
+  // The RAG/pretraining chunker: fixed-width windows with overlap so no
+  // span longer than (width - stride) is ever split across chunk
+  // boundaries without appearing whole in one of them. Starts are
+  // 1, 1+stride, 1+2·stride, … ≤ max(1, n_chars) — every character is
+  // covered, adjacent full chunks share (width - stride) chars, the tail
+  // chunk is short. Map-only (sequence + posexplode + substr, all
+  // codegen'd), no shuffle; at 100 TB output size is n_chars/stride
+  // windows regardless of document skew.
+  /** Overlapping fixed-width chunks per document. Emits one row per
+    * chunk: 0-based index, 1-based start, actual length, and the md5 of
+    * the chunk text (the downstream dedup/embedding key — md5 bytes are
+    * engine-identical, so the whole op is oracle-exact). */
+  def chunkOverlap(docs: DataFrame, width: Int = 400,
+                   stride: Int = 300): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1L),
+          greatest(length(col("text")).cast("long"), lit(1L)),
+          lit(stride.toLong))).as(Seq("chunk_idx", "chunk_start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long"),
+        col("chunk_start"),
+        length(col("text").substr(col("chunk_start").cast("int"), lit(width)))
+          .cast("long").as("chunk_len"),
+        md5(col("text").substr(col("chunk_start").cast("int"), lit(width)))
+          .as("chunk_md5"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // overlapping context-window chunks (width 400, stride 300).
+    "text_chunk_overlap" -> ((s, d) =>
+      chunkOverlap(Tables.documents(s, d)).orderBy("doc_id", "chunk_idx")),
     // markup strip: per-doc tag count + the cleaned text. Map-only
     // codegen'd regex pass, no shuffle — same 100 TB shape as pii_mask.
     "text_html_strip" -> ((s, d) => {
@@ -322,6 +352,18 @@ object Text {
   }
 
   def oracle: Map[String, String] = Map(
+    // unnest(range()) mirrors sequence(): starts 1, 301, … ≤ max(1, len).
+    "text_chunk_overlap" ->
+      """WITH st AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(1, greatest(length(text), 1) + 1, 300)) AS s
+        |  FROM documents)
+        |SELECT doc_id, CAST((s - 1) // 300 AS BIGINT) AS chunk_idx,
+        |       CAST(s AS BIGINT) AS chunk_start,
+        |       CAST(length(substr(text, CAST(s AS INT), 400)) AS BIGINT)
+        |         AS chunk_len,
+        |       md5(substr(text, CAST(s AS INT), 400)) AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, n_chars

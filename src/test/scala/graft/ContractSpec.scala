@@ -257,4 +257,42 @@ class ContractSpec extends AnyFunSuite {
     assert(math.abs(node.get("noise").asDouble() - 1.08) < 1e-9)
     assert(!node.get("noise_retried").asBoolean())
   }
+
+  test("events_rfm partitions every user into the 4x4x4 grid and " +
+      "events_seasonality accounts for every event") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.model.Tables.events(spark, TestSpark.sf0001)
+    val rfm = SparkEntry.queries("events_rfm")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rfm.map(_.getLong(3)).sum ==
+      ev.select(countDistinct(col("user_id"))).head().getLong(0))
+    rfm.foreach { r =>
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2)).foreach(q =>
+        assert(q >= 1 && q <= 4, r))
+    }
+    val sea = SparkEntry.queries("events_seasonality")(spark, TestSpark.sf0001)
+      .collect()
+    assert(sea.map(_.getLong(2)).sum == ev.count())
+    sea.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 6, r)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 23, r)
+    }
+  }
+
+  test("agg_string_agg lists each group's priorities sorted; " +
+      "win_cume_dist tops out at exactly 1 in every segment") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("agg_string_agg")(spark, TestSpark.sf0001)
+      .collect().foreach { r =>
+        val parts = r.getString(2).split(",").toSeq
+        assert(parts == parts.sorted && parts == parts.distinct, r)
+      }
+    val cd = SparkEntry.queries("win_cume_dist")(spark, TestSpark.sf0001)
+    val bySeg = cd.groupBy(col("c_mktsegment"))
+      .agg(max(col("cd")).as("mx"), min(col("cd")).as("mn")).collect()
+    bySeg.foreach { r =>
+      assert(r.getDouble(1) == 1.0, r)
+      assert(r.getDouble(2) > 0.0, r)
+    }
+  }
 }

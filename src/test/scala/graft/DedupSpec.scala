@@ -572,4 +572,24 @@ class DedupSpec extends AnyFunSuite {
     assert(byId(6L)._3 == 1 &&
       !byId(6L)._4.contains(Dedup.paraFooters(0)))
   }
+
+  test("prefixDuplicates flags docs sharing their first 64 chars, keeps " +
+      "the min id, and ignores docs whose prefixes differ") {
+    val shared = "s" * 64
+    val docs = Seq(
+      (7L, shared + " first fetch, truncated early"),
+      (3L, shared + " second fetch of the same page, full body"),
+      (5L, "t" * 64 + " unrelated page"),
+      (9L, "short doc")) // < 64 chars: prefix is the whole text
+      .toDF("doc_id", "text")
+    val out = Dedup.prefixDuplicates(docs).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 2L)  // n_docs
+    assert(out(0).getLong(2) == 3L)  // keep_id = min
+    assert(out(0).getLong(3) == 1L)  // n_drop
+    // disjoint prefixes -> empty
+    assert(Dedup.prefixDuplicates(
+      Seq((1L, "a" * 80), (2L, "b" * 80)).toDF("doc_id", "text"))
+      .count() == 0)
+  }
 }

@@ -161,4 +161,34 @@ class TextSpec extends AnyFunSuite {
     }
     assert(checked == 30)
   }
+
+  test("chunkOverlap tiles every document: starts on the stride grid, " +
+      "exactly ceil(len/stride) chunks, last chunk ends at the last char, " +
+      "and a short doc's single chunk hashes like the whole doc") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val chunks = Text.chunkOverlap(docs) // width 400, stride 300
+    val per = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        min(col("chunk_start")).as("min_start"),
+        max(col("chunk_start") + col("chunk_len") - 1).as("max_end"),
+        sum(when((col("chunk_start") - 1) % 300 === 0, 0L).otherwise(1L))
+          .as("off_grid"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(per.keySet == lens.keySet)
+    per.foreach { case (id, (n, minStart, maxEnd, offGrid)) =>
+      val L = lens(id)
+      assert(minStart == 1L && offGrid == 0L, s"doc $id")
+      assert(n == (math.max(L, 1L) + 299) / 300, s"doc $id: n=$n L=$L")
+      assert(maxEnd == L, s"doc $id: maxEnd=$maxEnd L=$L")
+    }
+    // single-chunk docs (len <= stride): the chunk IS the document
+    val short = chunks.join(docs, "doc_id")
+      .filter(length(col("text")) <= 300)
+      .select((col("chunk_md5") === md5(col("text").cast("binary")))
+        .as("same")).collect()
+    assert(short.nonEmpty && short.forall(_.getBoolean(0)))
+  }
 }
