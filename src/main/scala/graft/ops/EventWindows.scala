@@ -466,9 +466,30 @@ object EventWindows {
         round(col("cents") / 100.0 / col("n"), 4).as("avg_value"))
       .orderBy("dow", "hod")
 
+  /** Top-k 3-step user paths (path mining): each user's event sequence
+    * ordered by (ts, event_id), trigrams formed with lead() over the
+    * user-partitioned window — never a per-user collect_list, so state
+    * is O(1) per row and the partition is user-sized at 100 TB. Nulls
+    * from the two tail rows propagate through concat and are dropped.
+    * count + top-k via TakeOrderedAndProject. */
+  def userPathTrigrams(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(concat(col("event_type"), lit(">"),
+        lead("event_type", 1).over(w), lit(">"),
+        lead("event_type", 2).over(w)).as("path"))
+      .filter(col("path").isNotNull)
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path"))
+      .limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // quartile-scored RFM segment rollup (broadcast thresholds).
     "events_rfm" -> ((s, d) => rfmSegments(Tables.events(s, d))),
+    // top-20 3-step event-type paths.
+    "events_user_paths" -> ((s, d) => userPathTrigrams(Tables.events(s, d))),
     // (dow × hour) activity matrix.
     "events_seasonality" -> ((s, d) => seasonality(Tables.events(s, d))),
     "stream_rate_tumbling" -> ((s, d) =>
@@ -553,6 +574,18 @@ object EventWindows {
         |         cents
         |  FROM per, q)
         |GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q""".stripMargin,
+    // list-per-user spec form: same (ts, event_id) order, same trigrams.
+    "events_user_paths" ->
+      """WITH seq AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+        |  FROM events GROUP BY user_id),
+        |tri AS (
+        |  SELECT unnest(list_transform(range(1, len(types) - 1),
+        |           i -> types[i] || '>' || types[i+1] || '>' || types[i+2]))
+        |           AS path
+        |  FROM seq WHERE len(types) >= 3)
+        |SELECT path, count(*) AS n FROM tri
+        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
     // DuckDB dayofweek() is already 0=Sunday — matches the Spark shift;
     // mean via exact integer cents, divided once (ulp-proof).
     "events_seasonality" ->

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
@@ -288,8 +289,66 @@ object Profile {
     }.reduce(_ unionByName _).orderBy("col_name")
   }
 
+  /** Exact top-k most frequent values per categorical column — the
+    * heavy-hitters panel of every data-quality dashboard. One groupBy
+    * per column (shuffle carries distinct values only); the rank window
+    * partitions by col_name over the already-tiny aggregate. row_number
+    * with the (count desc, value asc) tie-break keeps it deterministic. */
+  def heavyHitters(df: DataFrame, cols: Seq[String], k: Int = 3): DataFrame = {
+    val counted = cols.map { c =>
+      df.groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .select(lit(c).as("col_name"), col(c).cast("string").as("value"),
+          col("n"))
+    }.reduce(_ unionByName _)
+    counted
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("col_name"))
+        .orderBy(desc("n"), asc("value"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("col_name", "rnk")
+  }
+
+  // one dynamic-partition-overwrite copy per (session, sfDir)
+  private val overwriteMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
+
+  /** Dynamic partition overwrite — the lakehouse backfill primitive
+    * (INSERT OVERWRITE ... PARTITION): rewrite ONLY the partitions
+    * present in the incoming frame, leave every other partition's files
+    * untouched. Here the 'en' partition is re-derived with a corrected
+    * source tag while all other languages keep their original bytes
+    * (ProfileSpec asserts the untouched partitions' files are
+    * physically identical). At 100 TB this is the difference between
+    * rewriting one day and rewriting the table. */
+  private[graft] def overwriteCopy(s: SparkSession, d: String): String =
+    overwriteMemo.getOrElseUpdate((s, d), {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ovw").toString
+      val docs = Tables.documents(s, d)
+      docs.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      docs.filter(col("lang") === "en")
+        .withColumn("source", concat(lit("backfill:"), col("source")))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(tmp)
+      SessionCleanup.onEnd(s) {
+        overwriteMemo.remove((s, d))
+        SessionCleanup.deleteRecursively(tmp)
+      }
+      tmp
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_columns" -> ((s, d) => profileColumns(Tables.documents(s, d))),
+    // exact top-3 values per categorical column.
+    "profile_heavy_hitters" -> ((s, d) =>
+      heavyHitters(Tables.documents(s, d), Seq("lang", "source"))),
+    // dynamic partition overwrite: only the 'en' partition is rewritten
+    // (backfilled source tag); read-back must show exactly that.
+    "sink_partition_overwrite" -> ((s, d) => {
+      val dir = overwriteCopy(s, d)
+      s.read.parquet(dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     // full pairwise correlation matrix of lineitem's measures, one scan.
     "profile_corr_matrix" -> ((s, d) =>
       corrMatrix(Tables.lineitem(s, d), corrCols)),
@@ -343,6 +402,23 @@ object Profile {
   )
 
   def oracle: Map[String, String] = Map(
+    // same per-column counts, row_number tie-break, top-3.
+    "profile_heavy_hitters" -> Seq("lang", "source").map { c =>
+      s"""SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value,
+         |       count(*) AS n
+         |FROM documents GROUP BY $c""".stripMargin
+    }.mkString(
+      "SELECT col_name, value, n, rnk FROM (\n  SELECT *, CAST(row_number()" +
+        " OVER (PARTITION BY col_name ORDER BY n DESC, value) AS BIGINT)" +
+        " AS rnk FROM (\n", "\nUNION ALL\n",
+      "\n))\nWHERE rnk <= 3 ORDER BY col_name, rnk"),
+    // the readback after a dynamic overwrite of ONLY the en partition.
+    "sink_partition_overwrite" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN lang = 'en' THEN 'backfill:' || source
+        |            ELSE source END AS source,
+        |       n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // one UNION ALL branch per pair, same pair order and rounding.
     "profile_corr_matrix" -> {
       val pairs = for { i <- corrCols.indices; j <- i + 1 until corrCols.size }

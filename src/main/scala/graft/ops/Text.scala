@@ -180,10 +180,30 @@ object Text {
         md5(col("text").substr(col("chunk_start").cast("int"), lit(width)))
           .as("chunk_md5"))
 
+  /** Flesch-reading-ease-style score from cheap regex counts: sentences
+    * as [.!?]+ runs (min 1), syllables as vowel-group runs (min 1) —
+    * the standard approximation when no dictionary is in the loop. All
+    * three counts are exact integers on both engines, so the one
+    * double expression evaluates identically; map-only, codegen'd. */
+  def readability(docs: DataFrame): DataFrame = {
+    val n = size(words(col("text"))).cast("double")
+    val sent = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+      .cast("double")
+    val syl = greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")),
+      lit(1)).cast("double")
+    docs.select(col("doc_id"), n.cast("long").as("n_words"),
+      sent.cast("long").as("n_sent"), syl.cast("long").as("n_syl"),
+      round(lit(206.835) - lit(1.015) * (n / sent) - lit(84.6) * (syl / n), 4)
+        .as("flesch"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // overlapping context-window chunks (width 400, stride 300).
     "text_chunk_overlap" -> ((s, d) =>
       chunkOverlap(Tables.documents(s, d)).orderBy("doc_id", "chunk_idx")),
+    // Flesch-style readability from regex counts.
+    "text_readability" -> ((s, d) => readability(Tables.documents(s, d))),
     // markup strip: per-doc tag count + the cleaned text. Map-only
     // codegen'd regex pass, no shuffle — same 100 TB shape as pii_mask.
     "text_html_strip" -> ((s, d) => {
@@ -364,6 +384,21 @@ object Text {
         |         AS chunk_len,
         |       md5(substr(text, CAST(s AS INT), 400)) AS chunk_md5
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    // identical integer counts -> identical double expression.
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+        |         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |              AS DOUBLE) AS sent,
+        |         CAST(greatest(len(regexp_extract_all(lower(text),
+        |              '[aeiouy]+')), 1) AS DOUBLE) AS syl
+        |  FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+        |       CAST(sent AS BIGINT) AS n_sent, CAST(syl AS BIGINT) AS n_syl,
+        |       round(206.835 - 1.015 * (n / sent) - 84.6 * (syl / n), 4)
+        |         AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, n_chars

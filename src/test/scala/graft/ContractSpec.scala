@@ -279,6 +279,22 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("events_user_paths counts planted trigrams exactly (window-lead " +
+      "form vs hand enumeration)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: a,b,c,d -> a>b>c, b>c>d ; user 2: a,b,c -> a>b>c ; user 3: a,b
+    val ev = Seq(
+      (1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"), (4L, 1L, "d"),
+      (5L, 2L, "a"), (6L, 2L, "b"), (7L, 2L, "c"),
+      (8L, 3L, "a"), (9L, 3L, "b"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("event_id") * 60))
+    val got = graft.ops.EventWindows.userPathTrigrams(ev)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a>b>c" -> 2L, "b>c>d" -> 1L))
+  }
+
   test("agg_string_agg lists each group's priorities sorted; " +
       "win_cume_dist tops out at exactly 1 in every segment") {
     import org.apache.spark.sql.functions._

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.Profile
+import graft.ops.{Profile, SessionCleanup}
 import graft.model.Tables
 
 class ProfileSpec extends AnyFunSuite {
@@ -176,5 +176,47 @@ class ProfileSpec extends AnyFunSuite {
     }
     // buckets are strictly increasing (orderBy) with no duplicates
     assert(rows.map(_._1).toSeq == rows.map(_._1).distinct.sorted.toSeq)
+  }
+
+  test("dynamic partition overwrite rewrites ONLY the incoming partition: " +
+      "other partitions keep their exact files, the target is replaced") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ovw-spec").toString
+    val base = Seq((1L, "en", "a"), (2L, "en", "b"), (3L, "de", "c"),
+      (4L, "fr", "d")).toDF("id", "lang", "src")
+    base.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    def files(p: String) = {
+      val dir = new java.io.File(p)
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    }
+    val deBefore = files(s"$tmp/lang=de")
+    val frBefore = files(s"$tmp/lang=fr")
+    Seq((9L, "en", "patched")).toDF("id", "lang", "src")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang").parquet(tmp)
+    // untouched partitions: same file names, sizes, mtimes
+    assert(files(s"$tmp/lang=de") == deBefore)
+    assert(files(s"$tmp/lang=fr") == frBefore)
+    // target partition fully replaced, others' rows intact
+    val got = spark.read.parquet(tmp).select("id", "lang", "src")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((9L, "en", "patched"), (3L, "de", "c"), (4L, "fr", "d")))
+    SessionCleanup.deleteRecursively(tmp)
+  }
+
+  test("heavyHitters ranks by count with the value tie-break and never " +
+      "returns more than k rows per column") {
+    val hh = Profile.heavyHitters(
+      Tables.documents(spark, TestSpark.sf0001), Seq("lang", "source"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    hh.groupBy(_._1).foreach { case (c, rows) =>
+      assert(rows.length <= 2, c)
+      assert(rows.map(_._4).toSeq == (1L to rows.length).toSeq, c)
+      // counts non-increasing in rank order
+      assert(rows.sortBy(_._4).map(_._3).toSeq ==
+        rows.map(_._3).sorted.reverse.toSeq, c)
+    }
   }
 }

@@ -191,4 +191,25 @@ class TextSpec extends AnyFunSuite {
         .as("same")).collect()
     assert(short.nonEmpty && short.forall(_.getBoolean(0)))
   }
+
+  test("readability: hand-computed Flesch on a known sentence, and the " +
+      "count floors engage on degenerate text") {
+    val rows = Seq(
+      (1L, "The cat sat on the mat. It was happy!"), // 9 words, 2 sent
+      (2L, "xxxx"))                                  // no vowels, no [.!?]
+      .toDF("doc_id", "text")
+    val got = Text.readability(rows).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (w1, s1, y1, f1) = got(1L)
+    assert(w1 == 9 && s1 == 2)
+    // vowel groups: e,a,a,o,e,a,I,a,a(ppy->a)... recompute directly
+    val syl = "[aeiouy]+".r.findAllIn(
+      "the cat sat on the mat. it was happy!").length
+    assert(y1 == syl)
+    assert(math.abs(f1 - (206.835 - 1.015 * (9.0 / 2) -
+      84.6 * (syl.toDouble / 9))) < 1e-3)
+    val (w2, s2, y2, _) = got(2L)
+    assert(w2 == 1 && s2 == 1 && y2 == 1) // floors: min 1 sentence/syllable
+  }
 }
