@@ -195,6 +195,16 @@ object ScaleTrend {
       val embCcRounds = graft.ops.Dedup.lastClusterRounds.get()
       val tLenBatches = time(graft.ops.Sampling.lengthBucketBatches(docs))
 
+      // round 7 session 4: iterative graph ops — fixed-point PageRank
+      // wall time across the decade (10 synchronous join+agg rounds),
+      // and the triangle-orientation evidence: wedge count (the exact
+      // enumeration-join volume) under degree ordering vs id ordering
+      // on the hub-skewed crawl graph.
+      val tPagerank = time(graft.ops.Graphs.queries("graph_pagerank")(spark, sf))
+      val tTriangles = time(graft.ops.Graphs.queries("graph_triangles")(spark, sf))
+      val wedgesDeg = graft.ops.Graphs.wedgeCount(docs, byDegree = true)
+      val wedgesId = graft.ops.Graphs.wedgeCount(docs, byDegree = false)
+
       System.err.println(s"[scale] $sf docs=$nDocs done")
       println(s"""{"sf":"$sf","n_docs":$nDocs,"n_emb":$nEmb,""" +
         s""""dedup_cand_pairs":$dedupCands,"dedup_all_pairs":$allPairs,""" +
@@ -238,7 +248,11 @@ object ScaleTrend {
         s""""emb_cluster_edges":$embClusterEdges,""" +
         s""""emb_cluster_rounds":$embCcRounds,""" +
         s""""t_emb_cluster":${r3(tEmbCluster)},""" +
-        s""""t_length_batches":${r3(tLenBatches)}}""")
+        s""""t_length_batches":${r3(tLenBatches)},""" +
+        s""""t_graph_pagerank":${r3(tPagerank)},""" +
+        s""""t_graph_triangles":${r3(tTriangles)},""" +
+        s""""graph_wedges_degree_oriented":$wedgesDeg,""" +
+        s""""graph_wedges_id_oriented":$wedgesId}""")
     }
     spark.stop()
     synthDir.foreach(graft.ops.SessionCleanup.deleteRecursively)

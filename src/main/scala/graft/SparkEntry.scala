@@ -44,7 +44,8 @@ object SparkEntry {
       Multimodal.queries ++ graft.sources.FsScan.queries ++ AsOf.queries ++
       Scale.queries ++ graft.sources.Jdbc.queries ++
       graft.sources.FileFormats.queries ++ CorpusPrep.queries ++
-      Sampling.queries ++ TermStats.queries ++ Profile.queries
+      Sampling.queries ++ TermStats.queries ++ Profile.queries ++
+      Graphs.queries
 
   def oracleSql: Map[String, String] =
     manifestOracle ++ Relational.oracle ++ Relational.windowOracle ++
@@ -53,7 +54,8 @@ object SparkEntry {
       Multimodal.oracle ++ graft.sources.FsScan.oracle ++ AsOf.oracle ++
       Scale.oracle ++ graft.sources.Jdbc.oracle ++
       graft.sources.FileFormats.oracle ++ CorpusPrep.oracle ++
-      Sampling.oracle ++ TermStats.oracle ++ Profile.oracle
+      Sampling.oracle ++ TermStats.oracle ++ Profile.oracle ++
+      Graphs.oracle
 
   // ----- §2.1/2.2/2.3 (partial)/2.4 (partial)/2.6/2.7/2.10: manifest core
 

@@ -1,0 +1,259 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Iterative graph analytics over the corpus link graph (EXT) —
+  * PageRank centrality and triangle counting.
+  *
+  * Grounding: the reference walks a filesystem TREE (prepareupload.py's
+  * os.walk) — the degenerate graph. A crawl-fed corpus is a general
+  * directed graph, and the two classic graph signals a training-data
+  * pipeline wants are (a) PageRank, the canonical page-quality prior
+  * (pages with high centrality are disproportionately boilerplate hubs
+  * OR high-quality references, either way a routing signal for quality
+  * scoring), and (b) triangle density, the standard cohesion signal for
+  * spam-farm detection (link farms are near-cliques; organic link
+  * neighborhoods are sparse).
+  *
+  * Graph enrichment: the corpus has no link column, so the same
+  * deterministic technique as [[Dedup.urlCanonicalSurvivors]] derives a
+  * crawl-shaped graph from doc ids: 50 "sites", site s = doc_id % 50,
+  * item index i = doc_id div 50. Item pages link UP to their site hub
+  * (doc s) and BACK to the previous item (doc_id - 50); hubs link to the
+  * next site's hub in a ring. That yields the shape real crawls have —
+  * a few high-in-degree hubs (deg ≈ n/50) over many low-degree leaves —
+  * so the operators' skew behavior is exercised, not just their algebra.
+  * (For i = 1 the previous item IS the hub: a parallel edge, kept
+  * identically on both engines — multigraph semantics.)
+  *
+  * Determinism discipline: PageRank is computed in FIXED-POINT integer
+  * arithmetic (ranks are BIGINT micro-units of 1e-12). Float PageRank
+  * sums contributions in partition order, and cross-engine float sums
+  * differ in the last ulp; integer sums are exactly associative, so ten
+  * iterations of (div, sum, scale) land bit-identical on Spark and
+  * DuckDB and the result is hash-gateable with NO rounding escape
+  * hatch. The tiny floor-division mass leak (< deg + 100 units per node
+  * per iteration, i.e. ~1e-10 relative) is the price, and GraphsSpec
+  * pins total mass to within 0.1% of 1.0.
+  *
+  * Scale design (100 TB):
+  *  - Each PageRank iteration is one join (ranks ⋈ edges on src — the
+  *    Pregel "scatter") and one keyed sum (by dst — the "gather").
+  *    Partial aggregation combines map-side, so the exchange carries
+  *    one (dst, partial-sum) row per reducer partition per dst, never
+  *    one row per edge. Edge list + out-degrees are joined once and
+  *    cached; lineage is truncated with localCheckpoint every 3 rounds
+  *    (the [[Dedup.ccLabels]] pattern — plan rendering doubles per
+  *    un-truncated round).
+  *  - Hub skew: the gather key is dst, and hub dst keys are ~n/50 hot.
+  *    sum() is algebraic, so AQE's partial aggregation already absorbs
+  *    this; a pathological single-page in-degree (say 1e9) would use
+  *    [[Scale.saltedAggregate]] — documented, not needed at this shape.
+  *  - Triangle counting uses DEGREE-ORDERED orientation (orient every
+  *    undirected edge toward the higher (degree, id) endpoint — the
+  *    standard wedge-count bound): a hub with in-degree d sources no
+  *    wedges, so the enumeration join fans out from leaves (deg ≤ 3)
+  *    and the wedge set stays O(edges), never O(hub_deg²). Id-ordered
+  *    orientation would enumerate hub² wedges at exactly the nodes
+  *    where a real crawl is hottest.
+  */
+object Graphs {
+
+  private val Scale12 = 1000000000000L // 1e12: rank unit = 1e-12
+
+  /** The derived crawl edge list (src, dst). Multigraph: parallel edges
+    * kept (i = 1 items reach the hub twice). */
+  private[ops] def crawlEdges(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val hubRing = ids.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("src"),
+        pmod(col("doc_id") + 1, lit(50)).cast("long").as("dst"))
+    val toHub = ids.filter(col("doc_id") >= 50)
+      .select(col("doc_id").as("src"), pmod(col("doc_id"), lit(50)).cast("long").as("dst"))
+    val toPrev = ids.filter(col("doc_id") >= 50)
+      .select(col("doc_id").as("src"), (col("doc_id") - 50).as("dst"))
+    hubRing.unionAll(toHub).unionAll(toPrev)
+  }
+
+  /** Fixed-point PageRank, `iters` synchronous iterations, damping 0.85.
+    * r⁰(v) = ⌊S/n⌋; rᵗ(v) = ⌊15·⌊S/n⌋/100⌋ + ⌊85·Σ_{u→v}⌊rᵗ⁻¹(u)/deg(u)⌋/100⌋
+    * with S = 1e12 — every step exact BIGINT, so the oracle's unrolled
+    * CTE chain reproduces it bit-for-bit. */
+  def pagerank(docs: DataFrame, iters: Int = 10): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val nAgg = ids.agg(count(lit(1)).as("n"))
+    val edges = crawlEdges(docs)
+    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // scatter side is static across iterations: join once, cache.
+    val edged = edges.join(outd, Seq("src")).cache()
+    var ranks = ids.crossJoin(broadcast(nAgg))
+      .select(col("doc_id"), expr(s"CAST($Scale12 AS BIGINT) div n").as("r"))
+    for (it <- 1 to iters) {
+      val contribs = edged
+        .join(ranks.select(col("doc_id").as("src"), col("r")), Seq("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val stepped = ids.crossJoin(broadcast(nAgg))
+        .join(contribs.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr(s"(15 * (CAST($Scale12 AS BIGINT) div n)) div 100" +
+            s" + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100").as("r"))
+      ranks = if (it % 3 == 0) stepped.localCheckpoint() else stepped
+    }
+    val ind = edges.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
+      .withColumnRenamed("dst", "doc_id")
+    val out = ranks
+      .join(outd.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .join(ind, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("r").as("rank_fp"),
+        coalesce(col("deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .orderBy("doc_id")
+    edged.unpersist()
+    out
+  }
+
+  /** Undirected simple edges (u < v), parallel edges collapsed. */
+  private def undirected(docs: DataFrame): DataFrame =
+    crawlEdges(docs)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+
+  /** Oriented edge list (src, dst, ddeg): each undirected edge pointed
+    * toward the higher endpoint in the chosen total order — (deg, id)
+    * when `byDegree` (the wedge-bounding orientation), plain id
+    * otherwise (the naive one [[wedgeCount]] measures against). `ddeg`
+    * carries the dst's degree so the wedge join can order its two
+    * endpoints without a re-join. */
+  private[graft] def orientedEdges(docs: DataFrame, byDegree: Boolean): DataFrame = {
+    val und = undirected(docs)
+    val deg = und.select(col("u").as("id")).unionAll(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+    val uFirst = if (byDegree)
+      col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    else col("u") < col("v")
+    withDeg.select(
+      when(uFirst,
+        struct(col("u").as("src"), col("v").as("dst"), col("dv").as("ddeg")))
+        .otherwise(
+          struct(col("v").as("src"), col("u").as("dst"), col("du").as("ddeg")))
+        .as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.ddeg"))
+  }
+
+  /** Wedge (open two-path) count under the chosen orientation —
+    * Σ_src C(outdeg(src), 2), the exact join volume triangle
+    * enumeration pays. The scale evidence for degree ordering: id
+    * ordering makes every hub source its whole neighborhood, paying
+    * C(hub_deg, 2) wedges at exactly the hottest nodes. */
+  private[graft] def wedgeCount(docs: DataFrame, byDegree: Boolean): Long =
+    orientedEdges(docs, byDegree)
+      .groupBy("src").agg(count(lit(1)).as("k"))
+      .agg(sum(expr("k * (k - 1) div 2"))).head().getLong(0)
+
+  /** Per-node triangle counts over the undirected crawl graph,
+    * degree-ordered wedge enumeration (nodes in ≥1 triangle only). */
+  def triangleCounts(docs: DataFrame): DataFrame = {
+    val oriented = orientedEdges(docs, byDegree = true)
+    val e1 = oriented.select(col("src").as("a"), col("dst").as("b"), col("ddeg").as("db"))
+    val e2 = oriented.select(col("src").as("a"), col("dst").as("c"), col("ddeg").as("dc"))
+    val wedges = e1.join(e2, Seq("a"))
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("a"), col("b"), col("c"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    tris.select(col("a").as("doc_id"))
+      .unionAll(tris.select(col("b").as("doc_id")))
+      .unionAll(tris.select(col("c").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 10 fixed-point iterations; exact BIGINT ranks (1e-12 units).
+    "graph_pagerank" -> ((s, d) => pagerank(Tables.documents(s, d))),
+    // per-node triangle membership, degree-ordered enumeration.
+    "graph_triangles" -> ((s, d) => triangleCounts(Tables.documents(s, d)))
+  )
+
+  /** Shared edge-derivation CTEs (ids → edges → out-degrees). */
+  private def sqlEdgeCtes: String =
+    """ids AS (SELECT doc_id FROM documents),
+      |nn AS (SELECT count(*) AS n FROM ids),
+      |edges AS (
+      |  SELECT doc_id AS src, (doc_id + 1) % 50 AS dst FROM ids WHERE doc_id < 50
+      |  UNION ALL
+      |  SELECT doc_id, doc_id % 50 FROM ids WHERE doc_id >= 50
+      |  UNION ALL
+      |  SELECT doc_id, doc_id - 50 FROM ids WHERE doc_id >= 50),
+      |outd AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      |ed AS (SELECT e.src, e.dst, o.deg FROM edges e JOIN outd o USING (src))""".stripMargin
+
+  /** One unrolled PageRank iteration t (reads r{t-1}, defines r{t}) —
+    * the exact integer recurrence of [[pagerank]]. */
+  private def sqlPrIter(t: Int): String =
+    s"""r$t AS (
+       |  SELECT i.doc_id AS id,
+       |         (15 * (1000000000000 // nn.n)) // 100
+       |           + (85 * COALESCE(c.s, 0)) // 100 AS r
+       |  FROM ids i CROSS JOIN nn
+       |  LEFT JOIN (SELECT ed.dst, CAST(sum(p.r // ed.deg) AS BIGINT) AS s
+       |             FROM r${t - 1} p JOIN ed ON ed.src = p.id
+       |             GROUP BY ed.dst) c ON c.dst = i.doc_id)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    // ten unrolled iterations of the identical integer recurrence.
+    "graph_pagerank" -> {
+      val iters = (1 to 10).map(sqlPrIter).mkString(",\n")
+      s"""WITH $sqlEdgeCtes,
+         |r0 AS (SELECT doc_id AS id, 1000000000000 // n AS r
+         |       FROM ids CROSS JOIN nn),
+         |$iters,
+         |ind AS (SELECT dst AS id, count(*) AS in_deg FROM edges GROUP BY dst)
+         |SELECT i.doc_id, CAST(r10.r AS BIGINT) AS rank_fp,
+         |       CAST(COALESCE(o.deg, 0) AS BIGINT) AS out_deg,
+         |       CAST(COALESCE(ind.in_deg, 0) AS BIGINT) AS in_deg
+         |FROM ids i
+         |JOIN r10 ON r10.id = i.doc_id
+         |LEFT JOIN outd o ON o.src = i.doc_id
+         |LEFT JOIN ind ON ind.id = i.doc_id
+         |ORDER BY i.doc_id""".stripMargin
+    },
+    // same degree-ordered wedge enumeration, per-node credit ×3.
+    "graph_triangles" ->
+      s"""WITH $sqlEdgeCtes,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM edges),
+         |dg AS (
+         |  SELECT id, count(*) AS deg FROM (
+         |    SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+         |  GROUP BY id),
+         |ori AS (
+         |  SELECT CASE WHEN (a.deg, u) < (b.deg, v) THEN u ELSE v END AS src,
+         |         CASE WHEN (a.deg, u) < (b.deg, v) THEN v ELSE u END AS dst,
+         |         CASE WHEN (a.deg, u) < (b.deg, v) THEN b.deg ELSE a.deg END AS ddeg
+         |  FROM und JOIN dg a ON a.id = u JOIN dg b ON b.id = v),
+         |wed AS (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM ori e1 JOIN ori e2 ON e1.src = e2.src
+         |  WHERE (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)),
+         |tri AS (
+         |  SELECT a, b, c FROM wed
+         |  JOIN ori ON ori.src = wed.b AND ori.dst = wed.c)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM (SELECT a AS doc_id FROM tri
+         |      UNION ALL SELECT b FROM tri
+         |      UNION ALL SELECT c FROM tri)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

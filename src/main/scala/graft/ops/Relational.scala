@@ -241,6 +241,34 @@ object Relational {
           round(avg(col("clipped")), 4).as("avg_winsor"))
         .orderBy("event_type")
     }),
+    // robust outlier screen: median/MAD per type (the mean/stddev pair
+    // breaks down at a single wild value; median and MAD have 50%
+    // breakdown — the robust-statistics standard for metric streams).
+    // Flag |v − med| > 3·1.4826·MAD (1.4826 ≈ Φ⁻¹-consistency constant,
+    // so the threshold reads "3 robust sigmas"). Same two-pass shape as
+    // winsorize: each pass is one grouped agg broadcast back (the
+    // per-type stats table is type-sized), the flag compare is map-side.
+    // Comparisons use the UNROUNDED interpolated medians — winsorize's
+    // strictly-between argument applies — and only the reported columns
+    // round. At 100 TB swap the exact percentile for approx_percentile;
+    // the oracle pins the exact form.
+    "events_outliers_mad" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val mad = ev.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"), col("med"))
+        .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+      ev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("value") - col("med")) >
+            lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .select(col("event_type"), col("n"), col("n_outliers"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad_v"))
+        .orderBy("event_type")
+    }),
     // exact linear-interpolated percentiles per group.
     "agg_percentile" -> ((s, d) =>
       Tables.orders(s, d)
@@ -485,6 +513,25 @@ object Relational {
         |  round(avg(least(greatest(e.value, b.lo), b.hi)), 4) AS avg_winsor
         |FROM events e JOIN b ON e.event_type = b.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // same two medians (quantile_cont interpolation matches Spark's
+    // percentile), same unrounded threshold compare, same 3·1.4826 fold.
+    "events_outliers_mad" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |md AS (
+        |  SELECT e.event_type, m.med,
+        |         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN m USING (event_type)
+        |  GROUP BY e.event_type, m.med)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN abs(e.value - md.med) >
+        |                3.0 * 1.4826 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       round(md.med, 6) AS med, round(md.mad, 6) AS mad_v
+        |FROM events e JOIN md USING (event_type)
+        |GROUP BY e.event_type, md.med, md.mad
+        |ORDER BY e.event_type""".stripMargin,
     "win_ntile" ->
       """SELECT o_orderpriority, quartile, count(*) AS n,
         |       round(min(o_totalprice), 2) AS lo,

@@ -101,6 +101,43 @@ object TermStats {
       .orderBy("doc_id")
   }
 
+  /** Per-document mean bigram log-probability under the corpus
+    * add-one-smoothed bigram LM — the next perplexity rung above
+    * [[unigramLogprob]]: p(w₂|w₁) = (c(w₁,w₂)+1) / (c(w₁,·)+V). A
+    * document of individually common words in an unusual ORDER (shuffled
+    * boilerplate, keyword-stuffed spam) scores low here while scoring
+    * normal on the unigram model — the standard cheap fluency signal.
+    *
+    * Bigrams come from `lead(word)` over the per-document position
+    * window (one shuffle on doc_id, O(1) state per row — never a
+    * per-document collect). Empty tokens are dropped BEFORE pairing on
+    * both engines, so adjacency is over the filtered stream. Counting
+    * is two keyed aggregates with map-side partials (shuffle carries
+    * the bigram vocabulary, not the token stream); V rides a broadcast
+    * scalar. Docs with fewer than two words emit no row (no bigrams —
+    * same on both engines). */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(Text.words(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val big = toks.withColumn("w2", lead(col("word"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("word").as("w1"), col("w2"))
+    val bi = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vAgg = toks.agg(countDistinct(col("word")).as("v"))
+    big.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(broadcast(vAgg))
+      .select(col("doc_id"),
+        log((col("c12") + 1).cast("double") / (col("c1") + col("v"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Top-k BPE merge candidates — the pair-statistics step every
     * byte-pair-encoding vocabulary induction iterates: count adjacent
     * symbol pairs (here character bigrams inside words) across the
@@ -134,6 +171,7 @@ object TermStats {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf_top" -> ((s, d) => tfidfTop(Tables.documents(s, d), 3)),
     "text_unigram_logprob" -> ((s, d) => unigramLogprob(Tables.documents(s, d))),
+    "text_bigram_logprob" -> ((s, d) => bigramLogprob(Tables.documents(s, d))),
     "tokenize_vocab_ids" -> ((s, d) => tokenizeVocabIds(Tables.documents(s, d))),
     // one BPE merge round: corpus-weighted character-pair counts, top 20.
     "tokenize_bpe_top_merges" -> ((s, d) => bpeTopMerges(Tables.documents(s, d)))
@@ -170,6 +208,26 @@ object TermStats {
         |       round(sum(ln(CAST(freq.cnt AS DOUBLE) / tot.total)) / count(*), 6)
         |         AS avg_logprob
         |FROM tok JOIN freq USING (word) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // filtered-adjacency bigrams (list_filter first, then 1-based
+    // windowed indexing), identical add-one conditional and the same
+    // sum-then-round fold as the unigram twin.
+    "text_bigram_logprob" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM ws)),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+        |vv AS (SELECT count(DISTINCT w) AS v
+        |       FROM (SELECT unnest(ws) AS w FROM ws))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(sum(ln(CAST(bi.c12 + 1 AS DOUBLE) / (uni.c1 + vv.v)))
+        |             / count(*), 6) AS avg_logprob
+        |FROM big JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vv
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tokenize_vocab_ids" ->
       """WITH toks AS (

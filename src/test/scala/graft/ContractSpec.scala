@@ -20,7 +20,9 @@ class ContractSpec extends AnyFunSuite {
       Similarity.queries, EventWindows.queries, Fingerprints.queries,
       Multimodal.queries, graft.sources.FsScan.queries, AsOf.queries,
       Scale.queries, graft.sources.Jdbc.queries,
-      graft.sources.FileFormats.queries)
+      graft.sources.FileFormats.queries, CorpusPrep.queries,
+      Sampling.queries, TermStats.queries, Profile.queries,
+      Graphs.queries)
     val dupes = parts.flatMap(_.keys)
       .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
     assert(dupes.isEmpty, s"keys registered twice (one shadows the other): $dupes")

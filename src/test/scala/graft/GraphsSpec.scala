@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Graphs
+import graft.model.Tables
+
+class GraphsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("pagerank: integer mass conserved to ~1e-9, bit-deterministic " +
+      "across runs, hubs dominate leaves, orphans sit on the teleport floor") {
+    val rows = Graphs.queries("graph_pagerank")(spark, TestSpark.sf0001)
+      .collect()
+    val n = rows.length
+    val total = rows.map(_.getLong(1)).sum
+    // floor-division leak only: < ~(deg+100) units per node per iteration
+    assert(total <= 1000000000000L && total >= 999999000000L,
+      s"mass off: $total")
+    val again = Graphs.queries("graph_pagerank")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "fixed-point ranks must be run-to-run identical")
+    val hubMin = rows.filter(_.getLong(0) < 50).map(_.getLong(1)).min
+    val leafMax = rows.filter(_.getLong(0) >= 50).map(_.getLong(1)).max
+    assert(hubMin > leafMax,
+      s"hub centrality must dominate leaves: $hubMin vs $leafMax")
+    // the last row of items has no in-links: rank is exactly the
+    // integer teleport term
+    val teleport = (15L * (1000000000000L / n)) / 100L
+    val orphans = rows.filter(_.getLong(3) == 0L)
+    assert(orphans.nonEmpty && orphans.forall(_.getLong(1) == teleport))
+  }
+
+  test("triangles: closed-form counts — every triangle is {item k, " +
+      "item k-50, hub k%50} for k >= 100, so credits total 3*(n-100) " +
+      "and each hub sits in exactly n/50-2 of them") {
+    val out = Graphs.queries("graph_triangles")(spark, TestSpark.sf0001)
+      .collect()
+    val n = Tables.documents(spark, TestSpark.sf0001).count()
+    assert(out.map(_.getLong(1)).sum == 3 * (n - 100))
+    val perHub = n / 50 - 2
+    assert(out.filter(_.getLong(0) < 50).forall(_.getLong(1) == perHub))
+  }
+}

@@ -85,6 +85,36 @@ class ProfileSpec extends AnyFunSuite {
     assert(n == Tables.documents(spark, TestSpark.sf0001).count())
   }
 
+  test("z-order layout: per-file zkey ranges are disjoint, and footer " +
+      "min/max skip files for a predicate on EITHER curve dimension") {
+    // sf0.01: 150 users x 30 days — both dimensions have enough spread
+    // for the interleave to localize them (sf0.001 has 15 users, below
+    // one file's row count).
+    val dir = Profile.zorderCopy(spark, "/root/testdata/sf0.01")
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("zkey").as("klo"), max("zkey").as("khi"),
+        min("zuser").as("ulo"), max("zuser").as("uhi"),
+        min("zday").as("dlo"), max("zday").as("dhi"))
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._2)
+    assert(perFile.length > 2)
+    perFile.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 < b._2, s"zkey overlap between ${a._1} and ${b._1}")
+    }
+    // a selective range on EACH dimension must exclude at least one
+    // file by its min/max alone — single-column sorting can only ever
+    // do this for its own column.
+    val uq = (0L, 15L)
+    val dq = (perFile.map(_._6).min, perFile.map(_._6).min + 4)
+    val uHit = perFile.count(f => f._4 <= uq._2 && f._5 >= uq._1)
+    val dHit = perFile.count(f => f._6 <= dq._2 && f._7 >= dq._1)
+    assert(uHit < perFile.length, s"no user-dim skipping: $uHit files")
+    assert(dHit < perFile.length, s"no day-dim skipping: $dHit files")
+    assert(spark.read.parquet(dir).count() ==
+      Tables.events(spark, "/root/testdata/sf0.01").count())
+  }
+
   test("sink_partitioned_prune equals the source filter and prunes " +
       "partitions in the scan") {
     val out = Profile.queries("sink_partitioned_prune")(spark, TestSpark.sf0001)

@@ -46,6 +46,28 @@ class TermStatsSpec extends AnyFunSuite {
     assert(got(1L)._2 > got(2L)._2) // common-word text scores higher
   }
 
+  test("bigram logprob: closed form on a hand corpus, filtered adjacency " +
+      "over empty tokens, one-word docs emit no row") {
+    val docs = Seq(
+      (1L, "a b a b"),  // bigrams (a,b)(b,a)(a,b)
+      (2L, "b b a a"),  // bigrams (b,b)(b,a)(a,a)
+      (3L, "a  b"),     // double space: filtered adjacency -> (a,b)
+      (4L, "solo")      // no bigrams -> absent (but counts toward V)
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val got = TermStats.bigramLogprob(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus: c(a,b)=3 c(b,a)=2 c(b,b)=1 c(a,a)=1; c(a,.)=4 c(b,.)=3; V=3
+    val lpAB = math.log(4.0 / 7); val lpBA = math.log(3.0 / 6)
+    val lpBB = math.log(2.0 / 6); val lpAA = math.log(2.0 / 7)
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(3L)._1 == 1L && math.abs(got(3L)._2 - lpAB) < 1e-6)
+    assert(math.abs(got(1L)._2 - (2 * lpAB + lpBA) / 3) < 1e-6)
+    assert(math.abs(got(2L)._2 - (lpBB + lpBA + lpAA) / 3) < 1e-6)
+    // same unigram profile, different ORDER: doc 1's frequent bigrams
+    // outscore doc 2's rare ones — the signal unigram scoring misses.
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
   test("tokenize_vocab_ids assigns alphabetic ids and preserves token order") {
     val docs = Seq(
       (1L, "b a c a"),
