@@ -616,6 +616,31 @@ object Relational {
             .rowsBetween(-6, Window.currentRow)), 4))
         .orderBy("day")
     }),
+    // trailing-HOUR sliding stats per event over a RANGE frame — "how
+    // busy was this stream in the hour before this event": the frame is
+    // keyed by TIME (epoch seconds, range [-3600, 0]), not row count,
+    // so burstiness changes the frame size — the per-event form of the
+    // rate monitor. RANGE peers (equal timestamps) enter the frame
+    // identically on both engines. The gated stats are count/min/max —
+    // SELECTIONS, exact regardless of evaluation order; a windowed
+    // avg(value) is a float SUM whose engine-dependent order flips the
+    // 4-dp rounding on ~1 row in 10k (measured), so it stays out of the
+    // hash gate. Partitioned by event_type (never a global window); at
+    // 100 TB a pathologically hot single type uses the pre-aggregated
+    // bucket form (EventWindows.trendingCountsPreAgg pattern) —
+    // per-second buckets first, window over buckets.
+    "win_range_trailing" -> ((s, d) => {
+      val sec = expr("unix_micros(ts) div 1000000")
+      val w = Window.partitionBy(col("event_type")).orderBy(col("sec"))
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("sec", sec)
+        .select(col("event_id"), col("event_type"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(min(col("value")).over(w), 6).as("min_1h"),
+          round(max(col("value")).over(w), 6).as("max_1h"))
+        .orderBy("event_id")
+    }),
     // first/last/nth-value per group over an EXPLICIT full frame —
     // "customer's first order value vs their latest vs their second".
     // The default frame (unbounded preceding → current row) makes
@@ -679,6 +704,18 @@ object Relational {
         |SELECT day, n, round(avg(n) OVER (ORDER BY day
         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
         |FROM daily ORDER BY day""".stripMargin,
+    // same epoch-second RANGE frame; 3600 PRECEDING is inclusive on
+    // both engines, and RANGE peers (equal seconds) agree.
+    "win_range_trailing" ->
+      """SELECT event_id, event_type,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  round(min(value) OVER w, 6) AS min_1h,
+        |  round(max(value) OVER w, 6) AS max_1h
+        |FROM (SELECT event_id, event_type, value,
+        |        epoch_us(ts) // 1000000 AS sec FROM events)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "win_first_last" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_totalprice) OVER w AS first_price,

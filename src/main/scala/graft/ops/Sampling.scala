@@ -159,6 +159,66 @@ object Sampling {
       .drop("rng", "off")
   }
 
+  /** Exact GLOBAL 1-based rank by (n_tokens desc, doc_id) with no
+    * one-partition sort: range-bucket on the sort key itself
+    * (approxQuantile probes; equal key values always share a bucket, so
+    * bucket-descending + within-bucket ordering IS the global order),
+    * per-bucket counts cumsum to offsets over O(ranges) rows, and the
+    * heavy row_number runs partitioned by bucket. The bucketing affects
+    * only partitioning, never ranks (SamplingSpec asserts equality with
+    * the global window). */
+  private def withGlobalSizeRank(rows: DataFrame, ranges: Int): DataFrame = {
+    val probes = (1 until ranges).map(_.toDouble / ranges).toArray
+    val splits =
+      if (probes.isEmpty) Array.empty[Double]
+      else rows.stat.approxQuantile("n_tokens", probes, 0.001).distinct.sorted
+    val rng = splits.foldLeft(lit(0)) { (acc, s) =>
+      acc + when(col("n_tokens") >= lit(s), 1).otherwise(0)
+    }
+    val r = rows.withColumn("rng", rng)
+    val offsets = r.groupBy(col("rng")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("rng").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rng"), col("off"))
+    val inRange = Window.partitionBy(col("rng"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    r.join(broadcast(offsets), Seq("rng"))
+      .withColumn("rk", col("off") + row_number().over(inRange))
+      .drop("rng", "off")
+  }
+
+  /** Balanced shard packing — assign every document to one of `nbins`
+    * training shards so per-shard TOTAL tokens come out nearly equal:
+    * rank docs by size (largest first), then deal ranks out in
+    * SERPENTINE order (left-to-right, then right-to-left — pass p gives
+    * bin `p%2==0 ? pos : nbins-1-pos`), the classic deterministic
+    * stand-in for first-fit-decreasing that needs no sequential state:
+    * each bin's k-th card is within one "pass spread" of every other
+    * bin's, so imbalance is bounded by one document per pass boundary.
+    * The FFD greedy itself is inherently sequential (each placement
+    * reads all bin totals) — that loop is exactly what cannot run
+    * distributed, and serpentine-by-rank is the standard substitute.
+    * Ranking uses [[withGlobalSizeRank]] (no one-partition sort); the
+    * assignment is map-side arithmetic; the output is the per-shard
+    * audit (counts, token totals, largest doc). */
+  def packBalanced(docs: DataFrame, nbins: Int = 16,
+      ranges: Int = 32): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val ranked = withGlobalSizeRank(base, ranges)
+      .withColumn("pass", expr(s"(rk - 1) div $nbins"))
+      .withColumn("pos", pmod(col("rk") - 1, lit(nbins)))
+    ranked
+      .withColumn("bin",
+        when(pmod(col("pass"), lit(2)) === 0, col("pos"))
+          .otherwise(lit(nbins - 1) - col("pos")).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total"),
+        max(col("n_tokens")).as("max_doc"))
+      .orderBy("bin")
+  }
+
   def lengthBucketBatches(docs: DataFrame, batchSize: Int = 16,
       ranges: Int = 32): DataFrame = {
     val toks = Text.tokenCount(col("text")).cast("long")
@@ -379,6 +439,8 @@ object Sampling {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")),
     "sample_mix_equalize" -> ((s, d) => mixEqualize(Tables.documents(s, d))),
+    // serpentine shard packing by size rank — per-shard token totals.
+    "sample_pack_balanced" -> ((s, d) => packBalanced(Tables.documents(s, d))),
     // τ=2 temperature mix: rare languages replicate (rate > 1), dominant
     // ones thin — deterministic replicate-and-accept.
     "sample_mix_temperature" -> ((s, d) =>
@@ -534,6 +596,25 @@ object Sampling {
          |       CAST((rk - 1) // 16 AS BIGINT) AS batch_id
          |FROM r ORDER BY doc_id""".stripMargin
     },
+    // single global window — identical ranks to the two-level size-rank
+    // form; same serpentine deal and per-shard rollup.
+    "sample_pack_balanced" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$tokRe')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_tokens,
+         |        row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rk
+         |      FROM t),
+         |a AS (SELECT n_tokens, (rk - 1) // 16 AS pass, (rk - 1) % 16 AS pos
+         |      FROM r)
+         |SELECT CAST(CASE WHEN pass % 2 = 0 THEN pos
+         |            ELSE 15 - pos END AS BIGINT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+         |       CAST(max(n_tokens) AS BIGINT) AS max_doc
+         |FROM a GROUP BY 1 ORDER BY bin""".stripMargin,
     // single global window — semantically identical to the two-level
     // prefix sum (the Spark side must never depend on its bucketing).
     "sample_budget_pack" ->

@@ -276,6 +276,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("packBalanced: bins partition the corpus, doc counts differ by " +
+      "at most 1, and token-total spread stays under one max document") {
+    val bins = Sampling.packBalanced(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bins.map(_._1).toSeq == (0L until 16L).toSeq)
+    assert(bins.map(_._2).sum == docs.count())
+    assert(bins.map(_._2).max - bins.map(_._2).min <= 1)
+    // serpentine dealing on the size-sorted order bounds imbalance by
+    // (roughly) one pass spread — far below one largest document.
+    val spread = bins.map(_._3).max - bins.map(_._3).min
+    assert(spread <= bins.map(_._4).max,
+      s"token spread $spread exceeds the largest doc ${bins.map(_._4).max}")
+  }
+
   test("shuffleShards: total (every doc exactly once), positions dense " +
       "1..shard_size, order decorrelated from doc_id, repartition-stable") {
     val n = docs.count()
