@@ -280,6 +280,93 @@ object Multimodal {
     Dedup.simhashPairsFrom(phashFingerprints(phashPayloads(docs)),
       maxHamming, bits = 30)
 
+  /** Real WAV payloads: deterministic 16-bit mono PCM (8 kHz) sawtooth
+    * samples s_i = ((i·13 + doc_id·31) mod 2048) − 1024, containerized
+    * through javax.sound.sampled's actual WAVE writer — like
+    * [[pngPayloads]], the registered keys check a REAL encode→bytes→
+    * decode round-trip through a production codec path, and the sample
+    * formula is integer arithmetic the oracle replays exactly. One
+    * AudioFormat per partition; payload sized by the doc's UTF-8 byte
+    * count (n = 800 + nb mod 800 samples ≈ 0.1–0.2 s). */
+  def wavPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("nb"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        it.map { case (id, nb) =>
+          val n = (800 + nb % 800).toInt
+          val raw = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = (((i * 13L + id * 31L) % 2048L) - 1024L).toShort
+            raw(2 * i) = (v & 0xff).toByte
+            raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "content")
+  }
+
+  /** Decode real WAV bytes — format header + frame count from the ACTUAL
+    * AudioSystem parse (one decode per row, format objects per
+    * partition), not from the generator's parameters. */
+  def decodeWavMeta(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val f = ais.getFormat
+          (id, f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
+            ais.getFrameLength)
+        }
+      }.toDF("doc_id", "sample_rate", "channels", "bits", "n_samples")
+  }
+
+  /** Per-clip energy from the DECODED samples: sum of squares is exact
+    * BIGINT (so it hash-gates with no float-order risk); RMS is a
+    * single sqrt of an exact integer ratio — deterministic on both
+    * engines. The audio analogue of text_stats. */
+  def audioEnergy(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          var sumSq = 0L
+          var peak = 0L
+          var i = 0
+          while (i < n) {
+            val v = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+            sumSq += v * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            i += 1
+          }
+          (id, n.toLong, sumSq, peak)
+        }
+      }.toDF("doc_id", "n_samples", "sum_sq", "peak")
+      .withColumn("rms",
+        round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 4))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary payload + typed metadata: byte counts differ from char counts
     // on non-ASCII (zh) docs — that difference is the point.
@@ -343,7 +430,20 @@ object Multimodal {
     // block-routed hamming pairs; the planted single-pixel variants are
     // invisible to byte dedup and land at hamming <= 1 here.
     "multimodal_dedup_phash" -> ((s, d) =>
-      phashPairs(Tables.documents(s, d)))
+      phashPairs(Tables.documents(s, d))),
+    // REAL audio round-trip: WAVE-containerized PCM rendered and parsed
+    // back through javax.sound — header fields + frame count from the
+    // actual decode, predicted by the oracle from the byte count.
+    "multimodal_audio_meta" -> ((s, d) =>
+      decodeWavMeta(wavPayloads(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+    // energy over DECODED samples: exact integer sum of squares + peak,
+    // RMS as one sqrt of an exact ratio.
+    "multimodal_audio_energy" -> ((s, d) =>
+      audioEnergy(wavPayloads(Tables.documents(s, d)))
+        .select(col("doc_id"), col("n_samples"), col("sum_sq"),
+          col("peak"), col("rms"))
+        .orderBy("doc_id"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -457,6 +557,33 @@ object Multimodal {
         |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.v = b.v
         |   AND a.doc_id < b.doc_id)
         |SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 3
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+    // header constants are the written format's; the frame count is the
+    // generator's sample count, predicted from the UTF-8 byte length.
+    "multimodal_audio_meta" ->
+      """SELECT doc_id,
+        |       CAST(8000 AS INT) AS sample_rate,
+        |       CAST(1 AS INT) AS channels,
+        |       CAST(16 AS INT) AS bits,
+        |       CAST(800 + octet_length(encode(text)) % 800 AS BIGINT)
+        |         AS n_samples
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the exact sawtooth replay: sum of squares and peak are pure
+    // integer folds over the same s_i = ((i*13 + id*31) % 2048) - 1024
+    // the Spark side DECODES back out of the WAV container.
+    "multimodal_audio_energy" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         800 + octet_length(encode(text)) % 800 AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        |v AS (SELECT doc_id, n,
+        |        ((i * 13 + doc_id * 31) % 2048) - 1024 AS v
+        |      FROM s)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |       CAST(max(abs(v)) AS BIGINT) AS peak,
+        |       round(sqrt(CAST(sum(v * v) AS DOUBLE) / n), 4) AS rms
+        |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
   )
 }

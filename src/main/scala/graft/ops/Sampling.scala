@@ -202,22 +202,79 @@ object Sampling {
     * Ranking uses [[withGlobalSizeRank]] (no one-partition sort); the
     * assignment is map-side arithmetic; the output is the per-shard
     * audit (counts, token totals, largest doc). */
-  def packBalanced(docs: DataFrame, nbins: Int = 16,
-      ranges: Int = 32): DataFrame = {
+  /** Per-document serpentine shard assignment (doc_id, n_tokens, bin) —
+    * the map [[packBalanced]] rolls up and [[trainingOrder]] joins. */
+  private[ops] def packAssignments(docs: DataFrame, nbins: Int,
+      ranges: Int): DataFrame = {
     val base = docs.select(col("doc_id"),
       Text.tokenCount(col("text")).cast("long").as("n_tokens"))
-    val ranked = withGlobalSizeRank(base, ranges)
+    withGlobalSizeRank(base, ranges)
       .withColumn("pass", expr(s"(rk - 1) div $nbins"))
       .withColumn("pos", pmod(col("rk") - 1, lit(nbins)))
-    ranked
       .withColumn("bin",
         when(pmod(col("pass"), lit(2)) === 0, col("pos"))
           .otherwise(lit(nbins - 1) - col("pos")).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("bin"))
+  }
+
+  def packBalanced(docs: DataFrame, nbins: Int = 16,
+      ranges: Int = 32): DataFrame =
+    packAssignments(docs, nbins, ranges)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total"),
         max(col("n_tokens")).as("max_doc"))
       .orderBy("bin")
+
+  /** Curriculum ordering — the anneal-from-clean schedule: phase docs
+    * by corpus-relative quality quartile (the integer stopword-density
+    * score in parts-per-million — exact BIGINT arithmetic, so the
+    * quartile thresholds are deterministic interpolations of integers),
+    * then shuffle deterministically WITHIN each phase by the 60-bit md5
+    * uniform. Consuming rows in (phase desc, shuffle_key) order trains
+    * on the cleanest prose first and anneals toward the noisy tail —
+    * with the schedule being a SORT KEY, not a sequential process.
+    * Map-side except the one broadcast quartile aggregate; no window at
+    * all (the rank, if a consumer needs one, is the two-level machinery
+    * of [[withGlobalSizeRank]]). */
+  def curriculumOrder(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("n_stop",
+        graft.functions.WordSetCount.word_set_count(col("text"), Text.stop)
+          .cast("long"))
+      .withColumn("n_words", size(Text.words(col("text"))).cast("long"))
+      .withColumn("score", expr("(n_stop * 1000000) div n_words"))
+    val q = base.agg(
+      percentile(col("score").cast("double"), lit(0.25)).as("q1"),
+      percentile(col("score").cast("double"), lit(0.5)).as("q2"),
+      percentile(col("score").cast("double"), lit(0.75)).as("q3"))
+    base.crossJoin(broadcast(q))
+      .withColumn("phase",
+        (when(col("score") >= col("q1"), 1).otherwise(0) +
+          when(col("score") >= col("q2"), 1).otherwise(0) +
+          when(col("score") >= col("q3"), 1).otherwise(0)).cast("long"))
+      .withColumn("shuffle_key",
+        conv(substring(rowHex("cur:", col("doc_id")), 1, 15), 16, 10)
+          .cast("long"))
+      .select(col("doc_id"), col("score"), col("phase"), col("shuffle_key"))
+      .orderBy(col("phase").desc, col("shuffle_key"), col("doc_id"))
   }
+
+  /** The per-document TRAINING ORDER CARD — the one frame a training
+    * loader actually consumes: which size-balanced shard to read
+    * (serpentine bin from [[packAssignments]]), the curriculum phase,
+    * and the deterministic in-phase shuffle key. A loader reads its
+    * shard and sorts by (phase desc, shuffle_key) — clean prose first,
+    * annealing to the noisy tail, shuffled reproducibly inside each
+    * phase. One equi-join on doc_id composes the two standalone
+    * operators (each oracle-gated on its own); everything else is the
+    * same map-side arithmetic. */
+  def trainingOrder(docs: DataFrame, nbins: Int = 16,
+      ranges: Int = 32): DataFrame =
+    curriculumOrder(docs)
+      .join(packAssignments(docs, nbins, ranges).select("doc_id", "bin"),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("bin"), col("phase"), col("shuffle_key"))
+      .orderBy(col("bin"), col("phase").desc, col("shuffle_key"), col("doc_id"))
 
   def lengthBucketBatches(docs: DataFrame, batchSize: Int = 16,
       ranges: Int = 32): DataFrame = {
@@ -441,6 +498,11 @@ object Sampling {
     "sample_mix_equalize" -> ((s, d) => mixEqualize(Tables.documents(s, d))),
     // serpentine shard packing by size rank — per-shard token totals.
     "sample_pack_balanced" -> ((s, d) => packBalanced(Tables.documents(s, d))),
+    // quality-quartile curriculum with deterministic in-phase shuffle.
+    "sample_curriculum" -> ((s, d) => curriculumOrder(Tables.documents(s, d))),
+    // the composed per-doc card: shard bin + phase + shuffle key.
+    "pipeline_training_order" -> ((s, d) =>
+      trainingOrder(Tables.documents(s, d))),
     // τ=2 temperature mix: rare languages replicate (rate > 1), dominant
     // ones thin — deterministic replicate-and-accept.
     "sample_mix_temperature" -> ((s, d) =>
@@ -595,6 +657,72 @@ object Sampling {
          |SELECT doc_id, n_tokens, bin,
          |       CAST((rk - 1) // 16 AS BIGINT) AS batch_id
          |FROM r ORDER BY doc_id""".stripMargin
+    },
+    // the two gated forms composed: global-window serpentine bins
+    // joined to the quartile phases, same deal constants and keys.
+    "pipeline_training_order" -> {
+      val stops = Text.stop.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$tokRe')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_tokens,
+         |        row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rk
+         |      FROM t),
+         |bins AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN ((rk - 1) // 16) % 2 = 0 THEN (rk - 1) % 16
+         |         ELSE 15 - (rk - 1) % 16 END AS BIGINT) AS bin
+         |  FROM r),
+         |s AS (
+         |  SELECT doc_id,
+         |    (CAST(len(list_filter(string_split(text, ' '),
+         |       w -> w IN ($stops))) AS BIGINT) * 1000000)
+         |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+         |  FROM documents),
+         |q AS (SELECT quantile_cont(CAST(score AS DOUBLE), 0.25) AS q1,
+         |             quantile_cont(CAST(score AS DOUBLE), 0.5) AS q2,
+         |             quantile_cont(CAST(score AS DOUBLE), 0.75) AS q3
+         |      FROM s),
+         |ph AS (
+         |  SELECT doc_id,
+         |    CAST((CASE WHEN score >= q1 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN score >= q2 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN score >= q3 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS phase,
+         |    CAST(concat('0x', substr(md5(concat('cur:',
+         |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+         |      AS shuffle_key
+         |  FROM s CROSS JOIN q)
+         |SELECT doc_id, bin, phase, shuffle_key
+         |FROM ph JOIN bins USING (doc_id)
+         |ORDER BY bin, phase DESC, shuffle_key, doc_id""".stripMargin
+    },
+    // same integer ppm score, quantile_cont thresholds (interpolations
+    // of integers — deterministic doubles), same 60-bit shuffle key.
+    "sample_curriculum" -> {
+      val stops = Text.stop.map(w => s"'$w'").mkString(", ")
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    (CAST(len(list_filter(string_split(text, ' '),
+         |       w -> w IN ($stops))) AS BIGINT) * 1000000)
+         |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+         |  FROM documents),
+         |q AS (SELECT quantile_cont(CAST(score AS DOUBLE), 0.25) AS q1,
+         |             quantile_cont(CAST(score AS DOUBLE), 0.5) AS q2,
+         |             quantile_cont(CAST(score AS DOUBLE), 0.75) AS q3
+         |      FROM s)
+         |SELECT doc_id, CAST(score AS BIGINT) AS score,
+         |       CAST((CASE WHEN score >= q1 THEN 1 ELSE 0 END)
+         |          + (CASE WHEN score >= q2 THEN 1 ELSE 0 END)
+         |          + (CASE WHEN score >= q3 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS phase,
+         |       CAST(concat('0x', substr(md5(concat('cur:',
+         |         CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+         |         AS shuffle_key
+         |FROM s CROSS JOIN q
+         |ORDER BY phase DESC, shuffle_key, doc_id""".stripMargin
     },
     // single global window — identical ranks to the two-level size-rank
     // form; same serpentine deal and per-shard rollup.

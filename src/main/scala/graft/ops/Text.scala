@@ -23,7 +23,7 @@ object Text {
   def tokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
 
-  private val stop = Seq("the", "a", "of", "and", "to", "in")
+  private[ops] val stop = Seq("the", "a", "of", "and", "to", "in")
 
   /** Stopword ratio — a standard cheap quality signal. Counting uses the
     * native [[graft.functions.WordSetCount]] expression (one compiled

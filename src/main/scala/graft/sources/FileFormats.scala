@@ -35,6 +35,7 @@ object FileFormats {
       val m = Manifest.fromDocuments(spark, dir)
       m.write.mode("overwrite").option("header", "true").csv(s"$root/csv")
       m.write.mode("overwrite").json(s"$root/json")
+      m.write.mode("overwrite").orc(s"$root/orc")
       graft.ops.SessionCleanup.onEnd(spark) {
         memo.remove((spark, dir))
         graft.ops.SessionCleanup.deleteRecursively(root)
@@ -51,6 +52,12 @@ object FileFormats {
     "source_json" -> ((s, d) => {
       val root = ensureWritten(s, d)
       s.read.schema(manifestSchema).json(s"$root/json").orderBy("id")
+    }),
+    // ORC round-trip — the second columnar interchange format (typed
+    // footers, predicate pushdown and column pruning like parquet).
+    "source_orc" -> ((s, d) => {
+      val root = ensureWritten(s, d)
+      s.read.schema(manifestSchema).orc(s"$root/orc").orderBy("id")
     }),
     // two parquet generations with DIFFERENT schemas read as one table.
     "source_schema_evolution" -> ((s, d) => {
@@ -96,6 +103,7 @@ object FileFormats {
   def oracle: Map[String, String] = Map(
     "source_csv" -> graft.model.OracleSql.manifestSelect,
     "source_json" -> graft.model.OracleSql.manifestSelect,
+    "source_orc" -> graft.model.OracleSql.manifestSelect,
     // union-by-name with NULL-filled absent columns, exactly what the
     // merged read must produce.
     "source_schema_evolution" ->

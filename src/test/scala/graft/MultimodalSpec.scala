@@ -72,6 +72,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("wavPayloads emits REAL RIFF/WAVE containers; the decoded sample " +
+      "stream reproduces the generator sawtooth exactly") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .filter(col("doc_id") < 8)
+    val wavs = Multimodal.wavPayloads(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(wavs.size == 8)
+    wavs.values.foreach { b =>
+      assert(new String(b.take(4), "US-ASCII") == "RIFF")
+      assert(new String(b.slice(8, 12), "US-ASCII") == "WAVE")
+    }
+    val nb = docs.select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val got = Multimodal.audioEnergy(Multimodal.wavPayloads(docs)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    for ((id, n0) <- nb) {
+      val n = (800 + n0 % 800).toInt
+      var sumSq = 0L; var peak = 0L
+      for (i <- 0 until n) {
+        val v = ((i * 13L + id * 31L) % 2048L) - 1024L
+        sumSq += v * v; peak = math.max(peak, math.abs(v))
+      }
+      assert(got(id) == ((n.toLong, sumSq, peak)),
+        s"doc $id decoded energy != generator formula")
+    }
+  }
+
   test("phash: planted same-asset images (including the single-pixel " +
       "variants) pair within hamming 1; distinct assets never pair") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
