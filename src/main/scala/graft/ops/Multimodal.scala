@@ -367,6 +367,86 @@ object Multimodal {
         round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 4))
   }
 
+  /** Real VIDEO stand-in: a length-prefixed container of K REAL PNG
+    * frames (4-byte big-endian frame count, then [4-byte length][PNG
+    * bytes] per frame) — the JVM has no video codec, but a video IS a
+    * framed container of encoded images, and this keeps every hard part
+    * real: container parsing, per-frame codec decode (ImageIO), one
+    * encoder/reader per partition, frame fan-out to rows. K = 1 + id%4;
+    * frame k of a doc with nb text bytes is (1 + (nb+k)%16) ×
+    * (1 + ((nb+k)*7)%16) — integer formulas the oracle replays. */
+  def videoPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("nb"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        it.map { case (id, nb) =>
+          val k = (1 + id % 4).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val dos = new java.io.DataOutputStream(bos)
+          dos.writeInt(k)
+          var f = 0
+          while (f < k) {
+            val w = (1 + (nb + f) % 16).toInt
+            val h = (1 + ((nb + f) * 7) % 16).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y,
+                  ((id * 2654435761L + f * 97 + x * 31 + y * 7) & 0xffffff).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            val fb = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(fb)
+            writer.setOutput(ios)
+            writer.write(img)
+            ios.close()
+            val bytes = fb.toByteArray
+            dos.writeInt(bytes.length)
+            dos.write(bytes)
+            f += 1
+          }
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "content")
+  }
+
+  /** Parse the container and REALLY decode every frame: one ImageReader
+    * per partition; one output row per frame with the DECODED dims. */
+  def decodeVideoFrames(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        it.flatMap { case (id, bytes) =>
+          val dis = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val k = dis.readInt()
+          (0 until k).map { f =>
+            val len = dis.readInt()
+            val fb = new Array[Byte](len)
+            dis.readFully(fb)
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(fb))
+            reader.setInput(iis)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            (id, f.toLong, w, h, len.toLong)
+          }
+        }
+      }.toDF("doc_id", "frame_no", "width", "height", "frame_bytes")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary payload + typed metadata: byte counts differ from char counts
     // on non-ASCII (zh) docs — that difference is the point.
@@ -443,7 +523,13 @@ object Multimodal {
       audioEnergy(wavPayloads(Tables.documents(s, d)))
         .select(col("doc_id"), col("n_samples"), col("sum_sq"),
           col("peak"), col("rms"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // REAL framed-video round-trip: container parse + per-frame PNG
+    // decode, one row per frame with the DECODED dims (frame fan-out).
+    "multimodal_video_meta" -> ((s, d) =>
+      decodeVideoFrames(videoPayloads(Tables.documents(s, d)))
+        .select(col("doc_id"), col("frame_no"), col("width"), col("height"))
+        .orderBy("doc_id", "frame_no"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -584,6 +670,18 @@ object Multimodal {
         |       CAST(sum(v * v) AS BIGINT) AS sum_sq,
         |       CAST(max(abs(v)) AS BIGINT) AS peak,
         |       round(sqrt(CAST(sum(v * v) AS DOUBLE) / n), 4) AS rms
-        |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+        |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // one row per generator frame; dims from the same integer formulas
+    // the Spark side decodes back out of the real PNG frames.
+    "multimodal_video_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS nb,
+        |         1 + doc_id % 4 AS k
+        |  FROM documents),
+        |f AS (SELECT doc_id, nb, unnest(range(0, k)) AS f FROM d)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+        |       CAST(1 + (nb + f) % 16 AS INT) AS width,
+        |       CAST(1 + ((nb + f) * 7) % 16 AS INT) AS height
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin
   )
 }

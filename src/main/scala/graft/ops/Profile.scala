@@ -165,6 +165,27 @@ object Profile {
       tmp
     })
 
+  private val dppDimMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
+
+  /** Tiny lang→tier dimension written as parquet — the filter side of
+    * the dynamic-partition-pruning join. Which langs are 'major' is only
+    * discoverable by READING the dim, which is what forces the runtime
+    * pruning subquery instead of static predicate pushdown. */
+  private[graft] def dppDims(s: SparkSession, d: String): String =
+    dppDimMemo.getOrElseUpdate((s, d), {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dppdim").toString
+      Tables.documents(s, d).select(col("lang")).distinct()
+        .withColumn("tier",
+          when(col("lang").isin("en", "zh"), "major").otherwise("minor"))
+        .write.mode("overwrite").parquet(tmp)
+      SessionCleanup.onEnd(s) {
+        dppDimMemo.remove((s, d))
+        SessionCleanup.deleteRecursively(tmp)
+      }
+      tmp
+    })
+
   // one JSONL copy per (session, sfDir, shards), cleaned up with the
   // session — shards is part of the key so a different shard count never
   // silently reuses an old layout
@@ -453,6 +474,22 @@ object Profile {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    // DYNAMIC partition pruning: the partitioned fact joined to a dim
+    // whose filter column (tier) is only knowable by reading the dim —
+    // Spark runs the dim side first and prunes fact DIRECTORIES at
+    // runtime with the discovered lang set (ProfileSpec asserts the
+    // dynamicpruning expression lands in the fact scan). The static
+    // cousin is sink_partitioned_prune; at 100 TB DPP is what makes
+    // star-schema joins read the selected partitions only when the
+    // selection lives in the dimension, not the query text.
+    "join_dpp_prune" -> ((s, d) => {
+      val fact = s.read.parquet(partitionedCopy(s, d))
+      val dim = s.read.parquet(dppDims(s, d)).filter(col("tier") === "major")
+      fact.join(dim, Seq("lang"))
+        .groupBy(col("lang"), col("tier"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang")
+    }),
     // write partitioned by lang → read back with a partition predicate;
     // must equal a plain filter on the source table (and ProfileSpec
     // asserts the scan carries PartitionFilters, i.e. directory pruning).
@@ -571,6 +608,18 @@ object Profile {
     "sink_partitioned_prune" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    // the join semantics the runtime pruning must preserve exactly.
+    "join_dpp_prune" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT lang,
+        |         CASE WHEN lang IN ('en', 'zh') THEN 'major'
+        |              ELSE 'minor' END AS tier
+        |  FROM documents)
+        |SELECT d.lang, dim.tier, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(d.n_chars) AS BIGINT) AS chars
+        |FROM documents d JOIN dim USING (lang)
+        |WHERE dim.tier = 'major'
+        |GROUP BY d.lang, dim.tier ORDER BY d.lang""".stripMargin,
     "sink_jsonl_shards" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit, when}
 import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 import graft.ops.Manifest
 
@@ -36,6 +36,15 @@ object FileFormats {
       m.write.mode("overwrite").option("header", "true").csv(s"$root/csv")
       m.write.mode("overwrite").json(s"$root/json")
       m.write.mode("overwrite").orc(s"$root/orc")
+      // a DIRTY csv: every 13th row is truncated to two fields (the
+      // short-row corruption real feeds ship); written as raw text so
+      // the malformation survives the writer.
+      m.select(when(col("id") % 13 === 0,
+          concat(col("id"), lit(","), col("path")))
+        .otherwise(concat(col("id"), lit(","), col("path"),
+          lit(","), col("uploaded")))
+        .as("value"))
+        .write.mode("overwrite").text(s"$root/dirty")
       graft.ops.SessionCleanup.onEnd(spark) {
         memo.remove((spark, dir))
         graft.ops.SessionCleanup.deleteRecursively(root)
@@ -58,6 +67,17 @@ object FileFormats {
     "source_orc" -> ((s, d) => {
       val root = ensureWritten(s, d)
       s.read.schema(manifestSchema).orc(s"$root/orc").orderBy("id")
+    }),
+    // malformed-row tolerance: the dirty feed (every 13th row truncated)
+    // read under DROPMALFORMED must yield EXACTLY the clean rows — the
+    // ingestion never aborts on a bad line and never invents nulls. At
+    // 100 TB this is the difference between a resumable nightly feed
+    // and a 3 a.m. page; mode=PERMISSIVE + columnNameOfCorruptRecord is
+    // the quarantine variant of the same reader.
+    "source_csv_malformed" -> ((s, d) => {
+      val root = ensureWritten(s, d)
+      s.read.schema(manifestSchema).option("mode", "DROPMALFORMED")
+        .csv(s"$root/dirty").orderBy("id")
     }),
     // two parquet generations with DIFFERENT schemas read as one table.
     "source_schema_evolution" -> ((s, d) => {
@@ -104,6 +124,10 @@ object FileFormats {
     "source_csv" -> graft.model.OracleSql.manifestSelect,
     "source_json" -> graft.model.OracleSql.manifestSelect,
     "source_orc" -> graft.model.OracleSql.manifestSelect,
+    // the clean complement of the planted short rows.
+    "source_csv_malformed" -> (graft.model.OracleSql.manifestCte +
+      "\nSELECT id, path, uploaded FROM manifest WHERE id % 13 <> 0" +
+      " ORDER BY id"),
     // union-by-name with NULL-filled absent columns, exactly what the
     // merged read must produce.
     "source_schema_evolution" ->

@@ -85,6 +85,17 @@ class ProfileSpec extends AnyFunSuite {
     assert(n == Tables.documents(spark, TestSpark.sf0001).count())
   }
 
+  test("join_dpp_prune: the fact scan carries a DYNAMIC pruning " +
+      "expression (runtime partition selection from the dim read)") {
+    val out = Profile.queries("join_dpp_prune")(spark, TestSpark.sf0001)
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows.map(_._1).sorted == Seq("en", "zh") &&
+      rows.forall(_._2 == "major"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning in plan:\n$plan")
+  }
+
   test("z-order layout: per-file zkey ranges are disjoint, and footer " +
       "min/max skip files for a predicate on EITHER curve dimension") {
     // sf0.01: 150 users x 30 days — both dimensions have enough spread
