@@ -1015,6 +1015,25 @@ object Dedup {
         .groupBy(col("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")),
+    // per-doc n-gram NOVELTY: the fraction of a doc's distinct
+    // 3-shingles that appear in NO other document (corpus doc-frequency
+    // exactly 1) — boilerplate and template text score near 0, original
+    // prose near 1; the inverse signal of every dedup key above, and
+    // the standard "diversity budget" column a curation mix reads. One
+    // shingle-keyed count (map-side partials; the shuffle carries the
+    // shingle vocabulary) + one join back; novelty is a single
+    // int/int division, so the 6-dp rounding is engine-safe.
+    "text_ngram_novelty" -> ((s, d) => {
+      val sh = shingles(Tables.documents(s, d))
+      val dfq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("dfreq"))
+      sh.join(dfq, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("dfreq") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel") * 1.0 / col("n_shingles"), 6))
+        .orderBy("doc_id")
+    }),
     // nearest doc by 3-gram Jaccard for the first 20 docs (exact form;
     // the LSH path replaces the self-join at scale).
     "dedup_ngram_jaccard" -> ((s, d) => {
@@ -1192,6 +1211,26 @@ object Dedup {
          |  AND doc_id NOT IN (SELECT doc_id FROM dup_near)
          |  AND doc_id NOT IN (SELECT doc_id FROM dup_exact)
          |ORDER BY doc_id""".stripMargin,
+    // same shingle stream, one doc-frequency aggregate, integer-ratio
+    // novelty.
+    "text_ngram_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |ex AS (
+        |  SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i FROM w),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |  FROM ex),
+        |dfq AS (SELECT shingle, count(*) AS dfreq FROM sh GROUP BY shingle)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(sum(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_novel,
+        |       round(sum(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) * 1.0
+        |             / count(*), 6) AS novelty
+        |FROM sh JOIN dfq USING (shingle)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents

@@ -520,6 +520,31 @@ object EventWindows {
     // per-day view → click → purchase conversion funnel (see funnelDaily;
     // the streaming twin runs the same two-level aggregation live).
     "funnel_daily_conversion" -> ((s, d) => funnelDaily(Tables.events(s, d))),
+    // TIME-to-convert: per converting user, seconds from first view to
+    // first purchase (integer epoch-second difference — exact), rolled
+    // up by conversion day with exact interpolated percentiles. Two
+    // type-filtered min-aggregates (map-side partials) + one user join;
+    // the percentile inputs are BIGINTs, so the interpolated p50/p90
+    // are deterministic doubles on both engines (the agg_percentile
+    // precedent). The funnel's "how fast", where funnel_daily_conversion
+    // is the "how many".
+    "events_time_to_convert" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val firstPurchase = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_buy"))
+      firstView.join(firstPurchase, Seq("user_id"))
+        .filter(col("t_buy") >= col("t_view"))
+        .withColumn("latency_s",
+          expr("unix_micros(t_buy) div 1000000 - unix_micros(t_view) div 1000000"))
+        .groupBy(to_date(col("t_buy")).as("day"))
+        .agg(count(lit(1)).as("n_conversions"),
+          round(percentile(col("latency_s"), lit(0.5)), 4).as("p50_s"),
+          round(percentile(col("latency_s"), lit(0.9)), 4).as("p90_s"),
+          max(col("latency_s")).as("max_s"))
+        .orderBy("day")
+    }),
     // day-0 cohorts × day-offset activity counts.
     "events_retention_cohorts" -> ((s, d) =>
       retentionCohorts(Tables.events(s, d))),
@@ -680,6 +705,27 @@ object EventWindows {
         |ORDER BY p_id, c_id""".stripMargin,
     // NULL comparisons fall out identically: t_c > t_v is false-ish
     // (not counted) when either side is NULL in both engines' CASE.
+    // same first-view/first-purchase mins, integer epoch-second latency,
+    // quantile_cont percentiles.
+    "events_time_to_convert" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, min(ts) AS t_buy FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |c AS (
+        |  SELECT v.user_id, t_view, t_buy,
+        |         epoch_us(t_buy) // 1000000 - epoch_us(t_view) // 1000000
+        |           AS latency_s
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |  WHERE t_buy >= t_view)
+        |SELECT CAST(t_buy AS DATE) AS day,
+        |       CAST(count(*) AS BIGINT) AS n_conversions,
+        |       round(quantile_cont(CAST(latency_s AS DOUBLE), 0.5), 4) AS p50_s,
+        |       round(quantile_cont(CAST(latency_s AS DOUBLE), 0.9), 4) AS p90_s,
+        |       CAST(max(latency_s) AS BIGINT) AS max_s
+        |FROM c GROUP BY 1 ORDER BY day""".stripMargin,
     "funnel_daily_conversion" ->
       """WITH ud AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -20,6 +20,16 @@ import graft.model.Tables
   */
 object Multimodal {
 
+  // ImageIO's default stream factories are DISK-cached: every
+  // createImageInput/OutputStream call creates (and holds) a temp cache
+  // file, so a per-frame encode pass over a corpus exhausts file
+  // descriptors long before it exhausts CPU (measured: the framed-video
+  // op at sf0.1 took the whole JVM down with "Too many open files",
+  // failing unrelated shuffles). Payloads here are KBs — memory-cached
+  // streams are strictly better. Runs in the object initializer, so it
+  // executes on every JVM (driver or executor) before first use.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** documents → (doc_id, content: binary, meta struct). The binary column
     * stands in for an image/audio payload. */
   def withBinaryContent(docs: DataFrame): DataFrame =
