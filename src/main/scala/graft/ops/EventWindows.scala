@@ -551,6 +551,29 @@ object EventWindows {
     // first-order type-transition counts and rates.
     "events_type_transitions" -> ((s, d) =>
       typeTransitions(Tables.events(s, d))),
+    // cohort LIFETIME VALUE: purchases rolled up by (first-seen day,
+    // age) with the running cumulative — the revenue companion to
+    // events_retention_cohorts. Determinism note: cell revenue rounds
+    // 2 dp FIRST (the one unordered float sum), and the cumulative is a
+    // window sum over those already-identical doubles in a pinned
+    // (age) order — so the running totals agree bit-for-bit too. Cells
+    // are cohort×age-sized; the user-level shuffle is the cohort min.
+    "events_cohort_ltv" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      val cells = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+        .join(cohort, Seq("user_id"))
+        .withColumn("age", datediff(col("day"), col("cohort_day")).cast("long"))
+        .groupBy(col("cohort_day"), col("age"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")), 2).as("rev"))
+      val w = Window.partitionBy(col("cohort_day")).orderBy(col("age"))
+      cells
+        .withColumn("cum_rev", round(sum(col("rev")).over(w), 2))
+        .orderBy("cohort_day", "age")
+    }),
     // DAU / trailing-7d WAU / stickiness per observed day.
     "events_active_users" -> ((s, d) =>
       activeUsers(Tables.events(s, d))),
@@ -771,6 +794,24 @@ object EventWindows {
         |       round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
         |FROM dau d JOIN wau w ON d.day = w.day
         |ORDER BY d.day""".stripMargin,
+    // cells round FIRST; the cumulative window reads identical doubles
+    // in pinned age order on both engines.
+    "events_cohort_ltv" ->
+      """WITH c AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |cells AS (
+        |  SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS age,
+        |         CAST(count(*) AS BIGINT) AS n_purchases,
+        |         round(sum(value), 2) AS rev
+        |  FROM p JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_day, age, n_purchases, rev,
+        |       round(sum(rev) OVER (
+        |         PARTITION BY cohort_day ORDER BY age), 2) AS cum_rev
+        |FROM cells ORDER BY cohort_day, age""".stripMargin,
     "events_type_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

@@ -115,6 +115,56 @@ object Graphs {
     out
   }
 
+  private val Scale6 = 1000000L // HITS unit: 1e-6 (headroom for deg·score·1e6)
+
+  /** HITS (hubs & authorities), `iters` synchronous rounds — the
+    * companion link-analysis signal to [[pagerank]]: authorities are
+    * pages good hubs point AT, hubs are pages pointing at good
+    * authorities (Kleinberg's mutual recursion). Determinism
+    * discipline: scores are BIGINT micro-units normalized each
+    * half-round by the MAX (an exact selection) via integer division —
+    * every step exact, so the unrolled 4-CTE-per-round oracle matches
+    * bit-for-bit. The 1e6 scale (not 1e12) keeps deg·score·scale inside
+    * BIGINT at any realistic hub degree. Per half-round: one scatter
+    * join + one keyed sum (algebraic, map-side partials) + one
+    * broadcast max — the same Pregel cost model as PageRank with the
+    * normalization replacing the teleport. */
+  def hits(docs: DataFrame, iters: Int = 10): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val edges = crawlEdges(docs).cache()
+    var auth = ids.select(col("doc_id"), lit(Scale6).as("a"))
+    var hub = ids.select(col("doc_id"), lit(Scale6).as("h"))
+    for (_ <- 1 to iters) {
+      // each raw frame feeds BOTH its max and the normalize — without a
+      // cut here the plan doubles per half-round (2^iters); checkpoint
+      // materializes the tiny per-node frame once per half-round (the
+      // dedup_cluster one-job-per-round discipline; the oracle needs
+      // AS MATERIALIZED on the same CTEs for the same reason).
+      val aRaw = ids.join(
+        edges.join(hub.select(col("doc_id").as("src"), col("h")), Seq("src"))
+          .groupBy(col("dst").as("doc_id")).agg(sum(col("h")).as("s")),
+        Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("s"), lit(0L)).as("a"))
+        .localCheckpoint()
+      auth = aRaw.crossJoin(broadcast(aRaw.agg(max(col("a")).as("m"))))
+        .select(col("doc_id"), expr(s"(a * $Scale6) div m").as("a"))
+      val hRaw = ids.join(
+        edges.join(auth.select(col("doc_id").as("dst"), col("a")), Seq("dst"))
+          .groupBy(col("src").as("doc_id")).agg(sum(col("a")).as("s")),
+        Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("s"), lit(0L)).as("h"))
+        .localCheckpoint()
+      hub = hRaw.crossJoin(broadcast(hRaw.agg(max(col("h")).as("m"))))
+        .select(col("doc_id"), expr(s"(h * $Scale6) div m").as("h"))
+    }
+    val out = auth.join(hub, Seq("doc_id"))
+      .select(col("doc_id"), col("a").as("authority_fp"),
+        col("h").as("hub_fp"))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
   /** Undirected simple edges (u < v), parallel edges collapsed. */
   private def undirected(docs: DataFrame): DataFrame =
     crawlEdges(docs)
@@ -182,14 +232,16 @@ object Graphs {
     // 10 fixed-point iterations; exact BIGINT ranks (1e-12 units).
     "graph_pagerank" -> ((s, d) => pagerank(Tables.documents(s, d))),
     // per-node triangle membership, degree-ordered enumeration.
-    "graph_triangles" -> ((s, d) => triangleCounts(Tables.documents(s, d)))
+    "graph_triangles" -> ((s, d) => triangleCounts(Tables.documents(s, d))),
+    // 10 max-normalized integer HITS rounds; exact BIGINT scores.
+    "graph_hits" -> ((s, d) => hits(Tables.documents(s, d)))
   )
 
   /** Shared edge-derivation CTEs (ids → edges → out-degrees). */
   private def sqlEdgeCtes: String =
-    """ids AS (SELECT doc_id FROM documents),
+    """ids AS MATERIALIZED (SELECT doc_id FROM documents),
       |nn AS (SELECT count(*) AS n FROM ids),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT doc_id AS src, (doc_id + 1) % 50 AS dst FROM ids WHERE doc_id < 50
       |  UNION ALL
       |  SELECT doc_id, doc_id % 50 FROM ids WHERE doc_id >= 50
@@ -210,6 +262,30 @@ object Graphs {
        |             FROM r${t - 1} p JOIN ed ON ed.src = p.id
        |             GROUP BY ed.dst) c ON c.dst = i.doc_id)""".stripMargin
 
+  /** One unrolled HITS round t: authority gather + max-normalize, then
+    * hub gather + max-normalize — the exact integer recurrence. */
+  private def sqlHitsIter(t: Int): String =
+    s"""ar$t AS MATERIALIZED (
+       |  SELECT i.doc_id, COALESCE(s.v, 0) AS a
+       |  FROM ids i LEFT JOIN (
+       |    SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS v
+       |    FROM h${t - 1} h JOIN edges e ON e.src = h.doc_id
+       |    GROUP BY e.dst) s ON s.dst = i.doc_id),
+       |am$t AS (SELECT max(a) AS m FROM ar$t),
+       |a$t AS MATERIALIZED (
+       |  SELECT doc_id, (a * 1000000) // m AS a
+       |  FROM ar$t CROSS JOIN am$t),
+       |hr$t AS MATERIALIZED (
+       |  SELECT i.doc_id, COALESCE(s.v, 0) AS h
+       |  FROM ids i LEFT JOIN (
+       |    SELECT e.src, CAST(sum(a.a) AS BIGINT) AS v
+       |    FROM a$t a JOIN edges e ON e.dst = a.doc_id
+       |    GROUP BY e.src) s ON s.src = i.doc_id),
+       |hm$t AS (SELECT max(h) AS m FROM hr$t),
+       |h$t AS MATERIALIZED (
+       |  SELECT doc_id, (h * 1000000) // m AS h
+       |  FROM hr$t CROSS JOIN hm$t)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // ten unrolled iterations of the identical integer recurrence.
     "graph_pagerank" -> {
@@ -226,6 +302,19 @@ object Graphs {
          |JOIN r10 ON r10.id = i.doc_id
          |LEFT JOIN outd o ON o.src = i.doc_id
          |LEFT JOIN ind ON ind.id = i.doc_id
+         |ORDER BY i.doc_id""".stripMargin
+    },
+    // ten unrolled rounds of the identical max-normalized recurrence.
+    "graph_hits" -> {
+      val iters = (1 to 10).map(sqlHitsIter).mkString(",\n")
+      s"""WITH $sqlEdgeCtes,
+         |h0 AS (SELECT doc_id, 1000000 AS h FROM ids),
+         |$iters
+         |SELECT i.doc_id, CAST(a10.a AS BIGINT) AS authority_fp,
+         |       CAST(h10.h AS BIGINT) AS hub_fp
+         |FROM ids i
+         |JOIN a10 ON a10.doc_id = i.doc_id
+         |JOIN h10 ON h10.doc_id = i.doc_id
          |ORDER BY i.doc_id""".stripMargin
     },
     // same degree-ordered wedge enumeration, per-node credit ×3.

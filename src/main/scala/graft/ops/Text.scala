@@ -244,6 +244,23 @@ object Text {
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), langIdExpr(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+    // the classifier EVAL for the key above: labeled × predicted
+    // confusion counts with per-cell recall share (integer-ratio
+    // rounding) — the one-scan diagnostic every heuristic classifier
+    // ships with; off-diagonal mass says where the stopword tables
+    // need work. Aggregation is a lang²-sized groupBy — tiny shuffle.
+    "text_lang_confusion" -> ((s, d) => {
+      val preds = Tables.documents(s, d)
+        .select(col("lang"), langIdExpr(col("text")).as("lang_pred"))
+      val totals = preds.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_true"))
+      preds.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(totals), Seq("lang"))
+        .withColumn("recall_share", round(col("n") * 1.0 / col("n_true"), 6))
+        .select(col("lang"), col("lang_pred"), col("n"), col("recall_share"))
+        .orderBy("lang", "lang_pred")
+    }),
     // predicate on documents (SURVEY §2.2 filter_lang).
     "filter_lang" -> ((s, d) =>
       Tables.documents(s, d)
@@ -424,6 +441,16 @@ object Text {
       s"""SELECT doc_id, lang,
          |  $sqlLangPredCase AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // same predictor CASE, counts + integer-ratio recall share.
+    "text_lang_confusion" ->
+      s"""WITH p AS (
+         |  SELECT lang, $sqlLangPredCase AS lang_pred FROM documents),
+         |t AS (SELECT lang, count(*) AS n_true FROM p GROUP BY lang)
+         |SELECT p.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n,
+         |       round(count(*) * 1.0 / t.n_true, 6) AS recall_share
+         |FROM p JOIN t USING (lang)
+         |GROUP BY p.lang, p.lang_pred, t.n_true
+         |ORDER BY p.lang, p.lang_pred""".stripMargin,
     "filter_lang" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,

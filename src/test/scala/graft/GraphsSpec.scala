@@ -32,6 +32,19 @@ class GraphsSpec extends AnyFunSuite {
     assert(orphans.nonEmpty && orphans.forall(_.getLong(1) == teleport))
   }
 
+  test("hits: all 50 site hubs saturate the authority max exactly " +
+      "(identical in-structure), leaves stay an order below, unlinked " +
+      "nodes score zero, and the hub-score max is attained") {
+    val rows = Graphs.queries("graph_hits")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (hubs, leaves) = rows.partition(_._1 < 50)
+    assert(hubs.length == 50 && hubs.forall(_._2 == 1000000L))
+    assert(leaves.map(_._2).max < 100000L)
+    // the last row of items has no in-links at all -> zero authority
+    assert(rows.count(_._2 == 0L) == 50)
+    assert(rows.map(_._3).max == 1000000L)
+  }
+
   test("triangles: closed-form counts — every triangle is {item k, " +
       "item k-50, hub k%50} for k >= 100, so credits total 3*(n-100) " +
       "and each hub sits in exactly n/50-2 of them") {
