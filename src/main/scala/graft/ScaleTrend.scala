@@ -201,6 +201,7 @@ object ScaleTrend {
       // enumeration-join volume) under degree ordering vs id ordering
       // on the hub-skewed crawl graph.
       val tPagerank = time(graft.ops.Graphs.queries("graph_pagerank")(spark, sf))
+      val tHits = time(graft.ops.Graphs.queries("graph_hits")(spark, sf))
       val tTriangles = time(graft.ops.Graphs.queries("graph_triangles")(spark, sf))
       val wedgesDeg = graft.ops.Graphs.wedgeCount(docs, byDegree = true)
       val wedgesId = graft.ops.Graphs.wedgeCount(docs, byDegree = false)
@@ -250,6 +251,7 @@ object ScaleTrend {
         s""""t_emb_cluster":${r3(tEmbCluster)},""" +
         s""""t_length_batches":${r3(tLenBatches)},""" +
         s""""t_graph_pagerank":${r3(tPagerank)},""" +
+        s""""t_graph_hits":${r3(tHits)},""" +
         s""""t_graph_triangles":${r3(tTriangles)},""" +
         s""""graph_wedges_degree_oriented":$wedgesDeg,""" +
         s""""graph_wedges_id_oriented":$wedgesId}""")

@@ -17,7 +17,15 @@ import graft.ops._
   *     sum to HUGEINT);
   *   - double aggregates rounded (2 dp for money-scale sums, 4-6 dp for
   *     unit-scale values) on BOTH sides so FP summation order can't flip a
-  *     hash.
+  *     hash;
+  *   - WINDOWED float sums don't gate even rounded (measured: a trailing
+  *     avg flipped 4 dp on ~1/10k rows) — gate selections (count/min/max),
+  *     or make the arithmetic exact integer (fixed-point PageRank/HITS,
+  *     audio sum-of-squares), or round BEFORE an order-pinned window
+  *     (cohort LTV);
+  *   - an iterative oracle whose round reads its previous CTE twice must
+  *     mark those CTEs AS MATERIALIZED — DuckDB inlines CTEs, and the
+  *     unrolled recurrence otherwise doubles per round (graph_hits).
   */
 object SparkEntry {
 

@@ -115,7 +115,7 @@ object Profile {
     * position 2b, bit b of y at 2b+1. Pure shift/mask arithmetic —
     * identical on Spark (codegen'd) and DuckDB ([[sqlMorton10]] unrolls
     * the same loop into operator syntax). */
-  private def morton10(x: Column, y: Column): Column =
+  private[graft] def morton10(x: Column, y: Column): Column =
     (0 until 10).map { b =>
       shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)
         .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))

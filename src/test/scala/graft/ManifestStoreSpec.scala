@@ -28,6 +28,25 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(stray.isEmpty, stray.mkString(","))
   }
 
+  test("retained generations: swap(retain) keeps readable history bounded " +
+      "at retain snapshots; vacuum prunes to keep, never touching current") {
+    val root = Files.createTempDirectory("graft-manifest-gen").toString
+    def snap(n: Int) =
+      (1 to n).map(i => (i.toLong, s"p$i", false)).toDF("id", "path", "uploaded")
+    for (n <- 1 to 4) ManifestStore.swap(snap(n), root, retain = 2)
+    // 4 swaps with retain=2: history holds exactly 2 generations
+    val gens = ManifestStore.generations(root)
+    assert(gens.size == 2, gens.mkString(","))
+    // newest retained generation is the PREVIOUS current (3 rows), and
+    // history stays directly readable — the time-travel contract
+    assert(spark.read.parquet(gens.head.toString).count() == 3)
+    assert(ManifestStore.read(spark, root).count() == 4)
+    // vacuum to zero: history gone, current untouched
+    assert(ManifestStore.vacuum(root, keep = 0) == 2)
+    assert(ManifestStore.generations(root).isEmpty)
+    assert(ManifestStore.read(spark, root).count() == 4)
+  }
+
   test("uploaded-partitioned snapshot enables partition pruning for filter_pending") {
     val root = Files.createTempDirectory("graft-manifest-part").toString
     val m = Seq((1L, "a", false), (2L, "b", true), (3L, "c", false))

@@ -85,6 +85,20 @@ class ProfileSpec extends AnyFunSuite {
     assert(n == Tables.documents(spark, TestSpark.sf0001).count())
   }
 
+  test("morton interleave is injective over the full 10-bit grid " +
+      "(the property that makes z-key ranges mean 2-D cells)") {
+    // all 2^20 (x, y) pairs -> exactly 2^20 distinct z-keys, each < 2^20
+    val grid = spark.range(1 << 20).selectExpr(
+      "id % 1024 AS zuser", "id div 1024 AS zday")
+    val keyed = grid.withColumn("zkey",
+      Profile.morton10(col("zuser"), col("zday")))
+    val stats = keyed.agg(
+      countDistinct(col("zkey")).as("d"),
+      max(col("zkey")).as("mx"), min(col("zkey")).as("mn")).head()
+    assert(stats.getLong(0) == (1L << 20))
+    assert(stats.getLong(2) >= 0L && stats.getLong(1) < (1L << 20))
+  }
+
   test("join_dpp_prune: the fact scan carries a DYNAMIC pruning " +
       "expression (runtime partition selection from the dim read)") {
     val out = Profile.queries("join_dpp_prune")(spark, TestSpark.sf0001)
