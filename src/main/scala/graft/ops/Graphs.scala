@@ -186,6 +186,68 @@ object Graphs {
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
 
+  /** Multi-source BFS hop distance from the crawl SEED LIST over the
+    * UNDIRECTED crawl graph — link distance to the nearest seed, the
+    * crawl-frontier DEPTH column (pages many link hops from every seed
+    * are late-crawl, lower-prior pages; depth is the standard
+    * crawl-quality covariate next to PageRank). Real crawls start from
+    * a seed LIST, not one URL — here the five portal hubs 0/10/20/30/40
+    * (every 10th site), which also bounds the BFS round count: the
+    * farthest hub is ring distance 5 from a seed and every item is one
+    * hop past its hub, so diameter = 6 and 8 rounds converge with
+    * margin at every SF (a round past convergence has an EMPTY frontier
+    * and scatters nothing — the fixed-rounds posture of [[pagerank]]
+    * at the iterative-algorithm price actually paid: rounds ≈ graph
+    * diameter from the seed set, not a tuning constant).
+    *
+    * This is FRONTIER BFS, not dense min-propagation: round t scatters
+    * only the nodes FIRST REACHED at round t-1 (frontier ⋈ edges, then
+    * an anti-join against the reached set), so total scatter volume
+    * across ALL rounds is O(edges) — each edge scatters at most twice
+    * (once per endpoint's frontier round) — where the dense form
+    * re-joins the whole node set every round, paying O(rounds · edges).
+    * At 100 TB frontier BFS is the only affordable shape: the reached
+    * set is an accumulating artifact (here unionAll + periodic
+    * localCheckpoint; on a cluster, a parquet-backed table
+    * co-partitioned with the edge list so the anti-join is
+    * exchange-free), early frontiers are broadcast-sized (AQE picks
+    * that up from runtime stats — no forced hint, because a mid-BFS
+    * frontier on a small-world graph can be most of the node set).
+    *
+    * Determinism: hop counts are exact integers (min over equal-length
+    * paths is the same integer on any engine), so the result is
+    * hash-gated with no rounding; unreached nodes (none in this graph)
+    * would report -1. */
+  def bfsHops(docs: DataFrame, iters: Int = 8): DataFrame = {
+    val und = undirected(docs)
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .cache()
+    var reached = docs.select(col("doc_id"))
+      .filter(col("doc_id") < 50 && col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit(0L).as("hop"))
+    var frontier = reached
+    for (t <- 1 to iters) {
+      val next = sym
+        .join(frontier.select(col("doc_id").as("src")), Seq("src"))
+        .select(col("dst").as("doc_id")).distinct()
+        .join(reached.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(t.toLong).as("hop"))
+      // frontier_t feeds BOTH reached_t and frontier_{t+1}: without a
+      // periodic cut the shared subtree re-expands per consumer and the
+      // plan grows superlinearly (the ccLabels cadence).
+      frontier = if (t % 3 == 0) next.localCheckpoint() else next
+      val grown = reached.unionAll(frontier)
+      reached = if (t % 3 == 0) grown.localCheckpoint() else grown
+    }
+    val out = docs.select(col("doc_id"))
+      .join(reached, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hop"), lit(-1L)).as("hop"))
+      .orderBy("doc_id")
+    sym.unpersist()
+    out
+  }
+
   /** Oriented edge list (src, dst, ddeg): each undirected edge pointed
     * toward the higher endpoint in the chosen total order — (deg, id)
     * when `byDegree` (the wedge-bounding orientation), plain id
@@ -272,7 +334,9 @@ object Graphs {
     // per-node triangle membership, degree-ordered enumeration.
     "graph_triangles" -> ((s, d) => triangleCounts(Tables.documents(s, d))),
     // 10 max-normalized integer HITS rounds; exact BIGINT scores.
-    "graph_hits" -> ((s, d) => hits(Tables.documents(s, d)))
+    "graph_hits" -> ((s, d) => hits(Tables.documents(s, d))),
+    // frontier BFS crawl depth from doc 0; exact integer hops.
+    "graph_bfs_depth" -> ((s, d) => bfsHops(Tables.documents(s, d)))
   )
 
   /** Shared edge-derivation CTEs (ids → edges → out-degrees). */
@@ -360,6 +424,27 @@ object Graphs {
          |JOIN h10 ON h10.doc_id = i.doc_id
          |ORDER BY i.doc_id""".stripMargin
     },
+    // bounded-hop recursive reachability; min(hop) per node is the BFS
+    // distance (exact integers — no rounding).
+    "graph_bfs_depth" ->
+      s"""WITH RECURSIVE $sqlEdgeCtes,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM edges),
+         |sym AS (SELECT u AS src, v AS dst FROM und
+         |        UNION ALL SELECT v, u FROM und),
+         |bfs AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS hop FROM ids
+         |  WHERE doc_id < 50 AND doc_id % 10 = 0
+         |  UNION
+         |  SELECT e.dst, b.hop + 1
+         |  FROM bfs b JOIN sym e ON e.src = b.doc_id
+         |  WHERE b.hop < 8)
+         |SELECT i.doc_id, CAST(COALESCE(m.hop, -1) AS BIGINT) AS hop
+         |FROM ids i LEFT JOIN (
+         |  SELECT doc_id, min(hop) AS hop FROM bfs GROUP BY doc_id) m
+         |  ON m.doc_id = i.doc_id
+         |ORDER BY i.doc_id""".stripMargin,
     // same degree-ordered wedge enumeration, per-node credit ×3.
     "graph_triangles" ->
       s"""WITH $sqlEdgeCtes,

@@ -45,6 +45,24 @@ class GraphsSpec extends AnyFunSuite {
     assert(rows.map(_._3).max == 1000000L)
   }
 
+  test("bfs depth: closed-form distances — hub m sits at undirected " +
+      "ring distance from the nearest portal seed (0/10/20/30/40), " +
+      "every item is one hop past its hub, and all nodes are reached") {
+    val rows = Graphs.queries("graph_bfs_depth")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.values.forall(_ >= 0L), "graph is connected: no -1 rows")
+    val seeds = Seq(0L, 10L, 20L, 30L, 40L)
+    for ((id, hop) <- rows) {
+      val m = id % 50
+      val ringDist = seeds.map(s => {
+        val d = math.abs(m - s); math.min(d, 50 - d)
+      }).min
+      val expected = ringDist + (if (id >= 50) 1L else 0L)
+      assert(hop == expected, s"doc $id: got $hop, want $expected")
+    }
+    assert(rows.values.max == 6L, "diameter from the seed set is 6")
+  }
+
   test("triangles: closed-form counts — every triangle is {item k, " +
       "item k-50, hub k%50} for k >= 100, so credits total 3*(n-100) " +
       "and each hub sits in exactly n/50-2 of them") {
