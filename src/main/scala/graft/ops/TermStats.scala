@@ -138,6 +138,55 @@ object TermStats {
       .orderBy("doc_id")
   }
 
+  /** BM25 top-k document retrieval for a fixed query term set — the
+    * standard probabilistic ranking function (Robertson et al., the
+    * Lucene-default scoring), and the retrieval op a corpus engine
+    * needs beyond [[tfidfTop]]'s per-doc keyterms: score every document
+    * against a QUERY and return the best k.
+    *
+    * score(d,Q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) — the +1 form that stays
+    * positive for df > N/2.
+    *
+    * Scale shape: the query terms are a LITERAL in-list, so the token
+    * stream is filtered MAP-SIDE before any shuffle — the (doc, term)
+    * aggregate only ever carries postings for the |Q| query terms, the
+    * per-term df and the (total_len, N) scalars ride broadcasts, and
+    * the global top-k is orderBy+limit = TakeOrderedAndProject
+    * (per-partition heads → driver merge of k·partitions rows), never a
+    * full sort. Only dl (per-doc length) aggregates the full corpus —
+    * one map-side-combined count per doc, the same pass every quality
+    * op pays. Float discipline: division/multiplication chains are
+    * IEEE-deterministic given identical parenthesization (mirrored in
+    * the oracle), the one ln() per term matches because scores are
+    * ROUNDED to 6 dp before ranking, and ties break on doc_id. */
+  def bm25Rank(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokens(docs)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("s"), count(lit(1)).as("n"))
+    val tf = toks.filter(col("word").isin(terms: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf").cast("double") * (k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1 - b) +
+              lit(b) * (col("dl") / (col("s").cast("double") / col("n")))))))
+          .as("part"))
+    val topk = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), round(sum(col("part")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    topk.withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy("rnk")
+  }
+
   /** Top-k BPE merge candidates — the pair-statistics step every
     * byte-pair-encoding vocabulary induction iterates: count adjacent
     * symbol pairs (here character bigrams inside words) across the
@@ -174,7 +223,10 @@ object TermStats {
     "text_bigram_logprob" -> ((s, d) => bigramLogprob(Tables.documents(s, d))),
     "tokenize_vocab_ids" -> ((s, d) => tokenizeVocabIds(Tables.documents(s, d))),
     // one BPE merge round: corpus-weighted character-pair counts, top 20.
-    "tokenize_bpe_top_merges" -> ((s, d) => bpeTopMerges(Tables.documents(s, d)))
+    "tokenize_bpe_top_merges" -> ((s, d) => bpeTopMerges(Tables.documents(s, d))),
+    // BM25 top-10 for the fixed 3-term query; k1=1.2, b=0.75.
+    "text_bm25_rank" -> ((s, d) =>
+      bm25Rank(Tables.documents(s, d), Seq("spark", "hash", "vector")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -262,6 +314,38 @@ object TermStats {
         |ranked AS (
         |  SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair)
         |    AS BIGINT) AS rnk FROM agg)
-        |SELECT rnk, pair, n FROM ranked WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+        |SELECT rnk, pair, n FROM ranked WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // identical parenthesization to the Spark expression chain; ranking
+    // on the 6-dp-rounded score with doc_id tiebreak.
+    "text_bm25_rank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tok AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT CAST(sum(dl) AS BIGINT) AS s, count(*) AS n FROM dl),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM tok
+        |  WHERE word IN ('spark', 'hash', 'vector')
+        |  GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+        |           (tf.tf * (1.2 + 1) /
+        |             (tf.tf + 1.2 * ((1 - 0.75) +
+        |               0.75 * (dl.dl / (CAST(st.s AS DOUBLE) / st.n)))))
+        |           AS part
+        |  FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id)
+        |  CROSS JOIN st),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |         round(sum(part), 6) AS score
+        |  FROM scored GROUP BY doc_id),
+        |topk AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |    AS BIGINT) AS rnk FROM agg)
+        |SELECT rnk, doc_id, n_terms, score FROM topk
+        |WHERE rnk <= 10 ORDER BY rnk""".stripMargin
   )
 }

@@ -80,6 +80,31 @@ class TermStatsSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, "3 2")))
   }
 
+  test("bm25 on a hand-built corpus matches the closed form; shorter " +
+      "docs outrank longer ones at equal tf; non-matching docs are out") {
+    val docs = Seq(
+      (1L, "q q a b"),
+      (2L, "q a"),
+      (3L, "a b c"),
+      (4L, "q q q a b c d e")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val out = TermStats.bm25Rank(docs, Seq("q"), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(3)))
+    // doc 3 has no query term: 3 scored docs only
+    assert(out.map(_._1).toSet == Set(1L, 2L, 4L))
+    val avgdl = 17.0 / 4
+    val idf = math.log((4 - 3 + 0.5) / (3 + 0.5) + 1.0)
+    def bm25(tf: Long, dl: Long): Double =
+      idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+    val expect = Map(1L -> bm25(2, 4), 2L -> bm25(1, 2), 4L -> bm25(3, 8))
+    out.foreach { case (id, _, s) =>
+      assert(math.abs(s - expect(id)) < 1e-6, s"doc $id: $s vs ${expect(id)}")
+    }
+    // ranks follow the expected scores descending
+    val byRank = out.sortBy(_._2).map(_._1).toSeq
+    assert(byRank == expect.toSeq.sortBy(-_._2).map(_._1))
+  }
+
   test("bpeTopMerges counts corpus-weighted char bigrams: the hand-built " +
       "winner and its exact count; single-char words contribute nothing") {
     // "abab" ×3 → pairs ab,ba,ab each occurrence: ab=2/word, ba=1/word.
