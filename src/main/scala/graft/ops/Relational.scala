@@ -376,6 +376,43 @@ object Relational {
           (abs(col("est") - col("n_users")) <= col("n_users") * 0.03 + lit(2.0))
             .as("within_tol"))
         .orderBy("event_type")
+    }),
+    // MERGEABLE frequency sketches (Count-Min, built into Spark) — the
+    // companion to agg_hll_sketch_merge for POINT-FREQUENCY queries at
+    // 100 TB: one small binary sketch per day partition, merged by
+    // counter addition (integer sums — order-independent, so with a
+    // fixed seed every estimate is a DETERMINISTIC integer), then any
+    // item's frequency is answered from the merged sketch without
+    // re-touching the fact table. The merged sketch and the probe list
+    // are model-sized driver artifacts (same license as IVF centroids);
+    // the verdict column rides a literal map so the emitted frame is
+    // computed in Spark. Gate: CMS never underestimates and with a
+    // fixed seed overshoot is a fixed integer ≤ ⌈eps·N⌉ here, so
+    // "exact ≤ est ≤ exact + ⌈eps·N⌉" is a stable boolean the oracle
+    // predicts as constant true; the exact top-5 heavy users ride
+    // along, hash-comparable end to end.
+    "agg_count_min" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val daySketches = ev
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count_min_sketch(col("user_id"), lit(0.001), lit(0.99),
+          lit(42)).as("sk"))
+        .select("sk").collect().map(_.getAs[Array[Byte]](0))
+      val merged = daySketches
+        .map(b => org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(b)))
+        .reduce((a, b) => a.mergeInPlace(b))
+      val topk = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("n_events").desc, col("user_id")).limit(5)
+      val users = topk.select("user_id").collect().map(_.getLong(0))
+      val ests = users.map(u => merged.estimateCount(u))
+      val bound = math.ceil(0.001 * ev.count()).toLong
+      val estMap = map_from_arrays(typedLit(users.toSeq), typedLit(ests.toSeq))
+      topk.withColumn("est", estMap(col("user_id")))
+        .select(col("user_id"), col("n_events"),
+          (col("est") >= col("n_events") &&
+            col("est") <= col("n_events") + bound).as("within_tol"))
+        .orderBy(col("n_events").desc, col("user_id"))
     })
   )
 
@@ -387,6 +424,13 @@ object Relational {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |       true AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the CMS gate: exact top-5 heavy users plus the deterministic-sketch
+    // bound boolean, constant true (see the query's comment).
+    "agg_count_min" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       true AS within_tol
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 5""".stripMargin,
     "agg_string_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
         |       string_agg(DISTINCT o_orderpriority, ','

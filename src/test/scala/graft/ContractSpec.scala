@@ -167,6 +167,18 @@ class ContractSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("agg_count_min: merged day-sketch estimates never underestimate, " +
+      "overshoot respects the eps*N bound, and the result is stable " +
+      "across runs (fixed seed, order-independent counters)") {
+    val q = graft.SparkEntry.queries("agg_count_min")
+    val rows = q(spark, TestSpark.sf0001).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getBoolean(2)), "bound boolean must be true")
+    val again = q(spark, TestSpark.sf0001).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("agg_approx_percentile rank error is within the sketch accuracy bound " +
       "(quantitative backing for its no-oracle status)") {
     import org.apache.spark.sql.functions._
