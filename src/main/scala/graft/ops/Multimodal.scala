@@ -182,6 +182,63 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "src_bytes")
   }
 
+  /** REAL pixel transform: decode each PNG payload fully and 2×2
+    * average-pool it — the thumbnail/downsample stage an image-training
+    * pipeline runs after decode (the first level of any image pyramid).
+    * [[decodePngMeta]] proved the codec parses HEADERS; this op proves
+    * the engine moves PIXELS: per pooled cell the four RGB triples are
+    * summed and floor-divided per channel (exact integer arithmetic),
+    * and the emitted per-doc checksum Σ(r̄+ḡ+b̄) over pooled cells is an
+    * exact BIGINT the DuckDB oracle re-derives from the pixel formula —
+    * a single wrong pixel anywhere in decode or pooling shifts the sum
+    * and fails the hash gate. Odd edges truncate (out dims = ⌊w/2⌋ ×
+    * ⌊h/2⌋); 1-wide/1-tall images pool to zero cells and checksum 0.
+    *
+    * Scale shape: map-only over the payload column — one reader init
+    * per partition, O(w·h) integer work per image, nothing shuffles but
+    * the (doc_id, dims, checksum) summary row. */
+  def poolPngAvg(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        it.map { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis)
+          val img = reader.read(0)
+          iis.close()
+          val pw = img.getWidth / 2
+          val ph = img.getHeight / 2
+          var sum = 0L
+          var py = 0
+          while (py < ph) {
+            var px = 0
+            while (px < pw) {
+              var r = 0; var g = 0; var b = 0
+              var dy = 0
+              while (dy < 2) {
+                var dx = 0
+                while (dx < 2) {
+                  val v = img.getRGB(2 * px + dx, 2 * py + dy)
+                  r += (v >> 16) & 255; g += (v >> 8) & 255; b += v & 255
+                  dx += 1
+                }
+                dy += 1
+              }
+              sum += r / 4 + g / 4 + b / 4
+              px += 1
+            }
+            py += 1
+          }
+          (id, pw, ph, sum)
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "checksum")
+  }
+
   /** Deterministic PNG payloads for the PERCEPTUAL dedup key: every 7th
     * doc renders one of 3 shared base images (13×11, pixels a pure
     * function of the asset id and position), half of them with a single
@@ -492,6 +549,11 @@ object Multimodal {
     "multimodal_decode_png" -> ((s, d) =>
       decodePngMeta(pngPayloads(Tables.documents(s, d)))
         .orderBy("doc_id")),
+    // REAL pixel pooling: full decode -> 2x2 integer average-pool ->
+    // exact checksum the oracle re-derives from the pixel formula.
+    "multimodal_pool_avg" -> ((s, d) =>
+      poolPngAvg(pngPayloads(Tables.documents(s, d)))
+        .orderBy("doc_id")),
     // resize stage (expression twin; mapPartitions form equality-tested).
     "multimodal_resize_meta" -> ((s, d) =>
       resizeStubExprs(withBinaryContent(
@@ -577,6 +639,39 @@ object Multimodal {
         |       CAST(1 + (octet_length(encode(text)) * 7) % 16 AS INT) AS height,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS src_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // re-derives every pooled cell from the planted pixel formula
+    // v(x,y) = (doc_id*2654435761 + 31x + 7y) & 0xffffff: per-channel
+    // 4-pixel sums floor-divided by 4, summed per cell, summed per doc.
+    // 1-wide/1-tall images have no cells -> checksum 0 via the left join.
+    "multimodal_pool_avg" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS w,
+        |         CAST(1 + (octet_length(encode(text)) * 7) % 16 AS BIGINT) AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT d.doc_id, d.w, d.h, px.px, py.py
+        |  FROM dims d
+        |  JOIN (SELECT unnest(range(0, 8)) AS px) px ON px.px < d.w // 2
+        |  JOIN (SELECT unnest(range(0, 8)) AS py) py ON py.py < d.h // 2),
+        |pix AS (
+        |  SELECT doc_id, px, py,
+        |         ((doc_id * 2654435761 + (2*px + dx.dx) * 31
+        |           + (2*py + dy.dy) * 7) & 16777215) AS v
+        |  FROM cells
+        |  CROSS JOIN (SELECT unnest(range(0, 2)) AS dx) dx
+        |  CROSS JOIN (SELECT unnest(range(0, 2)) AS dy) dy),
+        |pool AS (
+        |  SELECT doc_id, px, py,
+        |         (sum((v >> 16) & 255) // 4) + (sum((v >> 8) & 255) // 4)
+        |           + (sum(v & 255) // 4) AS cell
+        |  FROM pix GROUP BY doc_id, px, py),
+        |sums AS (SELECT doc_id, sum(cell) AS checksum FROM pool GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w // 2 AS INT) AS out_w,
+        |       CAST(d.h // 2 AS INT) AS out_h,
+        |       CAST(COALESCE(s.checksum, 0) AS BIGINT) AS checksum
+        |FROM dims d LEFT JOIN sums s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "multimodal_resize_meta" ->
       """WITH m AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,

@@ -101,6 +101,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("poolPngAvg: engine-decoded 2x2 pooled checksums equal a driver-" +
+      "side recompute from the pixel formula; degenerate dims pool to 0") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    val out = Multimodal.poolPngAvg(Multimodal.pngPayloads(docs))
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    val nbs = docs.select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long"))
+      .as[(Long, Long)].collect()
+    nbs.foreach { case (id, nb) =>
+      val w = (1 + nb % 16).toInt; val h = (1 + (nb * 7) % 16).toInt
+      var sum = 0L
+      for (py <- 0 until h / 2; px <- 0 until w / 2) {
+        var r = 0; var g = 0; var b = 0
+        for (dy <- 0 to 1; dx <- 0 to 1) {
+          val v = ((id * 2654435761L + (2 * px + dx) * 31 +
+            (2 * py + dy) * 7) & 0xffffff).toInt
+          r += (v >> 16) & 255; g += (v >> 8) & 255; b += v & 255
+        }
+        sum += r / 4 + g / 4 + b / 4
+      }
+      val (_, ow, oh, cs) = out(id)
+      assert((ow, oh, cs) == (w / 2, h / 2, sum), s"doc $id mismatch")
+      if (w < 2 || h < 2) assert(cs == 0L)
+    }
+  }
+
   test("phash: planted same-asset images (including the single-pixel " +
       "variants) pair within hamming 1; distinct assets never pair") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
