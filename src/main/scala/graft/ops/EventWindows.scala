@@ -139,6 +139,32 @@ object EventWindows {
       .orderBy("p_id", "c_id")
   }
 
+  /** LEFT-OUTER interval join — [[intervalJoin]] keeping UNATTRIBUTED
+    * purchases as NULL-click rows (the rows a marketing report actually
+    * needs: conversion WITHOUT a preceding click is the organic-traffic
+    * line). Same equi-join shape and state story; in the streaming form
+    * the unmatched row can only be emitted once the click-side
+    * watermark passes the end of the purchase's lookback window — the
+    * outer-join-finalization semantics Structured Streaming ties to the
+    * watermark ([[graft.streaming.Streams.intervalJoinLeftStream]] is
+    * the live twin, StreamsSpec asserts the equivalence). NULL ordering
+    * is pinned explicitly (nulls first, matching the oracle's
+    * NULLS FIRST) so the row order hashes identically. */
+  def intervalJoinLeft(events: DataFrame, lookbackHours: Int = 6): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackHours HOURS") &&
+        col("c_ts") < col("p_ts"), "left")
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"),
+        col("c_ts"))
+      .orderBy(col("p_id"), col("c_id").asc_nulls_first)
+  }
+
   /** FIRST-TOUCH attribution: each purchase attributed to the user's
     * EARLIEST click inside the lookback window — the marketing twin of
     * [[intervalJoin]] (all pairs) and join_asof (latest-before). Reuses
@@ -511,6 +537,9 @@ object EventWindows {
       watermarkLateSurvivors(Tables.events(s, d)).orderBy("w_start")),
     "stream_interval_join" -> ((s, d) =>
       intervalJoin(Tables.events(s, d))),
+    // left-outer form: unattributed purchases survive as NULL-click rows.
+    "stream_interval_join_left" -> ((s, d) =>
+      intervalJoinLeft(Tables.events(s, d))),
     // purchase → earliest in-window click (first-touch attribution).
     "events_attribution" -> ((s, d) =>
       firstTouchAttribution(Tables.events(s, d))),
@@ -726,6 +755,16 @@ object EventWindows {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts < p.ts
         |ORDER BY p_id, c_id""".stripMargin,
+    // purchase-side filter in WHERE (left-preserved side), click-side
+    // conditions in ON; NULLS FIRST matches Spark's asc_nulls_first.
+    "stream_interval_join_left" ->
+      """SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+        |       c.event_id AS c_id, c.ts AS c_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts < p.ts
+        |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
     // NULL comparisons fall out identically: t_c > t_v is false-ish
     // (not counted) when either side is NULL in both engines' CASE.
     // same first-view/first-purchase mins, integer epoch-second latency,

@@ -411,8 +411,41 @@ object Profile {
       tmp
     })
 
+  /** Per-dimension distribution profile of the embedding column —
+    * mean / sample-stddev / min / max for each of the 64 components,
+    * the audit every embedding pipeline runs before indexing (a dead
+    * dimension shows as sd≈0; an unnormalized batch shows as a range
+    * shift). Same single-scan shape as [[corrMatrix]]: all 256
+    * aggregates evaluate in ONE pass over the table (map-side partials
+    * collapse each partition to one row), and the per-dim layout is an
+    * inline literal-struct explode of that single row — never a
+    * posexplode of n×64 element rows through a shuffle. Rounding: mean
+    * and the exact-selection min/max at 6 dp, stddev at 4 dp (the
+    * [[Relational]] `agg_stats_events` discipline). */
+  def embeddingDimProfile(emb: DataFrame, dims: Int = 64): DataFrame = {
+    val e = emb.select(transform(col("embedding"),
+      x => x.cast("double")).as("ed"))
+    val aggs = (0 until dims).flatMap { i =>
+      val v = col("ed").getItem(i)
+      Seq(round(avg(v), 6).as(s"m$i"), round(stddev_samp(v), 4).as(s"s$i"),
+        round(min(v), 6).as(s"lo$i"), round(max(v), 6).as(s"hi$i"))
+    }
+    val one = e.agg(aggs.head, aggs.tail: _*)
+    val rows = array((0 until dims).map(i =>
+      struct(lit(i.toLong).as("dim"), col(s"m$i").as("mean"),
+        col(s"s$i").as("sd"), col(s"lo$i").as("lo"),
+        col(s"hi$i").as("hi"))): _*)
+    one.select(explode(rows).as("p"))
+      .select(col("p.dim"), col("p.mean"), col("p.sd"),
+        col("p.lo"), col("p.hi"))
+      .orderBy("dim")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_columns" -> ((s, d) => profileColumns(Tables.documents(s, d))),
+    // per-dimension embedding audit: 256 aggregates, one scan.
+    "profile_embedding_dims" -> ((s, d) =>
+      embeddingDimProfile(Tables.embeddings(s, d))),
     // exact top-3 values per categorical column.
     "profile_heavy_hitters" -> ((s, d) =>
       heavyHitters(Tables.documents(s, d), Seq("lang", "source"))),
@@ -503,6 +536,16 @@ object Profile {
   )
 
   def oracle: Map[String, String] = Map(
+    // per-dimension stats via unnest-with-position; identical rounding.
+    "profile_embedding_dims" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |x AS (
+        |  SELECT CAST(i.i - 1 AS BIGINT) AS dim, emb[i.i] AS v
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i)
+        |SELECT dim, round(avg(v), 6) AS mean,
+        |       round(stddev_samp(v), 4) AS sd,
+        |       round(min(v), 6) AS lo, round(max(v), 6) AS hi
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
     // same per-column counts, row_number tie-break, top-3.
     "profile_heavy_hitters" -> Seq("lang", "source").map { c =>
       s"""SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value,

@@ -45,6 +45,10 @@ object FileFormats {
           lit(","), col("uploaded")))
         .as("value"))
         .write.mode("overwrite").text(s"$root/dirty")
+      // raw LOG-LINE form (tab-separated), for the text-source reader
+      m.select(concat(col("id"), lit("\t"), col("path"),
+          lit("\t"), col("uploaded")).as("value"))
+        .write.mode("overwrite").text(s"$root/lines")
       graft.ops.SessionCleanup.onEnd(spark) {
         memo.remove((spark, dir))
         graft.ops.SessionCleanup.deleteRecursively(root)
@@ -78,6 +82,20 @@ object FileFormats {
       val root = ensureWritten(s, d)
       s.read.schema(manifestSchema).option("mode", "DROPMALFORMED")
         .csv(s"$root/dirty").orderBy("id")
+    }),
+    // raw text-line source: spark.read.text + explicit split parsing —
+    // the "server log" ingestion path where no structured reader
+    // applies; the parse is ordinary codegen'd expressions, so at
+    // 100 TB it stays in the scan stage (reads split by file block,
+    // only the parsed columns survive the projection).
+    "source_text" -> ((s, d) => {
+      val root = ensureWritten(s, d)
+      val sp = org.apache.spark.sql.functions.split(col("value"), "\t")
+      s.read.text(s"$root/lines")
+        .select(sp.getItem(0).cast("long").as("id"),
+          sp.getItem(1).as("path"),
+          sp.getItem(2).cast("boolean").as("uploaded"))
+        .orderBy("id")
     }),
     // two parquet generations with DIFFERENT schemas read as one table.
     "source_schema_evolution" -> ((s, d) => {
@@ -124,6 +142,7 @@ object FileFormats {
     "source_csv" -> graft.model.OracleSql.manifestSelect,
     "source_json" -> graft.model.OracleSql.manifestSelect,
     "source_orc" -> graft.model.OracleSql.manifestSelect,
+    "source_text" -> graft.model.OracleSql.manifestSelect,
     // the clean complement of the planted short rows.
     "source_csv_malformed" -> (graft.model.OracleSql.manifestCte +
       "\nSELECT id, path, uploaded FROM manifest WHERE id % 13 <> 0" +

@@ -99,6 +99,31 @@ object Streams {
         col("c_ts"))
   }
 
+  /** Live LEFT-OUTER stream-stream interval join — the streaming form
+    * of [[graft.ops.EventWindows.intervalJoinLeft]]. Outer results are
+    * watermark-finalized: a purchase with no click can only be emitted
+    * as a NULL-click row once the click-side watermark has passed the
+    * end of its lookback window (before that, a matching click could
+    * still arrive) — so the tail of the stream near the final watermark
+    * emits nothing for unmatched purchases under AvailableNow, which is
+    * exactly the subset bound StreamsSpec asserts. */
+  def intervalJoinLeftStream(events: DataFrame, lookbackHours: Int = 6,
+      disorderAllowanceHours: Int = 1): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", s"$lookbackHours hours")
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", s"${lookbackHours + disorderAllowanceHours} hours")
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackHours HOURS") &&
+        col("c_ts") < col("p_ts"), "leftOuter")
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"),
+        col("c_ts"))
+  }
+
   /** Live per-day conversion funnel — the streaming form of
     * [[graft.ops.EventWindows.funnelDaily]], as two CHAINED stateful
     * aggregations (Spark's multiple-stateful-operator support): the

@@ -90,6 +90,35 @@ class StreamsSpec extends AnyFunSuite {
     assert(mustHave.subsetOf(got))
   }
 
+  test("left-outer stream-stream interval join: matched pairs are batch " +
+      "pairs, and emitted NULL-click rows are exactly batch's unmatched " +
+      "purchases (watermark-finalized outer results)") {
+    val stream = Streams.intervalJoinLeftStream(
+      Streams.eventsStream(spark, TestSpark.sf0001))
+    runToMemory(stream, "ivjl_out")
+    val got = spark.table("ivjl_out")
+      .select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    val want = EventWindows.intervalJoinLeft(Tables.events(spark, TestSpark.sf0001))
+      .select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(want),
+      "every emitted row (incl. NULL-click) must be a batch row")
+    // completeness for the finalized prefix: purchases older than
+    // 2x lookback + allowance must appear, matched or not
+    val maxTs = Tables.events(spark, TestSpark.sf0001)
+      .agg(max(col("ts")).cast("long")).as[Long].collect().head
+    val mustHave = EventWindows.intervalJoinLeft(Tables.events(spark, TestSpark.sf0001))
+      .filter(col("p_ts").cast("long") < maxTs - (2 * 6 + 1) * 3600)
+      .select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(mustHave.subsetOf(got))
+  }
+
   test("streaming daily funnel equals the batch (oracle-checked) twin on " +
       "every finalized day") {
     val stream = Streams.funnelDailyStream(
