@@ -200,6 +200,24 @@ object ScaleTrend {
       // and the triangle-orientation evidence: wedge count (the exact
       // enumeration-join volume) under degree ordering vs id ordering
       // on the hub-skewed crawl graph.
+      // round 7 session 5: frontier BFS (the scatter-volume claim is
+      // structural — each node enters the frontier once, so total
+      // scatter ≤ 2|E| against rounds×2|E| for dense min-propagation;
+      // rounds here = 8) and PQ ANN — ADC wall time plus MEASURED
+      // recall@5 vs brute force at every scale (the dial the 64×
+      // code-table compression is traded against).
+      val tBfs = time(graft.ops.Graphs.queries("graph_bfs_depth")(spark, sf))
+      val nGraphEdges = graft.ops.Graphs.crawlEdges(docs).count()
+      val pqSeeds = graft.ops.Similarity.ivfCentroids(emb, 16, 0)
+      val tPq = time(graft.ops.Similarity.pqTopK(
+        emb, pqSeeds, col("vec_id") < 10, 5))
+      val bruteSet = graft.ops.Similarity.bruteForceTopK(
+        emb, col("vec_id") < 10, 5).select("q_id", "n_id")
+      val pqSet = graft.ops.Similarity.pqTopK(
+        emb, pqSeeds, col("vec_id") < 10, 5).select("q_id", "n_id")
+      val nBrute = bruteSet.count()
+      val pqHits = bruteSet.intersect(pqSet).count()
+
       val tPagerank = time(graft.ops.Graphs.queries("graph_pagerank")(spark, sf))
       val tHits = time(graft.ops.Graphs.queries("graph_hits")(spark, sf))
       val tTriangles = time(graft.ops.Graphs.queries("graph_triangles")(spark, sf))
@@ -254,7 +272,10 @@ object ScaleTrend {
         s""""t_graph_hits":${r3(tHits)},""" +
         s""""t_graph_triangles":${r3(tTriangles)},""" +
         s""""graph_wedges_degree_oriented":$wedgesDeg,""" +
-        s""""graph_wedges_id_oriented":$wedgesId}""")
+        s""""graph_wedges_id_oriented":$wedgesId,""" +
+        s""""t_graph_bfs":${r3(tBfs)},"n_graph_edges":$nGraphEdges,""" +
+        s""""t_sim_ann_pq":${r3(tPq)},""" +
+        s""""pq_recall_at5":${math.rint(pqHits.toDouble / nBrute * 1000) / 1000}}""")
     }
     spark.stop()
     synthDir.foreach(graft.ops.SessionCleanup.deleteRecursively)

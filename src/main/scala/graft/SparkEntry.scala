@@ -67,6 +67,35 @@ object SparkEntry {
 
   // ----- §2.1/2.2/2.3 (partial)/2.4 (partial)/2.6/2.7/2.10: manifest core
 
+  /** The SCD2 versioned-history frame — shared by manifest_scd2 (the
+    * upsert-as-append write) and manifest_time_travel (the as-of read),
+    * so the two keys can never drift. Upsert: instead of overwriting
+    * the uploaded flag, close the old version (valid_to = this batch)
+    * and append the new one. Batch numbers, not wall-clock, stamp
+    * validity (deterministic; at scale the ingest batch id is exactly
+    * what a lakehouse history table carries). Plan: one BROADCAST of
+    * the changed-id set against the snapshot (payload rows never
+    * reshuffle) + a union of the (small) new-version rows — history
+    * grows by the change volume, never by the snapshot size. */
+  private def scd2History(s: SparkSession, d: String): DataFrame = {
+    val m = Manifest.fromDocuments(s, d)
+    val chg = broadcast(
+      m.filter(col("id") % 4 === 0 && !col("uploaded"))
+        .select(col("id"), lit(true).as("_new_uploaded")))
+    val v1 = m.join(chg, Seq("id"), "left_outer")
+      .select(col("id"), col("path"), col("uploaded"),
+        lit(1L).as("version"), lit(1L).as("valid_from_batch"),
+        when(col("_new_uploaded").isNotNull, 2L).as("valid_to_batch"),
+        col("_new_uploaded").isNull.as("is_current"))
+    val v2 = m.join(chg, Seq("id"))
+      .select(col("id"), col("path"),
+        col("_new_uploaded").as("uploaded"),
+        lit(2L).as("version"), lit(2L).as("valid_from_batch"),
+        lit(null).cast("long").as("valid_to_batch"),
+        lit(true).as("is_current"))
+    v1.unionByName(v2)
+  }
+
   private def manifestQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "manifest_create" -> ((s, d) => Manifest.fromDocuments(s, d).orderBy("id")),
     "scan_manifest" -> ((s, d) => Manifest.scan(s, d)),
@@ -135,23 +164,26 @@ object SparkEntry {
     // the snapshot (payload rows never reshuffle) + a union of the
     // (small) new-version rows — history grows by the change volume,
     // never by the snapshot size.
-    "manifest_scd2" -> ((s, d) => {
-      val m = Manifest.fromDocuments(s, d)
-      val chg = broadcast(
-        m.filter(col("id") % 4 === 0 && !col("uploaded"))
-          .select(col("id"), lit(true).as("_new_uploaded")))
-      val v1 = m.join(chg, Seq("id"), "left_outer")
-        .select(col("id"), col("path"), col("uploaded"),
-          lit(1L).as("version"), lit(1L).as("valid_from_batch"),
-          when(col("_new_uploaded").isNotNull, 2L).as("valid_to_batch"),
-          col("_new_uploaded").isNull.as("is_current"))
-      val v2 = m.join(chg, Seq("id"))
-        .select(col("id"), col("path"),
-          col("_new_uploaded").as("uploaded"),
-          lit(2L).as("version"), lit(2L).as("valid_from_batch"),
-          lit(null).cast("long").as("valid_to_batch"),
-          lit(true).as("is_current"))
-      v1.unionByName(v2).orderBy("id", "version")
+    "manifest_scd2" -> ((s, d) =>
+      scd2History(s, d).orderBy("id", "version")),
+    // TIME TRAVEL over the versioned history: the manifest AS OF batch 1
+    // and AS OF batch 2, resolved from the SAME SCD2 frame by the
+    // validity predicate (valid_from <= b < valid_to) — the read side of
+    // every versioned-table format. Plan: the as-of batch list is a
+    // BROADCAST literal against the history (map-side predicate, no
+    // shuffle of the snapshot); at 100 TB the history is partitioned by
+    // valid_from_batch and the predicate prunes to the touched batches.
+    "manifest_time_travel" -> ((s, d) => {
+      val batches = broadcast(
+        s.range(1, 3).select(col("id").as("as_of_batch")))
+      scd2History(s, d)
+        .join(batches,
+          col("valid_from_batch") <= col("as_of_batch") &&
+            (col("valid_to_batch").isNull ||
+              col("valid_to_batch") > col("as_of_batch")))
+        .select(col("as_of_batch"), col("id"), col("uploaded"),
+          col("version"))
+        .orderBy("as_of_batch", "id")
     }),
     // SNAPSHOT DIFF — the table-diff audit between two manifest
     // generations (what changed between yesterday's scan and today's):
@@ -234,6 +266,24 @@ object SparkEntry {
     })
   )
 
+  /** The SCD2 history CTE chain (chg + hist) — mirrors [[scd2History]];
+    * shared by the manifest_scd2 and manifest_time_travel oracles. */
+  private val sqlScd2Hist: String =
+    """chg AS (
+      |  SELECT id FROM manifest WHERE id % 4 = 0 AND NOT uploaded),
+      |hist AS (
+      |  SELECT m.id, m.path, m.uploaded,
+      |         CAST(1 AS BIGINT) AS version,
+      |         CAST(1 AS BIGINT) AS valid_from_batch,
+      |         CASE WHEN c.id IS NOT NULL THEN CAST(2 AS BIGINT) END
+      |           AS valid_to_batch,
+      |         c.id IS NULL AS is_current
+      |  FROM manifest m LEFT JOIN chg c ON m.id = c.id
+      |  UNION ALL
+      |  SELECT m.id, m.path, true, CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+      |         CAST(NULL AS BIGINT), true
+      |  FROM manifest m JOIN chg c ON m.id = c.id)""".stripMargin
+
   private def manifestOracle: Map[String, String] = Map(
     "manifest_create" -> s"$M SELECT id, path, uploaded FROM manifest ORDER BY id",
     "scan_manifest" -> s"$M SELECT id, path, uploaded FROM manifest ORDER BY id",
@@ -275,23 +325,19 @@ object SparkEntry {
          |UNION ALL SELECT id, path, uploaded FROM inserted
          |ORDER BY id""".stripMargin,
     "manifest_scd2" ->
-      s"""$M, chg AS (
-         |  SELECT id FROM manifest WHERE id % 4 = 0 AND NOT uploaded),
-         |hist AS (
-         |  SELECT m.id, m.path, m.uploaded,
-         |         CAST(1 AS BIGINT) AS version,
-         |         CAST(1 AS BIGINT) AS valid_from_batch,
-         |         CASE WHEN c.id IS NOT NULL THEN CAST(2 AS BIGINT) END
-         |           AS valid_to_batch,
-         |         c.id IS NULL AS is_current
-         |  FROM manifest m LEFT JOIN chg c ON m.id = c.id
-         |  UNION ALL
-         |  SELECT m.id, m.path, true, CAST(2 AS BIGINT), CAST(2 AS BIGINT),
-         |         CAST(NULL AS BIGINT), true
-         |  FROM manifest m JOIN chg c ON m.id = c.id)
+      s"""$M, $sqlScd2Hist
          |SELECT id, path, uploaded, version, valid_from_batch,
          |       valid_to_batch, is_current
          |FROM hist ORDER BY id, version""".stripMargin,
+    // as-of resolution over the SAME hist CTE as manifest_scd2.
+    "manifest_time_travel" ->
+      s"""$M, $sqlScd2Hist,
+         |b AS (SELECT unnest(range(1, 3)) AS as_of_batch)
+         |SELECT CAST(b.as_of_batch AS BIGINT) AS as_of_batch, h.id,
+         |       h.uploaded, h.version
+         |FROM hist h JOIN b ON h.valid_from_batch <= b.as_of_batch
+         |  AND (h.valid_to_batch IS NULL OR h.valid_to_batch > b.as_of_batch)
+         |ORDER BY as_of_batch, h.id""".stripMargin,
     "manifest_diff" ->
       s"""$M, b AS (
          |  SELECT id, path,

@@ -139,6 +139,33 @@ object EventWindows {
       .orderBy("p_id", "c_id")
   }
 
+  /** Deterministic A/B experiment readout — the experimentation
+    * primitive every product-analytics surface needs: users are
+    * assigned to variants by a SALTED HASH of their id (the industry
+    * assignment mechanism — stable across sessions, reproducible in any
+    * engine, no assignment table to join), conversion = at least one
+    * purchase, and the readout is per-variant user counts and
+    * conversion rates. First hex nibble < '8' ⇒ variant A (an exact
+    * 50/50 split of the hash space, the same md5 family as the Sampling
+    * operators). Plan: user-grain conditional max (map-side partials on
+    * user_id — the event stream never reaches the variant agg), then a
+    * two-row aggregate. */
+  def abTest(events: DataFrame): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+    users
+      .withColumn("variant",
+        when(substring(md5(concat(lit("ab1:"),
+          col("user_id").cast("string"))), 1, 1) < "8", "A").otherwise("B"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"),
+        round(sum(col("converted")).cast("double") / count(lit(1)), 6)
+          .as("conv_rate"))
+      .orderBy("variant")
+  }
+
   /** LEFT-OUTER interval join — [[intervalJoin]] keeping UNATTRIBUTED
     * purchases as NULL-click rows (the rows a marketing report actually
     * needs: conversion WITHOUT a preceding click is the organic-traffic
@@ -540,6 +567,8 @@ object EventWindows {
     // left-outer form: unattributed purchases survive as NULL-click rows.
     "stream_interval_join_left" -> ((s, d) =>
       intervalJoinLeft(Tables.events(s, d))),
+    // hash-assigned A/B experiment readout.
+    "events_ab_test" -> ((s, d) => abTest(Tables.events(s, d))),
     // purchase → earliest in-window click (first-touch attribution).
     "events_attribution" -> ((s, d) =>
       firstTouchAttribution(Tables.events(s, d))),
@@ -755,6 +784,24 @@ object EventWindows {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts < p.ts
         |ORDER BY p_id, c_id""".stripMargin,
+    // same salted-hash assignment (md5 nibble), same user-grain
+    // conditional max, rounded rate.
+    "events_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS converted
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT CASE WHEN substr(md5(concat('ab1:',
+        |           CAST(user_id AS VARCHAR))), 1, 1) < '8'
+        |         THEN 'A' ELSE 'B' END AS variant, converted
+        |  FROM u)
+        |SELECT variant, count(*) AS n_users,
+        |       CAST(sum(converted) AS BIGINT) AS n_converted,
+        |       round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
+        |         AS conv_rate
+        |FROM a GROUP BY variant ORDER BY variant""".stripMargin,
     // purchase-side filter in WHERE (left-preserved side), click-side
     // conditions in ON; NULLS FIRST matches Spark's asc_nulls_first.
     "stream_interval_join_left" ->

@@ -65,7 +65,7 @@ object Graphs {
 
   /** The derived crawl edge list (src, dst). Multigraph: parallel edges
     * kept (i = 1 items reach the hub twice). */
-  private[ops] def crawlEdges(docs: DataFrame): DataFrame = {
+  private[graft] def crawlEdges(docs: DataFrame): DataFrame = {
     val ids = docs.select(col("doc_id"))
     val hubRing = ids.filter(col("doc_id") < 50)
       .select(col("doc_id").as("src"),
