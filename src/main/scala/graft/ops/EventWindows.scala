@@ -139,6 +139,85 @@ object EventWindows {
       .orderBy("p_id", "c_id")
   }
 
+  private val baseAggMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
+
+  /** The MATERIALIZED daily-aggregate base table: per-(day, event_type)
+    * count and RAW (unrounded) value sum over every day but the last,
+    * written once per (session, dir) — the precomputed artifact
+    * incremental aggregate maintenance reads instead of the fact table.
+    * Sums are stored raw because parquet round-trips doubles exactly;
+    * rounding happens only at the FINAL merge (round-then-add would
+    * drift from a direct recompute). */
+  private def dailyAggBase(s: SparkSession, d: String): String =
+    baseAggMemo.getOrElseUpdate((s, d), {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-inc").toString
+      val ev = Tables.events(s, d)
+      val maxDay = ev.agg(max(to_date(col("ts")))).head().getDate(0)
+      ev.filter(to_date(col("ts")) < lit(maxDay))
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        .write.mode("overwrite").parquet(tmp)
+      SessionCleanup.onEnd(s) {
+        baseAggMemo.remove((s, d))
+        SessionCleanup.deleteRecursively(tmp)
+      }
+      tmp
+    })
+
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the warehouse pattern that
+    * keeps a 100 TB rollup fresh without re-touching history: count and
+    * sum are ALGEBRAIC, so yesterday's per-day partials (the
+    * [[dailyAggBase]] parquet artifact) merge with the new day's
+    * partials by re-aggregation, and the result provably equals a full
+    * recompute — which is exactly what the DuckDB oracle checks (it
+    * aggregates the raw fact table directly; the Spark side reads the
+    * fact table ONLY for the last day). The sketch twins
+    * (agg_hll_sketch_merge / agg_count_min) do this for non-algebraic
+    * measures; this key does it for the plain measures every rollup
+    * carries. */
+  def incrementalMergedTotals(s: SparkSession, d: String): DataFrame = {
+    val base = s.read.parquet(dailyAggBase(s, d))
+    val ev = Tables.events(s, d)
+    val maxDay = ev.agg(max(to_date(col("ts")))).head().getDate(0)
+    val inc = ev.filter(to_date(col("ts")) === lit(maxDay))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    base.unionByName(inc)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        round(sum(col("sv")), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  /** Weekly churn — the retention complement of
+    * [[retentionCohorts]]: a user active in week w CHURNS at w if they
+    * have no event in week w+1. Weeks are exact integer indexes
+    * (days-since-epoch-anchor div 7 — no engine calendar conventions),
+    * activity is a distinct (user, week) frame (the shuffle carries
+    * user-weeks, never events), and churn is one self anti-join of
+    * that frame against its week-shifted image. The final week is
+    * excluded (no w+1 to observe). */
+  def weeklyChurn(events: DataFrame): DataFrame = {
+    val active = events.select(col("user_id"),
+        expr("CAST(datediff(to_date(ts), DATE '2024-01-01') div 7 AS BIGINT)")
+          .as("week"))
+      .distinct()
+    val nextShift = active.select(col("user_id"), (col("week") - 1).as("week"))
+    val churned = active.join(nextShift, Seq("user_id", "week"), "left_anti")
+    val maxWeek = broadcast(active.agg(max(col("week")).as("max_week")))
+    active.groupBy(col("week")).agg(count(lit(1)).as("n_active"))
+      .join(churned.groupBy(col("week")).agg(count(lit(1)).as("n_churned")),
+        Seq("week"), "left")
+      .crossJoin(maxWeek)
+      .filter(col("week") < col("max_week"))
+      .select(col("week"), col("n_active"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        round(coalesce(col("n_churned"), lit(0L)).cast("double") /
+          col("n_active"), 6).as("churn_rate"))
+      .orderBy("week")
+  }
+
   /** Deterministic A/B experiment readout — the experimentation
     * primitive every product-analytics surface needs: users are
     * assigned to variants by a SALTED HASH of their id (the industry
@@ -569,6 +648,11 @@ object EventWindows {
       intervalJoinLeft(Tables.events(s, d))),
     // hash-assigned A/B experiment readout.
     "events_ab_test" -> ((s, d) => abTest(Tables.events(s, d))),
+    // incremental aggregate maintenance: materialized base + last-day
+    // increment re-aggregated == full recompute (the oracle).
+    "agg_incremental_merge" -> ((s, d) => incrementalMergedTotals(s, d)),
+    // weekly churn over exact integer week indexes.
+    "events_churn_weekly" -> ((s, d) => weeklyChurn(Tables.events(s, d))),
     // purchase → earliest in-window click (first-touch attribution).
     "events_attribution" -> ((s, d) =>
       firstTouchAttribution(Tables.events(s, d))),
@@ -784,6 +868,35 @@ object EventWindows {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts < p.ts
         |ORDER BY p_id, c_id""".stripMargin,
+    // the incremental-maintenance gate IS a direct full recompute:
+    // base partials + increment must land on the same totals.
+    "agg_incremental_merge" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same integer week indexes, distinct user-weeks, anti-join churn.
+    "events_churn_weekly" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+        |           AS week
+        |  FROM events),
+        |ch AS (
+        |  SELECT a.user_id, a.week FROM uw a
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM uw b
+        |    WHERE b.user_id = a.user_id AND b.week = a.week + 1)),
+        |act AS (SELECT week, count(*) AS n_active FROM uw GROUP BY week),
+        |chn AS (SELECT week, count(*) AS n_churned FROM ch GROUP BY week),
+        |mx AS (SELECT max(week) AS max_week FROM uw)
+        |SELECT CAST(a.week AS BIGINT) AS week,
+        |       CAST(a.n_active AS BIGINT) AS n_active,
+        |       CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned,
+        |       round(CAST(COALESCE(c.n_churned, 0) AS DOUBLE) / a.n_active, 6)
+        |         AS churn_rate
+        |FROM act a LEFT JOIN chn c ON c.week = a.week CROSS JOIN mx
+        |WHERE a.week < mx.max_week
+        |ORDER BY week""".stripMargin,
     // same salted-hash assignment (md5 nibble), same user-grain
     // conditional max, rounded rate.
     "events_ab_test" ->

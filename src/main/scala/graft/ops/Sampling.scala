@@ -481,7 +481,41 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Deterministic BOOTSTRAP resampling — B resamples-with-replacement
+    * approximated the way every distributed engine does it (the Poisson
+    * bootstrap): each row's multiplicity in replicate b is an
+    * independent Poisson(1) draw, realized as the inverse CDF of the
+    * (doc, replicate)-keyed 60-bit uniform against e⁻¹·Σ1/k! literal
+    * thresholds — identical constants both engines parse, so every
+    * multiplicity is reproducible and the whole resample survives
+    * repartition/AQE/re-runs (the property none of `df.sample`'s
+    * seeded variants have). Output: per-replicate draw count and the
+    * resampled mean document length — the confidence-interval
+    * machinery for any corpus statistic. Map-side explode of B
+    * replicate tags, one keyed aggregate; nothing corpus². */
+  def bootstrapMetrics(docs: DataFrame, b: Int = 3): DataFrame = {
+    val tagged = docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+    val u = rowUniform2("boot1:", col("doc_id"), col("rep"))
+    val k = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .otherwise(5L)
+    tagged.withColumn("k", k)
+      .groupBy(col("rep").cast("long").as("rep"))
+      .agg(sum(col("k")).as("n_draws"),
+        round(sum(col("k") * col("n_chars")).cast("double") /
+          sum(col("k")), 6).as("mean_chars"))
+      .orderBy("rep")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Poisson-bootstrap replicate metrics (B=3), fully hash-gated.
+    "sample_bootstrap" -> ((s, d) =>
+      bootstrapMetrics(Tables.documents(s, d))),
     // uniform 25 % cut — one codegen'd map-side predicate, no shuffle.
     "sample_hash" -> ((s, d) =>
       Tables.documents(s, d)
@@ -566,6 +600,29 @@ object Sampling {
        |  / 1152921504606846976.0""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // same (doc, rep)-keyed 60-bit uniform, same Poisson(1) inverse-CDF
+    // literal thresholds, same weighted-mean fold.
+    "sample_bootstrap" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, r.rep,
+        |         CAST(CAST(concat('0x', substr(md5(concat('boot1:',
+        |           CAST(doc_id AS VARCHAR), ':', CAST(r.rep AS VARCHAR))),
+        |           1, 15)) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(range(0, 3)) AS rep) r),
+        |k AS (
+        |  SELECT rep, n_chars,
+        |         CASE WHEN u < 0.36787944117144233 THEN 0
+        |              WHEN u < 0.7357588823428847 THEN 1
+        |              WHEN u < 0.9196986029286058 THEN 2
+        |              WHEN u < 0.9810118431238462 THEN 3
+        |              WHEN u < 0.9963401531726563 THEN 4
+        |              ELSE 5 END AS k
+        |  FROM t)
+        |SELECT CAST(rep AS BIGINT) AS rep, CAST(sum(k) AS BIGINT) AS n_draws,
+        |       round(CAST(sum(k * n_chars) AS DOUBLE) / sum(k), 6)
+        |         AS mean_chars
+        |FROM k GROUP BY rep ORDER BY rep""".stripMargin,
     "sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE md5(concat('s1:', CAST(doc_id AS VARCHAR))) < '${thr("4")}'

@@ -234,6 +234,26 @@ object Text {
             size(words(col("text"))), 6).as("uniq_ratio"),
           length(col("text")).cast("long").as("n_chars_calc"))
         .orderBy("doc_id")),
+    // MODEL INFERENCE as a map-only expression: a fixed-weight logistic
+    // quality classifier over the text_quality signals — the "apply the
+    // trained filter model to the corpus" stage of every quality
+    // pipeline, expressed as codegen'd arithmetic (no UDF, no serving
+    // round-trip; at 100 TB inference cost = the scan). Weights are
+    // literals; the linear term is left-associated identically in the
+    // oracle; the sigmoid is rounded at 6 dp and the keep decision
+    // thresholds the ROUNDED score, so both engines label identically.
+    "text_quality_logit" -> ((s, d) => {
+      val stop = stopwordRatio(col("text"))
+      val uniq = size(array_distinct(words(col("text")))).cast("double") /
+        size(words(col("text")))
+      val nw = size(words(col("text"))).cast("double")
+      val z = lit(-1.5) + lit(6.0) * stop + lit(2.0) * uniq + lit(0.01) * nw
+      val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+      Tables.documents(s, d)
+        .select(col("doc_id"), score.as("q_score"),
+          (score >= 0.5).as("keep"))
+        .orderBy("doc_id")
+    }),
     // regex token counting.
     "text_token_count" -> ((s, d) =>
       Tables.documents(s, d)
@@ -420,6 +440,26 @@ object Text {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same raw ratio arithmetic (exact-integer counts over exact
+    // divisions), same left-associated linear term, sigmoid rounded 6 dp.
+    "text_quality_logit" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) > 0
+        |      THEN CAST(len(list_filter(string_split(text, ' '),
+        |           w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) ELSE 0.0 END AS stop_r,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS uniq_r,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         round(1.0 / (1.0 + exp(-(-1.5 + 6.0 * stop_r + 2.0 * uniq_r
+        |           + 0.01 * nw))), 6) AS q_score
+        |  FROM f)
+        |SELECT doc_id, q_score, q_score >= 0.5 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  round(CASE WHEN len(string_split(text, ' ')) > 0

@@ -11,6 +11,22 @@ class SamplingSpec extends AnyFunSuite {
 
   private def docs = Tables.documents(spark, TestSpark.sf0001)
 
+  test("bootstrap: 3 replicates, Poisson(1) draw totals concentrate " +
+      "near n, and the resample is bit-stable across runs") {
+    val n = docs.count()
+    val out = Sampling.bootstrapMetrics(docs)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    out.foreach { case (rep, draws, mean) =>
+      assert(math.abs(draws - n) < 0.2 * n, s"rep $rep draws=$draws n=$n")
+      assert(mean > 0.0)
+    }
+    val again = Sampling.bootstrapMetrics(docs.repartition(7))
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == again.toSeq,
+      "resample must be invariant to partitioning")
+  }
+
   test("sample_hash is deterministic across runs and partitionings, " +
       "keeps roughly its rate, and is map-only") {
     val q = Sampling.queries("sample_hash")

@@ -9,6 +9,20 @@ class TextSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("quality logit: scores are proper probabilities, the keep flag " +
+      "thresholds the rounded score, and both labels occur on sf0.001") {
+    val rows = Text.queries("text_quality_logit")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getDouble(1)
+      assert(s > 0.0 && s < 1.0)
+      assert(r.getBoolean(2) == (s >= 0.5))
+    }
+    assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)),
+      "the fixed weights must separate the corpus, not rubber-stamp it")
+  }
+
   test("htmlStrip removes tags, decodes entities in double-decode-safe " +
       "order, collapses the left-over whitespace, and is a no-op on " +
       "already-clean text") {
