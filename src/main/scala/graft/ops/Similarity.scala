@@ -230,7 +230,13 @@ object Similarity {
     * measured, not assumed (SimilaritySpec asserts recall@k vs the
     * brute-force baseline; the dial sweep on sf0.001 reads m=4/c=32
     * 0.32, m=8/c=32 0.44, m=8/c=64 0.68 — subspace count buys more
-    * recall per stored byte than candidate budget does).
+    * recall per stored byte than candidate budget does). SCALE_r07
+    * session 5 measures the decade: recall at FIXED cands falls with n
+    * (0.44 → 0.18 at 100× docs) — the production dial scales cands
+    * with n or routes through IVF lists first (both legs registered);
+    * and the local brute scan wins wall-clock at sandbox sizes — PQ's
+    * case is the 64× smaller stored index, which pays off only when
+    * the vector table no longer fits the scan budget.
     *
     * Determinism / hash gate: the codewords are the SAME stride-seeded
     * data rows as `sim_ann_ivf_seeded` (0 Lloyd rounds), so DuckDB
