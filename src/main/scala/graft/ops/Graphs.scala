@@ -194,11 +194,12 @@ object Graphs {
     * a seed LIST, not one URL — here the five portal hubs 0/10/20/30/40
     * (every 10th site), which also bounds the BFS round count: the
     * farthest hub is ring distance 5 from a seed and every item is one
-    * hop past its hub, so diameter = 6 and 8 rounds converge with
-    * margin at every SF (a round past convergence has an EMPTY frontier
-    * and scatters nothing — the fixed-rounds posture of [[pagerank]]
-    * at the iterative-algorithm price actually paid: rounds ≈ graph
-    * diameter from the seed set, not a tuning constant).
+    * hop past its hub, so the diameter from the seed set is EXACTLY 6
+    * at every SF (the geometry is id-arithmetic, not data; GraphsSpec
+    * pins it with the closed form) and 6 rounds converge — rounds =
+    * graph diameter, the honest price of synchronous BFS, with no
+    * padding rounds (a padding round is a full join+anti-join stage
+    * pass that provably discovers nothing).
     *
     * This is FRONTIER BFS, not dense min-propagation: round t scatters
     * only the nodes FIRST REACHED at round t-1 (frontier ⋈ edges, then
@@ -218,7 +219,7 @@ object Graphs {
     * paths is the same integer on any engine), so the result is
     * hash-gated with no rounding; unreached nodes (none in this graph)
     * would report -1. */
-  def bfsHops(docs: DataFrame, iters: Int = 8): DataFrame = {
+  def bfsHops(docs: DataFrame, iters: Int = 6): DataFrame = {
     val und = undirected(docs)
     val sym = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
