@@ -139,6 +139,26 @@ object EventWindows {
       .orderBy("p_id", "c_id")
   }
 
+  /** LINEAR (equal-credit) attribution — completes the attribution
+    * family next to [[firstTouchAttribution]]: every click inside a
+    * purchase's lookback window shares the conversion credit equally
+    * (1/n per click), rolled up to credit per click-day — the
+    * marketing-mix view. Per-purchase click counts come from a window
+    * PARTITIONED by purchase id (no global sort); the credit sum is a
+    * keyed day aggregate with map-side partials. Rounding at 6 dp
+    * absorbs the sum's reassociation noise (~1e-13 relative). */
+  def linearAttribution(events: DataFrame,
+      lookbackHours: Int = 6): DataFrame = {
+    val pairs = intervalJoin(events, lookbackHours)
+    val perPurchase = Window.partitionBy("p_id")
+    pairs.withColumn("n_clicks", count(lit(1)).over(perPurchase))
+      .withColumn("credit", lit(1.0) / col("n_clicks"))
+      .groupBy(to_date(col("c_ts")).as("click_day"))
+      .agg(count(lit(1)).as("n_credited_clicks"),
+        round(sum(col("credit")), 6).as("credit"))
+      .orderBy("click_day")
+  }
+
   private val baseAggMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
 
@@ -653,6 +673,9 @@ object EventWindows {
     "agg_incremental_merge" -> ((s, d) => incrementalMergedTotals(s, d)),
     // weekly churn over exact integer week indexes.
     "events_churn_weekly" -> ((s, d) => weeklyChurn(Tables.events(s, d))),
+    // equal-credit attribution per click-day.
+    "events_attribution_linear" -> ((s, d) =>
+      linearAttribution(Tables.events(s, d))),
     // purchase → earliest in-window click (first-touch attribution).
     "events_attribution" -> ((s, d) =>
       firstTouchAttribution(Tables.events(s, d))),
@@ -868,6 +891,24 @@ object EventWindows {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts < p.ts
         |ORDER BY p_id, c_id""".stripMargin,
+    // same interval pairs, per-purchase window count, 1/n credit,
+    // day rollup rounded 6 dp.
+    "events_attribution_linear" ->
+      """WITH pr AS (
+        |  SELECT p.event_id AS p_id, c.ts AS c_ts
+        |  FROM events p JOIN events c
+        |    ON p.user_id = c.user_id
+        |   AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |   AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts < p.ts),
+        |w AS (
+        |  SELECT c_ts,
+        |         CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY p_id)
+        |           AS credit
+        |  FROM pr)
+        |SELECT CAST(c_ts AS DATE) AS click_day,
+        |       count(*) AS n_credited_clicks,
+        |       round(sum(credit), 6) AS credit
+        |FROM w GROUP BY CAST(c_ts AS DATE) ORDER BY click_day""".stripMargin,
     // the incremental-maintenance gate IS a direct full recompute:
     // base partials + increment must land on the same totals.
     "agg_incremental_merge" ->

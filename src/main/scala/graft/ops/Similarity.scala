@@ -398,6 +398,35 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** INCREMENTAL embedding dedup — the vector analogue of
+    * [[graft.ops.Dedup.incrementalSurvivors]], the nightly-ingest
+    * operator: a new batch (vec_id % 5 = 0, the same deterministic
+    * split as the text twin) is probed against the EXISTING corpus
+    * through the shared LSH buckets, and ONLY cross-set candidates
+    * (one new, one existing — never existing×existing) pay the exact
+    * cosine verify; a new vector survives iff no existing vector sits
+    * inside the threshold. At 100 TB the existing side's buckets are a
+    * precomputed artifact the increment probes — the candidate join is
+    * new-buckets ⋈ existing-buckets, so per-night work scales with the
+    * increment, not the corpus. Hash-gated via the same seeded-plane
+    * literals as dedup_embedding_lsh. */
+  def embeddingIncrementalSurvivors(emb: DataFrame, threshold: Double,
+      bits: Int = 6, tables: Int = 8): DataFrame = {
+    val cross = lshDedupCandidates(emb, bits, tables)
+      .filter((col("a_id") % 5 === 0) =!= (col("b_id") % 5 === 0))
+    val a = withNorm(emb, "a_id", "ae", "an")
+    val b = withNorm(emb, "b_id", "be", "bn")
+    val droppedNew = cross.join(a, "a_id").join(b, "b_id")
+      .filter(dot(col("ae"), col("be")) / (col("an") * col("bn")) > threshold)
+      .select(when(col("a_id") % 5 === 0, col("a_id"))
+        .otherwise(col("b_id")).as("vec_id"))
+      .distinct()
+    emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("label"))
+      .join(droppedNew, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** IVF-cluster-routed embedding dedup — the coarse-quantizer analogue
     * of [[embeddingDedupLshSurvivors]]: every vector joins its
     * `memberships` nearest inverted lists (multi-assignment is the IVF
@@ -729,6 +758,10 @@ object Similarity {
     "sim_ann_pq" -> ((s, d) =>
       pqTopK(Tables.embeddings(s, d), trainedCentroids(s, d, 16, 0),
         col("vec_id") < 10, 5)),
+    // nightly-ingest embedding dedup: new batch probes existing buckets,
+    // cross-set candidates only, exact verify, survivors = clean new.
+    "dedup_embedding_incremental" -> ((s, d) =>
+      embeddingIncrementalSurvivors(Tables.embeddings(s, d), 0.35)),
     // the PRODUCTION sizing rule (SCALE_r05: nlist ∝ √n balances the
     // O(n·nlist) assignment term against the O(m²n²/nlist) verify term)
     // as a gated key: nlist = max(16, ⌈√n⌉) is derived from the corpus
@@ -1065,6 +1098,29 @@ object Similarity {
          |        (sqrt(list_inner_product(ea.emb, ea.emb)) * sqrt(list_inner_product(eb.emb, eb.emb))) > 0.35)
          |SELECT e.vec_id, e.label FROM e
          |WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY e.vec_id""".stripMargin,
+    // same buckets as dedup_embedding_lsh, candidates restricted to
+    // cross-set (new xor existing), dropped id = the NEW side.
+    "dedup_embedding_incremental" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, t.tbl, t.bucket FROM e CROSS JOIN LATERAL (VALUES
+         |    ${sqlBucketRows(64, 6, 8)}) t(tbl, bucket)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, c.vec_id AS b_id
+         |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+         |  WHERE a.vec_id < c.vec_id
+         |    AND (a.vec_id % 5 = 0) <> (c.vec_id % 5 = 0)),
+         |dropped AS (
+         |  SELECT DISTINCT CASE WHEN cand.a_id % 5 = 0 THEN cand.a_id
+         |                       ELSE cand.b_id END AS vec_id
+         |  FROM cand JOIN e ea ON ea.vec_id = cand.a_id
+         |  JOIN e eb ON eb.vec_id = cand.b_id
+         |  WHERE list_inner_product(ea.emb, eb.emb) /
+         |        (sqrt(list_inner_product(ea.emb, ea.emb)) * sqrt(list_inner_product(eb.emb, eb.emb))) > 0.35)
+         |SELECT e.vec_id, e.label FROM e
+         |WHERE e.vec_id % 5 = 0
+         |  AND e.vec_id NOT IN (SELECT vec_id FROM dropped)
          |ORDER BY e.vec_id""".stripMargin,
     // Replicates embeddingDedupIvfSurvivors with the seeded (0-Lloyd)
     // centroids: stride-seeded centroid rows, multi-assignment rn <= 2

@@ -154,6 +154,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx == again)
   }
 
+  test("incremental embedding dedup: output is new-batch only, every " +
+      "dropped new vector has a TRUE existing near-dup (soundness), " +
+      "and the result is run-stable") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val out = Similarity.embeddingIncrementalSurvivors(emb, 0.35)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out.forall(_ % 5 == 0), "survivors must be new-batch ids")
+    val newIds = emb.filter(col("vec_id") % 5 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    val dropped = newIds -- out
+    assert(dropped.nonEmpty, "the planted corpus must drop something")
+    // soundness: each dropped id really is within threshold of some
+    // EXISTING vector (exact cosine, no LSH involved)
+    val vecs = emb.select(col("vec_id"),
+        Similarity.toDoubleArr(col("embedding")))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val existing = vecs.keySet.filter(_ % 5 != 0)
+    dropped.foreach { id =>
+      assert(existing.exists(e => cos(vecs(id), vecs(e)) > 0.35),
+        s"dropped $id has no true existing near-dup")
+    }
+    val again = Similarity.embeddingIncrementalSurvivors(emb, 0.35)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out == again)
+  }
+
   test("ivfTopK releases its training cache (no persistent-RDD leak)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
