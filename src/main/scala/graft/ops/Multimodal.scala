@@ -434,6 +434,42 @@ object Multimodal {
         round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 4))
   }
 
+  /** Real audio DSP: decode the WAV payload and DECIMATE by 2
+    * (8 kHz → 4 kHz, drop every other sample — the rate-normalization
+    * pass an audio-training pipeline runs before featurization; proper
+    * resampling adds an anti-alias filter, which for the synthetic
+    * sawtooth would only blur the exactness this gate exists to prove).
+    * Emits the decimated sample count and the EXACT integer energy
+    * Σ v(2j)² of the kept samples, which the oracle re-derives from the
+    * generator formula — a single mis-indexed or sign-flipped sample
+    * anywhere in decode or decimation shifts the sum. Map-only; one
+    * decode per row, summary row out. */
+  def audioDownsample(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          var energy = 0L
+          var nOut = 0L
+          var j = 0
+          while (2 * j < n) {
+            val i = 2 * j
+            val v = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+            energy += v * v
+            nOut += 1
+            j += 1
+          }
+          (id, nOut, energy)
+        }
+      }.toDF("doc_id", "n_out", "energy")
+  }
+
   /** Real VIDEO stand-in: a length-prefixed container of K REAL PNG
     * frames (4-byte big-endian frame count, then [4-byte length][PNG
     * bytes] per frame) — the JVM has no video codec, but a video IS a
@@ -595,6 +631,11 @@ object Multimodal {
       audioEnergy(wavPayloads(Tables.documents(s, d)))
         .select(col("doc_id"), col("n_samples"), col("sum_sq"),
           col("peak"), col("rms"))
+        .orderBy("doc_id")),
+    // decimate-by-2 over DECODED samples: exact integer energy of the
+    // kept samples, formula-gated like the energy key.
+    "multimodal_audio_downsample" -> ((s, d) =>
+      audioDownsample(wavPayloads(Tables.documents(s, d)))
         .orderBy("doc_id")),
     // REAL framed-video round-trip: container parse + per-frame PNG
     // decode, one row per frame with the DECODED dims (frame fan-out).
@@ -775,6 +816,23 @@ object Multimodal {
         |       CAST(sum(v * v) AS BIGINT) AS sum_sq,
         |       CAST(max(abs(v)) AS BIGINT) AS peak,
         |       round(sqrt(CAST(sum(v * v) AS DOUBLE) / n), 4) AS rms
+        |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // the decimated twin of the energy oracle: even-indexed samples
+    // only (v(2j)), ceil(n/2) kept.
+    "multimodal_audio_downsample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         800 + octet_length(encode(text)) % 800 AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT d.doc_id, d.n, j.j
+        |  FROM d JOIN (SELECT unnest(range(0, 800)) AS j) j
+        |    ON 2 * j.j < d.n),
+        |v AS (SELECT doc_id, n,
+        |        (((2 * j) * 13 + doc_id * 31) % 2048) - 1024 AS v
+        |      FROM s)
+        |SELECT doc_id, CAST((n + 1) // 2 AS BIGINT) AS n_out,
+        |       CAST(sum(v * v) AS BIGINT) AS energy
         |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     // one row per generator frame; dims from the same integer formulas
     // the Spark side decodes back out of the real PNG frames.
