@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
@@ -303,6 +304,45 @@ object Graphs {
       .orderBy("doc_id")
   }
 
+  /** Neighborhood-Jaccard LINK PREDICTION — the classic missing-link
+    * score: for every non-adjacent pair with ≥1 common neighbor,
+    * J = |N(a)∩N(b)| / |N(a)∪N(b)|, top 20. Common-neighbor counts
+    * come from the wedge enumeration at each CENTER node (e₁ ⋈ e₂ on
+    * the center, endpoints ordered) — volume Σ C(deg(center), 2), which
+    * is the inherent cost of exact common-neighborhood scores; a
+    * production run thresholds or samples mega-degree centers first
+    * (the documented knob — this graph's hubs stay C(n/50, 2)-bounded).
+    * Existing edges leave by one anti-join; degrees join back from the
+    * per-node degree table; the union size is deg(a)+deg(b)−inter
+    * (exact integers), so ranking on the 6-dp-rounded ratio with the
+    * (a, b) tie-break is engine-stable, and the top-20 is
+    * TakeOrderedAndProject, never a global sort. */
+  def linkPrediction(docs: DataFrame, k: Int = 20): DataFrame = {
+    val und = undirected(docs)
+    val sym = und.select(col("u").as("ctr"), col("v").as("nb"))
+      .unionAll(und.select(col("v").as("ctr"), col("u").as("nb")))
+    val deg = sym.groupBy(col("nb").as("id")).agg(count(lit(1)).as("deg"))
+    val wedges = sym.select(col("ctr"), col("nb").as("a"))
+      .join(sym.select(col("ctr"), col("nb").as("b")), Seq("ctr"))
+      .filter(col("a") < col("b"))
+    val common = wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(und.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+    val scored = common
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("da") + col("db") - col("inter")), 6).as("jaccard"))
+    scored.orderBy(col("jaccard").desc, col("a"), col("b")).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("jaccard").desc, col("a"), col("b"))).cast("long"))
+      .select(col("rnk"), col("a").as("a_id"), col("b").as("b_id"),
+        col("inter").as("n_common"), col("jaccard"))
+      .orderBy("rnk")
+  }
+
   // ---------------------------------------------------------------------
 
   private val resumeMemo =
@@ -337,7 +377,10 @@ object Graphs {
     // 10 max-normalized integer HITS rounds; exact BIGINT scores.
     "graph_hits" -> ((s, d) => hits(Tables.documents(s, d))),
     // frontier BFS crawl depth from doc 0; exact integer hops.
-    "graph_bfs_depth" -> ((s, d) => bfsHops(Tables.documents(s, d)))
+    "graph_bfs_depth" -> ((s, d) => bfsHops(Tables.documents(s, d))),
+    // neighborhood-Jaccard missing-link top-20.
+    "graph_link_prediction" -> ((s, d) =>
+      linkPrediction(Tables.documents(s, d)))
   )
 
   /** Shared edge-derivation CTEs (ids → edges → out-degrees). */
@@ -446,6 +489,40 @@ object Graphs {
          |  SELECT doc_id, min(hop) AS hop FROM bfs GROUP BY doc_id) m
          |  ON m.doc_id = i.doc_id
          |ORDER BY i.doc_id""".stripMargin,
+    // center-node wedge counts, existing-edge anti-join, exact-integer
+    // union size, rank on the rounded ratio with (a, b) tie-break.
+    "graph_link_prediction" ->
+      s"""WITH $sqlEdgeCtes,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM edges),
+         |sym AS (SELECT u AS ctr, v AS nb FROM und
+         |        UNION ALL SELECT v, u FROM und),
+         |deg AS (SELECT nb AS id, count(*) AS deg FROM sym GROUP BY nb),
+         |wed AS (
+         |  SELECT a.nb AS a, b.nb AS b
+         |  FROM sym a JOIN sym b ON a.ctr = b.ctr
+         |  WHERE a.nb < b.nb),
+         |com AS (
+         |  SELECT a, b, count(*) AS inter FROM wed
+         |  GROUP BY a, b),
+         |nonedge AS (
+         |  SELECT c.a, c.b, c.inter FROM com c
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM und WHERE und.u = c.a AND und.v = c.b)),
+         |scored AS (
+         |  SELECT n.a, n.b, n.inter,
+         |         round(CAST(n.inter AS DOUBLE)
+         |           / (da.deg + db.deg - n.inter), 6) AS jaccard
+         |  FROM nonedge n
+         |  JOIN deg da ON da.id = n.a JOIN deg db ON db.id = n.b),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    ORDER BY jaccard DESC, a, b) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT rnk, a AS a_id, b AS b_id, CAST(inter AS BIGINT) AS n_common,
+         |       jaccard
+         |FROM ranked WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
     // same degree-ordered wedge enumeration, per-node credit ×3.
     "graph_triangles" ->
       s"""WITH $sqlEdgeCtes,

@@ -441,8 +441,41 @@ object Profile {
       .orderBy("dim")
   }
 
+  /** Token-WEIGHTED length quantiles — "the document length below which
+    * a quarter / half / three quarters of the corpus TOKENS lie", the
+    * budget-planning statistic a training pipeline reads (unweighted
+    * length quantiles mislead when long docs carry most tokens).
+    * Scale shape: the value key (n_chars) is DOMAIN-BOUNDED, so the
+    * corpus aggregates to one row per distinct length first (map-side
+    * partials; the shuffle carries lengths, not docs) and the
+    * cumulative window runs over that model-sized frame — the
+    * "aggregate, then window the aggregate" pattern, never a global
+    * sort of the corpus (contrast Sampling.budgetPack, which needs
+    * per-DOC prefixes and pays the two-level machinery for it). All
+    * integers end to end: the quantile test is cum·4 ≥ q·total
+    * cross-multiplied, so the gate is exact with no rounding. */
+  def weightedLengthQuantiles(docs: DataFrame): DataFrame = {
+    val byLen = docs
+      .select(col("n_chars"),
+        size(Text.words(col("text"))).cast("long").as("w"))
+      .groupBy(col("n_chars")).agg(sum(col("w")).as("w"))
+    val tot = broadcast(byLen.agg(sum(col("w")).as("total")))
+    val cum = byLen
+      .withColumn("cum", sum(col("w")).over(
+        Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(tot)
+    Seq((1, "p25"), (2, "p50"), (3, "p75")).map { case (q, label) =>
+      cum.filter(col("cum") * 4 >= col("total") * q)
+        .agg(min(col("n_chars")).as("len"))
+        .select(lit(label).as("quantile"), col("len").cast("long"))
+    }.reduce(_ unionByName _).orderBy("quantile")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_columns" -> ((s, d) => profileColumns(Tables.documents(s, d))),
+    // token-weighted length quantiles, integer-exact.
+    "profile_weighted_quantiles" -> ((s, d) =>
+      weightedLengthQuantiles(Tables.documents(s, d))),
     // per-dimension embedding audit: 256 aggregates, one scan.
     "profile_embedding_dims" -> ((s, d) =>
       embeddingDimProfile(Tables.embeddings(s, d))),
@@ -536,6 +569,27 @@ object Profile {
   )
 
   def oracle: Map[String, String] = Map(
+    // same per-length token totals, cumulative window, cross-multiplied
+    // integer quantile test.
+    "profile_weighted_quantiles" ->
+      """WITH byl AS (
+        |  SELECT n_chars,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w
+        |  FROM documents GROUP BY n_chars),
+        |c AS (
+        |  SELECT n_chars, sum(w) OVER (ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         (SELECT sum(w) FROM byl) AS total
+        |  FROM byl)
+        |SELECT 'p25' AS quantile, CAST(min(n_chars) AS BIGINT) AS len
+        |FROM c WHERE cum * 4 >= total * 1
+        |UNION ALL
+        |SELECT 'p50', CAST(min(n_chars) AS BIGINT)
+        |FROM c WHERE cum * 4 >= total * 2
+        |UNION ALL
+        |SELECT 'p75', CAST(min(n_chars) AS BIGINT)
+        |FROM c WHERE cum * 4 >= total * 3
+        |ORDER BY quantile""".stripMargin,
     // per-dimension stats via unnest-with-position; identical rounding.
     "profile_embedding_dims" ->
       """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -63,6 +63,26 @@ class GraphsSpec extends AnyFunSuite {
     assert(rows.values.max == 6L, "diameter from the seed set is 6")
   }
 
+  test("link prediction: scores descend, the best missing links are the " +
+      "distance-2 chain pairs around degree-2 items (J = 2/3), and no " +
+      "predicted pair is an existing edge") {
+    val rows = Graphs.queries("graph_link_prediction")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.length == 20)
+    assert(rows.map(_._5).toSeq == rows.map(_._5).toSeq.sorted.reverse)
+    assert(rows.head._5 == 0.666667,
+      s"top missing-link score should be 2/3, got ${rows.head._5}")
+    // no predicted pair may be an actual crawl edge
+    def isEdge(a: Long, b: Long): Boolean =
+      (a < 50 && b < 50 && ((a + 1) % 50 == b || (b + 1) % 50 == a)) ||
+        (b >= 50 && (b % 50 == a || b - 50 == a)) ||
+        (a >= 50 && (a % 50 == b || a - 50 == b))
+    rows.foreach { case (_, a, b, _, _) =>
+      assert(!isEdge(a, b), s"($a,$b) is an existing edge")
+    }
+  }
+
   test("triangles: closed-form counts — every triangle is {item k, " +
       "item k-50, hub k%50} for k >= 100, so credits total 3*(n-100) " +
       "and each hub sits in exactly n/50-2 of them") {
