@@ -434,6 +434,48 @@ object Multimodal {
         round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 4))
   }
 
+  /** Channel histograms over DECODED pixels — the image
+    * feature-extraction primitive (color statistics feed dedup,
+    * quality, and domain classifiers): each RGB channel bucketed into
+    * quartiles (value >> 6 → 4 buckets), 12 exact integer counts per
+    * image the oracle re-derives from the planted pixel formula. Like
+    * [[poolPngAvg]] this proves pixel MOVEMENT, not just header parse;
+    * map-only with one reader per partition, 12-column summary row
+    * out. */
+  def channelHistogram(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        it.map { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis)
+          val img = reader.read(0)
+          iis.close()
+          val c = new Array[Long](12)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val v = img.getRGB(x, y)
+              c(((v >> 16) & 255) >> 6) += 1
+              c(4 + (((v >> 8) & 255) >> 6)) += 1
+              c(8 + ((v & 255) >> 6)) += 1
+              x += 1
+            }
+            y += 1
+          }
+          (id, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7), c(8), c(9),
+            c(10), c(11))
+        }
+      }
+      .toDF("doc_id", "r0", "r1", "r2", "r3", "g0", "g1", "g2", "g3",
+        "b0", "b1", "b2", "b3")
+  }
+
   /** Real audio DSP: decode the WAV payload and DECIMATE by 2
     * (8 kHz → 4 kHz, drop every other sample — the rate-normalization
     * pass an audio-training pipeline runs before featurization; proper
@@ -632,6 +674,10 @@ object Multimodal {
         .select(col("doc_id"), col("n_samples"), col("sum_sq"),
           col("peak"), col("rms"))
         .orderBy("doc_id")),
+    // per-channel quartile histograms over DECODED pixels.
+    "multimodal_channel_hist" -> ((s, d) =>
+      channelHistogram(pngPayloads(Tables.documents(s, d)))
+        .orderBy("doc_id")),
     // decimate-by-2 over DECODED samples: exact integer energy of the
     // kept samples, formula-gated like the energy key.
     "multimodal_audio_downsample" -> ((s, d) =>
@@ -817,6 +863,35 @@ object Multimodal {
         |       CAST(max(abs(v)) AS BIGINT) AS peak,
         |       round(sqrt(CAST(sum(v * v) AS DOUBLE) / n), 4) AS rms
         |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // quartile bucket = channel >> 6 (integer //64), counted per doc
+    // over the same planted pixel grid as the pooling oracle.
+    "multimodal_channel_hist" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS w,
+        |         CAST(1 + (octet_length(encode(text)) * 7) % 16 AS BIGINT) AS h
+        |  FROM documents),
+        |pix AS (
+        |  SELECT d.doc_id,
+        |         ((d.doc_id * 2654435761 + x.x * 31 + y.y * 7)
+        |           & 16777215) AS v
+        |  FROM dims d
+        |  JOIN (SELECT unnest(range(0, 16)) AS x) x ON x.x < d.w
+        |  JOIN (SELECT unnest(range(0, 16)) AS y) y ON y.y < d.h)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN ((v >> 16) & 255) // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+        |  CAST(sum(CASE WHEN ((v >> 16) & 255) // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |  CAST(sum(CASE WHEN ((v >> 16) & 255) // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |  CAST(sum(CASE WHEN ((v >> 16) & 255) // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+        |  CAST(sum(CASE WHEN ((v >> 8) & 255) // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+        |  CAST(sum(CASE WHEN ((v >> 8) & 255) // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+        |  CAST(sum(CASE WHEN ((v >> 8) & 255) // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+        |  CAST(sum(CASE WHEN ((v >> 8) & 255) // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS g3,
+        |  CAST(sum(CASE WHEN (v & 255) // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+        |  CAST(sum(CASE WHEN (v & 255) // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |  CAST(sum(CASE WHEN (v & 255) // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+        |  CAST(sum(CASE WHEN (v & 255) // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+        |FROM pix GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the decimated twin of the energy oracle: even-indexed samples
     // only (v(2j)), ceil(n/2) kept.
     "multimodal_audio_downsample" ->

@@ -377,6 +377,20 @@ object Relational {
             .as("within_tol"))
         .orderBy("event_type")
     }),
+    // DISCRETE percentiles — the exact-SELECTION quantile family
+    // (percentile_disc WITHIN GROUP): unlike the interpolating
+    // percentile/approx keys, every output is a VALUE THAT EXISTS in
+    // the data, so the gate needs no rounding at all. The oracle spells
+    // out the definition (smallest value whose cume_dist reaches p)
+    // instead of trusting DuckDB's quantile_disc indexing to agree on
+    // even-count groups.
+    "agg_percentile_disc" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").as("p25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").as("p75"))
+        .orderBy("event_type")),
     // MERGEABLE frequency sketches (Count-Min, built into Spark) — the
     // companion to agg_hll_sketch_merge for POINT-FREQUENCY queries at
     // 100 TB: one small binary sketch per day partition, merged by
@@ -424,6 +438,20 @@ object Relational {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |       true AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // percentile_disc spelled out: smallest value whose cume_dist >= p.
+    "agg_percentile_disc" ->
+      """WITH c AS (
+        |  SELECT event_type, value,
+        |         cume_dist() OVER (PARTITION BY event_type ORDER BY value)
+        |           AS cd
+        |  FROM events)
+        |SELECT event_type,
+        |       (SELECT count(*) FROM events e
+        |        WHERE e.event_type = c.event_type) AS n,
+        |       min(CASE WHEN cd >= 0.25 THEN value END) AS p25,
+        |       min(CASE WHEN cd >= 0.5 THEN value END) AS p50,
+        |       min(CASE WHEN cd >= 0.75 THEN value END) AS p75
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the CMS gate: exact top-5 heavy users plus the deterministic-sketch
     // bound boolean, constant true (see the query's comment).
     "agg_count_min" ->

@@ -398,6 +398,27 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** RANGE (radius) search — the other fundamental vector-query type
+    * next to top-k: ALL corpus vectors within `threshold` cosine of
+    * each query, however many there are (top-k asks "the closest k";
+    * range asks "everything this similar" — the dedup/recall-audit
+    * query). Exact: broadcast the query block against the corpus scan,
+    * one codegen'd dot per pair, emit qualifying pairs only — at 100 TB
+    * the same LSH/IVF routes used by the dedup keys pre-filter the
+    * scan; this registered form is the exact semantics those routes are
+    * verified against. Output ordered (q_id, n_id); counts per query
+    * vary by radius, which is the point. */
+  def rangeSearch(emb: DataFrame, queryPred: Column,
+      threshold: Double): DataFrame = {
+    val q = broadcast(withNorm(emb.filter(queryPred), "q_id", "qe", "qn"))
+    val c = withNorm(emb, "n_id", "ne", "nn")
+    q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
+      .filter(col("cos") > threshold)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "n_id")
+  }
+
   /** INCREMENTAL embedding dedup — the vector analogue of
     * [[graft.ops.Dedup.incrementalSurvivors]], the nightly-ingest
     * operator: a new batch (vec_id % 5 = 0, the same deterministic
@@ -758,6 +779,9 @@ object Similarity {
     "sim_ann_pq" -> ((s, d) =>
       pqTopK(Tables.embeddings(s, d), trainedCentroids(s, d, 16, 0),
         col("vec_id") < 10, 5)),
+    // exact cosine radius search for the 10-query block.
+    "sim_range_search" -> ((s, d) =>
+      rangeSearch(Tables.embeddings(s, d), col("vec_id") < 10, 0.35)),
     // nightly-ingest embedding dedup: new batch probes existing buckets,
     // cross-set candidates only, exact verify, survivors = clean new.
     "dedup_embedding_incremental" -> ((s, d) =>
@@ -1099,6 +1123,18 @@ object Similarity {
          |SELECT e.vec_id, e.label FROM e
          |WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
          |ORDER BY e.vec_id""".stripMargin,
+    "sim_range_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |       round(list_inner_product(q.emb, c.emb) /
+        |         (sqrt(list_inner_product(q.emb, q.emb)) *
+        |          sqrt(list_inner_product(c.emb, c.emb))), 6) AS cos_sim
+        |FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |WHERE q.vec_id < 10
+        |  AND list_inner_product(q.emb, c.emb) /
+        |      (sqrt(list_inner_product(q.emb, q.emb)) *
+        |       sqrt(list_inner_product(c.emb, c.emb))) > 0.35
+        |ORDER BY q_id, n_id""".stripMargin,
     // same buckets as dedup_embedding_lsh, candidates restricted to
     // cross-set (new xor existing), dropped id = the NEW side.
     "dedup_embedding_incremental" ->
