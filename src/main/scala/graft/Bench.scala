@@ -163,21 +163,47 @@ object Bench {
     System.err.println(f"[bench] window noise (median max/min spread): " +
       f"$noise%.3f retried=$noiseRetried")
 
+    // Per-key trend guard (VERDICT r7 "Next round" #2): both the r6 and
+    // r7 judges found individual-key regressions by hand-diffing the
+    // committed BENCH_FULL.json against the previous round's — the noise
+    // sentinel is a MEDIAN, so it cannot clear (or catch) one key. This
+    // automates that audit: before overwriting BENCH_FULL.json, read the
+    // previous committed artifact's per-key mins and flag any key whose
+    // new min exceeds SPARK_GRAFT_BENCH_REGR_MAX (default 2.5)× its
+    // prior value — both sides above the 50 ms timer-jitter floor. The
+    // offenders land in the artifact itself ("regressions") so a bad key
+    // is visible at commit time, not discoverable only by a judge.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      new java.io.File(sys.props("user.dir"), "BENCH_FULL.json").getPath)
+    val regrMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REGR_MAX", "2.5").toDouble
+    val prev: Map[String, Double] =
+      try parsePrevQueries(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(fullPath)), "UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val regressions = regressionsOf(prev, results, regrMax)
+    for ((k, p, n) <- regressions)
+      System.err.println(f"[bench] REGRESSION $k%-28s prev=$p%.3f now=$n%.3f (${n / p}%.1fx > $regrMax%.1fx)")
+
     // Build (first-run, setup-inclusive) times and the full steady map:
     // stderr only — diagnostics; the stdout line must stay tiny.
     val buildTotal = r3(build.filter(_._2 >= 0).map(_._2).sum)
     System.err.println(s"""[bench] build-pass times: {"build":${jmap(build)},"build_total":$buildTotal}""")
     System.err.println(s"""[bench] steady-state times: {"queries":${jmap(results)}}""")
     val full = fullArtifact(results, build, runs, sfDir, cpus,
-      errors.distinct.toSeq, noise, noiseRetried)
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      new java.io.File(sys.props("user.dir"), "BENCH_FULL.json").getPath)
-    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
+      errors.distinct.toSeq, noise, noiseRetried, regressions)
+    // A narrowed (SPARK_GRAFT_BENCH_ONLY) diagnostic run must never
+    // clobber the committed full artifact with a partial map.
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
+    } else System.err.println(
+      s"[bench] BENCH_ONLY run — not writing $fullPath")
     println(artifactLine(results, runs, sfDir, errors.distinct.toSeq,
-      noise = noise, noiseRetried = noiseRetried))
+      noise = noise, noiseRetried = noiseRetried,
+      regrN = regressions.size))
     spark.stop()
     graft.ops.SessionCleanup.deleteRecursively(warehouse)
     graft.ops.SessionCleanup.deleteRecursively(metastore)
@@ -186,6 +212,45 @@ object Bench {
   private def r3(x: Double): Double = math.rint(x * 1000) / 1000
   private def jmap(kv: Seq[(String, Double)]): String =
     kv.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+
+  /** Extract the per-key steady map from a previous BENCH_FULL.json.
+    * The artifact is our own fixed format (flat `"key":number` pairs
+    * inside `"queries":{...}`, no nesting), so a pair-regex over that
+    * object is an exact parser for it — and an empty map on anything
+    * unexpected just disables the guard for that run. */
+  private[graft] def parsePrevQueries(json: String): Map[String, Double] = {
+    val marker = "\"queries\":{"
+    val qIdx = json.indexOf(marker)
+    if (qIdx < 0) Map.empty
+    else {
+      val start = qIdx + marker.length
+      val end = json.indexOf("}", start)
+      if (end < 0) Map.empty
+      else {
+        val pair = """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r
+        pair.findAllMatchIn(json.substring(start, end))
+          .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+          .toMap
+      }
+    }
+  }
+
+  /** Keys whose new min exceeds `factor`× their previous committed min,
+    * with both sides above the timer-jitter floor (sub-50 ms times
+    * spread arbitrarily; the noise sentinel excludes them for the same
+    * reason). Returns (key, prev, now), worst ratio first. */
+  private[graft] def regressionsOf(prev: Map[String, Double],
+      cur: Seq[(String, Double)], factor: Double = 2.5,
+      floor: Double = 0.05): Seq[(String, Double, Double)] =
+    cur.collect {
+      case (k, n) if n >= floor && prev.get(k).exists(p =>
+        p >= floor && n > factor * p) => (k, prev(k), n)
+    }.sortBy { case (_, p, n) => -(n / p) }
+
+  private def jregr(rs: Seq[(String, Double, Double)]): String =
+    rs.map { case (k, p, n) =>
+      s"""{"q":"$k","prev":${r3(p)},"now":${r3(n)}}"""
+    }.mkString("[", ",", "]")
 
   /** Complete artifact — every steady-state time, every build time, both
     * totals — written to BENCH_FULL.json (not stdout: this line is ~5 KB
@@ -197,7 +262,8 @@ object Bench {
   private[graft] def fullArtifact(results: Seq[(String, Double)],
       build: Seq[(String, Double)], runs: Int, sfDir: String, cpus: String,
       errors: Seq[String], noise: Double = 1.0,
-      noiseRetried: Boolean = false): String = {
+      noiseRetried: Boolean = false,
+      regressions: Seq[(String, Double, Double)] = Nil): String = {
     val okResults = results.filter(_._2 >= 0)
     val okBuild = build.filter(_._2 >= 0)
     val total = r3(okResults.map(_._2).sum)
@@ -205,7 +271,8 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sfDir","cpus":"$cpus",""" +
       s""""noise":${r3(noise)},"noise_retried":$noiseRetried,""" +
-      s""""errors":$errs,"queries":${jmap(okResults)},""" +
+      s""""errors":$errs,"regressions":${jregr(regressions)},""" +
+      s""""queries":${jmap(okResults)},""" +
       s""""build":${jmap(okBuild)},"build_total":$buildTotal,"value":$total}"""
   }
 
@@ -222,7 +289,8 @@ object Bench {
     * asserts the budget at absurd widths for every registered query. */
   private[graft] def artifactLine(results: Seq[(String, Double)], runs: Int,
       sfDir: String, errors: Seq[String], budget: Int = 1400,
-      noise: Double = 1.0, noiseRetried: Boolean = false): String = {
+      noise: Double = 1.0, noiseRetried: Boolean = false,
+      regrN: Int = 0): String = {
     val ok = results.filter(_._2 >= 0)
     val total = r3(ok.map(_._2).sum)
     val sf = new java.io.File(sfDir).getName
@@ -230,7 +298,8 @@ object Bench {
     val errs = shownErrs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val prefix = s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sf",""" +
       s""""noise":${r3(noise)},"noise_retried":$noiseRetried,""" +
-      s""""errors":$errs,"errors_n":${errors.size},"nq":${results.size},"queries":{"""
+      s""""errors":$errs,"errors_n":${errors.size},"regr_n":$regrN,""" +
+      s""""nq":${results.size},"queries":{"""
     // worst-case suffix: },"omitted":NNN,"omitted_sum":NNNNN.NNN,"value":NNNNN.NNN}
     val suffixAllowance = 64
     val desc = ok.sortBy(-_._2)

@@ -203,7 +203,8 @@ object ScaleTrend {
       // round 7 session 5: frontier BFS (the scatter-volume claim is
       // structural — each node enters the frontier once, so total
       // scatter ≤ 2|E| against rounds×2|E| for dense min-propagation;
-      // rounds here = 8) and PQ ANN — ADC wall time plus MEASURED
+      // rounds here = 6, the seed set's diameter) and PQ ANN — ADC
+      // wall time plus MEASURED
       // recall@5 vs brute force at every scale (the dial the 64×
       // code-table compression is traded against).
       val tBfs = time(graft.ops.Graphs.queries("graph_bfs_depth")(spark, sf))

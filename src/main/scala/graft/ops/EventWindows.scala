@@ -213,14 +213,16 @@ object EventWindows {
   /** Weekly churn — the retention complement of
     * [[retentionCohorts]]: a user active in week w CHURNS at w if they
     * have no event in week w+1. Weeks are exact integer indexes
-    * (days-since-epoch-anchor div 7 — no engine calendar conventions),
+    * (floor((days-since-anchor)/7) — floor, not truncation, so events
+    * before the 2024-01-01 anchor land in the correct negative week,
+    * matching DuckDB's `//` floor-division semantics),
     * activity is a distinct (user, week) frame (the shuffle carries
     * user-weeks, never events), and churn is one self anti-join of
     * that frame against its week-shifted image. The final week is
     * excluded (no w+1 to observe). */
   def weeklyChurn(events: DataFrame): DataFrame = {
     val active = events.select(col("user_id"),
-        expr("CAST(datediff(to_date(ts), DATE '2024-01-01') div 7 AS BIGINT)")
+        expr("CAST(floor(datediff(to_date(ts), DATE '2024-01-01') / 7.0) AS BIGINT)")
           .as("week"))
       .distinct()
     val nextShift = active.select(col("user_id"), (col("week") - 1).as("week"))

@@ -376,7 +376,9 @@ object Graphs {
     "graph_triangles" -> ((s, d) => triangleCounts(Tables.documents(s, d))),
     // 10 max-normalized integer HITS rounds; exact BIGINT scores.
     "graph_hits" -> ((s, d) => hits(Tables.documents(s, d))),
-    // frontier BFS crawl depth from doc 0; exact integer hops.
+    // frontier BFS hop distance from the five portal hubs (docs
+    // 0/10/20/30/40), 6 rounds = the seed set's structural diameter;
+    // exact integer hops.
     "graph_bfs_depth" -> ((s, d) => bfsHops(Tables.documents(s, d))),
     // neighborhood-Jaccard missing-link top-20.
     "graph_link_prediction" -> ((s, d) =>

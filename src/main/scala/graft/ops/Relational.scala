@@ -405,6 +405,12 @@ object Relational {
     // "exact ≤ est ≤ exact + ⌈eps·N⌉" is a stable boolean the oracle
     // predicts as constant true; the exact top-5 heavy users ride
     // along, hash-comparable end to end.
+    // SCOPE of the constant-true claim: the eps·N overshoot bound holds
+    // per-probe only with the sketch's configured confidence (0.99); the
+    // seed makes each estimate deterministic AT A GIVEN SF, and the
+    // boolean has been verified at sf0.001 (spec) and sf0.01 (oracle
+    // gate) — at an unverified larger SF a hash collision could flip it,
+    // so treat it as validated at the oracle scales, not as a theorem.
     "agg_count_min" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val daySketches = ev

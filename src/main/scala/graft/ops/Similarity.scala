@@ -384,7 +384,14 @@ object Similarity {
     * form) — SimilaritySpec asserts the containment both ways. The hash
     * gate does not depend on recall at all: the oracle replicates the
     * seeded buckets bit-identically (plane literals, see [[lshPlanes]]),
-    * so Spark and DuckDB route — and drop — the SAME pairs. */
+    * so Spark and DuckDB route — and drop — the SAME pairs.
+    *
+    * Bench provenance: the committed r7 artifact recorded 3.52 s for
+    * this key inside the 228-query session; the r8 isolated min-of-7
+    * (SPARK_GRAFT_BENCH_ONLY, the join_theta_range precedent) measures
+    * 0.995 s with zero code change — within 1.14× of the r6-quiet
+    * 0.87 s, confirming shared-session GC/broadcast pressure during the
+    * 8-table bucketing explode, not a plan regression. */
   def embeddingDedupLshSurvivors(emb: DataFrame, threshold: Double,
       bits: Int = 6, tables: Int = 8): DataFrame = {
     val cands = lshDedupCandidates(emb, bits, tables)

@@ -244,8 +244,11 @@ object Text {
     // thresholds the ROUNDED score, so both engines label identically.
     "text_quality_logit" -> ((s, d) => {
       val stop = stopwordRatio(col("text"))
-      val uniq = size(array_distinct(words(col("text")))).cast("double") /
-        size(words(col("text")))
+      // zero-token guard mirrors stop_r's (and the oracle's CASE WHEN):
+      // a degenerate empty doc scores uniq_r = 0, not null/NaN.
+      val uniq = when(size(words(col("text"))) > 0,
+        size(array_distinct(words(col("text")))).cast("double") /
+          size(words(col("text")))).otherwise(lit(0.0))
       val nw = size(words(col("text"))).cast("double")
       val z = lit(-1.5) + lit(6.0) * stop + lit(2.0) * uniq + lit(0.01) * nw
       val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)

@@ -272,6 +272,45 @@ class ContractSpec extends AnyFunSuite {
     assert(!node.get("noise_retried").asBoolean())
   }
 
+  test("per-key bench trend guard flags >2.5x regressions against the " +
+      "previous committed artifact and rides both artifact forms") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // parser round-trip: the guard reads OUR OWN artifact format
+    val prevJson = Bench.fullArtifact(
+      Seq("q_fast" -> 0.2, "q_slow" -> 1.0, "q_tiny" -> 0.01,
+        "q_gone" -> 0.4),
+      Seq("q_fast" -> 0.3), 3, "/root/testdata/sf0.1", "32", Seq.empty)
+    val prev = Bench.parsePrevQueries(prevJson)
+    assert(prev == Map("q_fast" -> 0.2, "q_slow" -> 1.0,
+      "q_tiny" -> 0.01, "q_gone" -> 0.4))
+    // guard semantics: flags only real regressions —
+    //  q_fast 0.2 -> 0.9 (4.5x)  FLAGGED
+    //  q_slow 1.0 -> 1.2 (1.2x)  fine
+    //  q_tiny 0.01 -> 0.2        below the 50 ms jitter floor on prev
+    //  q_new  (no prior value)   cannot regress
+    val cur = Seq("q_fast" -> 0.9, "q_slow" -> 1.2, "q_tiny" -> 0.2,
+      "q_new" -> 5.0)
+    val regr = Bench.regressionsOf(prev, cur)
+    assert(regr == Seq(("q_fast", 0.2, 0.9)), regr)
+    // a clean window yields an empty list
+    assert(Bench.regressionsOf(prev,
+      Seq("q_fast" -> 0.25, "q_slow" -> 0.8)).isEmpty)
+    // the full artifact names the offenders; the stdout line counts them
+    val full = Bench.fullArtifact(cur, Nil, 3, "/root/testdata/sf0.1",
+      "32", Seq.empty, regressions = regr)
+    val fnode = mapper.readTree(full)
+    assert(fnode.get("regressions").size() == 1)
+    assert(fnode.get("regressions").get(0).get("q").asText() == "q_fast")
+    assert(math.abs(fnode.get("regressions").get(0).get("prev").asDouble()
+      - 0.2) < 1e-9)
+    val line = Bench.artifactLine(cur, 3, "/root/testdata/sf0.1", Nil,
+      regrN = regr.size)
+    assert(mapper.readTree(line).get("regr_n").asInt() == 1)
+    // malformed / absent prior artifact disables the guard, not the run
+    assert(Bench.parsePrevQueries("not json at all").isEmpty)
+    assert(Bench.regressionsOf(Map.empty, cur).isEmpty)
+  }
+
   test("events_rfm partitions every user into the 4x4x4 grid and " +
       "events_seasonality accounts for every event") {
     import org.apache.spark.sql.functions._

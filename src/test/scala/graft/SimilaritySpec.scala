@@ -146,7 +146,7 @@ class SimilaritySpec extends AnyFunSuite {
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.4, s"recall=$recall")
-    // 5 ranked rows per query, all from the 20-candidate route
+    // 5 ranked rows per query, all from the cands=32 ADC route
     assert(approx.groupBy(_._1).values.forall(_.size == 5))
     // deterministic: a second run returns the identical ranked set
     val again = Similarity.pqTopK(emb, seeds, col("vec_id") < 10, 5)
