@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.model.Tables
@@ -217,6 +217,81 @@ object TermStats {
       .orderBy("rnk")
   }
 
+  /** The learned merge table of [[bpeTopMerges]] as an ordered driver
+    * list — model-sized rows (top-N pairs), the same license as the IVF
+    * centroids: the MODEL may live on the driver; the corpus never does.
+    * Deterministic because the top-k ranking pins ties by pair. */
+  def bpeMerges(docs: DataFrame, n: Int): Seq[String] =
+    bpeTopMerges(docs, n).orderBy("rnk").select("pair")
+      .collect().map(_.getString(0)).toSeq
+
+  /** Greedy left-to-right application of a merge list to one word,
+    * as a pure codegen'd expression chain (no UDF). The classic BPE
+    * encoder trick (Sennrich et al. 2016 release notes the same
+    * space-join form): the word becomes a DOUBLE-space-joined symbol
+    * string `␣␣c₁␣␣c₂␣␣…␣␣`, and merge (a,b) is one literal
+    * `replace(" a  b " → " ab ")` — string replace is left-to-right
+    * non-overlapping in both engines, which IS BPE's greedy merge
+    * order, and the doubled separator means adjacent matches never
+    * compete for a shared boundary space while a pattern can still
+    * never match INSIDE a longer symbol (the single-space flanks only
+    * exist at symbol boundaries). Rounds apply in rank order; a symbol
+    * merged in round r is a longer string that single-char patterns of
+    * later rounds cannot split. */
+  def bpeEncodeExpr(word: Column, merges: Seq[String]): Column = {
+    val s0 = concat(regexp_replace(word, "(.)", "  $1"), lit("  "))
+    val sN = merges.foldLeft(s0)((s, p) =>
+      replace(s,
+        lit(" " + p.substring(0, 1) + "  " + p.substring(1, 2) + " "),
+        lit(" " + p + " ")))
+    trim(replace(sN, lit("  "), lit(" ")))
+  }
+
+  /** Apply the learned BPE merge table to re-encode every document —
+    * the missing half of the tokenizer (VERDICT r7 "Next round" #4):
+    * [[bpeTopMerges]] LEARNS the table, this key RUNS it, closing
+    * learn → apply → id-mapping. Scale shape mirrors
+    * [[tokenizeVocabIds]]: merges apply to the DISTINCT VOCABULARY only
+    * (model-vocabulary-sized; the corpus-sized pass is a word-count),
+    * encoded words join back to the position-preserving token stream,
+    * and per-doc streams re-assemble by posexplode order, never collect
+    * order. TermStatsSpec pins the defining property: after applying
+    * the table, every merged pair's count as ADJACENT SINGLE-CHAR
+    * symbols is zero (the merge consumed every occurrence), and
+    * concatenating any word's symbols reproduces the word (lossless). */
+  def bpeApply(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    val merges = bpeMerges(docs, nMerges)
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(Text.words(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    val encv = toks.select(col("word")).distinct()
+      .select(col("word"), bpeEncodeExpr(col("word"), merges).as("enc"))
+      .withColumn("n_sym", size(split(col("enc"), " ")).cast("long"))
+    toks.join(encv, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_sym")).as("n_symbols"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("enc")))),
+          x => x.getField("enc"))).as("syms"))
+      .orderBy("doc_id")
+  }
+
+  /** The [[bpeApply]] oracle's nested-replace chain, generated the way
+    * the unrolled PageRank CTEs are: merge i's pattern/replacement are
+    * scalar subqueries against the SAME ranked CTE the
+    * tokenize_bpe_top_merges gate already verifies, so the oracle
+    * re-derives the merge table rather than trusting Spark's. */
+  private def bpeOracleEncode(n: Int): String = {
+    def p(i: Int) = s"(SELECT pair FROM ranked WHERE rnk = $i)"
+    val base = """regexp_replace(word, '(.)', '  \1', 'g') || '  '"""
+    val nested = (1 to n).foldLeft(base)((s, i) =>
+      s"replace($s,\n      ' ' || substring(${p(i)}, 1, 1) || '  ' || " +
+        s"substring(${p(i)}, 2, 1) || ' ',\n      ' ' || ${p(i)} || ' ')")
+    s"trim(replace($nested, '  ', ' '))"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf_top" -> ((s, d) => tfidfTop(Tables.documents(s, d), 3)),
     "text_unigram_logprob" -> ((s, d) => unigramLogprob(Tables.documents(s, d))),
@@ -224,6 +299,8 @@ object TermStats {
     "tokenize_vocab_ids" -> ((s, d) => tokenizeVocabIds(Tables.documents(s, d))),
     // one BPE merge round: corpus-weighted character-pair counts, top 20.
     "tokenize_bpe_top_merges" -> ((s, d) => bpeTopMerges(Tables.documents(s, d))),
+    // apply the learned top-10 merges: greedy re-encode of every doc.
+    "tokenize_bpe_apply" -> ((s, d) => bpeApply(Tables.documents(s, d))),
     // BM25 top-10 for the fixed 3-term query; k1=1.2, b=0.75.
     "text_bm25_rank" -> ((s, d) =>
       bm25Rank(Tables.documents(s, d), Seq("spark", "hash", "vector")))
@@ -315,6 +392,40 @@ object TermStats {
         |  SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair)
         |    AS BIGINT) AS rnk FROM agg)
         |SELECT rnk, pair, n FROM ranked WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // the merge table re-derived by the SAME ranked CTE the top_merges
+    // gate verifies; application is the identical literal-replace chain
+    // (generated nested replaces — the unrolled-PageRank technique).
+    "tokenize_bpe_apply" ->
+      s"""WITH toksall AS (
+         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         |freq AS (
+         |  SELECT word, count(*) AS cnt FROM toksall
+         |  WHERE length(word) >= 2 GROUP BY word),
+         |prs AS (
+         |  SELECT substring(word, CAST(i AS INT), 2) AS pair, cnt
+         |  FROM (SELECT word, cnt, unnest(range(1, length(word))) AS i
+         |        FROM freq)),
+         |agg AS (
+         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM prs GROUP BY pair),
+         |ranked AS (
+         |  SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair)
+         |    AS BIGINT) AS rnk FROM agg),
+         |toks AS (
+         |  SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, words[i] AS word, i AS pos FROM (
+         |      SELECT doc_id, string_split(text, ' ') AS words,
+         |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+         |      FROM documents))
+         |  WHERE length(word) > 0),
+         |encv AS (
+         |  SELECT word,
+         |    ${bpeOracleEncode(10)} AS enc
+         |  FROM (SELECT DISTINCT word FROM toks))
+         |SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(len(string_split(enc, ' '))) AS BIGINT) AS n_symbols,
+         |       string_agg(enc, ' ' ORDER BY toks.pos) AS syms
+         |FROM toks JOIN encv USING (word)
+         |GROUP BY toks.doc_id ORDER BY doc_id""".stripMargin,
     // identical parenthesization to the Spark expression chain; ranking
     // on the 6-dp-rounded score with doc_id tiebreak.
     "text_bm25_rank" ->

@@ -549,6 +549,52 @@ class DedupSpec extends AnyFunSuite {
     assert(shuffled.toSeq == out.toSeq)
   }
 
+  test("paragraphIncrementalSurvivors: new docs lose exactly the " +
+      "paragraphs already in the existing corpus, and re-ingesting the " +
+      "survivors is a fixpoint") {
+    // mod=5: ids 5 and 10 are the NEW batch (both avoid %3==0 so no
+    // footer plant muddies the counts); 1 and 2 are the corpus.
+    val sharedP = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu"
+    val own1 = "north south east west up down left right front back " +
+      "inside outside"
+    val own2 = "red blue green yellow purple orange pink brown black " +
+      "white gray cyan"
+    val own5 = "one two three four five six seven eight nine ten " +
+      "eleven twelve"
+    val own10 = "ichi ni san shi go roku nana hachi kyu ju hyaku sen"
+    val docs = Seq(
+      (1L, s"$own1 $sharedP"), (2L, own2),
+      (5L, s"$own5 $sharedP"), (10L, own10))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val out = Dedup.paragraphIncrementalSurvivors(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // only the new batch is emitted
+    assert(out.map(_._1).sorted.toSeq == Seq(5L, 10L))
+    val byId = out.map(t => t._1 -> t).toMap
+    // doc 5's shared paragraph is already in doc 1 -> dropped;
+    // doc 10 is untouched
+    assert(byId(5L)._2 == 2 && byId(5L)._3 == 1 && byId(5L)._4 == own5)
+    assert(byId(10L)._2 == 1 && byId(10L)._3 == 1 && byId(10L)._4 == own10)
+    // the existing side is NEVER re-deduped: docs 1/2 don't shrink —
+    // their paragraphs are in the probe set, not the output
+    // fixpoint: corpus + cleaned survivors, re-ingested, drops nothing
+    val docs2 = Seq(
+      (1L, s"$own1 $sharedP"), (2L, own2),
+      (5L, byId(5L)._4.replace("\n", " ")),
+      (10L, byId(10L)._4.replace("\n", " ")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val again = Dedup.paragraphIncrementalSurvivors(docs2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    again.foreach { case (id, nParas, nKept, clean) =>
+      assert(nKept == nParas, s"doc $id lost a paragraph on re-ingest")
+      assert(clean.replace("\n", " ") ==
+        (if (id == 5L) own5 else own10))
+    }
+  }
+
   test("paragraphSurvivors plants the boilerplate footer on doc_id % 3 " +
       "== 0 and the dedup keeps each footer variant exactly once") {
     // six docs, all with identical-length unique bodies; ids 0, 3, 6

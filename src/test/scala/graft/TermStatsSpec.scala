@@ -122,6 +122,43 @@ class TermStatsSpec extends AnyFunSuite {
     assert(TermStats.bpeTopMerges(docs, 2).count() == 2L)
   }
 
+  test("bpeApply consumes every learned merge (pair counts as adjacent " +
+      "single-char symbols go to zero) and is lossless (sf0.001)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val merges = TermStats.bpeMerges(docs, 10)
+    assert(merges.size == 10 && merges.forall(_.length == 2))
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+    val enc = vocab.select(col("word"),
+      TermStats.bpeEncodeExpr(col("word"), merges).as("enc"))
+    // lossless: concatenating a word's symbols reproduces the word
+    assert(enc.filter(
+      regexp_replace(col("enc"), " ", "") =!= col("word")).count() == 0L)
+    // the defining property of a completed merge round: after applying
+    // the table, NO adjacent pair of single-char symbols equals any
+    // merged pair — greedy replace consumed every occurrence, and later
+    // rounds only create longer symbols, never new single-char
+    // adjacencies.
+    val syms = enc.select(posexplode(split(col("enc"), " "))
+      .as(Seq("pos", "sym")), col("word"))
+    val adj = syms.alias("a").join(syms.alias("b"),
+        col("a.word") === col("b.word") &&
+          col("b.pos") === col("a.pos") + 1)
+      .select(col("a.sym").as("s1"), col("b.sym").as("s2"))
+      .filter(length(col("s1")) === 1 && length(col("s2")) === 1)
+      .select(concat(col("s1"), col("s2")).as("pair"))
+    val leftover = adj.filter(col("pair").isin(merges: _*)).count()
+    assert(leftover == 0L, s"unconsumed merge-pair adjacencies: $leftover")
+    // and the registered key's totals are consistent: symbols never
+    // exceed tokens' character count, never undercut token count
+    val out = TermStats.bpeApply(docs).collect()
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getString(3).length)
+      assert(r.getLong(2) >= r.getLong(1))
+    }
+  }
+
   test("tokenize_vocab_ids round-trips: ids decode back to the original " +
       "token stream (sf0.001)") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
