@@ -528,6 +528,38 @@ object EventWindows {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n"))
 
+  /** Per-user sessionization report — the batch gaps-and-islands
+    * rollup every product-analytics pipeline ships next to the
+    * streaming session window: sessions are 30-minute-gap islands
+    * (the SAME grouping [[sessions]] uses, so the batch and stream
+    * definitions cannot drift), and the report is session count,
+    * event count, events/session, summed ACTIVE span (last−first
+    * event per session, no gap padding) and the largest session.
+    *
+    * Scale shape: `session_window` is one keyed aggregate — Spark
+    * sorts WITHIN each user's partition-local group, never globally;
+    * the per-user rollup is a second keyed aggregate over
+    * session-sized rows. The DuckDB oracle derives the same islands
+    * with lag()+cumulative-sum — the executable gaps-and-islands
+    * spec. Seconds are floored on both engines (events carry
+    * microsecond precision; Spark unix_timestamp floors, the oracle
+    * floors epoch() explicitly). */
+  def sessionizeStats(events: DataFrame): DataFrame = {
+    val se = events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("t0"),
+        max(col("ts")).as("t1"))
+    se.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        round(sum(col("n")).cast("double") / count(lit(1)), 4)
+          .as("events_per_session"),
+        sum(unix_timestamp(col("t1")) - unix_timestamp(col("t0")))
+          .as("active_secs"),
+        max(col("n")).as("max_session_events"))
+      .orderBy("user_id")
+  }
+
   /** Concurrent-session load per hour — the INTERVAL-OVERLAP
     * aggregation ("how many intervals cover each point/bucket"), done
     * the way it scales: each session row SCATTERS to the hours it
@@ -753,7 +785,10 @@ object EventWindows {
     // concurrent sessions/users per hour (interval-overlap aggregate,
     // scatter plan vs the oracle's theta-join spec).
     "events_session_concurrency" -> ((s, d) =>
-      sessionConcurrency(Tables.events(s, d)))
+      sessionConcurrency(Tables.events(s, d))),
+    // per-user 30-min-gap session rollup (batch gaps-and-islands).
+    "events_sessionize" -> ((s, d) =>
+      sessionizeStats(Tables.events(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -1146,6 +1181,32 @@ object EventWindows {
         |SELECT TIMESTAMP '1970-01-01' + h * INTERVAL '3600 seconds' AS hour,
         |       CAST(count(*) AS BIGINT) AS n_sessions,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM j GROUP BY h ORDER BY hour""".stripMargin
+        |FROM j GROUP BY h ORDER BY hour""".stripMargin,
+    // same lag+cumsum islands as the concurrency oracle; per-session
+    // floors epoch seconds (events carry microseconds) before the diff.
+    "events_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o),
+        |se AS (
+        |  SELECT user_id, sid, count(*) AS n,
+        |         CAST(floor(epoch(max(ts))) AS BIGINT)
+        |           - CAST(floor(epoch(min(ts))) AS BIGINT) AS span
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       round(CAST(sum(n) AS DOUBLE) / count(*), 4)
+        |         AS events_per_session,
+        |       CAST(sum(span) AS BIGINT) AS active_secs,
+        |       CAST(max(n) AS BIGINT) AS max_session_events
+        |FROM se GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

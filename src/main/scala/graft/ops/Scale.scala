@@ -179,6 +179,44 @@ object Scale {
         .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
           count(lit(1)).as("n"))
         .orderBy("c_mktsegment")
+    }),
+    // Interval-overlap JOIN through binning — the scale pattern for
+    // range joins (the genomics/telemetry cousin of join_theta_range):
+    // a naive overlap join is a theta nested-loop over |A|·|B| pairs;
+    // binning scatters each interval to the hour bins it covers (linear
+    // in Σ bins-per-interval, bounded here by the 30-min session gap),
+    // equi-joins on bin (hash join, shuffle keyed by bin), dedups the
+    // pair, and verifies the EXACT overlap predicate on the candidates
+    // only. Correct because two overlapping intervals always share the
+    // bin of any common instant. Per-bin skew = concurrent sessions in
+    // that hour — the salting machinery above applies if an hour goes
+    // hot. The DuckDB oracle RUNS the naive theta form (its IEJoin):
+    // the executable spec this plan must equal. Intervals are per-user
+    // 30-min-gap session active spans [min ts, max ts] (the same
+    // islands events_sessionize gates); output is overlapping
+    // cross-user session-pair counts.
+    "join_interval_overlap" -> ((s, d) => {
+      val se = Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        .select(col("user_id"), col("t0"), col("t1"))
+      val h0 = floor(unix_timestamp(col("t0")) / 3600).cast("long")
+      val h1 = floor(unix_timestamp(col("t1")) / 3600).cast("long")
+      val binned = se.select(col("user_id"), col("t0"), col("t1"),
+        explode(sequence(h0, h1)).as("bin"))
+      val a = binned.select(col("bin"), col("user_id").as("user_a"),
+        col("t0").as("a0"), col("t1").as("a1"))
+      val b = binned.select(col("bin"), col("user_id").as("user_b"),
+        col("t0").as("b0"), col("t1").as("b1"))
+      a.join(b, Seq("bin"))
+        .filter(col("user_a") < col("user_b") &&
+          col("a0") <= col("b1") && col("b0") <= col("a1"))
+        // session identity = (user, start): one user cannot start two
+        // sessions at the same instant, so the dedup key is exact
+        .select("user_a", "user_b", "a0", "b0").distinct()
+        .groupBy("user_a", "user_b")
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("user_a", "user_b")
     })
   )
 
@@ -198,6 +236,29 @@ object Scale {
         |       round(sum(o.o_totalprice), 2) AS sum_price,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    // the NAIVE theta overlap join (DuckDB plans it as an IEJoin) over
+    // the same lag+cumsum session islands events_sessionize verifies —
+    // the executable spec the binned candidate-routed plan must equal.
+    "join_interval_overlap" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o),
+        |se AS (
+        |  SELECT user_id, min(ts) AS t0, max(ts) AS t1
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |       CAST(count(*) AS BIGINT) AS n_overlaps
+        |FROM se a JOIN se b
+        |  ON a.user_id < b.user_id AND a.t0 <= b.t1 AND b.t0 <= a.t1
+        |GROUP BY 1, 2 ORDER BY user_a, user_b""".stripMargin
   )
 }

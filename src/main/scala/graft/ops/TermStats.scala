@@ -278,6 +278,36 @@ object TermStats {
       .orderBy("doc_id")
   }
 
+  /** The last rung of the tokenizer ladder: learn ([[bpeTopMerges]]) →
+    * apply ([[bpeApply]]) → DENSE IDS over the merged-symbol vocabulary
+    * — what a training pipeline actually feeds the model. Ids come from
+    * the same distributed range-partition assignment as
+    * [[tokenizeVocabIds]] (no global window); the symbol stream keeps
+    * BOTH positions (token pos, intra-word symbol pos) so re-assembly
+    * is order-pinned, never collect-ordered. */
+  def bpeIds(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    val merges = bpeMerges(docs, nMerges)
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(Text.words(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    val encv = toks.select(col("word")).distinct()
+      .select(col("word"), bpeEncodeExpr(col("word"), merges).as("enc"))
+    val wsyms = toks.join(encv, "word")
+      .select(col("doc_id"), col("pos"),
+        posexplode(split(col("enc"), " ")).as(Seq("spos", "sym")))
+    val symVocab = Scale.assignIdsByRange(
+      wsyms.select(col("sym")).distinct(), "sym")
+    wsyms.join(symVocab, "sym")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_symbols"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            struct(col("pos"), col("spos"), col("id")))),
+          x => x.getField("id").cast("string"))).as("ids"))
+      .orderBy("doc_id")
+  }
+
   /** The [[bpeApply]] oracle's nested-replace chain, generated the way
     * the unrolled PageRank CTEs are: merge i's pattern/replacement are
     * scalar subqueries against the SAME ranked CTE the
@@ -301,6 +331,8 @@ object TermStats {
     "tokenize_bpe_top_merges" -> ((s, d) => bpeTopMerges(Tables.documents(s, d))),
     // apply the learned top-10 merges: greedy re-encode of every doc.
     "tokenize_bpe_apply" -> ((s, d) => bpeApply(Tables.documents(s, d))),
+    // learn -> apply -> dense ids over the merged-symbol vocabulary.
+    "tokenize_bpe_ids" -> ((s, d) => bpeIds(Tables.documents(s, d))),
     // BM25 top-10 for the fixed 3-term query; k1=1.2, b=0.75.
     "text_bm25_rank" -> ((s, d) =>
       bm25Rank(Tables.documents(s, d), Seq("spark", "hash", "vector")))
@@ -426,6 +458,50 @@ object TermStats {
          |       string_agg(enc, ' ' ORDER BY toks.pos) AS syms
          |FROM toks JOIN encv USING (word)
          |GROUP BY toks.doc_id ORDER BY doc_id""".stripMargin,
+    // the bpe_apply CTEs plus an alphabetic symbol vocabulary; order is
+    // pinned by (token pos, intra-word symbol pos) on both engines.
+    "tokenize_bpe_ids" ->
+      s"""WITH toksall AS (
+         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         |freq AS (
+         |  SELECT word, count(*) AS cnt FROM toksall
+         |  WHERE length(word) >= 2 GROUP BY word),
+         |prs AS (
+         |  SELECT substring(word, CAST(i AS INT), 2) AS pair, cnt
+         |  FROM (SELECT word, cnt, unnest(range(1, length(word))) AS i
+         |        FROM freq)),
+         |agg AS (
+         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM prs GROUP BY pair),
+         |ranked AS (
+         |  SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair)
+         |    AS BIGINT) AS rnk FROM agg),
+         |toks AS (
+         |  SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, words[i] AS word, i AS pos FROM (
+         |      SELECT doc_id, string_split(text, ' ') AS words,
+         |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+         |      FROM documents))
+         |  WHERE length(word) > 0),
+         |encv AS (
+         |  SELECT word,
+         |    ${bpeOracleEncode(10)} AS enc
+         |  FROM (SELECT DISTINCT word FROM toks)),
+         |ds AS (
+         |  SELECT doc_id, pos, i AS spos, syms[i] AS sym FROM (
+         |    SELECT toks.doc_id, toks.pos,
+         |           string_split(enc, ' ') AS syms,
+         |           unnest(range(1, len(string_split(enc, ' ')) + 1)) AS i
+         |    FROM toks JOIN encv USING (word))),
+         |symv AS (
+         |  SELECT DISTINCT unnest(string_split(enc, ' ')) AS sym FROM encv),
+         |sv AS (
+         |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+         |    AS id FROM symv)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_symbols,
+         |       string_agg(CAST(sv.id AS VARCHAR), ' '
+         |         ORDER BY ds.pos, ds.spos) AS ids
+         |FROM ds JOIN sv USING (sym)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // identical parenthesization to the Spark expression chain; ranking
     // on the 6-dp-rounded score with doc_id tiebreak.
     "text_bm25_rank" ->

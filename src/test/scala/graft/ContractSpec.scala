@@ -311,6 +311,28 @@ class ContractSpec extends AnyFunSuite {
     assert(Bench.regressionsOf(Map.empty, cur).isEmpty)
   }
 
+  test("events_sessionize accounts for every event and session, and " +
+      "agrees with the streaming session-window definition") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.model.Tables.events(spark, TestSpark.sf0001)
+    val out = SparkEntry.queries("events_sessionize")(spark, TestSpark.sf0001)
+      .collect()
+    // every event lands in exactly one session of exactly one user
+    assert(out.map(_.getLong(2)).sum == ev.count())
+    // session count agrees with the session_window grouping itself
+    val nSessions = ev.groupBy(session_window(col("ts"), "30 minutes"),
+      col("user_id")).count().count()
+    assert(out.map(_.getLong(1)).sum == nSessions)
+    out.foreach { r =>
+      // (user_id, n_sessions, n_events, events_per_session,
+      //  active_secs, max_session_events)
+      assert(r.getLong(5) <= r.getLong(2)) // max session <= user's events
+      assert(r.getLong(4) >= 0L)           // active span non-negative
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(2).toDouble / r.getLong(1)) < 1e-3)
+    }
+  }
+
   test("events_rfm partitions every user into the 4x4x4 grid and " +
       "events_seasonality accounts for every event") {
     import org.apache.spark.sql.functions._

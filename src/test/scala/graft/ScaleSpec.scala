@@ -108,4 +108,50 @@ class ScaleSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(salted == plain)
   }
+
+  test("binned interval-overlap join equals the naive theta join " +
+      "(sf0.001), and the binning finds cross-boundary overlaps") {
+    import org.apache.spark.sql.functions._
+    // the registered key vs a Spark-computed naive theta over the same
+    // session islands — engine-internal twin of the DuckDB oracle
+    val binned = graft.SparkEntry.queries("join_interval_overlap")(
+      spark, TestSpark.sf0001).as[(Long, Long, Long)].collect().toSet
+    val se = graft.model.Tables.events(spark, TestSpark.sf0001)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(col("user_id"), col("t0"), col("t1"))
+    val a = se.select(col("user_id").as("ua"), col("t0").as("a0"),
+      col("t1").as("a1"))
+    val b = se.select(col("user_id").as("ub"), col("t0").as("b0"),
+      col("t1").as("b1"))
+    val naive = a.crossJoin(b)
+      .filter(col("ua") < col("ub") &&
+        col("a0") <= col("b1") && col("b0") <= col("a1"))
+      .groupBy(col("ua"), col("ub")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(binned == naive && binned.nonEmpty)
+    // hand case: intervals overlapping ACROSS an hour boundary (each
+    // covers 2 bins; overlap instant in different bins than the starts)
+    val hand = Seq(
+      (1L, "2024-01-01 00:50:00", "2024-01-01 01:10:00"),
+      (2L, "2024-01-01 01:05:00", "2024-01-01 01:40:00"),
+      (3L, "2024-01-01 03:00:00", "2024-01-01 03:10:00"))
+      .toDF("user_id", "s", "e")
+      .select(col("user_id"), col("s").cast("timestamp").as("t0"),
+        col("e").cast("timestamp").as("t1"))
+    val h0 = floor(unix_timestamp(col("t0")) / 3600).cast("long")
+    val h1 = floor(unix_timestamp(col("t1")) / 3600).cast("long")
+    val hb = hand.select(col("user_id"), col("t0"), col("t1"),
+      explode(sequence(h0, h1)).as("bin"))
+    val ha = hb.select(col("bin"), col("user_id").as("ua"),
+      col("t0").as("a0"), col("t1").as("a1"))
+    val hbb = hb.select(col("bin"), col("user_id").as("ub"),
+      col("t0").as("b0"), col("t1").as("b1"))
+    val pairs = ha.join(hbb, Seq("bin"))
+      .filter(col("ua") < col("ub") &&
+        col("a0") <= col("b1") && col("b0") <= col("a1"))
+      .select("ua", "ub").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }

@@ -159,6 +159,33 @@ class TermStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeIds round-trips: symbol ids decode to the merged symbols and " +
+      "concatenate back to the filtered word stream (sf0.001)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val merges = TermStats.bpeMerges(docs, 10)
+    // rebuild the id→symbol map exactly as the operator builds sym→id
+    val symVocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .select(TermStats.bpeEncodeExpr(col("word"), merges).as("enc"))
+      .select(explode(split(col("enc"), " ")).as("sym")).distinct()
+      .orderBy("sym").collect().map(_.getString(0))
+    val out = TermStats.bpeIds(docs).collect()
+    val decoded = out.map { r =>
+      r.getLong(0) -> r.getString(2).split(" ")
+        .map(i => symVocab(i.toInt - 1)).mkString
+    }.toMap
+    val want = docs.select(col("doc_id"),
+        concat_ws("", filter(split(col("text"), " "), w => length(w) > 0)))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.nonEmpty).toMap
+    assert(decoded == want)
+    // and the id count equals bpeApply's symbol count per doc
+    val nsym = TermStats.bpeApply(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach(r => assert(r.getLong(1) == nsym(r.getLong(0))))
+  }
+
   test("tokenize_vocab_ids round-trips: ids decode back to the original " +
       "token stream (sf0.001)") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
