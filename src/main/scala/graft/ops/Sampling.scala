@@ -116,6 +116,62 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Fixed-length training-sequence packing — the step that turns a
+    * cleaned corpus into what the trainer actually consumes: docs
+    * concatenate in doc_id order into one token stream, and the stream
+    * cuts into fixed `window`-token sequences; a doc spans every
+    * sequence its token range touches. The report is per-sequence
+    * (doc count, doc span, token fill) — the packing decision itself,
+    * model-input-sized.
+    *
+    * Scale shape: each doc's EXCLUSIVE global token offset is the same
+    * two-level distributed prefix sum as [[budgetPack]] (range-bucket
+    * by doc_id, per-bucket totals cumsum to offsets over O(buckets)
+    * rows, heavy level partitioned by bucket — never one global
+    * window); the doc→sequence scatter is linear in Σ sequences-per-doc
+    * (≤ len/window + 1) and the final rollup is one keyed aggregate.
+    * Window boundaries are pure integer arithmetic on offsets, so the
+    * DuckDB oracle (a plain global cumsum — correct at oracle scale,
+    * the scale-killer Spark must avoid) replays it exactly. */
+  def packSequences(docs: DataFrame, window: Int = 64,
+      buckets: Int = 8): DataFrame = {
+    val nToks = size(filter(Text.words(col("text")),
+      w => length(w) > 0)).cast("long")
+    val base = docs.select(col("doc_id"), nToks.as("n"))
+      .filter(col("n") > 0)
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val splits =
+      if (probes.isEmpty) Array.empty[Double]
+      else base.stat.approxQuantile("doc_id", probes, 0.001).distinct.sorted
+    val bkt = splits.foldLeft(lit(0)) { (acc, s) =>
+      acc + when(col("doc_id") >= lit(s), 1).otherwise(0)
+    }
+    val rows = base.withColumn("bkt", bkt)
+    val offsets = rows.groupBy(col("bkt"))
+      .agg(sum(col("n")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("boff"))
+    val inBkt = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withOff = rows.join(broadcast(offsets), "bkt")
+      .withColumn("off", col("boff") + sum(col("n")).over(inBkt) - col("n"))
+    val spans = withOff
+      .withColumn("seq_id", explode(sequence(
+        expr(s"CAST(off div $window AS BIGINT)"),
+        expr(s"CAST((off + n - 1) div $window AS BIGINT)"))))
+      .withColumn("fill",
+        least(col("off") + col("n"), (col("seq_id") + 1) * window) -
+          greatest(col("off"), col("seq_id") * window))
+    spans.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("fill")).as("n_tokens"))
+      .orderBy("seq_id")
+  }
+
   /** Sequence-length bucketing for batch assembly: bin docs by
     * power-of-2 token length (so batch members pad to at most 2× the
     * shortest — the standard dynamic-batching move), then give every
@@ -573,6 +629,10 @@ object Sampling {
       interleaveBySource(Tables.documents(s, d))),
     "sample_budget_pack" -> ((s, d) =>
       budgetPack(Tables.documents(s, d), budget = 12000L, buckets = 16)),
+    // fixed 64-token training-sequence packing over the doc_id-ordered
+    // token stream (two-level prefix sum; per-sequence doc-span report).
+    "sample_pack_sequences" -> ((s, d) =>
+      packSequences(Tables.documents(s, d))),
     // per-source quality quota: best 10 docs per source by length
     // (sources are 25-doc uniform in this corpus, so the quota BINDS —
     // 200 of 500 rows survive).
@@ -810,6 +870,30 @@ object Sampling {
          |      OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens
          |  FROM documents)
          |WHERE cum_tokens <= 12000 ORDER BY doc_id""".stripMargin,
+    // the global-cumsum spec of the two-level packing prefix sum:
+    // exclusive offsets, integer window arithmetic, one scatter row per
+    // (doc, touched sequence).
+    "sample_pack_sequences" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |           w -> length(w) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |         CAST(sum(n) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+        |           AS BIGINT) AS off
+        |  FROM tk WHERE n > 0),
+        |w AS (
+        |  SELECT doc_id, n, off,
+        |         unnest(range(off // 64, (off + n - 1) // 64 + 1)) AS seq_id
+        |  FROM c)
+        |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |       CAST(sum(least(off + n, (seq_id + 1) * 64)
+        |         - greatest(off, seq_id * 64)) AS BIGINT) AS n_tokens
+        |FROM w GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     "sample_quota_topk" ->
       """SELECT doc_id, source, n_chars, rk FROM (
         |  SELECT doc_id, source, n_chars,

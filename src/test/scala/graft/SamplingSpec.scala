@@ -111,6 +111,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(alt.toSeq == got.toSeq)
   }
 
+  test("packSequences: every sequence but the last fills exactly 64 " +
+      "tokens, the token total is conserved, doc spans are contiguous, " +
+      "and bucketing never changes the result") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
+    val out = Sampling.packSequences(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // dense sequence ids from 0
+    assert(out.map(_._1).toSeq == out.indices.map(_.toLong))
+    // full windows everywhere but the tail
+    out.dropRight(1).foreach(s => assert(s._5 == 64L, s))
+    assert(out.last._5 <= 64L && out.last._5 > 0L)
+    // conservation: window fills sum to the corpus token count
+    val total = docs.select(sum(size(filter(split(col("text"), " "),
+      w => length(w) > 0)))).head().getLong(0)
+    assert(out.map(_._5).sum == total)
+    // doc spans: within a window first<=last; across windows the spans
+    // advance monotonically (stream order)
+    out.foreach(s => assert(s._3 <= s._4))
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3 && a._4 <= b._4)
+    case _ => ()
+    }
+    // level-1 bucketing is partitioning-only: a different bucket count
+    // yields the identical packing
+    val alt = Sampling.packSequences(docs, buckets = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(alt.toSeq == out.toSeq)
+  }
+
   test("sample_kfold: every doc in exactly one of 5 folds, sizes near-uniform") {
     val assign = graft.SparkEntry.queries("sample_kfold")(
       spark, TestSpark.sf0001)
