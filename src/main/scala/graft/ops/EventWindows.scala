@@ -528,6 +528,37 @@ object EventWindows {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n"))
 
+  /** Bot-likeness by inter-event REGULARITY — the classic cheap bot
+    * signal a training-data pipeline filters on before events (or the
+    * docs they vouch for) enter a corpus: humans burst and pause, so
+    * their gap coefficient of variation (sd/mean) is high; schedulers
+    * and scrapers tick, so theirs is near zero. One user-partitioned
+    * lag for gaps (the shuffle carries events keyed by user — no global
+    * window), one keyed aggregate for the moments. Gap seconds are
+    * floored identically on both engines (events carry microseconds);
+    * mean/sd round at 6 dp BEFORE the ratio, so cv and the flag are
+    * engine-identical; users with fewer than two gaps carry no sd and
+    * are excluded. */
+  def botScores(events: DataFrame, cvThreshold: Double = 0.3): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev"))).as("gap"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap")), 6).as("mean_gap"),
+        round(stddev_samp(col("gap")), 6).as("sd_gap"))
+      .filter(col("n_gaps") >= 2)
+      .withColumn("cv", when(col("mean_gap") > 0,
+        round(col("sd_gap") / col("mean_gap"), 6)))
+      .withColumn("bot_like",
+        col("cv").isNotNull && col("cv") < cvThreshold)
+      .orderBy("user_id")
+  }
+
   /** Per-user sessionization report — the batch gaps-and-islands
     * rollup every product-analytics pipeline ships next to the
     * streaming session window: sessions are 30-minute-gap islands
@@ -788,7 +819,10 @@ object EventWindows {
       sessionConcurrency(Tables.events(s, d))),
     // per-user 30-min-gap session rollup (batch gaps-and-islands).
     "events_sessionize" -> ((s, d) =>
-      sessionizeStats(Tables.events(s, d)))
+      sessionizeStats(Tables.events(s, d))),
+    // inter-event-gap regularity (cv) bot signal per user.
+    "events_bot_score" -> ((s, d) =>
+      botScores(Tables.events(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -1207,6 +1241,27 @@ object EventWindows {
         |         AS events_per_session,
         |       CAST(sum(span) AS BIGINT) AS active_secs,
         |       CAST(max(n) AS BIGINT) AS max_session_events
-        |FROM se GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM se GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same floored gaps, same (ts, event_id) order pin, moments rounded
+    // before the ratio, flag on the rounded cv.
+    "events_bot_score" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT)
+        |           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |         round(avg(gap), 6) AS mean_gap,
+        |         round(stddev_samp(gap), 6) AS sd_gap
+        |  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_gaps, mean_gap, sd_gap,
+        |       CASE WHEN mean_gap > 0
+        |            THEN round(sd_gap / mean_gap, 6) END AS cv,
+        |       CASE WHEN mean_gap > 0
+        |            THEN round(sd_gap / mean_gap, 6) < 0.3
+        |            ELSE false END AS bot_like
+        |FROM a WHERE n_gaps >= 2 ORDER BY user_id""".stripMargin
   )
 }

@@ -479,6 +479,39 @@ object Profile {
     // per-dimension embedding audit: 256 aggregates, one scan.
     "profile_embedding_dims" -> ((s, d) =>
       embeddingDimProfile(Tables.embeddings(s, d))),
+    // off-manifold vector detection: CENTROID-DISTANCE z-score (norms
+    // are degenerate here — this corpus ships unit-normalized vectors,
+    // sd(norm) ≈ 4e-8 — so the meaningful outlier signal is distance
+    // to the corpus centroid). One scan for the 64 dim-means (map-side
+    // partials, same rounding as profile_embedding_dims), a 1-row
+    // broadcast centroid; dist² expands to dot(x,x) − 2·dot(x,c) +
+    // dot(c,c) with the native dot whose fold order equals
+    // list_inner_product, so distances are bit-identical across
+    // engines; corpus mean/sd round 6 dp BEFORE the z, |z| ≥ 2 flags
+    // on the 4-dp-rounded score.
+    "profile_embedding_outliers" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("ed"))
+      val centAgg = (0 until 64).map(i =>
+        round(avg(col("ed").getItem(i)), 6).as(s"c$i"))
+      val cent = broadcast(e.agg(centAgg.head, centAgg.tail: _*)
+        .select(array((0 until 64).map(i => col(s"c$i")): _*).as("c")))
+      val dot = graft.ops.Similarity.dot _
+      val withD = e.crossJoin(cent)
+        .withColumn("dist", sqrt(dot(col("ed"), col("ed"))
+          - lit(2.0) * dot(col("ed"), col("c"))
+          + dot(col("c"), col("c"))))
+      val stats = broadcast(withD.agg(
+        round(avg(col("dist")), 6).as("mu"),
+        round(stddev_samp(col("dist")), 6).as("sd")))
+      withD.crossJoin(stats)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"),
+          when(col("sd") > 0,
+            round((col("dist") - col("mu")) / col("sd"), 4)).as("z"))
+        .withColumn("outlier", col("z").isNotNull && abs(col("z")) >= 2.0)
+        .orderBy("vec_id")
+    }),
     // exact top-3 values per categorical column.
     "profile_heavy_hitters" -> ((s, d) =>
       heavyHitters(Tables.documents(s, d), Seq("lang", "source"))),
@@ -600,6 +633,31 @@ object Profile {
         |       round(stddev_samp(v), 4) AS sd,
         |       round(min(v), 6) AS lo, round(max(v), 6) AS hi
         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+    // identical distance arithmetic (list_inner_product = the native
+    // dot's fold order; same left-associated expansion), the same
+    // 6-dp dim-means, stats rounded before the z, flag on rounded z.
+    "profile_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |x AS (
+        |  SELECT CAST(i.i - 1 AS BIGINT) AS dim, emb[i.i] AS v
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
+        |cm AS (SELECT dim, round(avg(v), 6) AS m FROM x GROUP BY dim),
+        |c AS (SELECT list(m ORDER BY dim) AS c FROM cm),
+        |d AS (
+        |  SELECT vec_id,
+        |         sqrt(list_inner_product(emb, emb)
+        |           - 2.0 * list_inner_product(emb, c.c)
+        |           + list_inner_product(c.c, c.c)) AS dist
+        |  FROM e CROSS JOIN c),
+        |st AS (SELECT round(avg(dist), 6) AS mu,
+        |              round(stddev_samp(dist), 6) AS sd FROM d)
+        |SELECT vec_id, round(dist, 6) AS dist,
+        |       CASE WHEN st.sd > 0
+        |            THEN round((dist - st.mu) / st.sd, 4) END AS z,
+        |       CASE WHEN st.sd > 0
+        |            THEN abs(round((dist - st.mu) / st.sd, 4)) >= 2.0
+        |            ELSE false END AS outlier
+        |FROM d CROSS JOIN st ORDER BY vec_id""".stripMargin,
     // same per-column counts, row_number tie-break, top-3.
     "profile_heavy_hitters" -> Seq("lang", "source").map { c =>
       s"""SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value,

@@ -333,6 +333,26 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("events_bot_score covers exactly the multi-gap users, cv is " +
+      "sd/mean of floored gaps, and the flag thresholds the rounded cv") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.model.Tables.events(spark, TestSpark.sf0001)
+    val out = SparkEntry.queries("events_bot_score")(spark, TestSpark.sf0001)
+      .collect()
+    val eligible = ev.groupBy("user_id").count()
+      .filter(col("count") >= 3).count()
+    assert(out.length == eligible)
+    out.foreach { r =>
+      val (nGaps, mean, sd) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(nGaps >= 2 && mean >= 0 && sd >= 0)
+      if (!r.isNullAt(4)) {
+        val cv = r.getDouble(4)
+        assert(math.abs(cv - sd / mean) <= 5.000001e-7)
+        assert(r.getBoolean(5) == (cv < 0.3))
+      } else assert(!r.getBoolean(5))
+    }
+  }
+
   test("events_rfm partitions every user into the 4x4x4 grid and " +
       "events_seasonality accounts for every event") {
     import org.apache.spark.sql.functions._

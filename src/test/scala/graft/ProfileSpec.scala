@@ -274,4 +274,26 @@ class ProfileSpec extends AnyFunSuite {
         rows.map(_._3).sorted.reverse.toSeq, c)
     }
   }
+
+  test("embedding outliers: one row per vector, z standardizes the " +
+      "centroid distances (mean~0, sd~1), flag is exactly |z| >= 2, " +
+      "both tails flagged at sf0.001") {
+    val emb = graft.model.Tables.embeddings(spark, TestSpark.sf0001)
+    val out = graft.SparkEntry.queries("profile_embedding_outliers")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(out.length == emb.count())
+    out.foreach { case (_, dist, z, flag) =>
+      assert(dist > 0)
+      assert(flag == (math.abs(z) >= 2.0))
+    }
+    val zs = out.map(_._3)
+    val mean = zs.sum / zs.length
+    val sd = math.sqrt(zs.map(z => (z - mean) * (z - mean)).sum /
+      (zs.length - 1))
+    assert(math.abs(mean) < 0.01 && math.abs(sd - 1.0) < 0.01,
+      s"mean=$mean sd=$sd")
+    assert(zs.exists(_ >= 2.0) && zs.exists(_ <= -2.0))
+  }
 }
