@@ -204,6 +204,61 @@ object Streams {
       }
   }
 
+  /** Welford accumulator per user over inter-event gap seconds — the
+    * STREAMING twin of [[graft.ops.EventWindows.botScores]]: the batch
+    * form needs the full gap list per user; this one carries O(1) state
+    * (last event, count, running mean, running M2 — Welford's online
+    * moments, numerically stable where the naive Σx² form cancels
+    * catastrophically) and emits the user's updated bot score every
+    * micro-batch. Batch-local arrival order is restored by sorting each
+    * group's rows on (ts, event_id) — the same order pin the batch
+    * operator and its oracle use — so on an in-order replay the final
+    * emitted score per user equals the batch score (StreamsSpec
+    * asserts it within stddev fold-order tolerance). */
+  final case class BotState(lastTsSec: Long, lastId: Long, nGaps: Long,
+      mean: Double, m2: Double)
+  final case class BotScore(userId: Long, nGaps: Long, meanGap: Double,
+      sdGap: Double, cv: Double, botLike: Boolean)
+
+  def botScoreStream(events: DataFrame,
+      cvThreshold: Double = 0.3): Dataset[BotScore] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp],
+        col("event_id").as[Long])
+      .groupByKey(_._1)
+      .mapGroupsWithState[BotState, BotScore](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[BotState]) =>
+          var st = state.getOption.getOrElse(
+            BotState(Long.MinValue, 0L, 0L, 0.0, 0.0))
+          // floored epoch seconds, matching unix_timestamp / the
+          // oracle's floor(epoch(ts))
+          val sorted = rows.toSeq
+            .map { case (_, ts, id) =>
+              (Math.floorDiv(ts.getTime, 1000L), id)
+            }
+            .sortBy(identity)
+          sorted.foreach { case (sec, id) =>
+            if (st.lastTsSec != Long.MinValue) {
+              val gap = (sec - st.lastTsSec).toDouble
+              val n = st.nGaps + 1
+              val delta = gap - st.mean
+              val mean = st.mean + delta / n
+              val m2 = st.m2 + delta * (gap - mean)
+              st = BotState(sec, id, n, mean, m2)
+            } else st = BotState(sec, id, 0L, 0.0, 0.0)
+          }
+          state.update(st)
+          val sd = if (st.nGaps >= 2) math.sqrt(st.m2 / (st.nGaps - 1))
+            else Double.NaN
+          val cv = if (st.nGaps >= 2 && st.mean > 0) sd / st.mean
+            else Double.NaN
+          BotScore(uid, st.nGaps, st.mean, sd, cv,
+            !cv.isNaN && cv < cvThreshold)
+      }
+  }
+
   /** Custom sessionization via flatMapGroupsWithState with event-time
     * timeout: emits a session row when a user's gap exceeds the timeout —
     * the hand-rolled form of `session_window`, for when session state

@@ -393,6 +393,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming Welford bot scores: final per-user state equals the " +
+      "batch bot detector (same users, same moments, same flags)") {
+    runToMemory(Streams.botScoreStream(
+      Streams.eventsStream(spark, TestSpark.sf0001)).toDF(), "bot_out",
+      OutputMode.Update())
+    // update mode: the final (largest-nGaps) row per user is the
+    // full-stream state
+    val got = spark.table("bot_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("userId")
+          .orderBy(col("nGaps").desc)))
+      .filter(col("rn") === 1 && col("nGaps") >= 2)
+      .select("userId", "nGaps", "meanGap", "sdGap", "cv", "botLike")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    val want = EventWindows.botScores(Tables.events(spark, TestSpark.sf0001))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+        r.getBoolean(5))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (uid, (n, mean, sd, cv, flag)) =>
+      val (wn, wmean, wsd, wcv, wflag) = want(uid)
+      assert(n == wn, s"user $uid gaps $n vs $wn")
+      // batch rounds at 6 dp; Welford vs stddev_samp differ in fold
+      // order only — compare within rounding + ulp tolerance
+      assert(math.abs(mean - wmean) < 1e-5, s"user $uid mean")
+      assert(math.abs(sd - wsd) < 1e-5, s"user $uid sd")
+      if (!wcv.isNaN) assert(math.abs(cv - wcv) < 1e-5, s"user $uid cv")
+      assert(flag == wflag, s"user $uid flag")
+    }
+  }
+
   test("flatMapGroupsWithState sessions agree with session_window on closed sessions") {
     runToMemory(Streams.sessionizeWithState(
       Streams.eventsStream(spark, TestSpark.sf0001)).toDF(), "fmgs_out")
