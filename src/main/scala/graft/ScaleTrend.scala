@@ -225,6 +225,52 @@ object ScaleTrend {
       val wedgesDeg = graft.ops.Graphs.wedgeCount(docs, byDegree = true)
       val wedgesId = graft.ops.Graphs.wedgeCount(docs, byDegree = false)
 
+      // round 8 session 6: the r8 operators' routing evidence.
+      // (a) interval-overlap join — BIN-ROUTED candidate pairs (the
+      //     equi-join volume BEFORE the exact verify) vs the naive
+      //     theta volume n_sessions²; the claim is the same one every
+      //     routed dedup makes: candidates, not the cross product,
+      //     bound the work.
+      // (b) IVFPQ — the composed route's ADC scan rows (Σ per-query
+      //     probed-list sizes) vs full-scan PQ's q·(n−1), plus
+      //     recall@5 vs brute force: the scan-budget/recall trade at
+      //     every scale.
+      // (c) sequence packing — wall time (the two-level prefix sum's
+      //     near-linearity is the claim; candidates don't apply).
+      val ev = graft.model.Tables.events(spark, sf)
+      val seCnt = ev.groupBy(session_window(col("ts"), "30 minutes"),
+        col("user_id")).count().count()
+      val seF = ev.groupBy(session_window(col("ts"), "30 minutes"),
+          col("user_id"))
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        .select(col("user_id"), col("t0"), col("t1"))
+      val h0 = floor(unix_timestamp(col("t0")) / 3600).cast("long")
+      val h1 = floor(unix_timestamp(col("t1")) / 3600).cast("long")
+      val binnedSe = seF.select(col("user_id"), col("t0"), col("t1"),
+        explode(sequence(h0, h1)).as("bin"))
+      val ivA = binnedSe.select(col("bin"), col("user_id").as("ua"),
+        col("t0").as("a0"), col("t1").as("a1"))
+      val ivB = binnedSe.select(col("bin"), col("user_id").as("ub"),
+        col("t0").as("b0"), col("t1").as("b1"))
+      val ivCands = ivA.join(ivB, Seq("bin"))
+        .filter(col("ua") < col("ub"))
+        .select("ua", "ub", "a0", "b0").distinct().count()
+      val ivNaive = seCnt * (seCnt - 1) / 2
+      val tIntervalOverlap =
+        time(graft.ops.Scale.queries("join_interval_overlap")(spark, sf))
+
+      val ivfpqRoute = graft.ops.Similarity.ivfProbe(
+        emb, pqSeeds, col("vec_id") < 10, Int.MaxValue, 4).count()
+      val pqFullScan = 10L * (nEmb - 1)
+      val ivfpqSet = graft.ops.Similarity.ivfPqTopK(
+        emb, pqSeeds, col("vec_id") < 10, 5).select("q_id", "n_id")
+      val ivfpqHits = bruteSet.intersect(ivfpqSet).count()
+      val tIvfPq = time(graft.ops.Similarity.ivfPqTopK(
+        emb, pqSeeds, col("vec_id") < 10, 5))
+
+      val tPackSeq =
+        time(graft.ops.Sampling.queries("sample_pack_sequences")(spark, sf))
+
       System.err.println(s"[scale] $sf docs=$nDocs done")
       println(s"""{"sf":"$sf","n_docs":$nDocs,"n_emb":$nEmb,""" +
         s""""dedup_cand_pairs":$dedupCands,"dedup_all_pairs":$allPairs,""" +
@@ -276,7 +322,14 @@ object ScaleTrend {
         s""""graph_wedges_id_oriented":$wedgesId,""" +
         s""""t_graph_bfs":${r3(tBfs)},"n_graph_edges":$nGraphEdges,""" +
         s""""t_sim_ann_pq":${r3(tPq)},""" +
-        s""""pq_recall_at5":${math.rint(pqHits.toDouble / nBrute * 1000) / 1000}}""")
+        s""""pq_recall_at5":${math.rint(pqHits.toDouble / nBrute * 1000) / 1000},""" +
+        s""""n_sessions":$seCnt,"iv_cand_pairs":$ivCands,""" +
+        s""""iv_naive_pairs":$ivNaive,""" +
+        s""""t_join_interval_overlap":${r3(tIntervalOverlap)},""" +
+        s""""ivfpq_route_rows":$ivfpqRoute,"pq_full_scan_rows":$pqFullScan,""" +
+        s""""ivfpq_recall_at5":${math.rint(ivfpqHits.toDouble / nBrute * 1000) / 1000},""" +
+        s""""t_sim_ann_ivfpq":${r3(tIvfPq)},""" +
+        s""""t_sample_pack_sequences":${r3(tPackSeq)}}""")
     }
     spark.stop()
     synthDir.foreach(graft.ops.SessionCleanup.deleteRecursively)
