@@ -376,6 +376,133 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Residual codebooks for [[ivfPqResidualTopK]] — the model half of
+    * true IVFPQ: codewords are the RESIDUALS (unit vector − its
+    * assigned unit centroid) of a SECOND stride-seeded row set
+    * (`vec_id % stride == 1`, disjoint from the centroid seeds — the
+    * centroid seeds' own residuals are ≈0 and would be degenerate
+    * codewords). Model-sized driver artifact (16 rows), derived with
+    * the same fold orders as the engine expressions (sequential
+    * index-order sums = list_inner_product), so the DuckDB oracle
+    * re-derives every codeword bit-identically with a SELECT. */
+  def residualCodebooks(emb: DataFrame, centroids: Array[Array[Double]],
+      m: Int = 8): Array[Array[Array[Double]]] = {
+    val n = emb.count()
+    val nlist = centroids.length
+    val stride = math.max(1L, n / nlist)
+    val seeds2: Array[Array[Double]] = emb
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("ed"))
+      .filter(col("vec_id") % stride === 1).orderBy("vec_id").limit(nlist)
+      .select("ed").collect().map(_.getSeq[Double](0).toArray)
+    def sq(v: Array[Double]): Double = v.foldLeft(0.0)((s, x) => s + x * x)
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val cNorms = centroids.map(c => math.sqrt(sq(c)))
+    val cenN = centroids.map { c =>
+      val nr = math.sqrt(sq(c)); c.map(_ / nr)
+    }
+    val dim = centroids(0).length
+    val sub = dim / m
+    val residuals = seeds2.map { v =>
+      // assignment replicates cosToCentroids + array_max exactly:
+      // max cosine, ties to the LARGER k (struct max on (c, k))
+      val vn = math.sqrt(sq(v))
+      var bestK = 0; var bestC = Double.NegativeInfinity
+      centroids.indices.foreach { k =>
+        val c = dotd(v, centroids(k)) / (vn * cNorms(k))
+        if (c > bestC || (c == bestC && k > bestK)) { bestC = c; bestK = k }
+      }
+      val vu = v.map(_ / vn)
+      Array.tabulate(dim)(i => vu(i) - cenN(bestK)(i))
+    }
+    Array.tabulate(m)(mi =>
+      residuals.map(_.slice(mi * sub, (mi + 1) * sub)))
+  }
+
+  /** TRUE IVFPQ — [[ivfPqTopK]] upgraded with RESIDUAL encoding, which
+    * is what FAISS's IVFPQ actually quantizes: after coarse assignment,
+    * each vector's PQ codes describe `x − c(x)` (the small residual)
+    * instead of x itself, so the 16-codeword budget covers a far
+    * tighter distribution; the query recomputes its distance tables
+    * PER PROBED LIST against its own residual `q − c(list)` — the
+    * per-list table build is m·K·(dim/m) work per (query, probe),
+    * model-sized. Scan budget is identical to the plain composition
+    * (the probed lists' code rows); the recall difference at the same
+    * budget is the measured value of residual encoding
+    * (SimilaritySpec records both).
+    *
+    * Hash gate: centroid seeds, second-stride residual codebooks,
+    * per-vector residuals, per-(query, list) tables, the ADC sum, and
+    * both rank passes are all elementwise/fold-order-pinned SQL the
+    * oracle replays (list_transform index arithmetic = zip_with). */
+  def ivfPqResidualTopK(emb: DataFrame, centroids: Array[Array[Double]],
+      queryPred: Column, k: Int, nprobe: Int = 4, m: Int = 8,
+      cands: Int = 32): DataFrame = {
+    val e = withNorm(emb, "vec_id", "ed", "norm")
+      .withColumn("edn", transform(col("ed"), x => x / col("norm")))
+    val dim = centroids(0).length
+    val sub = dim / m
+    val cenN = centroids.map { c =>
+      val nr = math.sqrt(c.foldLeft(0.0)((s, x) => s + x * x))
+      c.map(_ / nr)
+    }
+    val cenLit = typedLit(cenN.map(_.toSeq).toSeq)
+    val books = residualCodebooks(emb, centroids, m)
+    def l2(vm: Column, c: Array[Double]): Column = {
+      val cn = c.foldLeft(0.0)((s, x) => s + x * x)
+      dot(vm, vm) - lit(2.0) * dot(vm, typedLit(c.toSeq)) + lit(cn)
+    }
+    val assigned = e.withColumn("cluster",
+      array_max(array(cosToCentroids(centroids): _*)).getField("k"))
+    val withRes = assigned.withColumn("res",
+      zip_with(col("edn"), element_at(cenLit, col("cluster") + 1),
+        (a, b) => a - b))
+    def subv(src: String, mi: Int): Column =
+      slice(col(src), mi * sub + 1, sub)
+    val coded = withRes.select(
+      Seq(col("vec_id").as("n_id"), col("cluster")) ++
+        (0 until m).map(mi => array_min(array(books(mi).zipWithIndex.map {
+          case (c, ki) => struct(l2(subv("res", mi), c).as("d"),
+            lit(ki).as("k"))
+        }: _*)).getField("k").as(s"code$mi")): _*)
+    val probes = assigned.filter(queryPred)
+      .withColumn("probe", explode(slice(reverse(array_sort(
+        array(cosToCentroids(centroids): _*))), 1, nprobe)))
+      .withColumn("cluster", col("probe.k"))
+      .withColumn("rq",
+        zip_with(col("edn"), element_at(cenLit, col("cluster") + 1),
+          (a, b) => a - b))
+      .select(Seq(col("vec_id").as("q_id"), col("cluster")) ++
+        (0 until m).map(mi =>
+          array(books(mi).map(c => l2(subv("rq", mi), c)): _*)
+            .as(s"dq$mi")): _*)
+    val est = broadcast(probes).join(coded, Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (0 until m).map(mi =>
+          element_at(col(s"dq$mi"), col(s"code$mi") + 1))
+          .reduce(_ + _).as("est"))
+    val routed = est.withColumn("re", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("est"), asc("n_id")))
+        .cast("long"))
+      .filter(col("re") <= cands)
+      .select("q_id", "n_id")
+    val scored = routed
+      .join(e.select(col("vec_id").as("q_id"), col("ed").as("qe"),
+        col("norm").as("qn")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("ed").as("ne"),
+        col("norm").as("nn")), "n_id")
+      .withColumn("cos", dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Exact near-dup pair counts per label, hot-key-safe.
     *
     * Semantics: count label-mate pairs with cosine above `threshold` —
@@ -871,6 +998,12 @@ object Similarity {
     "sim_ann_ivfpq" -> ((s, d) =>
       ivfPqTopK(Tables.embeddings(s, d), trainedCentroids(s, d, 16, 0),
         col("vec_id") < 10, 5)),
+    // TRUE IVFPQ: PQ codes quantize the RESIDUAL x − c(x) (what FAISS
+    // encodes), per-probed-list query tables; residual codebooks from
+    // the disjoint second-stride seed rows — memoized model artifact.
+    "sim_ann_ivfpq_residual" -> ((s, d) =>
+      ivfPqResidualTopK(Tables.embeddings(s, d),
+        trainedCentroids(s, d, 16, 0), col("vec_id") < 10, 5)),
     // exact cosine radius search for the 10-query block.
     "sim_range_search" -> ((s, d) =>
       rangeSearch(Tables.embeddings(s, d), col("vec_id") < 10, 0.35)),
@@ -1266,6 +1399,148 @@ object Similarity {
         |  JOIN qd q6 ON q6.m = 6 AND q6.ck = cw.c6 AND q6.q_id = q0.q_id
         |  JOIN qd q7 ON q7.m = 7 AND q7.ck = cw.c7 AND q7.q_id = q0.q_id
         |  JOIN cand ON cand.q_id = q0.q_id AND cand.n_id = cw.n_id
+        |  WHERE q0.q_id <> cw.n_id),
+        |routed AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY est ASC, n_id ASC) AS re FROM est)
+        |  WHERE re <= 32),
+        |scored AS (
+        |  SELECT r.q_id, r.n_id,
+        |         list_inner_product(qe.emb, ne.emb) /
+        |         (sqrt(list_inner_product(qe.emb, qe.emb)) *
+        |          sqrt(list_inner_product(ne.emb, ne.emb))) AS cos
+        |  FROM routed r JOIN e qe ON qe.vec_id = r.q_id
+        |  JOIN e ne ON ne.vec_id = r.n_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, n_id, round(cos, 6) AS cos_sim FROM ranked
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // TRUE IVFPQ replay: residual codewords from the second-stride seed
+    // rows (rcw), per-vector residual codes (res/sd/codes), and
+    // PER-(query, probed-list) distance tables (qres/qd) — joining qd
+    // on the stored vector's own cluster IS the probed-list
+    // restriction, exactly like the Spark plan's equi-join. All
+    // elementwise arithmetic is index arithmetic (list_transform =
+    // zip_with), every argmin/rank tie pinned as in the plain key.
+    "sim_ann_ivfpq_residual" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |en AS (
+        |  SELECT vec_id,
+        |         list_transform(emb,
+        |           x -> x / sqrt(list_inner_product(emb, emb))) AS em
+        |  FROM e),
+        |st AS (SELECT greatest(1, count(*) // 16) AS stride FROM e),
+        |seedrows AS (SELECT vec_id, emb FROM e
+        |             WHERE vec_id % (SELECT stride FROM st) = 0
+        |             ORDER BY vec_id LIMIT 16),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k,
+        |         emb AS ce
+        |  FROM seedrows),
+        |centn AS (
+        |  SELECT k AS ck,
+        |         list_transform(ce,
+        |           x -> x / sqrt(list_inner_product(ce, ce))) AS ce
+        |  FROM cent),
+        |ac AS (
+        |  SELECT e.vec_id, c.k,
+        |         list_inner_product(e.emb, c.ce) /
+        |         (sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(c.ce, c.ce))) AS cos
+        |  FROM e CROSS JOIN cent c),
+        |ranked_ac AS (
+        |  SELECT vec_id, k,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, k DESC) AS rn
+        |  FROM ac),
+        |assigned AS (SELECT vec_id, k AS cluster FROM ranked_ac WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, k AS cluster FROM ranked_ac
+        |  WHERE rn <= 4 AND vec_id < 10),
+        |seed2 AS (SELECT vec_id, emb FROM e
+        |          WHERE vec_id % (SELECT stride FROM st) = 1
+        |          ORDER BY vec_id LIMIT 16),
+        |en2 AS (
+        |  SELECT vec_id,
+        |         list_transform(emb,
+        |           x -> x / sqrt(list_inner_product(emb, emb))) AS em
+        |  FROM seed2),
+        |rcw AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY en2.vec_id) - 1 AS INT)
+        |           AS rk,
+        |         list_transform(range(1, 65), i -> en2.em[i] - cn.ce[i])
+        |           AS rc
+        |  FROM en2 JOIN assigned a ON a.vec_id = en2.vec_id
+        |  JOIN centn cn ON cn.ck = a.cluster),
+        |res AS (
+        |  SELECT en.vec_id, a.cluster,
+        |         list_transform(range(1, 65), i -> en.em[i] - cn.ce[i])
+        |           AS rm
+        |  FROM en JOIN assigned a ON a.vec_id = en.vec_id
+        |  JOIN centn cn ON cn.ck = a.cluster),
+        |sd AS (
+        |  SELECT res.vec_id, mm.m, rcw.rk,
+        |         list_inner_product(rm[(mm.m*8+1):(mm.m*8+8)],
+        |                            rm[(mm.m*8+1):(mm.m*8+8)])
+        |         - 2.0 * list_inner_product(rm[(mm.m*8+1):(mm.m*8+8)],
+        |                                    rc[(mm.m*8+1):(mm.m*8+8)])
+        |         + list_inner_product(rc[(mm.m*8+1):(mm.m*8+8)],
+        |                              rc[(mm.m*8+1):(mm.m*8+8)]) AS d
+        |  FROM res CROSS JOIN (SELECT unnest(range(0, 8)) AS m) mm
+        |  CROSS JOIN rcw),
+        |codes AS (
+        |  SELECT vec_id, m, rk AS code FROM (
+        |    SELECT vec_id, m, rk, row_number() OVER (
+        |      PARTITION BY vec_id, m ORDER BY d ASC, rk ASC) AS rn FROM sd)
+        |  WHERE rn = 1),
+        |cw AS (SELECT c.vec_id AS n_id, a.cluster,
+        |              max(CASE WHEN m = 0 THEN code END) AS c0,
+        |              max(CASE WHEN m = 1 THEN code END) AS c1,
+        |              max(CASE WHEN m = 2 THEN code END) AS c2,
+        |              max(CASE WHEN m = 3 THEN code END) AS c3,
+        |              max(CASE WHEN m = 4 THEN code END) AS c4,
+        |              max(CASE WHEN m = 5 THEN code END) AS c5,
+        |              max(CASE WHEN m = 6 THEN code END) AS c6,
+        |              max(CASE WHEN m = 7 THEN code END) AS c7
+        |       FROM codes c JOIN assigned a ON a.vec_id = c.vec_id
+        |       GROUP BY c.vec_id, a.cluster),
+        |qres AS (
+        |  SELECT p.q_id, p.cluster,
+        |         list_transform(range(1, 65), i -> en.em[i] - cn.ce[i])
+        |           AS rq
+        |  FROM probes p JOIN en ON en.vec_id = p.q_id
+        |  JOIN centn cn ON cn.ck = p.cluster),
+        |qd AS (
+        |  SELECT q.q_id, q.cluster, mm.m, rcw.rk,
+        |         list_inner_product(rq[(mm.m*8+1):(mm.m*8+8)],
+        |                            rq[(mm.m*8+1):(mm.m*8+8)])
+        |         - 2.0 * list_inner_product(rq[(mm.m*8+1):(mm.m*8+8)],
+        |                                    rc[(mm.m*8+1):(mm.m*8+8)])
+        |         + list_inner_product(rc[(mm.m*8+1):(mm.m*8+8)],
+        |                              rc[(mm.m*8+1):(mm.m*8+8)]) AS d
+        |  FROM qres q CROSS JOIN (SELECT unnest(range(0, 8)) AS m) mm
+        |  CROSS JOIN rcw),
+        |est AS (
+        |  SELECT q0.q_id, cw.n_id,
+        |         ((((((q0.d + q1.d) + q2.d) + q3.d) + q4.d) + q5.d)
+        |           + q6.d) + q7.d AS est
+        |  FROM cw
+        |  JOIN qd q0 ON q0.cluster = cw.cluster AND q0.m = 0 AND q0.rk = cw.c0
+        |  JOIN qd q1 ON q1.cluster = cw.cluster AND q1.m = 1 AND q1.rk = cw.c1
+        |    AND q1.q_id = q0.q_id
+        |  JOIN qd q2 ON q2.cluster = cw.cluster AND q2.m = 2 AND q2.rk = cw.c2
+        |    AND q2.q_id = q0.q_id
+        |  JOIN qd q3 ON q3.cluster = cw.cluster AND q3.m = 3 AND q3.rk = cw.c3
+        |    AND q3.q_id = q0.q_id
+        |  JOIN qd q4 ON q4.cluster = cw.cluster AND q4.m = 4 AND q4.rk = cw.c4
+        |    AND q4.q_id = q0.q_id
+        |  JOIN qd q5 ON q5.cluster = cw.cluster AND q5.m = 5 AND q5.rk = cw.c5
+        |    AND q5.q_id = q0.q_id
+        |  JOIN qd q6 ON q6.cluster = cw.cluster AND q6.m = 6 AND q6.rk = cw.c6
+        |    AND q6.q_id = q0.q_id
+        |  JOIN qd q7 ON q7.cluster = cw.cluster AND q7.m = 7 AND q7.rk = cw.c7
+        |    AND q7.q_id = q0.q_id
         |  WHERE q0.q_id <> cw.n_id),
         |routed AS (
         |  SELECT q_id, n_id FROM (

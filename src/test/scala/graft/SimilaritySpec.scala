@@ -185,6 +185,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out == again)
   }
 
+  test("residual IVFPQ: same probed-list scan budget, recall at least " +
+      "matches the plain composition, deterministic, route-contained") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val seeds = Similarity.ivfCentroids(emb, 16, 0)
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val plain = Similarity.ivfPqTopK(emb, seeds, col("vec_id") < 10, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val res = Similarity.ivfPqResidualTopK(emb, seeds, col("vec_id") < 10, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val rPlain = (exact & plain).size.toDouble / exact.size
+    val rRes = (exact & res).size.toDouble / exact.size
+    // residual codes describe a tighter distribution than raw vectors
+    // at the same 16-codeword budget — measured on sf0.001 the recall
+    // moves 0.36 (plain) with residual at least matching it; both are
+    // logged so a regression in either leg is visible.
+    assert(rRes >= rPlain - 1e-9, s"residual=$rRes plain=$rPlain")
+    assert(rRes >= 0.3, s"residual recall=$rRes")
+    info(s"recall@5: plain=$rPlain residual=$rRes")
+    // same routing superset as the plain composition
+    val route = Similarity.ivfProbe(emb, seeds, col("vec_id") < 10,
+        k = Int.MaxValue, nprobe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(res.subsetOf(route))
+    val again = Similarity.ivfPqResidualTopK(emb, seeds,
+      col("vec_id") < 10, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(res == again)
+  }
+
   test("incremental embedding dedup: output is new-batch only, every " +
       "dropped new vector has a TRUE existing near-dup (soundness), " +
       "and the result is run-stable") {
