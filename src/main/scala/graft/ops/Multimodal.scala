@@ -239,6 +239,56 @@ object Multimodal {
       .toDF("doc_id", "out_w", "out_h", "checksum")
   }
 
+  /** ViT-style PATCH EXTRACTION — the preprocessing every vision
+    * transformer runs between decode and embedding: the raster splits
+    * into non-overlapping p×p patches (row-major grid, partial edges
+    * truncated like [[poolPngAvg]]) and each patch emits its per-channel
+    * integer mean — the crude "patch embedding" downstream projection
+    * layers consume. One decoded row fans out to ≤ (w/p)·(h/p) small
+    * rows; payloads never shuffle, the patch frame does. Exact integer
+    * arithmetic (sum then floor-divide by p²) so the DuckDB oracle
+    * re-derives every patch mean from the generation pixel formula
+    * while the Spark side computes it from DECODED bytes — one wrong
+    * pixel in any patch fails the hash gate. */
+  def patchesPng(bin: DataFrame, p: Int = 4): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        it.flatMap { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis)
+          val img = reader.read(0)
+          iis.close()
+          val pw = img.getWidth / p
+          val ph = img.getHeight / p
+          val n = (p * p).toLong
+          for {
+            py <- 0 until ph
+            px <- 0 until pw
+          } yield {
+            var r = 0L; var g = 0L; var b = 0L
+            var dy = 0
+            while (dy < p) {
+              var dx = 0
+              while (dx < p) {
+                val v = img.getRGB(p * px + dx, p * py + dy)
+                r += (v >> 16) & 255; g += (v >> 8) & 255; b += v & 255
+                dx += 1
+              }
+              dy += 1
+            }
+            (id, py.toLong, px.toLong, r / n, g / n, b / n)
+          }
+        }
+      }
+      .toDF("doc_id", "patch_row", "patch_col", "mean_r", "mean_g", "mean_b")
+      .orderBy("doc_id", "patch_row", "patch_col")
+  }
+
   /** Deterministic PNG payloads for the PERCEPTUAL dedup key: every 7th
     * doc renders one of 3 shared base images (13×11, pixels a pure
     * function of the asset id and position), half of them with a single
@@ -632,6 +682,10 @@ object Multimodal {
     "multimodal_pool_avg" -> ((s, d) =>
       poolPngAvg(pngPayloads(Tables.documents(s, d)))
         .orderBy("doc_id")),
+    // ViT patch extraction: decode -> 4x4 patch grid -> per-channel
+    // integer patch means (the patch-embedding prep).
+    "multimodal_image_patches" -> ((s, d) =>
+      patchesPng(pngPayloads(Tables.documents(s, d)))),
     // resize stage (expression twin; mapPartitions form equality-tested).
     "multimodal_resize_meta" -> ((s, d) =>
       resizeStubExprs(withBinaryContent(
@@ -759,6 +813,33 @@ object Multimodal {
         |       CAST(COALESCE(s.checksum, 0) AS BIGINT) AS checksum
         |FROM dims d LEFT JOIN sums s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // same pixel formula, 4x4 patch grid, integer floor means — the
+    // Spark side computes them from DECODED bytes.
+    "multimodal_image_patches" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS w,
+        |         CAST(1 + (octet_length(encode(text)) * 7) % 16 AS BIGINT) AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT d.doc_id, px.px, py.py
+        |  FROM dims d
+        |  JOIN (SELECT unnest(range(0, 4)) AS px) px ON px.px < d.w // 4
+        |  JOIN (SELECT unnest(range(0, 4)) AS py) py ON py.py < d.h // 4),
+        |pix AS (
+        |  SELECT doc_id, px, py,
+        |         ((doc_id * 2654435761 + (4*px + dx.dx) * 31
+        |           + (4*py + dy.dy) * 7) & 16777215) AS v
+        |  FROM cells
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS dx) dx
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS dy) dy)
+        |SELECT doc_id, CAST(py AS BIGINT) AS patch_row,
+        |       CAST(px AS BIGINT) AS patch_col,
+        |       CAST(sum((v >> 16) & 255) // 16 AS BIGINT) AS mean_r,
+        |       CAST(sum((v >> 8) & 255) // 16 AS BIGINT) AS mean_g,
+        |       CAST(sum(v & 255) // 16 AS BIGINT) AS mean_b
+        |FROM pix GROUP BY doc_id, px, py
+        |ORDER BY doc_id, patch_row, patch_col""".stripMargin,
     "multimodal_resize_meta" ->
       """WITH m AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,

@@ -128,6 +128,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("patchesPng: engine-decoded 4x4 patch means equal a driver-side " +
+      "recompute from the pixel formula; the grid is exactly " +
+      "(w/4)x(h/4); means stay in [0,255]") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    val out = Multimodal.patchesPng(Multimodal.pngPayloads(docs))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    out.foreach(r => Seq(r._4, r._5, r._6).foreach(m =>
+      assert(m >= 0 && m <= 255, r)))
+    val byDoc = out.groupBy(_._1)
+    val nbs = docs.select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long"))
+      .as[(Long, Long)].collect()
+    nbs.foreach { case (id, nb) =>
+      val w = (1 + nb % 16).toInt; val h = (1 + (nb * 7) % 16).toInt
+      val expect = (w / 4) * (h / 4)
+      val got = byDoc.getOrElse(id, Array.empty)
+      assert(got.length == expect, s"doc $id grid")
+      got.foreach { case (_, py, px, mr, mg, mb) =>
+        var r = 0L; var g = 0L; var b = 0L
+        for (dy <- 0 until 4; dx <- 0 until 4) {
+          val v = ((id * 2654435761L + (4 * px + dx) * 31 +
+            (4 * py + dy) * 7) & 0xffffff).toInt
+          r += (v >> 16) & 255; g += (v >> 8) & 255; b += v & 255
+        }
+        assert((mr, mg, mb) == (r / 16, g / 16, b / 16),
+          s"doc $id patch ($py,$px)")
+      }
+    }
+  }
+
   test("phash: planted same-asset images (including the single-pixel " +
       "variants) pair within hamming 1; distinct assets never pair") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
