@@ -610,6 +610,29 @@ object Sampling {
             .otherwise("test").as("split"))
         .orderBy("doc_id")
     }),
+    // the EXPORT MANIFEST a trainer's data loader consumes: per
+    // (split, 64-doc shard) the doc count, token budget, and id range —
+    // the same sample_splits assignment, token counting, and
+    // range-shard layout the standalone keys gate, rolled into the
+    // handoff artifact. One scan + one tiny keyed aggregate: the
+    // manifest is shard-count-sized, never doc-sized.
+    "pipeline_export_manifest" -> ((s, d) => {
+      val h = rowHex("sp1:", col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(Text.words(col("text")), w => length(w) > 0))
+            .cast("long").as("n_tokens"),
+          when(h < lit(thr("c")), "train")
+            .when(h < lit(thr("e")), "val")
+            .otherwise("test").as("split"),
+          expr("CAST(doc_id div 64 AS BIGINT)").as("shard"))
+        .groupBy(col("split"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("split", "shard")
+    }),
     // K-FOLD assignment (k=5): fold = floor(u60·k) from the shared
     // 60-bit uniform — every doc lands in exactly one fold, folds are
     // ~uniform, and any (train = folds≠i, test = fold i) rotation is
@@ -633,6 +656,33 @@ object Sampling {
     // token stream (two-level prefix sum; per-sequence doc-span report).
     "sample_pack_sequences" -> ((s, d) =>
       packSequences(Tables.documents(s, d))),
+    // contrastive training-pair mining: per anchor one positive
+    // (lowest-id label-mate) and 3 seeded-hash negatives from other
+    // labels — the md5-rank "random" choice every sampling key uses,
+    // so the pair set is a pure function of the data (df.sample's
+    // partition seeding would reshuffle under AQE). Anchors broadcast;
+    // the negative rank windows partition by anchor — never global.
+    "sample_negatives_contrastive" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val anchors = broadcast(e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("a_id"), col("label").as("a_label")))
+      val pos = anchors
+        .join(e, col("label") === col("a_label") &&
+          col("vec_id") =!= col("a_id"))
+        .groupBy(col("a_id")).agg(min(col("vec_id")).as("cand_id"))
+        .select(col("a_id"), lit("pos").as("role"), col("cand_id"),
+          lit(1L).as("rnk"))
+      val negs = anchors.join(e, col("label") =!= col("a_label"))
+        .withColumn("skey",
+          md5(concat_ws("|", col("a_id"), col("vec_id"))))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("a_id").orderBy(col("skey"), col("vec_id")))
+          .cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("a_id"), lit("neg").as("role"),
+          col("vec_id").as("cand_id"), col("rnk"))
+      pos.unionByName(negs).orderBy("a_id", "role", "rnk")
+    }),
     // per-source quality quota: best 10 docs per source by length
     // (sources are 25-doc uniform in this corpus, so the quota BINDS —
     // 200 of 500 rows survive).
@@ -705,6 +755,27 @@ object Sampling {
          |       THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // same split assignment, token count, and 64-doc shard arithmetic,
+    // rolled up per (split, shard).
+    "pipeline_export_manifest" ->
+      s"""WITH dtok AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |           w -> length(w) > 0)) AS BIGINT) AS n_tokens,
+         |         CASE WHEN md5(concat('sp1:', CAST(doc_id AS VARCHAR)))
+         |                < '${thr("c")}' THEN 'train'
+         |              WHEN md5(concat('sp1:', CAST(doc_id AS VARCHAR)))
+         |                < '${thr("e")}' THEN 'val'
+         |              ELSE 'test' END AS split,
+         |         doc_id // 64 AS shard
+         |  FROM documents)
+         |SELECT split, CAST(shard AS BIGINT) AS shard,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+         |       CAST(max(doc_id) AS BIGINT) AS max_doc
+         |FROM dtok GROUP BY split, shard
+         |ORDER BY split, shard""".stripMargin,
     "sample_kfold" ->
       s"""SELECT doc_id,
          |  CAST(floor(${sqlU60("kf1:")} * 5) AS BIGINT) AS fold
@@ -894,6 +965,29 @@ object Sampling {
         |       CAST(sum(least(off + n, (seq_id + 1) * 64)
         |         - greatest(off, seq_id * 64)) AS BIGINT) AS n_tokens
         |FROM w GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    // identical md5 rank keys (same pipe-joined decimal strings), same
+    // lowest-id positive, same per-anchor rank windows.
+    "sample_negatives_contrastive" ->
+      """WITH e AS (SELECT vec_id, label FROM embeddings),
+        |a AS (SELECT vec_id AS a_id, label AS a_label FROM e
+        |      WHERE vec_id < 20),
+        |pos AS (
+        |  SELECT a_id, 'pos' AS role,
+        |         CAST(min(e.vec_id) AS BIGINT) AS cand_id,
+        |         CAST(1 AS BIGINT) AS rnk
+        |  FROM a JOIN e ON e.label = a.a_label AND e.vec_id <> a.a_id
+        |  GROUP BY a_id),
+        |negs AS (
+        |  SELECT a_id, 'neg' AS role, vec_id AS cand_id, rnk FROM (
+        |    SELECT a.a_id, e.vec_id,
+        |           CAST(row_number() OVER (PARTITION BY a.a_id
+        |             ORDER BY md5(CAST(a.a_id AS VARCHAR) || '|'
+        |               || CAST(e.vec_id AS VARCHAR)), e.vec_id)
+        |             AS BIGINT) AS rnk
+        |    FROM a JOIN e ON e.label <> a.a_label)
+        |  WHERE rnk <= 3)
+        |SELECT * FROM pos UNION ALL SELECT * FROM negs
+        |ORDER BY a_id, role, rnk""".stripMargin,
     "sample_quota_topk" ->
       """SELECT doc_id, source, n_chars, rk FROM (
         |  SELECT doc_id, source, n_chars,

@@ -143,6 +143,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(alt.toSeq == out.toSeq)
   }
 
+  test("contrastive negatives: each anchor gets 1 label-mate positive " +
+      "and 3 cross-label negatives, stable under repartition") {
+    import org.apache.spark.sql.functions._
+    val out = Sampling.queries("sample_negatives_contrastive")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val labels = graft.model.Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "label").as[(Long, Long)].collect().toMap
+    val byAnchor = out.groupBy(_._1)
+    assert(byAnchor.keySet == (0L until 20L).toSet)
+    byAnchor.foreach { case (a, rows) =>
+      val pos = rows.filter(_._2 == "pos")
+      val neg = rows.filter(_._2 == "neg")
+      assert(pos.length == 1 && neg.length == 3, s"anchor $a")
+      assert(labels(pos.head._3) == labels(a) && pos.head._3 != a)
+      neg.foreach(n => assert(labels(n._3) != labels(a), s"anchor $a"))
+      assert(neg.map(_._4).sorted.toSeq == Seq(1L, 2L, 3L))
+    }
+    // determinism: the md5 rank key is a pure function of the data
+    val again = Sampling.queries("sample_negatives_contrastive")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("sample_kfold: every doc in exactly one of 5 folds, sizes near-uniform") {
     val assign = graft.SparkEntry.queries("sample_kfold")(
       spark, TestSpark.sf0001)
