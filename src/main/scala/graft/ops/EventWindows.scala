@@ -528,6 +528,54 @@ object EventWindows {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n"))
 
+  /** Event-type co-occurrence with LIFT over sessions — the
+    * market-basket association rollup (\"users who view in a session
+    * also purchase in it\"): unit of analysis is the per-user
+    * 30-min-gap session (the same islands the sessionize oracle
+    * derives), support counts are
+    * sessions-containing-both, and lift = P(t1,t2)/(P(t1)·P(t2)) says
+    * whether the pair co-occurs beyond chance. Shapes: one distinct
+    * (session, type) frame (the shuffle carries session-types, never
+    * events), a self-join keyed by SESSION (bounded fan-out — ≤
+    * |types|² per session), and type-count broadcasts; output is
+    * pair-count-sized. */
+  def cooccurrenceLift(events: DataFrame): DataFrame = {
+    // per-USER session islands derived explicitly: session_window
+    // inside a groupBy would sessionize per (user, TYPE) — every
+    // grouping key becomes part of the session identity — which is the
+    // wrong unit here. Exact microsecond arithmetic (unix_micros =
+    // epoch_us) keeps the 30-min break identical to the oracle's
+    // full-precision interval compare.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val us = unix_micros(col("ts"))
+    val brk = when(lag(us, 1).over(w).isNull ||
+      us - lag(us, 1).over(w) >= 1800L * 1000000L, 1).otherwise(0)
+    val st = events
+      .withColumn("brk", brk)
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("user_id", "sid", "event_type").distinct()
+    val nSessions = broadcast(st.select("user_id", "sid").distinct()
+      .agg(count(lit(1)).as("n_total")))
+    val perType = st.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_type"))
+    val a = st.select(col("user_id"), col("sid"),
+      col("event_type").as("t1"))
+    val b = st.select(col("user_id"), col("sid"),
+      col("event_type").as("t2"))
+    a.join(b, Seq("user_id", "sid")).filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_both"))
+      .join(broadcast(perType.select(col("event_type").as("t1"),
+        col("n_type").as("n1"))), Seq("t1"))
+      .join(broadcast(perType.select(col("event_type").as("t2"),
+        col("n_type").as("n2"))), Seq("t2"))
+      .crossJoin(nSessions)
+      .select(col("t1"), col("t2"), col("n_both"), col("n1"), col("n2"),
+        round(col("n_both").cast("double") * col("n_total") /
+          (col("n1") * col("n2")), 6).as("lift"))
+      .orderBy("t1", "t2")
+  }
+
   /** Bot-likeness by inter-event REGULARITY — the classic cheap bot
     * signal a training-data pipeline filters on before events (or the
     * docs they vouch for) enter a corpus: humans burst and pause, so
@@ -822,7 +870,10 @@ object EventWindows {
       sessionizeStats(Tables.events(s, d))),
     // inter-event-gap regularity (cv) bot signal per user.
     "events_bot_score" -> ((s, d) =>
-      botScores(Tables.events(s, d)))
+      botScores(Tables.events(s, d))),
+    // session-level event-type co-occurrence with lift (market-basket).
+    "events_cooccurrence_lift" -> ((s, d) =>
+      cooccurrenceLift(Tables.events(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -1262,6 +1313,39 @@ object EventWindows {
         |       CASE WHEN mean_gap > 0
         |            THEN round(sd_gap / mean_gap, 6) < 0.3
         |            ELSE false END AS bot_like
-        |FROM a WHERE n_gaps >= 2 ORDER BY user_id""".stripMargin
+        |FROM a WHERE n_gaps >= 2 ORDER BY user_id""".stripMargin,
+    // same session islands; support = distinct (session, type); lift
+    // multiplication left-associated identically.
+    "events_cooccurrence_lift" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, event_type,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o),
+        |st AS (SELECT DISTINCT user_id, sid, event_type FROM g),
+        |tot AS (SELECT count(*) AS n_total
+        |        FROM (SELECT DISTINCT user_id, sid FROM st)),
+        |pt AS (SELECT event_type, count(*) AS n_type FROM st
+        |       GROUP BY event_type),
+        |pairs AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2,
+        |         count(*) AS n_both
+        |  FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, CAST(n_both AS BIGINT) AS n_both,
+        |       CAST(p1.n_type AS BIGINT) AS n1,
+        |       CAST(p2.n_type AS BIGINT) AS n2,
+        |       round(CAST(n_both AS DOUBLE) * tot.n_total
+        |         / (p1.n_type * p2.n_type), 6) AS lift
+        |FROM pairs JOIN pt p1 ON p1.event_type = pairs.t1
+        |JOIN pt p2 ON p2.event_type = pairs.t2 CROSS JOIN tot
+        |ORDER BY t1, t2""".stripMargin
   )
 }

@@ -153,5 +153,13 @@ class ScaleSpec extends AnyFunSuite {
       .select("ua", "ub").distinct()
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
+    // the whole point of the binning: the physical plan is an EQUI hash
+    // join on bin, never the naive theta's nested loop
+    val plan = graft.SparkEntry.queries("join_interval_overlap")(
+      spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(800))
   }
 }
