@@ -528,6 +528,25 @@ object EventWindows {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n"))
 
+  /** Stream-static ENRICHMENT join — the most common structured-
+    * streaming pattern after windowed aggregation: the event stream
+    * joins a slowly-changing dimension (here customer market segment,
+    * keyed c_custkey = user_id + 1) and rolls up per (hour, segment).
+    * Stateless on the stream side (each micro-batch hash-joins the
+    * broadcast dim — no stream state at all), which is why it scales
+    * to any rate; the batch form here is the oracle-gated twin and
+    * [[graft.streaming.Streams.enrichStaticStream]] is the live form
+    * (StreamsSpec asserts live ≡ batch on finalized hours). */
+  def enrichStatic(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(broadcast(customer.select(
+        (col("c_custkey") - 1).as("user_id"), col("c_mktsegment"))),
+      Seq("user_id"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hour", "c_mktsegment")
+
   /** Event-type co-occurrence with LIFT over sessions — the
     * market-basket association rollup (\"users who view in a session
     * also purchase in it\"): unit of analysis is the per-user
@@ -873,7 +892,10 @@ object EventWindows {
       botScores(Tables.events(s, d))),
     // session-level event-type co-occurrence with lift (market-basket).
     "events_cooccurrence_lift" -> ((s, d) =>
-      cooccurrenceLift(Tables.events(s, d)))
+      cooccurrenceLift(Tables.events(s, d))),
+    // stream-static enrichment join (batch twin; live form in Streams).
+    "stream_enrich_static" -> ((s, d) =>
+      enrichStatic(Tables.events(s, d), Tables.customer(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -1346,6 +1368,14 @@ object EventWindows {
         |         / (p1.n_type * p2.n_type), 6) AS lift
         |FROM pairs JOIN pt p1 ON p1.event_type = pairs.t1
         |JOIN pt p2 ON p2.event_type = pairs.t2 CROSS JOIN tot
-        |ORDER BY t1, t2""".stripMargin
+        |ORDER BY t1, t2""".stripMargin,
+    // plain dim join + hour-truncated rollup: the executable spec of
+    // the stream-static enrichment.
+    "stream_enrich_static" ->
+      """SELECT date_trunc('hour', ts) AS hour, c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events JOIN customer ON c_custkey = user_id + 1
+        |GROUP BY 1, 2 ORDER BY hour, c_mktsegment""".stripMargin
   )
 }

@@ -180,6 +180,26 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("event_type"), col("window.start").as("hour"), col("n"))
 
+  /** Live stream-static enrichment — the streaming form of
+    * [[graft.ops.EventWindows.enrichStatic]]: each micro-batch
+    * hash-joins the BROADCAST static dimension (stateless — the only
+    * state in the query is the windowed aggregation that follows), then
+    * windows per (hour, segment). countDistinct is not allowed in a
+    * streaming agg, so the live form counts events per window and the
+    * spec compares that column against batch. */
+  def enrichStaticStream(events: DataFrame,
+      customer: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    events.withWatermark("ts", "30 minutes")
+      .join(broadcast(customer.select(
+        (col("c_custkey") - 1).as("user_id"), col("c_mktsegment"))),
+        Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("c_mktsegment"),
+        col("n"))
+  }
+
   /** Custom state: running per-user event count + last-seen timestamp —
     * the `Value` counters of bulkupload.py:409-416 as keyed state. */
   final case class UserStat(userId: Long, n: Long, lastTs: java.sql.Timestamp)

@@ -393,6 +393,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stream-static enrichment: emitted (hour, segment) counts equal " +
+      "the batch twin; finalized hours are complete") {
+    runToMemory(Streams.enrichStaticStream(
+      Streams.eventsStream(spark, TestSpark.sf0001),
+      Tables.customer(spark, TestSpark.sf0001)), "enrich_out")
+    val got = spark.table("enrich_out")
+      .select(col("hour").cast("long"), col("c_mktsegment"), col("n"))
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val want = EventWindows.queries("stream_enrich_static")(
+      spark, TestSpark.sf0001)
+      .select(col("hour").cast("long"), col("c_mktsegment"), col("n"))
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.nonEmpty)
+    // append mode: every emitted window must equal batch exactly
+    got.foreach { case (k, n) => assert(want.get(k).contains(n), k) }
+    // completeness: every hour fully before the final watermark
+    // (max ts - 30 min) must have been emitted
+    val maxTs = Tables.events(spark, TestSpark.sf0001)
+      .agg(max(col("ts")).cast("long")).as[Long].collect().head
+    want.foreach { case (k @ (h, _), n) =>
+      if (h + 3600 < maxTs - 1800) assert(got.get(k).contains(n), k)
+    }
+  }
+
   test("streaming Welford bot scores: final per-user state equals the " +
       "batch bot detector (same users, same moments, same flags)") {
     runToMemory(Streams.botScoreStream(
