@@ -528,6 +528,33 @@ object EventWindows {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n"))
 
+  /** Seasonal-naive forecast BACKTEST — the baseline every capacity/
+    * anomaly forecast is judged against (M-competition convention):
+    * forecast(hour) = actual(hour − 168 h), evaluated on the final
+    * observed week, reported as per-type MAE next to the mean level.
+    * A model that can't beat this number isn't a model. Shapes: one
+    * keyed hourly aggregate (map-side combine over the event stream),
+    * a self-equi-join on (type, hour−168) — sparse-safe: only hours
+    * where both sides exist score — and a per-type rollup; the
+    * broadcast max-hour scalar pins the backtest window. Hour indexes
+    * are floored epoch//3600 on both engines. */
+  def seasonalNaiveBacktest(events: DataFrame): DataFrame = {
+    val hourly = events.groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600).cast("long").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val maxH = broadcast(hourly.agg(max(col("h")).as("max_h")))
+    val prev = hourly.select(col("event_type"),
+      (col("h") + 168).as("h"), col("n").as("n_prev"))
+    hourly.join(prev, Seq("event_type", "h"))
+      .crossJoin(maxH)
+      .filter(col("h") > col("max_h") - 168)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        round(avg(abs(col("n") - col("n_prev"))), 6).as("mae"),
+        round(avg(col("n")), 6).as("mean_actual"))
+      .orderBy("event_type")
+  }
+
   /** Stream-static ENRICHMENT join — the most common structured-
     * streaming pattern after windowed aggregation: the event stream
     * joins a slowly-changing dimension (here customer market segment,
@@ -895,7 +922,10 @@ object EventWindows {
       cooccurrenceLift(Tables.events(s, d))),
     // stream-static enrichment join (batch twin; live form in Streams).
     "stream_enrich_static" -> ((s, d) =>
-      enrichStatic(Tables.events(s, d), Tables.customer(s, d)))
+      enrichStatic(Tables.events(s, d), Tables.customer(s, d))),
+    // seasonal-naive (t-168h) backtest MAE per type on the final week.
+    "events_forecast_snaive" -> ((s, d) =>
+      seasonalNaiveBacktest(Tables.events(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -1376,6 +1406,24 @@ object EventWindows {
         |       CAST(count(*) AS BIGINT) AS n,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events JOIN customer ON c_custkey = user_id + 1
-        |GROUP BY 1, 2 ORDER BY hour, c_mktsegment""".stripMargin
+        |GROUP BY 1, 2 ORDER BY hour, c_mktsegment""".stripMargin,
+    // same floored hour indexes, same inner self-join at lag 168, same
+    // final-week window off the broadcast max hour.
+    "events_forecast_snaive" ->
+      """WITH ht AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(h) AS max_h FROM ht),
+        |j AS (
+        |  SELECT a.event_type, a.n, b.n AS n_prev
+        |  FROM ht a JOIN ht b ON b.event_type = a.event_type
+        |    AND b.h = a.h - 168
+        |  CROSS JOIN mx WHERE a.h > mx.max_h - 168)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |       round(avg(abs(n - n_prev)), 6) AS mae,
+        |       round(avg(n), 6) AS mean_actual
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
