@@ -353,6 +353,31 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("events_forecast_snaive scores only the final week, mae is " +
+      "bounded by the worst hourly jump, and a planted perfectly-" +
+      "seasonal stream backtests to mae 0") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("events_forecast_snaive")(
+      spark, TestSpark.sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 168) // final-week hours
+      assert(r.getDouble(2) >= 0.0)                    // mae
+      assert(r.getDouble(3) > 0.0)                     // mean level
+    }
+    // hand stream: one event type, identical hourly pattern for 3 weeks
+    // -> the lag-168 forecast is exact, mae 0 for every scored hour
+    import spark.implicits._
+    val rows = for {
+      week <- 0 until 3; hod <- 0 until 168 by 7; rep <- 0 to (hod % 3)
+    } yield (week * 168L * 3600 + hod * 3600L + rep, "tick")
+    val ev = rows.toDF("secs", "event_type")
+      .select(timestamp_seconds(col("secs")).as("ts"), col("event_type"),
+        lit(0L).as("user_id"), lit(0L).as("event_id"), lit(0.0).as("value"))
+    val got = graft.ops.EventWindows.seasonalNaiveBacktest(ev).collect()
+    assert(got.length == 1 && got.head.getDouble(2) == 0.0, got.toSeq)
+  }
+
   test("events_rfm partitions every user into the 4x4x4 grid and " +
       "events_seasonality accounts for every event") {
     import org.apache.spark.sql.functions._
