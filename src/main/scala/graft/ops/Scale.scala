@@ -180,6 +180,37 @@ object Scale {
           count(lit(1)).as("n"))
         .orderBy("c_mktsegment")
     }),
+    // RUNTIME BLOOM-FILTER join pruning — the row-level sibling of
+    // join_dpp_prune's directory pruning: when the build side of a
+    // shuffle join is selective, Spark's InjectRuntimeFilter builds a
+    // bloom filter over its join keys as a subquery and pushes a
+    // might_contain(...) predicate into the PROBE side's scan, so most
+    // fact rows die before the exchange instead of after it. At 100 TB
+    // this fires by default (the probe side exceeds the 10 GB
+    // application-side threshold); locally the thresholds are lowered
+    // to demonstrate the SAME plan, and broadcast is disabled because
+    // the rule only applies to shuffle joins. The confs live on an
+    // ISOLATED child session (newSession shares the SparkContext but
+    // owns its SQLConf) — they must be set at materialization time,
+    // and leaking them into the shared session would perturb every
+    // other key's plan. ScaleSpec asserts might_contain +
+    // bloom_filter_agg in the executed plan; the oracle is the plain
+    // join (runtime filtering must never change results).
+    "join_bloom_prune" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("rev"))
+        .orderBy("o_orderpriority")
+    }),
     // Interval-overlap JOIN through binning — the scale pattern for
     // range joins (the genomics/telemetry cousin of join_theta_range):
     // a naive overlap join is a theta nested-loop over |A|·|B| pairs;
@@ -237,6 +268,13 @@ object Scale {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    // the plain join: runtime bloom pruning must never change results.
+    "join_bloom_prune" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // the NAIVE theta overlap join (DuckDB plans it as an IEJoin) over
     // the same lag+cumsum session islands events_sessionize verifies —
     // the executable spec the binned candidate-routed plan must equal.

@@ -109,6 +109,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("join_bloom_prune: the executed plan carries the runtime bloom " +
+      "filter (bloom_filter_agg build + might_contain probe predicate), " +
+      "and the shared session's conf is untouched") {
+    val before = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val df = graft.SparkEntry.queries("join_bloom_prune")(
+      spark, TestSpark.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(800))
+    assert(plan.contains("bloom_filter_agg"), plan.take(800))
+    // results flow regardless of the filter
+    assert(df.count() > 0)
+    // conf isolation: the child session's thresholds never leak
+    assert(spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      == before)
+  }
+
   test("binned interval-overlap join equals the naive theta join " +
       "(sf0.001), and the binning finds cross-boundary overlaps") {
     import org.apache.spark.sql.functions._
