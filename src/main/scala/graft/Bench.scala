@@ -179,7 +179,8 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REGR_MAX", "2.5").toDouble
     val prev: Map[String, Double] =
       try parsePrevQueries(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(fullPath)), "UTF-8"))
+        java.nio.file.Paths.get(fullPath)), "UTF-8"),
+        Some(sfDir), Some(cpus))
       catch { case scala.util.control.NonFatal(_) => Map.empty }
     val regressions = regressionsOf(prev, results, regrMax)
     for ((k, p, n) <- regressions)
@@ -218,7 +219,19 @@ object Bench {
     * inside `"queries":{...}`, no nesting), so a pair-regex over that
     * object is an exact parser for it — and an empty map on anything
     * unexpected just disables the guard for that run. */
-  private[graft] def parsePrevQueries(json: String): Map[String, Double] = {
+  private[graft] def parsePrevQueries(json: String,
+      sfDir: Option[String] = None,
+      cpus: Option[String] = None): Map[String, Double] = {
+    // Trend-guarding only makes sense like-for-like: a prior artifact
+    // captured at a different scale factor or core count would either
+    // mass-flag spurious regressions or mask real ones (ADVICE r8 #3).
+    // When the caller supplies its run config, a mismatched prior
+    // artifact disables the guard (empty map) for this capture.
+    def strField(name: String): Option[String] =
+      ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(json).map(_.group(1))
+    val sameEnv = sfDir.forall(v => strField("sf").contains(v)) &&
+      cpus.forall(v => strField("cpus").contains(v))
+    if (!sameEnv) return Map.empty
     val marker = "\"queries\":{"
     val qIdx = json.indexOf(marker)
     if (qIdx < 0) Map.empty

@@ -123,6 +123,30 @@ object Scale {
   private val bucketMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
 
+  /** One conf-isolated child session per parent for join_bloom_prune,
+    * memoized (ADVICE r8 #4: newSession-per-invocation accumulated a
+    * SparkSession/SQLConf per bench run). The legacy/parity confs are
+    * COPIED from the parent instead of hardcoded, so the child cannot
+    * drift silently if the shared session's init changes; the bloom
+    * confs themselves stay child-only by construction. */
+  private val bloomSessionMemo = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, SparkSession]()
+
+  private def bloomSession(s0: SparkSession): SparkSession =
+    bloomSessionMemo.computeIfAbsent(s0, { parent =>
+      SessionCleanup.onEnd(parent) { bloomSessionMemo.remove(parent) }
+      val s = parent.newSession()
+      Seq("spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone").foreach { k =>
+        parent.conf.getOption(k).foreach(v => s.conf.set(k, v))
+      }
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pathologically skewed equi-join through the explicit salting
     // machinery: l_returnflag has 3 distinct values, so a plain shuffle
@@ -197,12 +221,7 @@ object Scale {
     // bloom_filter_agg in the executed plan; the oracle is the plain
     // join (runtime filtering must never change results).
     "join_bloom_prune" -> ((s0, d) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
-        "applicationSideScanSizeThreshold", "0")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val s = bloomSession(s0)
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
       li.join(o, col("l_orderkey") === col("o_orderkey"))

@@ -390,6 +390,10 @@ object Similarity {
     val n = emb.count()
     val nlist = centroids.length
     val stride = math.max(1L, n / nlist)
+    // stride==1 (n <= 2*nlist) would make `% stride === 1` match NOTHING
+    // (x % 1 is always 0) — empty books, null codes. Fail loudly instead.
+    require(stride >= 2,
+      s"residualCodebooks needs corpus size > 2*nlist (n=$n, nlist=$nlist)")
     val seeds2: Array[Array[Double]] = emb
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("ed"))
       .filter(col("vec_id") % stride === 1).orderBy("vec_id").limit(nlist)
@@ -439,7 +443,8 @@ object Similarity {
     * oracle replays (list_transform index arithmetic = zip_with). */
   def ivfPqResidualTopK(emb: DataFrame, centroids: Array[Array[Double]],
       queryPred: Column, k: Int, nprobe: Int = 4, m: Int = 8,
-      cands: Int = 32): DataFrame = {
+      cands: Int = 32,
+      booksOpt: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val e = withNorm(emb, "vec_id", "ed", "norm")
       .withColumn("edn", transform(col("ed"), x => x / col("norm")))
     val dim = centroids(0).length
@@ -449,7 +454,7 @@ object Similarity {
       c.map(_ / nr)
     }
     val cenLit = typedLit(cenN.map(_.toSeq).toSeq)
-    val books = residualCodebooks(emb, centroids, m)
+    val books = booksOpt.getOrElse(residualCodebooks(emb, centroids, m))
     def l2(vm: Column, c: Array[Double]): Column = {
       val cn = c.foldLeft(0.0)((s, x) => s + x * x)
       dot(vm, vm) - lit(2.0) * dot(vm, typedLit(c.toSeq)) + lit(cn)
@@ -715,6 +720,21 @@ object Similarity {
     centroidMemo.computeIfAbsent((s, d, nlist, iters), { case (sp, dir, nl, it) =>
       SessionCleanup.onEnd(sp) { centroidMemo.remove((sp, dir, nl, it)) }
       ivfCentroids(Tables.embeddings(sp, dir), nl, it)
+    })
+
+  /** Residual codebooks memoized per (session, dir, nlist, m) — same
+    * model-artifact contract as [[trainedCentroids]]: built once in the
+    * bench build pass, reused by every timed run (the r8 ADVICE flagged
+    * the un-memoized re-derivation inside the timed region). */
+  private val booksMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), Array[Array[Array[Double]]]]()
+
+  private def trainedResidualBooks(s: SparkSession, d: String, nlist: Int,
+      m: Int): Array[Array[Array[Double]]] =
+    booksMemo.computeIfAbsent((s, d, nlist, m), { case (sp, dir, nl, mm) =>
+      SessionCleanup.onEnd(sp) { booksMemo.remove((sp, dir, nl, mm)) }
+      residualCodebooks(Tables.embeddings(sp, dir),
+        trainedCentroids(sp, dir, nl, 0), mm)
     })
 
   /** Embedding-cosine near-dup DROP (north star: "embedding-cosine
@@ -1003,7 +1023,8 @@ object Similarity {
     // the disjoint second-stride seed rows — memoized model artifact.
     "sim_ann_ivfpq_residual" -> ((s, d) =>
       ivfPqResidualTopK(Tables.embeddings(s, d),
-        trainedCentroids(s, d, 16, 0), col("vec_id") < 10, 5)),
+        trainedCentroids(s, d, 16, 0), col("vec_id") < 10, 5,
+        booksOpt = Some(trainedResidualBooks(s, d, 16, 8)))),
     // exact cosine radius search for the 10-query block.
     "sim_range_search" -> ((s, d) =>
       rangeSearch(Tables.embeddings(s, d), col("vec_id") < 10, 0.35)),

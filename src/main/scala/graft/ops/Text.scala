@@ -244,8 +244,11 @@ object Text {
     // thresholds the ROUNDED score, so both engines label identically.
     "text_quality_logit" -> ((s, d) => {
       val stop = stopwordRatio(col("text"))
-      // zero-token guard mirrors stop_r's (and the oracle's CASE WHEN):
-      // a degenerate empty doc scores uniq_r = 0, not null/NaN.
+      // zero-token guard mirrors stop_r's AND the oracle's uniq_r CASE
+      // WHEN (both added — ADVICE r7 #2 / VERDICT r8): a degenerate
+      // empty doc scores uniq_r = 0, not null/NaN. Note both engines
+      // split '' to [''] (count 1), so the guard only fires on NULL-ish
+      // inputs — the point is the two sides are structurally identical.
       val uniq = when(size(words(col("text"))) > 0,
         size(array_distinct(words(col("text")))).cast("double") /
           size(words(col("text")))).otherwise(lit(0.0))
@@ -452,8 +455,9 @@ object Text {
         |      THEN CAST(len(list_filter(string_split(text, ' '),
         |           w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
         |           / len(string_split(text, ' ')) ELSE 0.0 END AS stop_r,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |      / len(string_split(text, ' ')) AS uniq_r,
+        |    CASE WHEN len(string_split(text, ' ')) > 0
+        |      THEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) ELSE 0.0 END AS uniq_r,
         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw
         |  FROM documents),
         |s AS (

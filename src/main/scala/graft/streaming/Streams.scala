@@ -234,11 +234,15 @@ object Streams {
     * group's rows on (ts, event_id) — the same order pin the batch
     * operator and its oracle use — so on an in-order replay the final
     * emitted score per user equals the batch score (StreamsSpec
-    * asserts it within stddev fold-order tolerance). */
+    * asserts it within stddev fold-order tolerance). A late CROSS-batch
+    * arrival (ts before the state's last seen second) can't be
+    * re-ordered after the fact; its negative gap is DROPPED from the
+    * moments and counted in `droppedLate` so disordered input degrades
+    * visibly instead of corrupting mean/sd. */
   final case class BotState(lastTsSec: Long, lastId: Long, nGaps: Long,
-      mean: Double, m2: Double)
+      mean: Double, m2: Double, droppedLate: Long = 0L)
   final case class BotScore(userId: Long, nGaps: Long, meanGap: Double,
-      sdGap: Double, cv: Double, botLike: Boolean)
+      sdGap: Double, cv: Double, botLike: Boolean, droppedLate: Long = 0L)
 
   def botScoreStream(events: DataFrame,
       cvThreshold: Double = 0.3): Dataset[BotScore] = {
@@ -261,13 +265,21 @@ object Streams {
             .sortBy(identity)
           sorted.foreach { case (sec, id) =>
             if (st.lastTsSec != Long.MinValue) {
-              val gap = (sec - st.lastTsSec).toDouble
-              val n = st.nGaps + 1
-              val delta = gap - st.mean
-              val mean = st.mean + delta / n
-              val m2 = st.m2 + delta * (gap - mean)
-              st = BotState(sec, id, n, mean, m2)
-            } else st = BotState(sec, id, 0L, 0.0, 0.0)
+              if (sec < st.lastTsSec) {
+                // Late cross-batch arrival: folding the negative gap
+                // into the moments would corrupt mean/sd silently
+                // (ADVICE r8 #5). Drop it and COUNT it, so disordered
+                // input degrades visibly (droppedLate in the output).
+                st = st.copy(droppedLate = st.droppedLate + 1)
+              } else {
+                val gap = (sec - st.lastTsSec).toDouble
+                val n = st.nGaps + 1
+                val delta = gap - st.mean
+                val mean = st.mean + delta / n
+                val m2 = st.m2 + delta * (gap - mean)
+                st = BotState(sec, id, n, mean, m2, st.droppedLate)
+              }
+            } else st = BotState(sec, id, 0L, 0.0, 0.0, st.droppedLate)
           }
           state.update(st)
           val sd = if (st.nGaps >= 2) math.sqrt(st.m2 / (st.nGaps - 1))
@@ -275,7 +287,7 @@ object Streams {
           val cv = if (st.nGaps >= 2 && st.mean > 0) sd / st.mean
             else Double.NaN
           BotScore(uid, st.nGaps, st.mean, sd, cv,
-            !cv.isNaN && cv < cvThreshold)
+            !cv.isNaN && cv < cvThreshold, st.droppedLate)
       }
   }
 

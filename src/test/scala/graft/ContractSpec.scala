@@ -309,6 +309,15 @@ class ContractSpec extends AnyFunSuite {
     // malformed / absent prior artifact disables the guard, not the run
     assert(Bench.parsePrevQueries("not json at all").isEmpty)
     assert(Bench.regressionsOf(Map.empty, cur).isEmpty)
+    // like-for-like only (ADVICE r8 #3): a prior artifact captured at a
+    // different sf or core count disables the guard; a matching one
+    // (or an unchecked call) keeps it armed
+    assert(Bench.parsePrevQueries(prevJson,
+      Some("/root/testdata/sf0.01"), Some("32")).isEmpty)
+    assert(Bench.parsePrevQueries(prevJson,
+      Some("/root/testdata/sf0.1"), Some("8")).isEmpty)
+    assert(Bench.parsePrevQueries(prevJson,
+      Some("/root/testdata/sf0.1"), Some("32")) == prev)
   }
 
   test("events_sessionize accounts for every event and session, and " +

@@ -453,6 +453,35 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("botScoreStream drops + counts late cross-batch events instead of " +
+      "corrupting the Welford moments") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id")
+    val q = Streams.botScoreStream(df).toDF()
+      .writeStream.outputMode(OutputMode.Update()).format("memory")
+      .queryName("bot_late_out").start()
+    try {
+      // batch 1 (in order): t = 0, 10, 20 — two gaps of 10 s
+      mem.addData((1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(20), 3L))
+      q.processAllAvailable()
+      // batch 2: t=5 arrives LATE (before the state's last second, 20);
+      // sorting is batch-local so it cannot be reordered — it must be
+      // dropped and counted, not folded in as a negative gap. t=30 is a
+      // normal third 10 s gap.
+      mem.addData((1L, ts(5), 4L), (1L, ts(30), 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("bot_late_out")
+      .orderBy(col("nGaps").desc).limit(1).collect().head
+    assert(last.getAs[Long]("nGaps") == 3L)
+    assert(math.abs(last.getAs[Double]("meanGap") - 10.0) < 1e-9)
+    assert(math.abs(last.getAs[Double]("sdGap")) < 1e-9)
+    assert(last.getAs[Long]("droppedLate") == 1L)
+  }
+
   test("flatMapGroupsWithState sessions agree with session_window on closed sessions") {
     runToMemory(Streams.sessionizeWithState(
       Streams.eventsStream(spark, TestSpark.sf0001)).toDF(), "fmgs_out")
