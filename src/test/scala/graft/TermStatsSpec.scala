@@ -186,6 +186,55 @@ class TermStatsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) == nsym(r.getLong(0))))
   }
 
+  test("bpeLearnIter recounts after every merge: each round's winner is " +
+      "the argmax over the PREVIOUS round's merged stream, and a learned " +
+      "multi-char symbol itself merges") {
+    // crafted corpus: "the" dominates. Round 1 ties (t,h)=(h,e)=3 break
+    // lexicographically to (h,e); round 2's winner (t,"he") pairs the
+    // LEARNED symbol — structurally inexpressible in the r8
+    // single-char-only encoder, the exact gap this closes.
+    val tiny = Seq((1L, "the the the")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    assert(TermStats.bpeLearnIter(tiny, 2) ==
+      Seq(("h", "e", 3L), ("t", "he", 3L)))
+    // real corpus: re-derive every round's argmax INDEPENDENTLY — apply
+    // the first r merges with the generalized public encoder (the
+    // single-space trimmed form, a different code path from the
+    // training loop's double-space accumulator), recount adjacent
+    // pairs, and the argmax must be exactly the recorded (lhs, rhs, n).
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val learned = TermStats.bpeLearnIter(docs, 4)
+    assert(learned.size == 4)
+    val freq = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    for (r <- 0 until 4) {
+      val prefix = learned.take(r).map { case (a, b, _) => (a, b) }
+      val syms = split(
+        TermStats.bpeEncodePairsExpr(col("word"), prefix), " ")
+      val top = freq.select(col("cnt"), syms.as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("s")) - 1),
+          i => struct(element_at(col("s"), i).as("a"),
+            element_at(col("s"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("lhs"), col("p.b").as("rhs"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect().head
+      assert((top.getString(0), top.getString(1), top.getLong(2))
+        == learned(r), s"round ${r + 1}")
+    }
+    // lossless at full depth: applying all learned merges and deleting
+    // spaces reproduces every word
+    val full = learned.map { case (a, b, _) => (a, b) }
+    val vocab = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+    assert(vocab.filter(regexp_replace(
+      TermStats.bpeEncodePairsExpr(col("word"), full), " ", "")
+        =!= col("word")).count() == 0L)
+  }
+
   test("tokenize_vocab_ids round-trips: ids decode back to the original " +
       "token stream (sf0.001)") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
