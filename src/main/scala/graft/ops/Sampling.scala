@@ -135,6 +135,28 @@ object Sampling {
     * the scale-killer Spark must avoid) replays it exactly. */
   def packSequences(docs: DataFrame, window: Int = 64,
       buckets: Int = 8): DataFrame = {
+    val spans = docTokenOffsets(docs, buckets)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"CAST(off div $window AS BIGINT)"),
+        expr(s"CAST((off + n - 1) div $window AS BIGINT)"))))
+      .withColumn("fill",
+        least(col("off") + col("n"), (col("seq_id") + 1) * window) -
+          greatest(col("off"), col("seq_id") * window))
+    spans.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("fill")).as("n_tokens"))
+      .orderBy("seq_id")
+  }
+
+  /** (doc_id, n, off): each doc's token count and EXCLUSIVE global
+    * token offset in doc_id order — the two-level distributed prefix
+    * sum extracted from [[packSequences]] so [[packSequencesTensor]]
+    * shares the identical offsets (range-bucket by doc_id, per-bucket
+    * totals cumsum over O(buckets) rows, heavy level partitioned by
+    * bucket — never one global window). */
+  private def docTokenOffsets(docs: DataFrame, buckets: Int): DataFrame = {
     val nToks = size(filter(Text.words(col("text")),
       w => length(w) > 0)).cast("long")
     val base = docs.select(col("doc_id"), nToks.as("n"))
@@ -155,20 +177,60 @@ object Sampling {
       .select(col("bkt"), col("boff"))
     val inBkt = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withOff = rows.join(broadcast(offsets), "bkt")
+    rows.join(broadcast(offsets), "bkt")
       .withColumn("off", col("boff") + sum(col("n")).over(inBkt) - col("n"))
-    val spans = withOff
-      .withColumn("seq_id", explode(sequence(
-        expr(s"CAST(off div $window AS BIGINT)"),
-        expr(s"CAST((off + n - 1) div $window AS BIGINT)"))))
-      .withColumn("fill",
-        least(col("off") + col("n"), (col("seq_id") + 1) * window) -
-          greatest(col("off"), col("seq_id") * window))
-    spans.groupBy(col("seq_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"),
-        sum(col("fill")).as("n_tokens"))
+  }
+
+  /** TRAINER-READY tensor form of sequence packing (VERDICT r8 "Next
+    * round" #2): where [[packSequences]] reports the packing DECISION,
+    * this emits the frame a data loader actually consumes — per
+    * `window`-token sequence, fixed-length `ArrayType(LongType)`
+    * columns: `ids` (vocabulary token ids, 0-padded; real ids start at
+    * 1 so padding is unambiguous), `doc_start` (1 where a new document
+    * begins — the attention-reset/boundary mask), and `loss_mask`
+    * (1 over real tokens, 0 over padding; only the final sequence ever
+    * pads).
+    *
+    * Scale shape: doc offsets come from the SHARED two-level prefix
+    * sum ([[docTokenOffsets]] — never a global window); the intra-doc
+    * token index is a per-DOC window (bounded by doc length); the
+    * sequence assembly is one keyed aggregate collecting ≤ `window`
+    * elements per group. The registered key gates the string
+    * projection of every array (hash-safe); SamplingSpec pins the
+    * array forms (fixed length, mask algebra, zip-to-string). */
+  def packSequencesTensor(docs: DataFrame, window: Int = 64,
+      buckets: Int = 8): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(Text.words(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    val tpos = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("pos"))).cast("long")
+    val vocab = Scale.assignIdsByRange(
+      toks.select(col("word")).distinct(), "word")
+    val offs = docTokenOffsets(docs, buckets)
+      .select(col("doc_id"), col("off"))
+    val wide = toks.withColumn("tpos", tpos)
+      .join(vocab, "word").join(offs, "doc_id")
+      .withColumn("gpos", col("off") + col("tpos") - 1)
+      .withColumn("seq_id", expr(s"CAST(gpos div $window AS BIGINT)"))
+      .withColumn("spos", expr(s"CAST(gpos % $window AS BIGINT)"))
+      .withColumn("bnd",
+        when(col("tpos") === 1, lit(1L)).otherwise(lit(0L)))
+    val pad = (n: Column) =>
+      array_repeat(lit(0L), (lit(window) - n).cast("int"))
+    wide.groupBy(col("seq_id"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        transform(array_sort(collect_list(struct(col("spos"), col("id")))),
+          x => x.getField("id")).as("ids0"),
+        transform(array_sort(collect_list(struct(col("spos"), col("bnd")))),
+          x => x.getField("bnd")).as("bnd0"))
+      .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+        concat(col("ids0"), pad(size(col("ids0")))).as("ids"),
+        concat(col("bnd0"), pad(size(col("bnd0")))).as("doc_start"),
+        concat(array_repeat(lit(1L), size(col("ids0")).cast("int")),
+          pad(size(col("ids0")))).as("loss_mask"))
       .orderBy("seq_id")
   }
 
@@ -656,6 +718,21 @@ object Sampling {
     // token stream (two-level prefix sum; per-sequence doc-span report).
     "sample_pack_sequences" -> ((s, d) =>
       packSequences(Tables.documents(s, d))),
+    // the TRAINER frame behind pack_sequences: fixed-64 token-id /
+    // doc-boundary / loss-mask ARRAYS per sequence (the tensor form a
+    // data loader consumes). The gate hashes the exact string
+    // projection of every array — array content, order, and padding
+    // all bind; SamplingSpec pins the ArrayType forms.
+    "sample_pack_tensor" -> ((s, d) =>
+      packSequencesTensor(Tables.documents(s, d))
+        .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+          concat_ws(" ", transform(col("ids"),
+            x => x.cast("string"))).as("ids"),
+          concat_ws(" ", transform(col("doc_start"),
+            x => x.cast("string"))).as("doc_start"),
+          concat_ws(" ", transform(col("loss_mask"),
+            x => x.cast("string"))).as("loss_mask"))
+        .orderBy("seq_id")),
     // contrastive training-pair mining: per anchor one positive
     // (lowest-id label-mate) and 3 seeded-hash negatives from other
     // labels — the md5-rank "random" choice every sampling key uses,
@@ -965,6 +1042,50 @@ object Sampling {
         |       CAST(sum(least(off + n, (seq_id + 1) * 64)
         |         - greatest(off, seq_id * 64)) AS BIGINT) AS n_tokens
         |FROM w GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    // the tensor frame's global-cumsum spec: same exclusive offsets as
+    // pack_sequences, alphabetic vocab ids, per-sequence string_agg in
+    // intra-sequence position order, explicit 0-padding to the window.
+    "sample_pack_tensor" ->
+      """WITH toks AS (
+        |  SELECT doc_id, pos, word FROM (
+        |    SELECT doc_id, words[i] AS word, i AS pos FROM (
+        |      SELECT doc_id, string_split(text, ' ') AS words,
+        |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        |      FROM documents))
+        |  WHERE length(word) > 0),
+        |tp AS (
+        |  SELECT doc_id, word,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |           AS BIGINT) AS tpos
+        |  FROM toks),
+        |dl AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        |offs AS (
+        |  SELECT doc_id,
+        |         CAST(sum(n) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+        |           AS BIGINT) AS off
+        |  FROM dl),
+        |vocab AS (
+        |  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS id
+        |  FROM (SELECT DISTINCT word FROM toks)),
+        |wide AS (
+        |  SELECT tp.doc_id, v.id,
+        |         CAST((o.off + tp.tpos - 1) // 64 AS BIGINT) AS seq_id,
+        |         CAST((o.off + tp.tpos - 1) % 64 AS BIGINT) AS spos,
+        |         CASE WHEN tp.tpos = 1 THEN 1 ELSE 0 END AS bnd
+        |  FROM tp JOIN vocab v USING (word) JOIN offs o USING (doc_id)),
+        |seqs AS (
+        |  SELECT seq_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |         CAST(count(*) AS BIGINT) AS n_tokens,
+        |         string_agg(CAST(id AS VARCHAR), ' ' ORDER BY spos) AS ids0,
+        |         string_agg(CAST(bnd AS VARCHAR), ' ' ORDER BY spos) AS bnd0
+        |  FROM wide GROUP BY seq_id)
+        |SELECT seq_id, n_docs, n_tokens,
+        |       ids0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS ids,
+        |       bnd0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS doc_start,
+        |       trim(repeat('1 ', CAST(n_tokens AS INT)))
+        |         || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS loss_mask
+        |FROM seqs ORDER BY seq_id""".stripMargin,
     // identical md5 rank keys (same pipe-joined decimal strings), same
     // lowest-id positive, same per-anchor rank windows.
     "sample_negatives_contrastive" ->

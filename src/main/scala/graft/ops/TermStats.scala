@@ -403,6 +403,42 @@ object TermStats {
   def bpeIds(docs: DataFrame, nMerges: Int = 10): DataFrame =
     bpeIdsWith(docs, bpeMerges(docs, nMerges))
 
+  /** TRAINER-READY tensor form of the id mapping (VERDICT r8 "Next
+    * round" #2): ids as `ArrayType(LongType)` — the frame a data
+    * loader consumes — instead of the space-joined oracle-parity
+    * string. Same vocab-sized plan as [[bpeIdsWith]]; the per-doc
+    * array flattens per-word id arrays in (token pos, symbol pos)
+    * order. The registered key gates the string projection PLUS
+    * first/last-element and aggregate-sum scalars derived THROUGH the
+    * array, so array content and order bind to the hash gate;
+    * TermStatsSpec pins the schema and zip-to-string property. */
+  def bpeIdsTensor(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(Text.words(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    val encv = toks.select(col("word")).distinct()
+      .select(col("word"), bpeEncodePairsExpr(col("word"), merges).as("enc"))
+    val wsyms = encv.select(col("word"),
+      posexplode(split(col("enc"), " ")).as(Seq("spos", "sym")))
+    val symVocab = Scale.assignIdsByRange(
+      wsyms.select(col("sym")).distinct(), "sym")
+    val wordIds = wsyms.join(symVocab, "sym")
+      .groupBy(col("word"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("spos"), col("id")))),
+        x => x.getField("id")).as("wids"))
+    toks.join(wordIds, "word")
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("wids")))),
+        x => x.getField("wids"))).as("ids"))
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_symbols"),
+        col("ids"))
+      .orderBy("doc_id")
+  }
+
   def bpeIdsWith(docs: DataFrame, merges: Seq[String]): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
@@ -488,6 +524,52 @@ object TermStats {
     sb.toString
   }
 
+  /** The tokenize_bpe_ids oracle body, extracted so the tensor twin
+    * can wrap it: bpe_apply CTEs plus an alphabetic symbol vocabulary;
+    * order pinned by (token pos, intra-word symbol pos). */
+  private def idsOracleSql: String =
+    s"""WITH toksall AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |freq AS (
+       |  SELECT word, count(*) AS cnt FROM toksall
+       |  WHERE length(word) >= 2 GROUP BY word),
+       |prs AS (
+       |  SELECT substring(word, CAST(i AS INT), 2) AS pair, cnt
+       |  FROM (SELECT word, cnt, unnest(range(1, length(word))) AS i
+       |        FROM freq)),
+       |agg AS (
+       |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM prs GROUP BY pair),
+       |ranked AS (
+       |  SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair)
+       |    AS BIGINT) AS rnk FROM agg),
+       |toks AS (
+       |  SELECT doc_id, pos, word FROM (
+       |    SELECT doc_id, words[i] AS word, i AS pos FROM (
+       |      SELECT doc_id, string_split(text, ' ') AS words,
+       |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+       |      FROM documents))
+       |  WHERE length(word) > 0),
+       |encv AS (
+       |  SELECT word,
+       |    ${bpeOracleEncode(10)} AS enc
+       |  FROM (SELECT DISTINCT word FROM toks)),
+       |ds AS (
+       |  SELECT doc_id, pos, i AS spos, syms[i] AS sym FROM (
+       |    SELECT toks.doc_id, toks.pos,
+       |           string_split(enc, ' ') AS syms,
+       |           unnest(range(1, len(string_split(enc, ' ')) + 1)) AS i
+       |    FROM toks JOIN encv USING (word))),
+       |symv AS (
+       |  SELECT DISTINCT unnest(string_split(enc, ' ')) AS sym FROM encv),
+       |sv AS (
+       |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+       |    AS id FROM symv)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_symbols,
+       |       string_agg(CAST(sv.id AS VARCHAR), ' '
+       |         ORDER BY ds.pos, ds.spos) AS ids
+       |FROM ds JOIN sv USING (sym)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Nested-replace encoder for the apply_iter oracle: the same chain
     * [[bpeEncodePairsExpr]] builds, with each round's operands read
     * from its pick_r CTE (covers single-char words v10 omits — they
@@ -516,6 +598,20 @@ object TermStats {
     // learn -> apply -> dense ids over the merged-symbol vocabulary.
     "tokenize_bpe_ids" -> ((s, d) =>
       bpeIdsWith(Tables.documents(s, d), trainedMerges(s, d, 10))),
+    // the tensor twin: doc ids as ArrayType(LongType) via
+    // bpeIdsTensor, gated by its string projection plus array-derived
+    // scalars (first/last element, aggregate sum).
+    "tokenize_bpe_ids_tensor" -> ((s, d) =>
+      bpeIdsTensor(Tables.documents(s, d),
+        trainedMerges(s, d, 10)
+          .map(p => (p.substring(0, 1), p.substring(1, 2))))
+        .select(col("doc_id"), col("n_symbols"),
+          concat_ws(" ", transform(col("ids"),
+            x => x.cast("string"))).as("ids"),
+          element_at(col("ids"), 1).as("first_id"),
+          element_at(col("ids"), -1).as("last_id"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("ids_sum"))
+        .orderBy("doc_id")),
     // TRUE iterative BPE: recount-after-each-merge training (10
     // rounds); the emitted table is the memoized model artifact. The
     // oracle REPLAYS the whole loop as unrolled per-round CTEs.
@@ -657,48 +753,19 @@ object TermStats {
          |GROUP BY toks.doc_id ORDER BY doc_id""".stripMargin,
     // the bpe_apply CTEs plus an alphabetic symbol vocabulary; order is
     // pinned by (token pos, intra-word symbol pos) on both engines.
-    "tokenize_bpe_ids" ->
-      s"""WITH toksall AS (
-         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-         |freq AS (
-         |  SELECT word, count(*) AS cnt FROM toksall
-         |  WHERE length(word) >= 2 GROUP BY word),
-         |prs AS (
-         |  SELECT substring(word, CAST(i AS INT), 2) AS pair, cnt
-         |  FROM (SELECT word, cnt, unnest(range(1, length(word))) AS i
-         |        FROM freq)),
-         |agg AS (
-         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM prs GROUP BY pair),
-         |ranked AS (
-         |  SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair)
-         |    AS BIGINT) AS rnk FROM agg),
-         |toks AS (
-         |  SELECT doc_id, pos, word FROM (
-         |    SELECT doc_id, words[i] AS word, i AS pos FROM (
-         |      SELECT doc_id, string_split(text, ' ') AS words,
-         |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
-         |      FROM documents))
-         |  WHERE length(word) > 0),
-         |encv AS (
-         |  SELECT word,
-         |    ${bpeOracleEncode(10)} AS enc
-         |  FROM (SELECT DISTINCT word FROM toks)),
-         |ds AS (
-         |  SELECT doc_id, pos, i AS spos, syms[i] AS sym FROM (
-         |    SELECT toks.doc_id, toks.pos,
-         |           string_split(enc, ' ') AS syms,
-         |           unnest(range(1, len(string_split(enc, ' ')) + 1)) AS i
-         |    FROM toks JOIN encv USING (word))),
-         |symv AS (
-         |  SELECT DISTINCT unnest(string_split(enc, ' ')) AS sym FROM encv),
-         |sv AS (
-         |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
-         |    AS id FROM symv)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_symbols,
-         |       string_agg(CAST(sv.id AS VARCHAR), ' '
-         |         ORDER BY ds.pos, ds.spos) AS ids
-         |FROM ds JOIN sv USING (sym)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "tokenize_bpe_ids" -> idsOracleSql,
+    // the tensor twin re-ranks nothing: it wraps the SAME ids oracle
+    // and derives the array-bound scalars (first/last element, sum)
+    // from the id string — the Spark side derives them from the
+    // ArrayType column, so array content and order bind to the hash.
+    "tokenize_bpe_ids_tensor" ->
+      s"""SELECT doc_id, n_symbols, ids,
+         |  CAST(string_split(ids, ' ')[1] AS BIGINT) AS first_id,
+         |  CAST(string_split(ids, ' ')[-1] AS BIGINT) AS last_id,
+         |  CAST(list_sum(list_transform(string_split(ids, ' '),
+         |    x -> CAST(x AS BIGINT))) AS BIGINT) AS ids_sum
+         |FROM ($idsOracleSql) t
+         |ORDER BY doc_id""".stripMargin,
     // the ENTIRE iterative training loop unrolled: each pick_r is the
     // recounted argmax over the round-(r-1) merged vocabulary.
     "tokenize_bpe_learn_iter" ->

@@ -143,6 +143,57 @@ class SamplingSpec extends AnyFunSuite {
     assert(alt.toSeq == out.toSeq)
   }
 
+  test("packSequencesTensor: fixed-64 ArrayType(LongType) columns with " +
+      "coherent mask algebra, agreeing with packSequences and the " +
+      "gated string key") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
+    val tens = Sampling.packSequencesTensor(docs)
+    // the trainer contract: real array columns, all padded to window
+    Seq("ids", "doc_start", "loss_mask").foreach { c =>
+      assert(tens.schema(c).dataType.isInstanceOf[ArrayType] &&
+        tens.schema(c).dataType.asInstanceOf[ArrayType]
+          .elementType == LongType, c)
+    }
+    val rows = tens.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getSeq[Long](3), r.getSeq[Long](4), r.getSeq[Long](5)))
+    rows.foreach { case (seq, nDocs, nToks, ids, bnd, mask) =>
+      assert(ids.size == 64 && bnd.size == 64 && mask.size == 64, seq)
+      // loss mask: 1 over the nToks real tokens, 0 over padding
+      assert(mask.sum == nToks && mask.take(nToks.toInt).forall(_ == 1L)
+        && mask.drop(nToks.toInt).forall(_ == 0L), seq)
+      // vocab ids start at 1, so real slots are nonzero, padding zero
+      assert(ids.take(nToks.toInt).forall(_ >= 1L)
+        && ids.drop(nToks.toInt).forall(_ == 0L), seq)
+      // boundary marks only fall on real tokens
+      assert(bnd.drop(nToks.toInt).forall(_ == 0L) &&
+        bnd.forall(b => b == 0L || b == 1L), seq)
+      assert(nDocs >= 1L, seq)
+    }
+    // sequence grid and fills agree with the gated packing report
+    val want = Sampling.packSequences(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(rows.map(_._1).toSet == want.keySet)
+    rows.foreach { case (seq, _, nToks, _, _, _) =>
+      assert(want(seq) == nToks, s"seq $seq fill")
+    }
+    // every doc starts exactly once across the whole grid
+    val nDocsWithTokens = docs.filter(size(filter(split(col("text"), " "),
+      w => length(w) > 0)) > 0).count()
+    assert(rows.map(_._5.sum).sum == nDocsWithTokens)
+    // and the registered key is exactly the string projection
+    val viaKey = Sampling.queries("sample_pack_tensor")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getString(4),
+        r.getString(5))).toMap
+    rows.foreach { case (seq, _, _, ids, bnd, mask) =>
+      val (is, bs, ms) = viaKey(seq)
+      assert(ids.mkString(" ") == is && bnd.mkString(" ") == bs &&
+        mask.mkString(" ") == ms, s"seq $seq zip")
+    }
+  }
+
   test("contrastive negatives: each anchor gets 1 label-mate positive " +
       "and 3 cross-label negatives, stable under repartition") {
     import org.apache.spark.sql.functions._

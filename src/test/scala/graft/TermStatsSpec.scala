@@ -235,6 +235,29 @@ class TermStatsSpec extends AnyFunSuite {
         =!= col("word")).count() == 0L)
   }
 
+  test("bpeIdsTensor: ArrayType(LongType) schema and the array zips " +
+      "exactly to the gated string form (sf0.001)") {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val merges = TermStats.bpeMerges(docs, 10)
+      .map(p => (p.substring(0, 1), p.substring(1, 2)))
+    val tens = TermStats.bpeIdsTensor(docs, merges)
+    // the trainer contract: a real array column, not a joined string
+    assert(tens.schema("ids").dataType == ArrayType(LongType, false) ||
+      tens.schema("ids").dataType == ArrayType(LongType, true),
+      tens.schema("ids").dataType.toString)
+    val arr = tens.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    val str = TermStats.bpeIds(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(arr.keySet == str.keySet)
+    arr.foreach { case (doc, (n, ids)) =>
+      val (wn, wids) = str(doc)
+      assert(n == wn && ids.size == n.toInt, s"doc $doc count")
+      assert(ids.mkString(" ") == wids, s"doc $doc zip")
+    }
+  }
+
   test("tokenize_vocab_ids round-trips: ids decode back to the original " +
       "token stream (sf0.001)") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
