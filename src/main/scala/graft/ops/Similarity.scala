@@ -323,34 +323,66 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, centroids: Array[Array[Double]],
       queryPred: Column, k: Int, nprobe: Int = 4, m: Int = 8,
       cands: Int = 32): DataFrame = {
-    val e = withNorm(emb, "vec_id", "ed", "norm")
-      .withColumn("edn", transform(col("ed"), x => x / col("norm")))
+    val books = pqBooks(centroids, m)
+    ivfPqSearch(emb, codedFrame(emb, centroids, books, m),
+      centroids, books, queryPred, k, nprobe, m, cands)
+  }
+
+  /** Per-subspace PQ codebooks derived from the (normalized) coarse
+    * centroids — a pure function of the centroid table, shared by the
+    * in-session and persisted index paths. */
+  private def pqBooks(centroids: Array[Array[Double]],
+      m: Int): Array[Array[Array[Double]]] = {
     val dim = centroids(0).length
     val sub = dim / m
-    val books: Array[Array[Array[Double]]] =
-      Array.tabulate(m)(mi => centroids.map { cw =>
-        val nrm = math.sqrt(cw.foldLeft(0.0)((s, x) => s + x * x))
-        cw.map(_ / nrm).slice(mi * sub, (mi + 1) * sub)
-      })
+    Array.tabulate(m)(mi => centroids.map { cw =>
+      val nrm = math.sqrt(cw.foldLeft(0.0)((s, x) => s + x * x))
+      cw.map(_ / nrm).slice(mi * sub, (mi + 1) * sub)
+    })
+  }
+
+  private def pqL2(vm: Column, c: Array[Double]): Column = {
+    val cn = c.foldLeft(0.0)((s, x) => s + x * x)
+    dot(vm, vm) - lit(2.0) * dot(vm, typedLit(c.toSeq)) + lit(cn)
+  }
+
+  /** The corpus's coded rows (n_id, cluster, code0..code{m−1}) — the
+    * distributed half of the IVF-PQ index. */
+  private def codedFrame(emb: DataFrame, centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], m: Int): DataFrame = {
+    val e = withNorm(emb, "vec_id", "ed", "norm")
+      .withColumn("edn", transform(col("ed"), x => x / col("norm")))
+    val sub = centroids(0).length / m
     def subv(mi: Int): Column = slice(col("edn"), mi * sub + 1, sub)
-    def l2(vm: Column, c: Array[Double]): Column = {
-      val cn = c.foldLeft(0.0)((s, x) => s + x * x)
-      dot(vm, vm) - lit(2.0) * dot(vm, typedLit(c.toSeq)) + lit(cn)
-    }
-    val assigned = e.withColumn("cluster",
-      array_max(array(cosToCentroids(centroids): _*)).getField("k"))
-    val coded = assigned.select(
-      Seq(col("vec_id").as("n_id"), col("cluster")) ++
+    e.withColumn("cluster",
+        array_max(array(cosToCentroids(centroids): _*)).getField("k"))
+      .select(Seq(col("vec_id").as("n_id"), col("cluster")) ++
         (0 until m).map(mi => array_min(array(books(mi).zipWithIndex.map {
-          case (c, ki) => struct(l2(subv(mi), c).as("d"), lit(ki).as("k"))
+          case (c, ki) => struct(pqL2(subv(mi), c).as("d"), lit(ki).as("k"))
         }: _*)).getField("k").as(s"code$mi")): _*)
-    val probes = assigned.filter(queryPred)
+  }
+
+  /** The IVF-PQ search over a coded frame: probe routing → broadcast
+    * ADC estimate join → candidate cut → exact re-rank fetching raw
+    * vectors from the corpus by id. Shared verbatim by [[ivfPqTopK]]
+    * (codes built in-plan) and [[ivfPqTopKFromIndex]] (codes scanned
+    * from the persisted artifact), which is what makes the
+    * fresh-session identity assert meaningful. */
+  private def ivfPqSearch(emb: DataFrame, coded: DataFrame,
+      centroids: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      queryPred: Column, k: Int, nprobe: Int, m: Int,
+      cands: Int): DataFrame = {
+    val e = withNorm(emb, "vec_id", "ed", "norm")
+      .withColumn("edn", transform(col("ed"), x => x / col("norm")))
+    val sub = centroids(0).length / m
+    def subv(mi: Int): Column = slice(col("edn"), mi * sub + 1, sub)
+    val probes = e.filter(queryPred)
       .withColumn("probe", explode(slice(reverse(array_sort(
         array(cosToCentroids(centroids): _*))), 1, nprobe)))
       .select(Seq(col("vec_id").as("q_id"),
         col("probe.k").as("cluster")) ++
         (0 until m).map(mi =>
-          array(books(mi).map(c => l2(subv(mi), c)): _*).as(s"dq$mi")): _*)
+          array(books(mi).map(c => pqL2(subv(mi), c)): _*).as(s"dq$mi")): _*)
     val est = broadcast(probes).join(coded, Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
@@ -375,6 +407,77 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("q_id", "rnk")
   }
+
+  /** PERSIST the IVF-PQ index (VERDICT r8 "Next round" #3): coarse
+    * centroids, per-subspace PQ codebooks, and the corpus's coded
+    * vectors as three parquet tables under `dir` — the production
+    * contract the session memos only simulate ("build the index once,
+    * load it for months"). The codes table is the only corpus-sized
+    * piece (one row per vector: cluster + m small codes ≈ bytes, not
+    * the dim-sized float vector) and writes distributed; centroids and
+    * books are model-sized. Raw vectors are NOT duplicated into the
+    * artifact — the exact re-rank point-fetches them from the corpus
+    * by id (FAISS's refine index stores them; at 100 TB that storage
+    * call is made explicitly by the caller). */
+  def writeIvfPqIndex(emb: DataFrame, centroids: Array[Array[Double]],
+      dir: String, m: Int = 8): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val books = pqBooks(centroids, m)
+    centroids.zipWithIndex
+      .map { case (c, k) => (k, c.toSeq) }.toSeq
+      .toDF("k", "c").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    (for {
+      mi <- 0 until m
+      (cw, ki) <- books(mi).zipWithIndex
+    } yield (mi, ki, cw.toSeq)).toDF("mi", "ki", "cw").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/books")
+    codedFrame(emb, centroids, books, m)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Answer IVF-PQ top-k FROM a persisted index: centroids/codebooks
+    * load as model-sized driver arrays, the coded corpus stays a
+    * distributed parquet scan, and only the exact re-rank touches raw
+    * vectors (fetched by id from the live corpus table). Bit-identical
+    * to the in-session [[ivfPqTopK]] — parquet round-trips doubles
+    * exactly and the search body is the shared [[ivfPqSearch]] — which
+    * SimilaritySpec asserts from a FRESH session. */
+  def ivfPqTopKFromIndex(spark: SparkSession, dir: String,
+      emb: DataFrame, queryPred: Column, k: Int, nprobe: Int = 4,
+      m: Int = 8, cands: Int = 32): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids").orderBy("k")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val bookRows = spark.read.parquet(s"$dir/books").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val books = Array.tabulate(m)(mi =>
+      Array.tabulate(centroids.length)(ki => bookRows((mi, ki))))
+    ivfPqSearch(emb, spark.read.parquet(s"$dir/codes"),
+      centroids, books, queryPred, k, nprobe, m, cands)
+  }
+
+  /** Index artifact written once per (session, sf dir) — billed to the
+    * bench build pass like every model artifact; the steady-state run
+    * pays the honest RELOAD cost (parquet scans of the artifact). */
+  private val indexDirMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def persistedIndexDir(s: SparkSession, d: String): String =
+    indexDirMemo.computeIfAbsent((s, d), { case (sp, dir) =>
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-annindex-" + java.lang.Long.toHexString(
+          java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))
+            .getMostSignificantBits & Long.MaxValue)).getPath
+      writeIvfPqIndex(Tables.embeddings(sp, dir),
+        trainedCentroids(sp, dir, 16, 0), out)
+      SessionCleanup.onEnd(sp) {
+        indexDirMemo.remove((sp, dir))
+        SessionCleanup.deleteRecursively(out)
+      }
+      out
+    })
 
   /** Residual codebooks for [[ivfPqResidualTopK]] — the model half of
     * true IVFPQ: codewords are the RESIDUALS (unit vector − its
@@ -1018,6 +1121,13 @@ object Similarity {
     "sim_ann_ivfpq" -> ((s, d) =>
       ivfPqTopK(Tables.embeddings(s, d), trainedCentroids(s, d, 16, 0),
         col("vec_id") < 10, 5)),
+    // the PERSISTED index: build/write once (memoized, billed to the
+    // build pass), answer from the parquet artifact — the "index built
+    // once, queried for months" production contract; oracle identical
+    // to sim_ann_ivfpq because the artifact must not change results.
+    "sim_ann_index_persist" -> ((s, d) =>
+      ivfPqTopKFromIndex(s, persistedIndexDir(s, d),
+        Tables.embeddings(s, d), col("vec_id") < 10, 5)),
     // TRUE IVFPQ: PQ codes quantize the RESIDUAL x − c(x) (what FAISS
     // encodes), per-probed-list query tables; residual codebooks from
     // the disjoint second-stride seed rows — memoized model artifact.
@@ -1077,6 +1187,106 @@ object Similarity {
        |  SELECT e2.dst AS id, r.lab FROM reach r JOIN edges e2 ON e2.src = r.id),
        |labs AS (
        |  SELECT id AS vec_id, min(lab) AS cluster FROM reach GROUP BY id)""".stripMargin
+
+  /** The sim_ann_ivfpq gate SQL, extracted so sim_ann_index_persist
+    * (identical results answered from the persisted artifact) can share
+    * it verbatim. */
+  private val ivfPqOracleSql: String =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |en AS (
+        |  SELECT vec_id,
+        |         list_transform(emb,
+        |           x -> x / sqrt(list_inner_product(emb, emb))) AS em
+        |  FROM e),
+        |st AS (SELECT greatest(1, count(*) // 16) AS stride FROM e),
+        |seedrows AS (SELECT vec_id, emb FROM e
+        |             WHERE vec_id % (SELECT stride FROM st) = 0
+        |             ORDER BY vec_id LIMIT 16),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k,
+        |         emb AS ce
+        |  FROM seedrows),
+        |centn AS (
+        |  SELECT k AS ck,
+        |         list_transform(ce,
+        |           x -> x / sqrt(list_inner_product(ce, ce))) AS ce
+        |  FROM cent),
+        |ac AS (
+        |  SELECT e.vec_id, c.k,
+        |         list_inner_product(e.emb, c.ce) /
+        |         (sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(c.ce, c.ce))) AS cos
+        |  FROM e CROSS JOIN cent c),
+        |ranked_ac AS (
+        |  SELECT vec_id, k,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, k DESC) AS rn
+        |  FROM ac),
+        |assigned AS (SELECT vec_id, k AS cluster FROM ranked_ac WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, k AS cluster FROM ranked_ac
+        |  WHERE rn <= 4 AND vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        |  FROM probes p JOIN assigned a ON p.cluster = a.cluster
+        |  WHERE p.q_id <> a.vec_id),
+        |sd AS (
+        |  SELECT en.vec_id, mm.m, c.ck,
+        |         list_inner_product(en.em[(mm.m*8+1):(mm.m*8+8)],
+        |                            en.em[(mm.m*8+1):(mm.m*8+8)])
+        |         - 2.0 * list_inner_product(en.em[(mm.m*8+1):(mm.m*8+8)],
+        |                                    c.ce[(mm.m*8+1):(mm.m*8+8)])
+        |         + list_inner_product(c.ce[(mm.m*8+1):(mm.m*8+8)],
+        |                              c.ce[(mm.m*8+1):(mm.m*8+8)]) AS d
+        |  FROM en CROSS JOIN (SELECT unnest(range(0, 8)) AS m) mm
+        |  CROSS JOIN centn c),
+        |codes AS (
+        |  SELECT vec_id, m, ck AS code FROM (
+        |    SELECT vec_id, m, ck, row_number() OVER (
+        |      PARTITION BY vec_id, m ORDER BY d ASC, ck ASC) AS rn FROM sd)
+        |  WHERE rn = 1),
+        |qd AS (SELECT vec_id AS q_id, m, ck, d FROM sd WHERE vec_id < 10),
+        |cw AS (SELECT vec_id AS n_id,
+        |              max(CASE WHEN m = 0 THEN code END) AS c0,
+        |              max(CASE WHEN m = 1 THEN code END) AS c1,
+        |              max(CASE WHEN m = 2 THEN code END) AS c2,
+        |              max(CASE WHEN m = 3 THEN code END) AS c3,
+        |              max(CASE WHEN m = 4 THEN code END) AS c4,
+        |              max(CASE WHEN m = 5 THEN code END) AS c5,
+        |              max(CASE WHEN m = 6 THEN code END) AS c6,
+        |              max(CASE WHEN m = 7 THEN code END) AS c7
+        |       FROM codes GROUP BY vec_id),
+        |est AS (
+        |  SELECT q0.q_id, cw.n_id,
+        |         ((((((q0.d + q1.d) + q2.d) + q3.d) + q4.d) + q5.d)
+        |           + q6.d) + q7.d AS est
+        |  FROM cw
+        |  JOIN qd q0 ON q0.m = 0 AND q0.ck = cw.c0
+        |  JOIN qd q1 ON q1.m = 1 AND q1.ck = cw.c1 AND q1.q_id = q0.q_id
+        |  JOIN qd q2 ON q2.m = 2 AND q2.ck = cw.c2 AND q2.q_id = q0.q_id
+        |  JOIN qd q3 ON q3.m = 3 AND q3.ck = cw.c3 AND q3.q_id = q0.q_id
+        |  JOIN qd q4 ON q4.m = 4 AND q4.ck = cw.c4 AND q4.q_id = q0.q_id
+        |  JOIN qd q5 ON q5.m = 5 AND q5.ck = cw.c5 AND q5.q_id = q0.q_id
+        |  JOIN qd q6 ON q6.m = 6 AND q6.ck = cw.c6 AND q6.q_id = q0.q_id
+        |  JOIN qd q7 ON q7.m = 7 AND q7.ck = cw.c7 AND q7.q_id = q0.q_id
+        |  JOIN cand ON cand.q_id = q0.q_id AND cand.n_id = cw.n_id
+        |  WHERE q0.q_id <> cw.n_id),
+        |routed AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY est ASC, n_id ASC) AS re FROM est)
+        |  WHERE re <= 32),
+        |scored AS (
+        |  SELECT r.q_id, r.n_id,
+        |         list_inner_product(qe.emb, ne.emb) /
+        |         (sqrt(list_inner_product(qe.emb, qe.emb)) *
+        |          sqrt(list_inner_product(ne.emb, ne.emb))) AS cos
+        |  FROM routed r JOIN e qe ON qe.vec_id = r.q_id
+        |  JOIN e ne ON ne.vec_id = r.n_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, n_id, round(cos, 6) AS cos_sim FROM ranked
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // same arithmetic as the Spark side's dot-identity form: the error
@@ -1343,102 +1553,11 @@ object Similarity {
     // sim_ann_ivf_seeded oracle's probed-list candidates — the spliced
     // executable spec of the composed IVFPQ plan (same seeded rows play
     // coarse centroids and codebooks; every tie-break pin shared).
-    "sim_ann_ivfpq" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |en AS (
-        |  SELECT vec_id,
-        |         list_transform(emb,
-        |           x -> x / sqrt(list_inner_product(emb, emb))) AS em
-        |  FROM e),
-        |st AS (SELECT greatest(1, count(*) // 16) AS stride FROM e),
-        |seedrows AS (SELECT vec_id, emb FROM e
-        |             WHERE vec_id % (SELECT stride FROM st) = 0
-        |             ORDER BY vec_id LIMIT 16),
-        |cent AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k,
-        |         emb AS ce
-        |  FROM seedrows),
-        |centn AS (
-        |  SELECT k AS ck,
-        |         list_transform(ce,
-        |           x -> x / sqrt(list_inner_product(ce, ce))) AS ce
-        |  FROM cent),
-        |ac AS (
-        |  SELECT e.vec_id, c.k,
-        |         list_inner_product(e.emb, c.ce) /
-        |         (sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(c.ce, c.ce))) AS cos
-        |  FROM e CROSS JOIN cent c),
-        |ranked_ac AS (
-        |  SELECT vec_id, k,
-        |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, k DESC) AS rn
-        |  FROM ac),
-        |assigned AS (SELECT vec_id, k AS cluster FROM ranked_ac WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS q_id, k AS cluster FROM ranked_ac
-        |  WHERE rn <= 4 AND vec_id < 10),
-        |cand AS (
-        |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
-        |  FROM probes p JOIN assigned a ON p.cluster = a.cluster
-        |  WHERE p.q_id <> a.vec_id),
-        |sd AS (
-        |  SELECT en.vec_id, mm.m, c.ck,
-        |         list_inner_product(en.em[(mm.m*8+1):(mm.m*8+8)],
-        |                            en.em[(mm.m*8+1):(mm.m*8+8)])
-        |         - 2.0 * list_inner_product(en.em[(mm.m*8+1):(mm.m*8+8)],
-        |                                    c.ce[(mm.m*8+1):(mm.m*8+8)])
-        |         + list_inner_product(c.ce[(mm.m*8+1):(mm.m*8+8)],
-        |                              c.ce[(mm.m*8+1):(mm.m*8+8)]) AS d
-        |  FROM en CROSS JOIN (SELECT unnest(range(0, 8)) AS m) mm
-        |  CROSS JOIN centn c),
-        |codes AS (
-        |  SELECT vec_id, m, ck AS code FROM (
-        |    SELECT vec_id, m, ck, row_number() OVER (
-        |      PARTITION BY vec_id, m ORDER BY d ASC, ck ASC) AS rn FROM sd)
-        |  WHERE rn = 1),
-        |qd AS (SELECT vec_id AS q_id, m, ck, d FROM sd WHERE vec_id < 10),
-        |cw AS (SELECT vec_id AS n_id,
-        |              max(CASE WHEN m = 0 THEN code END) AS c0,
-        |              max(CASE WHEN m = 1 THEN code END) AS c1,
-        |              max(CASE WHEN m = 2 THEN code END) AS c2,
-        |              max(CASE WHEN m = 3 THEN code END) AS c3,
-        |              max(CASE WHEN m = 4 THEN code END) AS c4,
-        |              max(CASE WHEN m = 5 THEN code END) AS c5,
-        |              max(CASE WHEN m = 6 THEN code END) AS c6,
-        |              max(CASE WHEN m = 7 THEN code END) AS c7
-        |       FROM codes GROUP BY vec_id),
-        |est AS (
-        |  SELECT q0.q_id, cw.n_id,
-        |         ((((((q0.d + q1.d) + q2.d) + q3.d) + q4.d) + q5.d)
-        |           + q6.d) + q7.d AS est
-        |  FROM cw
-        |  JOIN qd q0 ON q0.m = 0 AND q0.ck = cw.c0
-        |  JOIN qd q1 ON q1.m = 1 AND q1.ck = cw.c1 AND q1.q_id = q0.q_id
-        |  JOIN qd q2 ON q2.m = 2 AND q2.ck = cw.c2 AND q2.q_id = q0.q_id
-        |  JOIN qd q3 ON q3.m = 3 AND q3.ck = cw.c3 AND q3.q_id = q0.q_id
-        |  JOIN qd q4 ON q4.m = 4 AND q4.ck = cw.c4 AND q4.q_id = q0.q_id
-        |  JOIN qd q5 ON q5.m = 5 AND q5.ck = cw.c5 AND q5.q_id = q0.q_id
-        |  JOIN qd q6 ON q6.m = 6 AND q6.ck = cw.c6 AND q6.q_id = q0.q_id
-        |  JOIN qd q7 ON q7.m = 7 AND q7.ck = cw.c7 AND q7.q_id = q0.q_id
-        |  JOIN cand ON cand.q_id = q0.q_id AND cand.n_id = cw.n_id
-        |  WHERE q0.q_id <> cw.n_id),
-        |routed AS (
-        |  SELECT q_id, n_id FROM (
-        |    SELECT q_id, n_id, row_number() OVER (
-        |      PARTITION BY q_id ORDER BY est ASC, n_id ASC) AS re FROM est)
-        |  WHERE re <= 32),
-        |scored AS (
-        |  SELECT r.q_id, r.n_id,
-        |         list_inner_product(qe.emb, ne.emb) /
-        |         (sqrt(list_inner_product(qe.emb, qe.emb)) *
-        |          sqrt(list_inner_product(ne.emb, ne.emb))) AS cos
-        |  FROM routed r JOIN e qe ON qe.vec_id = r.q_id
-        |  JOIN e ne ON ne.vec_id = r.n_id),
-        |ranked AS (
-        |  SELECT q_id, n_id, cos, CAST(row_number() OVER (
-        |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
-        |  FROM scored)
-        |SELECT q_id, rnk, n_id, round(cos, 6) AS cos_sim FROM ranked
-        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "sim_ann_ivfpq" -> ivfPqOracleSql,
+    // identical result set answered FROM THE PERSISTED ARTIFACT — the
+    // production contract the memos only simulate (build once, load in a
+    // later session); identity with the in-session route is the gate.
+    "sim_ann_index_persist" -> ivfPqOracleSql,
     // TRUE IVFPQ replay: residual codewords from the second-stride seed
     // rows (rcw), per-vector residual codes (res/sd/codes), and
     // PER-(query, probed-list) distance tables (qres/qd) — joining qd

@@ -215,6 +215,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res == again)
   }
 
+  test("persisted IVF-PQ index: a FRESH session answers top-k " +
+      "identically from the parquet artifact alone") {
+    val d = TestSpark.sf0001
+    val emb = Tables.embeddings(spark, d)
+    val seeds = Similarity.ivfCentroids(emb, 16, 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annidx-spec").toString
+    try {
+      Similarity.writeIvfPqIndex(emb, seeds, dir)
+      // the artifact has all three tables, and codes cover the corpus
+      val s2 = spark.newSession()
+      assert(s2.read.parquet(s"$dir/centroids").count() == 16L)
+      assert(s2.read.parquet(s"$dir/books").count() == 8L * 16L)
+      assert(s2.read.parquet(s"$dir/codes").count() == emb.count())
+      // the production contract: a LATER session loads the artifact
+      // and must return the identical top-k — no memo, no in-session
+      // state, only the parquet index + the corpus table for re-rank.
+      val want = Similarity.ivfPqTopK(emb, seeds, col("vec_id") < 10, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      val got = Similarity.ivfPqTopKFromIndex(s2, dir,
+          Tables.embeddings(s2, d), col("vec_id") < 10, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(got == want)
+    } finally graft.ops.SessionCleanup.deleteRecursively(dir)
+  }
+
   test("incremental embedding dedup: output is new-batch only, every " +
       "dropped new vector has a TRUE existing near-dup (soundness), " +
       "and the result is run-stable") {
