@@ -96,7 +96,42 @@ object Graphs {
     * snapshot → read back → 5 more rounds, against the SAME 10-round
     * oracle as `graph_pagerank`. */
   def pagerankFrom(docs: DataFrame, iters: Int,
-      init: Option[DataFrame]): DataFrame = {
+      init: Option[DataFrame]): DataFrame =
+    pagerankLoop(docs, iters, init,
+      s"CAST($Scale12 AS BIGINT) div n")
+
+  /** The five portal hubs — the same seed set [[bfsHops]] starts from:
+    * sites 0/10/20/30/40's hub pages. */
+  private[graft] val portalSeeds: Seq[Long] = Seq(0L, 10L, 20L, 30L, 40L)
+
+  /** PERSONALIZED PageRank (VERDICT r8 "Next round" #5): the restart
+    * vector concentrates on `seeds` instead of the uniform teleport —
+    * topic-sensitive authority (Haveliwala), the crawl-scoring form an
+    * LLM-corpus pipeline actually runs (seed-quality propagation from
+    * trusted portals). Same exact-BIGINT machinery as [[pagerank]]:
+    * teleport mass S/|seeds| lands ONLY on seed nodes, every step is
+    * exact integer arithmetic, so the unrolled-CTE oracle reproduces
+    * all ten rounds bit-for-bit and the resume theorem carries over
+    * unchanged. On the crawl graph, rank flows from the seed hubs along
+    * the hub ring only (items link TOWARD hubs, never back), so nonzero
+    * rank is exactly the set reachable from the seeds — the defining
+    * reachability property, pinned in GraphsSpec. */
+  def pagerankPersonalized(docs: DataFrame, seeds: Seq[Long] = portalSeeds,
+      iters: Int = 10, init: Option[DataFrame] = None): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs a seed set")
+    val share = Scale12 / seeds.length
+    pagerankLoop(docs, iters, init,
+      s"CASE WHEN doc_id IN (${seeds.mkString(", ")}) " +
+        s"THEN CAST($share AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+  }
+
+  /** The shared synchronous loop: `teleSql` is the per-node teleport
+    * term (a SQL expression over (doc_id, n)), uniform for classic
+    * PageRank, seed-concentrated for the personalized form. r⁰ = the
+    * teleport vector; rᵗ = ⌊15·tele⌋/100 + ⌊85·Σ contribs⌋/100 — every
+    * step exact BIGINT on both engines. */
+  private def pagerankLoop(docs: DataFrame, iters: Int,
+      init: Option[DataFrame], teleSql: String): DataFrame = {
     val ids = docs.select(col("doc_id"))
     val nAgg = ids.agg(count(lit(1)).as("n"))
     val edges = crawlEdges(docs)
@@ -104,7 +139,7 @@ object Graphs {
     // scatter side is static across iterations: join once, cache.
     val edged = edges.join(outd, Seq("src")).cache()
     var ranks = init.getOrElse(ids.crossJoin(broadcast(nAgg))
-      .select(col("doc_id"), expr(s"CAST($Scale12 AS BIGINT) div n").as("r")))
+      .select(col("doc_id"), expr(teleSql).as("r")))
     for (it <- 1 to iters) {
       val contribs = edged
         .join(ranks.select(col("doc_id").as("src"), col("r")), Seq("src"))
@@ -113,7 +148,7 @@ object Graphs {
       val stepped = ids.crossJoin(broadcast(nAgg))
         .join(contribs.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          expr(s"(15 * (CAST($Scale12 AS BIGINT) div n)) div 100" +
+          expr(s"(15 * ($teleSql)) div 100" +
             s" + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100").as("r"))
       ranks = if (it % 3 == 0) stepped.localCheckpoint() else stepped
     }
@@ -362,6 +397,21 @@ object Graphs {
       tmp
     })
 
+  /** The personalized twin's 5-round snapshot (same exact-integer
+    * restartability theorem — the teleport form changes nothing). */
+  private def pprAfter5(s: SparkSession, d: String): String =
+    resumeMemo.getOrElseUpdate((s, d + "#ppr"), {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ppr5").toString
+      pagerankPersonalized(Tables.documents(s, d), iters = 5)
+        .select(col("doc_id"), col("rank_fp").as("r"))
+        .write.mode("overwrite").parquet(tmp)
+      SessionCleanup.onEnd(s) {
+        resumeMemo.remove((s, d + "#ppr"))
+        SessionCleanup.deleteRecursively(tmp)
+      }
+      tmp
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 10 fixed-point iterations; exact BIGINT ranks (1e-12 units).
     "graph_pagerank" -> ((s, d) => pagerank(Tables.documents(s, d))),
@@ -371,6 +421,15 @@ object Graphs {
     "graph_pagerank_resume" -> ((s, d) =>
       pagerankFrom(Tables.documents(s, d), 5,
         init = Some(s.read.parquet(ranksAfter5(s, d))
+          .select(col("doc_id"), col("r"))))),
+    // topic-sensitive restart on the five portal hubs; exact BIGINT.
+    "graph_pagerank_personalized" -> ((s, d) =>
+      pagerankPersonalized(Tables.documents(s, d))),
+    // its staged-restart twin: 5 rounds → snapshot → 5 more, same
+    // 10-round personalized oracle (exact-integer restartability).
+    "graph_pagerank_personalized_resume" -> ((s, d) =>
+      pagerankPersonalized(Tables.documents(s, d), iters = 5,
+        init = Some(s.read.parquet(pprAfter5(s, d))
           .select(col("doc_id"), col("r"))))),
     // per-node triangle membership, degree-ordered enumeration.
     "graph_triangles" -> ((s, d) => triangleCounts(Tables.documents(s, d))),
@@ -399,11 +458,13 @@ object Graphs {
       |ed AS (SELECT e.src, e.dst, o.deg FROM edges e JOIN outd o USING (src))""".stripMargin
 
   /** One unrolled PageRank iteration t (reads r{t-1}, defines r{t}) —
-    * the exact integer recurrence of [[pagerank]]. */
-  private def sqlPrIter(t: Int): String =
+    * the exact integer recurrence of [[pagerankLoop]]; `teleSql` is the
+    * per-node teleport term (uniform or seed-concentrated). */
+  private def sqlPrIter(t: Int,
+      teleSql: String = "1000000000000 // nn.n"): String =
     s"""r$t AS (
        |  SELECT i.doc_id AS id,
-       |         (15 * (1000000000000 // nn.n)) // 100
+       |         (15 * ($teleSql)) // 100
        |           + (85 * COALESCE(c.s, 0)) // 100 AS r
        |  FROM ids i CROSS JOIN nn
        |  LEFT JOIN (SELECT ed.dst, CAST(sum(p.r // ed.deg) AS BIGINT) AS s
@@ -438,7 +499,7 @@ object Graphs {
   // shared verbatim by graph_pagerank and its staged-restart twin
   // (exact integer restartability means both MUST answer identically).
   private lazy val sqlPagerank10: String = {
-    val iters = (1 to 10).map(sqlPrIter).mkString(",\n")
+    val iters = (1 to 10).map(t => sqlPrIter(t)).mkString(",\n")
     s"""WITH $sqlEdgeCtes,
        |r0 AS (SELECT doc_id AS id, 1000000000000 // n AS r
        |       FROM ids CROSS JOIN nn),
@@ -454,9 +515,35 @@ object Graphs {
        |ORDER BY i.doc_id""".stripMargin
   }
 
+  // the personalized form: identical recurrence, the teleport CASE
+  // concentrates restart mass on the portal seeds (S/5 each) — shared
+  // by the from-scratch and staged-restart keys like the uniform pair.
+  private lazy val sqlPprPersonalized10: String = {
+    val share = Scale12 / portalSeeds.length
+    val seedList = portalSeeds.mkString(", ")
+    val tele = s"CASE WHEN i.doc_id IN ($seedList) THEN $share ELSE 0 END"
+    val iters = (1 to 10).map(t => sqlPrIter(t, tele)).mkString(",\n")
+    s"""WITH $sqlEdgeCtes,
+       |r0 AS (SELECT doc_id AS id,
+       |         CASE WHEN doc_id IN ($seedList) THEN $share ELSE 0 END AS r
+       |       FROM ids),
+       |$iters,
+       |ind AS (SELECT dst AS id, count(*) AS in_deg FROM edges GROUP BY dst)
+       |SELECT i.doc_id, CAST(r10.r AS BIGINT) AS rank_fp,
+       |       CAST(COALESCE(o.deg, 0) AS BIGINT) AS out_deg,
+       |       CAST(COALESCE(ind.in_deg, 0) AS BIGINT) AS in_deg
+       |FROM ids i
+       |JOIN r10 ON r10.id = i.doc_id
+       |LEFT JOIN outd o ON o.src = i.doc_id
+       |LEFT JOIN ind ON ind.id = i.doc_id
+       |ORDER BY i.doc_id""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "graph_pagerank" -> sqlPagerank10,
     "graph_pagerank_resume" -> sqlPagerank10,
+    "graph_pagerank_personalized" -> sqlPprPersonalized10,
+    "graph_pagerank_personalized_resume" -> sqlPprPersonalized10,
     // ten unrolled rounds of the identical max-normalized recurrence.
     "graph_hits" -> {
       val iters = (1 to 10).map(sqlHitsIter).mkString(",\n")

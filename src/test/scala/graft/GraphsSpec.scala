@@ -32,6 +32,39 @@ class GraphsSpec extends AnyFunSuite {
     assert(orphans.nonEmpty && orphans.forall(_.getLong(1) == teleport))
   }
 
+  test("personalized pagerank: nonzero rank is EXACTLY the set " +
+      "reachable from the portal seeds, seeds carry the teleport floor, " +
+      "and the 5+5 staged restart equals the uninterrupted 10 rounds") {
+    val rows = Graphs.queries("graph_pagerank_personalized")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // edges point items → hubs and hubs → next hub, so from the seed
+    // hubs the reachable set is precisely the 50-hub ring: every hub
+    // nonzero, every item exactly zero (no mass flows "down").
+    val (hubs, items) = rows.partition(_._1 < 50)
+    assert(hubs.length == 50 && hubs.forall(_._2 > 0L),
+      "all ring hubs must receive personalized mass")
+    assert(items.forall(_._2 == 0L),
+      "items are unreachable from the seeds — rank must be exactly 0")
+    // a seed's rank is at least its own teleport term
+    val share = 1000000000000L / 5L
+    val seedFloor = (15L * share) / 100L
+    Seq(0L, 10L, 20L, 30L, 40L).foreach { s =>
+      val r = rows.find(_._1 == s).get._2
+      assert(r >= seedFloor, s"seed $s below teleport floor: $r")
+    }
+    // total mass ≤ S (floor leak only), and concentrated vs uniform:
+    // the top-5 personalized ranks are the seeds themselves
+    assert(rows.map(_._2).sum <= 1000000000000L)
+    val top5 = rows.sortBy(-_._2).take(5).map(_._1).toSet
+    assert(top5 == Set(0L, 10L, 20L, 30L, 40L), top5.toString)
+    // exact-integer restartability, directly: staged == uninterrupted
+    val resumed = Graphs.queries("graph_pagerank_personalized_resume")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(resumed.toSeq == rows.toSeq)
+  }
+
   test("hits: all 50 site hubs saturate the authority max exactly " +
       "(identical in-structure), leaves stay an order below, unlinked " +
       "nodes score zero, and the hub-score max is attained") {
