@@ -482,6 +482,39 @@ class StreamsSpec extends AnyFunSuite {
     assert(last.getAs[Long]("droppedLate") == 1L)
   }
 
+  test("streaming session stats: final per-user state equals the batch " +
+      "events_sessionize rollup (sessions, events, ratio, active " +
+      "seconds, max)") {
+    runToMemory(Streams.sessionStatsStream(
+      Streams.eventsStream(spark, TestSpark.sf0001)).toDF(), "sess_out",
+      OutputMode.Update())
+    // update mode: the final (largest-nEvents) row per user is the
+    // full-stream rollup — including the still-open last session
+    val got = spark.table("sess_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("userId")
+          .orderBy(col("nEvents").desc)))
+      .filter(col("rn") === 1)
+      .select("userId", "nSessions", "nEvents", "eventsPerSession",
+        "activeSecs", "maxSessionEvents")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
+    val want = EventWindows.sessionizeStats(
+        Tables.events(spark, TestSpark.sf0001)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (uid, (ns, ne, eps, act, mx)) =>
+      val (wns, wne, weps, wact, wmx) = want(uid)
+      assert(ns == wns, s"user $uid sessions $ns vs $wns")
+      assert(ne == wne, s"user $uid events")
+      assert(act == wact, s"user $uid active secs")
+      assert(mx == wmx, s"user $uid max session")
+      assert(math.abs(eps - weps) < 1e-9, s"user $uid ratio")
+    }
+  }
+
   test("flatMapGroupsWithState sessions agree with session_window on closed sessions") {
     runToMemory(Streams.sessionizeWithState(
       Streams.eventsStream(spark, TestSpark.sf0001)).toDF(), "fmgs_out")
