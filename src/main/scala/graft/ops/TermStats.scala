@@ -524,24 +524,34 @@ object TermStats {
     sb.toString
   }
 
-  /** The tokenize_bpe_ids oracle body, extracted so the tensor twin
-    * can wrap it: bpe_apply CTEs plus an alphabetic symbol vocabulary;
-    * order pinned by (token pos, intra-word symbol pos). */
+  /** The id-mapping oracle body parameterized by the merge-table CTE
+    * prefix and encoder SQL, shared by the single-round key (ranked
+    * top-20 prefix), its tensor twin, and the ITERATIVE key (unrolled
+    * per-round prefix): alphabetic symbol vocabulary; order pinned by
+    * (token pos, intra-word symbol pos). */
+  /** The single-round merge-table prefix (ranked top-20 char bigrams)
+    * for the bpe ids oracles. */
+  private def rankedPrefixCtes: String =
+    """toksall AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |freq AS (
+      |  SELECT word, count(*) AS cnt FROM toksall
+      |  WHERE length(word) >= 2 GROUP BY word),
+      |prs AS (
+      |  SELECT substring(word, CAST(i AS INT), 2) AS pair, cnt
+      |  FROM (SELECT word, cnt, unnest(range(1, length(word))) AS i
+      |        FROM freq)),
+      |agg AS (
+      |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM prs GROUP BY pair),
+      |ranked AS (
+      |  SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair)
+      |    AS BIGINT) AS rnk FROM agg)""".stripMargin
+
   private def idsOracleSql: String =
-    s"""WITH toksall AS (
-       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-       |freq AS (
-       |  SELECT word, count(*) AS cnt FROM toksall
-       |  WHERE length(word) >= 2 GROUP BY word),
-       |prs AS (
-       |  SELECT substring(word, CAST(i AS INT), 2) AS pair, cnt
-       |  FROM (SELECT word, cnt, unnest(range(1, length(word))) AS i
-       |        FROM freq)),
-       |agg AS (
-       |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM prs GROUP BY pair),
-       |ranked AS (
-       |  SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair)
-       |    AS BIGINT) AS rnk FROM agg),
+    idsOracleBody(rankedPrefixCtes, bpeOracleEncode(10))
+
+  private def idsOracleBody(prefixCtes: String, encSql: String): String =
+    s"""WITH $prefixCtes,
        |toks AS (
        |  SELECT doc_id, pos, word FROM (
        |    SELECT doc_id, words[i] AS word, i AS pos FROM (
@@ -551,7 +561,7 @@ object TermStats {
        |  WHERE length(word) > 0),
        |encv AS (
        |  SELECT word,
-       |    ${bpeOracleEncode(10)} AS enc
+       |    $encSql AS enc
        |  FROM (SELECT DISTINCT word FROM toks)),
        |ds AS (
        |  SELECT doc_id, pos, i AS spos, syms[i] AS sym FROM (
@@ -626,6 +636,15 @@ object TermStats {
     "tokenize_bpe_apply_iter" -> ((s, d) =>
       bpeApplyPairs(Tables.documents(s, d),
         trainedIterMerges(s, d, 10).map { case (a, b, _) => (a, b) })),
+    // dense ids over the ITERATIVELY merged symbol vocabulary — the
+    // tensor path string-projected, completing the iter family.
+    "tokenize_bpe_ids_iter" -> ((s, d) =>
+      bpeIdsTensor(Tables.documents(s, d),
+        trainedIterMerges(s, d, 10).map { case (a, b, _) => (a, b) })
+        .select(col("doc_id"), col("n_symbols"),
+          concat_ws(" ", transform(col("ids"),
+            x => x.cast("string"))).as("ids"))
+        .orderBy("doc_id")),
     // BM25 top-10 for the fixed 3-term query; k1=1.2, b=0.75.
     "text_bm25_rank" -> ((s, d) =>
       bm25Rank(Tables.documents(s, d), Seq("spark", "hash", "vector")))
@@ -773,6 +792,11 @@ object TermStats {
         (1 to 10).map(r =>
           s"SELECT CAST($r AS BIGINT) AS rnk, lhs, rhs, n FROM pick$r")
           .mkString("", "\nUNION ALL\n", "\nORDER BY rnk")),
+    // ids over the ITERATIVELY merged symbol vocabulary — the same
+    // parameterized ids body with the unrolled-loop prefix + encoder,
+    // completing learn_iter → apply_iter → ids_iter.
+    "tokenize_bpe_ids_iter" ->
+      idsOracleBody(bpeIterCtes(10), bpeIterOracleEncode(10)),
     // apply the iteratively learned table: same CTE prefix, encoder =
     // the nested replace chain reading each round's pick_r operands.
     "tokenize_bpe_apply_iter" ->
