@@ -615,7 +615,7 @@ object EventWindows {
         col("n_type").as("n1"))), Seq("t1"))
       .join(broadcast(perType.select(col("event_type").as("t2"),
         col("n_type").as("n2"))), Seq("t2"))
-      .crossJoin(nSessions)
+      .crossJoin(broadcast(nSessions))
       .select(col("t1"), col("t2"), col("n_both"), col("n1"), col("n2"),
         round(col("n_both").cast("double") * col("n_total") /
           (col("n1") * col("n2")), 6).as("lift"))

@@ -181,6 +181,49 @@ object Sampling {
       .withColumn("off", col("boff") + sum(col("n")).over(inBkt) - col("n"))
   }
 
+  /** TEMPERATURE-MIXED language sampling — the α-mixing rule
+    * multilingual LLM corpora are actually built with (mT5: sample
+    * language ℓ with p_ℓ ∝ n_ℓ^α, α<1, so low-resource languages are
+    * UP-weighted relative to their share): per-language targets for a
+    * doc `budget` at α = 0.5, then the top-target docs per language by
+    * the seeded-md5 rank every sampling key uses (stable under
+    * repartition/AQE where df.sample is not).
+    *
+    * Determinism discipline: the target derivation is INTEGER-exact on
+    * both engines — wᵢ = ⌊√nᵢ·10⁶⌋ (IEEE sqrt is correctly rounded, so
+    * the double pipeline is bit-identical), W = Σwᵢ exact BIGINT,
+    * targetᵢ = (budget·wᵢ) div W — no float sum ever crosses a floor.
+    * The language table is model-sized (a 5-row collect under the
+    * standing license); the corpus-sized pass is the rank cut.
+    *
+    * Scale note: the per-language rank window partitions by lang — 5
+    * hot keys at 100 TB; the documented swap is the two-level
+    * [[withGroupRank]] machinery with level-1 ranges cut on the md5
+    * key's quantiles instead of doc_id (bucketing affects only
+    * partitioning, never ranks). */
+  def temperatureMix(docs: DataFrame, budget: Long = 200L): DataFrame = {
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_l")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val w = counts.map { case (l, n) =>
+      l -> math.floor(math.sqrt(n.toDouble) * 1000000L).toLong
+    }
+    val totW = w.map(_._2).sum
+    val targets = w.map { case (l, wi) => l -> budget * wi / totW }
+    val targetCol = targets.foldLeft(lit(0L)) { case (acc, (l, t)) =>
+      when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("skey",
+        md5(concat_ws("|", lit("tmix:"), col("doc_id"))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("skey"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rnk") <= targetCol)
+      .select(col("doc_id"), col("lang"), col("rnk"))
+      .orderBy("doc_id")
+  }
+
   /** TRAINER-READY tensor form of sequence packing (VERDICT r8 "Next
     * round" #2): where [[packSequences]] reports the packing DECISION,
     * this emits the frame a data loader actually consumes — per
@@ -760,6 +803,11 @@ object Sampling {
           col("vec_id").as("cand_id"), col("rnk"))
       pos.unionByName(negs).orderBy("a_id", "role", "rnk")
     }),
+    // mT5-style α=0.5 temperature mix over LANGUAGES (the non-uniform
+    // axis of this corpus: en dominates, so the mix up-weights the
+    // low-resource languages) — integer-exact targets, seeded-md5 cut.
+    "sample_temperature_mix" -> ((s, d) =>
+      temperatureMix(Tables.documents(s, d))),
     // per-source quality quota: best 10 docs per source by length
     // (sources are 25-doc uniform in this corpus, so the quota BINDS —
     // 200 of 500 rows survive).
@@ -1042,6 +1090,27 @@ object Sampling {
         |       CAST(sum(least(off + n, (seq_id + 1) * 64)
         |         - greatest(off, seq_id * 64)) AS BIGINT) AS n_tokens
         |FROM w GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    // integer-exact target derivation (floor(sqrt·1e6) weights, BIGINT
+    // sum, integer division) and the identical md5 key string.
+    "sample_temperature_mix" ->
+      """WITH cnt AS (
+        |  SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang,
+        |         CAST(floor(sqrt(CAST(n_l AS DOUBLE)) * 1000000) AS BIGINT)
+        |           AS wi
+        |  FROM cnt),
+        |tot AS (SELECT CAST(sum(wi) AS BIGINT) AS tw FROM w),
+        |tgt AS (SELECT lang, (200 * wi) // tw AS target
+        |        FROM w CROSS JOIN tot),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5('tmix:' || '|' || CAST(doc_id AS VARCHAR)),
+        |             doc_id) AS BIGINT) AS rnk
+        |  FROM documents)
+        |SELECT doc_id, lang, rnk FROM r JOIN tgt USING (lang)
+        |WHERE rnk <= target ORDER BY doc_id""".stripMargin,
     // the tensor frame's global-cumsum spec: same exclusive offsets as
     // pack_sequences, alphabetic vocab ids, per-sequence string_agg in
     // intra-sequence position order, explicit 0-padding to the window.

@@ -143,6 +143,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(alt.toSeq == out.toSeq)
   }
 
+  test("temperature mix: targets match the closed form, the dominant " +
+      "language is down-weighted and low-resource ones up-weighted " +
+      "(the defining α<1 property), stable under repartition") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
+    val out = Sampling.temperatureMix(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // per-language selected counts equal the integer-exact targets
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = counts.map { case (l, n) =>
+      l -> math.floor(math.sqrt(n.toDouble) * 1000000L).toLong
+    }
+    val totW = w.values.sum
+    val targets = w.map { case (l, wi) => l -> 200L * wi / totW }
+    val got = out.groupBy(_._2).map { case (l, rs) => l -> rs.length.toLong }
+    assert(got == targets.filter(_._2 > 0L), s"$got vs $targets")
+    // α = 0.5 flattens: the dominant language's share of the SAMPLE is
+    // strictly below its share of the DATA; every minority language's
+    // share is at or above its data share
+    val nDocs = counts.values.sum.toDouble
+    val nSel = out.length.toDouble
+    val maxLang = counts.maxBy(_._2)._1
+    counts.keys.foreach { l =>
+      val dataShare = counts(l) / nDocs
+      val mixShare = got.getOrElse(l, 0L) / nSel
+      if (l == maxLang) assert(mixShare < dataShare, s"$l not damped")
+      else assert(mixShare > dataShare - 0.02, s"$l crushed")
+    }
+    // md5-seeded choice is partitioning-independent
+    val again = Sampling.temperatureMix(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("packSequencesTensor: fixed-64 ArrayType(LongType) columns with " +
       "coherent mask algebra, agreeing with packSequences and the " +
       "gated string key") {
