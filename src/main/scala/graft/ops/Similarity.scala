@@ -466,10 +466,11 @@ object Similarity {
 
   private def persistedIndexDir(s: SparkSession, d: String): String =
     indexDirMemo.computeIfAbsent((s, d), { case (sp, dir) =>
-      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-annindex-" + java.lang.Long.toHexString(
-          java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))
-            .getMostSignificantBits & Long.MaxValue)).getPath
+      // createTempDirectory (the ranksAfter5 pattern), NOT a
+      // deterministic path: two sessions/JVMs sharing an sf dir must
+      // never write the same artifact concurrently.
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-annindex").toString
       writeIvfPqIndex(Tables.embeddings(sp, dir),
         trainedCentroids(sp, dir, 16, 0), out)
       SessionCleanup.onEnd(sp) {
