@@ -159,8 +159,16 @@ object Sampling {
   private def docTokenOffsets(docs: DataFrame, buckets: Int): DataFrame = {
     val nToks = size(filter(Text.words(col("text")),
       w => length(w) > 0)).cast("long")
-    val base = docs.select(col("doc_id"), nToks.as("n"))
-      .filter(col("n") > 0)
+    docOffsetsFromCounts(
+      docs.select(col("doc_id"), nToks.as("n")), buckets)
+  }
+
+  /** The two-level exclusive prefix sum over an arbitrary per-doc
+    * count frame (doc_id, n) — shared by the word-level packers and
+    * the BPE-symbol-level [[graft.ops.CorpusPrep]] tensor pipeline. */
+  private[ops] def docOffsetsFromCounts(countsIn: DataFrame,
+      buckets: Int): DataFrame = {
+    val base = countsIn.filter(col("n") > 0)
     val probes = (1 until buckets).map(_.toDouble / buckets).toArray
     val splits =
       if (probes.isEmpty) Array.empty[Double]
@@ -260,6 +268,15 @@ object Sampling {
       .withColumn("spos", expr(s"CAST(gpos % $window AS BIGINT)"))
       .withColumn("bnd",
         when(col("tpos") === 1, lit(1L)).otherwise(lit(0L)))
+    assembleSequences(wide, window)
+  }
+
+  /** The per-sequence tensor assembly shared by [[packSequencesTensor]]
+    * and the BPE-symbol pipeline: one keyed collect of ≤ `window`
+    * elements per sequence, 0-padded arrays + loss mask. Input needs
+    * (seq_id, spos, id, bnd, doc_id). */
+  private[ops] def assembleSequences(wide: DataFrame,
+      window: Int): DataFrame = {
     val pad = (n: Column) =>
       array_repeat(lit(0L), (lit(window) - n).cast("int"))
     wide.groupBy(col("seq_id"))

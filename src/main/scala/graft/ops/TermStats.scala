@@ -439,6 +439,32 @@ object TermStats {
       .orderBy("doc_id")
   }
 
+  /** The CAPSTONE trainer-prep pipeline: corpus → ITERATIVELY trained
+    * BPE (the recount loop) → symbol ids → fixed-`window` packed
+    * tensor sequences — the complete tokenize-to-dataloader path as
+    * ONE declarative query. A composition of gated stages:
+    * [[bpeIdsTensor]]'s per-doc id arrays (in (token pos, symbol pos)
+    * order) feed the shared two-level offset machinery and
+    * per-sequence assembly of [[Sampling.packSequencesTensor]] —
+    * offsets run over SYMBOL counts, so sequences pack the tokenizer's
+    * actual output stream, not word counts. */
+  def tensorPrep(docs: DataFrame, merges: Seq[(String, String)],
+      window: Int = 64, buckets: Int = 8): DataFrame = {
+    val perDoc = bpeIdsTensor(docs, merges)
+    val offs = Sampling.docOffsetsFromCounts(
+      perDoc.select(col("doc_id"), col("n_symbols").as("n")), buckets)
+      .select(col("doc_id"), col("off"))
+    val wide = perDoc
+      .select(col("doc_id"), posexplode(col("ids")).as(Seq("sp", "id")))
+      .join(offs, "doc_id")
+      .withColumn("gpos", col("off") + col("sp"))
+      .withColumn("seq_id", expr(s"CAST(gpos div $window AS BIGINT)"))
+      .withColumn("spos", expr(s"CAST(gpos % $window AS BIGINT)"))
+      .withColumn("bnd",
+        when(col("sp") === 0, lit(1L)).otherwise(lit(0L)))
+    Sampling.assembleSequences(wide, window)
+  }
+
   def bpeIdsWith(docs: DataFrame, merges: Seq[String]): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
@@ -622,6 +648,20 @@ object TermStats {
           element_at(col("ids"), -1).as("last_id"),
           aggregate(col("ids"), lit(0L), (a, x) => a + x).as("ids_sum"))
         .orderBy("doc_id")),
+    // the CAPSTONE pipeline: iteratively trained BPE → symbol ids →
+    // fixed-64 packed tensor sequences, one declarative query; gated
+    // through the same string projections as sample_pack_tensor.
+    "pipeline_tensor_prep" -> ((s, d) =>
+      tensorPrep(Tables.documents(s, d),
+        trainedIterMerges(s, d, 10).map { case (a, b, _) => (a, b) })
+        .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+          concat_ws(" ", transform(col("ids"),
+            x => x.cast("string"))).as("ids"),
+          concat_ws(" ", transform(col("doc_start"),
+            x => x.cast("string"))).as("doc_start"),
+          concat_ws(" ", transform(col("loss_mask"),
+            x => x.cast("string"))).as("loss_mask"))
+        .orderBy("seq_id")),
     // TRUE iterative BPE: recount-after-each-merge training (10
     // rounds); the emitted table is the memoized model artifact. The
     // oracle REPLAYS the whole loop as unrolled per-round CTEs.
@@ -797,6 +837,63 @@ object TermStats {
     // completing learn_iter → apply_iter → ids_iter.
     "tokenize_bpe_ids_iter" ->
       idsOracleBody(bpeIterCtes(10), bpeIterOracleEncode(10)),
+    // the capstone's global-cumsum spec: the ids_iter symbol stream in
+    // (token pos, symbol pos) order → exclusive symbol-count offsets →
+    // 64-window cut → the pack_tensor assembly tail.
+    "pipeline_tensor_prep" ->
+      s"""WITH ${bpeIterCtes(10)},
+         |toks AS (
+         |  SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, words[i] AS word, i AS pos FROM (
+         |      SELECT doc_id, string_split(text, ' ') AS words,
+         |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+         |      FROM documents))
+         |  WHERE length(word) > 0),
+         |encv AS (
+         |  SELECT word,
+         |    ${bpeIterOracleEncode(10)} AS enc
+         |  FROM (SELECT DISTINCT word FROM toks)),
+         |ds AS (
+         |  SELECT doc_id, pos, i AS sp2, syms[i] AS sym FROM (
+         |    SELECT toks.doc_id, toks.pos,
+         |           string_split(enc, ' ') AS syms,
+         |           unnest(range(1, len(string_split(enc, ' ')) + 1)) AS i
+         |    FROM toks JOIN encv USING (word))),
+         |symv AS (
+         |  SELECT DISTINCT unnest(string_split(enc, ' ')) AS sym FROM encv),
+         |sv AS (
+         |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+         |    AS id FROM symv),
+         |dsi AS (
+         |  SELECT ds.doc_id, sv.id,
+         |         CAST(row_number() OVER (PARTITION BY ds.doc_id
+         |           ORDER BY ds.pos, ds.sp2) AS BIGINT) AS tp
+         |  FROM ds JOIN sv USING (sym)),
+         |dl AS (SELECT doc_id, count(*) AS n FROM dsi GROUP BY doc_id),
+         |offs AS (
+         |  SELECT doc_id,
+         |         CAST(sum(n) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+         |           AS BIGINT) AS off
+         |  FROM dl),
+         |wide AS (
+         |  SELECT s.doc_id, s.id,
+         |         CAST((o.off + s.tp - 1) // 64 AS BIGINT) AS seq_id,
+         |         CAST((o.off + s.tp - 1) % 64 AS BIGINT) AS spos,
+         |         CASE WHEN s.tp = 1 THEN 1 ELSE 0 END AS bnd
+         |  FROM dsi s JOIN offs o USING (doc_id)),
+         |seqs AS (
+         |  SELECT seq_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |         CAST(count(*) AS BIGINT) AS n_tokens,
+         |         string_agg(CAST(id AS VARCHAR), ' ' ORDER BY spos) AS ids0,
+         |         string_agg(CAST(bnd AS VARCHAR), ' ' ORDER BY spos) AS bnd0
+         |  FROM wide GROUP BY seq_id)
+         |SELECT seq_id, n_docs, n_tokens,
+         |       ids0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS ids,
+         |       bnd0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS doc_start,
+         |       trim(repeat('1 ', CAST(n_tokens AS INT)))
+         |         || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS loss_mask
+         |FROM seqs ORDER BY seq_id""".stripMargin,
     // apply the iteratively learned table: same CTE prefix, encoder =
     // the nested replace chain reading each round's pick_r operands.
     "tokenize_bpe_apply_iter" ->

@@ -258,6 +258,35 @@ class TermStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("tensorPrep packs the BPE symbol stream: fixed-64 arrays, mask " +
+      "algebra coherent, symbol totals conserved, one doc_start per doc") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val merges = TermStats.bpeLearnIter(docs, 4)
+      .map { case (a, b, _) => (a, b) }
+    val out = TermStats.tensorPrep(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3), r.getSeq[Long](4), r.getSeq[Long](5)))
+    // dense sequence grid; fixed window; mask algebra
+    assert(out.map(_._1).toSeq == out.indices.map(_.toLong))
+    out.foreach { case (seq, nDocs, nToks, ids, bnd, mask) =>
+      assert(ids.size == 64 && bnd.size == 64 && mask.size == 64, seq)
+      assert(mask.sum == nToks && ids.take(nToks.toInt).forall(_ >= 1L)
+        && ids.drop(nToks.toInt).forall(_ == 0L), seq)
+      assert(nDocs >= 1L && bnd.sum <= nDocs, seq)
+    }
+    // every sequence but the tail is full, and the SYMBOL total (not
+    // the word total) is conserved — the stream being packed is the
+    // tokenizer's actual output
+    out.dropRight(1).foreach(s => assert(s._3 == 64L, s._1))
+    val totalSyms = TermStats.bpeIdsTensor(docs, merges)
+      .agg(sum(col("n_symbols"))).head().getLong(0)
+    assert(out.map(_._3).sum == totalSyms)
+    // one doc_start per packed document
+    val nDocsWithTokens = docs.select(col("doc_id"))
+      .where(length(col("text")) > 0).count()
+    assert(out.map(_._5.sum).sum == nDocsWithTokens)
+  }
+
   test("tokenize_vocab_ids round-trips: ids decode back to the original " +
       "token stream (sf0.001)") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
