@@ -229,6 +229,16 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("pack tensor plan: every join broadcasts (vocab and offsets are " +
+      "model-sized) — no sort-merge join in the executed plan") {
+    val df = Sampling.packSequencesTensor(
+      graft.model.Tables.documents(spark, TestSpark.sf0001))
+    df.collect() // let AQE finalize the plan before inspecting it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("contrastive negatives: each anchor gets 1 label-mate positive " +
       "and 3 cross-label negatives, stable under repartition") {
     import org.apache.spark.sql.functions._
