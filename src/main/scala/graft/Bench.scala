@@ -177,11 +177,23 @@ object Bench {
       new java.io.File(sys.props("user.dir"), "BENCH_FULL.json").getPath)
     val regrMax =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REGR_MAX", "2.5").toDouble
+    val prevJson: Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(fullPath)), "UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => None }
+    // A disabled guard must be VISIBLE (the same principle as the
+    // regressions list itself): record WHY in the artifact, so a
+    // guard-off capture can never masquerade as a guarded clean run.
+    val guardState: String = prevJson match {
+      case None => "off_no_prior"
+      case Some(j) if !envMatches(j, sfDir, cpus) => "off_env_mismatch"
+      case Some(j) if parsePrevQueries(j).isEmpty => "off_unparseable"
+      case _ => "armed"
+    }
     val prev: Map[String, Double] =
-      try parsePrevQueries(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(fullPath)), "UTF-8"),
-        Some(sfDir), Some(cpus))
-      catch { case scala.util.control.NonFatal(_) => Map.empty }
+      if (guardState == "armed") parsePrevQueries(prevJson.get)
+      else Map.empty
+    System.err.println(s"[bench] trend guard: $guardState")
     val regressions = regressionsOf(prev, results, regrMax)
     for ((k, p, n) <- regressions)
       System.err.println(f"[bench] REGRESSION $k%-28s prev=$p%.3f now=$n%.3f (${n / p}%.1fx > $regrMax%.1fx)")
@@ -192,7 +204,8 @@ object Bench {
     System.err.println(s"""[bench] build-pass times: {"build":${jmap(build)},"build_total":$buildTotal}""")
     System.err.println(s"""[bench] steady-state times: {"queries":${jmap(results)}}""")
     val full = fullArtifact(results, build, runs, sfDir, cpus,
-      errors.distinct.toSeq, noise, noiseRetried, regressions)
+      errors.distinct.toSeq, noise, noiseRetried, regressions,
+      guardState)
     // A narrowed (SPARK_GRAFT_BENCH_ONLY) diagnostic run must never
     // clobber the committed full artifact with a partial map.
     if (only.isEmpty) {
@@ -219,18 +232,25 @@ object Bench {
     * inside `"queries":{...}`, no nesting), so a pair-regex over that
     * object is an exact parser for it — and an empty map on anything
     * unexpected just disables the guard for that run. */
+  /** Like-for-like check for the trend guard: a prior artifact
+    * captured at a different scale factor or core count would either
+    * mass-flag spurious regressions or mask real ones (ADVICE r8 #3).
+    * The guard disables on a mismatch — and the caller records WHY in
+    * the artifact's trend_guard field. */
+  private def strField(json: String, name: String): Option[String] =
+    ("\"" + name + "\":\"([^\"]*)\"").r
+      .findFirstMatchIn(json).map(_.group(1))
+
+  private[graft] def envMatches(json: String, sfDir: String,
+      cpus: String): Boolean =
+    strField(json, "sf").contains(sfDir) &&
+      strField(json, "cpus").contains(cpus)
+
   private[graft] def parsePrevQueries(json: String,
       sfDir: Option[String] = None,
       cpus: Option[String] = None): Map[String, Double] = {
-    // Trend-guarding only makes sense like-for-like: a prior artifact
-    // captured at a different scale factor or core count would either
-    // mass-flag spurious regressions or mask real ones (ADVICE r8 #3).
-    // When the caller supplies its run config, a mismatched prior
-    // artifact disables the guard (empty map) for this capture.
-    def strField(name: String): Option[String] =
-      ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(json).map(_.group(1))
-    val sameEnv = sfDir.forall(v => strField("sf").contains(v)) &&
-      cpus.forall(v => strField("cpus").contains(v))
+    val sameEnv = sfDir.forall(v => strField(json, "sf").contains(v)) &&
+      cpus.forall(v => strField(json, "cpus").contains(v))
     if (!sameEnv) return Map.empty
     val marker = "\"queries\":{"
     val qIdx = json.indexOf(marker)
@@ -276,7 +296,8 @@ object Bench {
       build: Seq[(String, Double)], runs: Int, sfDir: String, cpus: String,
       errors: Seq[String], noise: Double = 1.0,
       noiseRetried: Boolean = false,
-      regressions: Seq[(String, Double, Double)] = Nil): String = {
+      regressions: Seq[(String, Double, Double)] = Nil,
+      trendGuard: String = "armed"): String = {
     val okResults = results.filter(_._2 >= 0)
     val okBuild = build.filter(_._2 >= 0)
     val total = r3(okResults.map(_._2).sum)
@@ -284,7 +305,8 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sfDir","cpus":"$cpus",""" +
       s""""noise":${r3(noise)},"noise_retried":$noiseRetried,""" +
-      s""""errors":$errs,"regressions":${jregr(regressions)},""" +
+      s""""errors":$errs,"trend_guard":"$trendGuard",""" +
+      s""""regressions":${jregr(regressions)},""" +
       s""""queries":${jmap(okResults)},""" +
       s""""build":${jmap(okBuild)},"build_total":$buildTotal,"value":$total}"""
   }

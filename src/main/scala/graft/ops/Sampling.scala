@@ -259,7 +259,10 @@ object Sampling {
       Window.partitionBy(col("doc_id")).orderBy(col("pos"))).cast("long")
     val vocab = Scale.assignIdsByRange(
       toks.select(col("word")).distinct(), "word")
-    val offs = docTokenOffsets(docs, buckets)
+    // offsets from the ALREADY-derived token stream (one corpus text
+    // scan total, not two — the per-doc token count IS toks' count):
+    val offs = docOffsetsFromCounts(
+      toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), buckets)
       .select(col("doc_id"), col("off"))
     val wide = toks.withColumn("tpos", tpos)
       .join(vocab, "word").join(offs, "doc_id")

@@ -302,11 +302,17 @@ object Streams {
     * `session_window(ts, "30 minutes")` at MICROSECOND precision — an
     * event at exactly last + 30 min starts a NEW session — and active
     * seconds are floor-second diffs like the batch's
-    * `unix_timestamp(t1) − unix_timestamp(t0)`. */
+    * `unix_timestamp(t1) − unix_timestamp(t0)`. Late CROSS-batch
+    * arrivals (before the open session's last event) are DROPPED and
+    * counted in `droppedLate` — the botScoreStream contract — so
+    * disordered input degrades visibly instead of silently shifting
+    * the open session's stats. */
   final case class SessState(curStart: Long, curLast: Long, curN: Long,
-      closedN: Long, closedEvents: Long, closedActive: Long, maxN: Long)
+      closedN: Long, closedEvents: Long, closedActive: Long, maxN: Long,
+      droppedLate: Long = 0L)
   final case class SessStats(userId: Long, nSessions: Long, nEvents: Long,
-      eventsPerSession: Double, activeSecs: Long, maxSessionEvents: Long)
+      eventsPerSession: Double, activeSecs: Long, maxSessionEvents: Long,
+      droppedLate: Long = 0L)
 
   def sessionStatsStream(events: DataFrame): Dataset[SessStats] = {
     val spark = events.sparkSession
@@ -323,14 +329,20 @@ object Streams {
           rows.map(r => micros(r._2)).toSeq.sorted.foreach { us =>
             if (st.curN == 0L)
               st = st.copy(curStart = us, curLast = us, curN = 1L)
-            else if (us - st.curLast < gapUs)
-              st = st.copy(curLast = math.max(st.curLast, us),
-                curN = st.curN + 1)
+            else if (us < st.curLast) {
+              // Late CROSS-batch arrival (before the open session's
+              // last event): batch-local sorting can't reorder it, and
+              // absorbing it would silently shift the open session's
+              // stats away from the batch rollup. Same contract as
+              // botScoreStream: drop it and COUNT it.
+              st = st.copy(droppedLate = st.droppedLate + 1)
+            } else if (us - st.curLast < gapUs)
+              st = st.copy(curLast = us, curN = st.curN + 1)
             else {
               val active = st.curLast / 1000000 - st.curStart / 1000000
               st = SessState(us, us, 1L, st.closedN + 1,
                 st.closedEvents + st.curN, st.closedActive + active,
-                math.max(st.maxN, st.curN))
+                math.max(st.maxN, st.curN), st.droppedLate)
             }
           }
           state.update(st)
@@ -344,7 +356,7 @@ object Streams {
               .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
           else 0.0
           SessStats(uid, nSess, nEv, eps, act,
-            math.max(st.maxN, st.curN))
+            math.max(st.maxN, st.curN), st.droppedLate)
       }
   }
 

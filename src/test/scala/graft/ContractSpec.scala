@@ -318,6 +318,16 @@ class ContractSpec extends AnyFunSuite {
       Some("/root/testdata/sf0.1"), Some("8")).isEmpty)
     assert(Bench.parsePrevQueries(prevJson,
       Some("/root/testdata/sf0.1"), Some("32")) == prev)
+    assert(Bench.envMatches(prevJson, "/root/testdata/sf0.1", "32"))
+    assert(!Bench.envMatches(prevJson, "/root/testdata/sf0.01", "32"))
+    // a DISABLED guard is visible in the artifact itself — a guard-off
+    // capture can never masquerade as a guarded clean run
+    val offArtifact = Bench.fullArtifact(cur, Nil, 3,
+      "/root/testdata/sf0.01", "32", Seq.empty,
+      trendGuard = "off_env_mismatch")
+    assert(mapper.readTree(offArtifact).get("trend_guard").asText()
+      == "off_env_mismatch")
+    assert(mapper.readTree(full).get("trend_guard").asText() == "armed")
   }
 
   test("events_sessionize accounts for every event and session, and " +

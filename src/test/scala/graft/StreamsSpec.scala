@@ -515,6 +515,34 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionStatsStream drops + counts late cross-batch events " +
+      "instead of absorbing them into the open session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id")
+    val q = Streams.sessionStatsStream(df).toDF()
+      .writeStream.outputMode(OutputMode.Update()).format("memory")
+      .queryName("sess_late_out").start()
+    try {
+      // batch 1: one session of 3 events, 0..120 s
+      mem.addData((1L, ts(0), 1L), (1L, ts(60), 2L), (1L, ts(120), 3L))
+      q.processAllAvailable()
+      // batch 2: t=30 is LATE (before the open session's last event,
+      // 120) — must be dropped and counted, not absorbed; t=180 is a
+      // normal 4th event of the same session
+      mem.addData((1L, ts(30), 4L), (1L, ts(180), 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("sess_late_out")
+      .orderBy(col("nEvents").desc).limit(1).collect().head
+    assert(last.getAs[Long]("nSessions") == 1L)
+    assert(last.getAs[Long]("nEvents") == 4L)
+    assert(last.getAs[Long]("activeSecs") == 180L)
+    assert(last.getAs[Long]("droppedLate") == 1L)
+  }
+
   test("flatMapGroupsWithState sessions agree with session_window on closed sessions") {
     runToMemory(Streams.sessionizeWithState(
       Streams.eventsStream(spark, TestSpark.sf0001)).toDF(), "fmgs_out")
