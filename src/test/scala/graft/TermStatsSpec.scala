@@ -258,6 +258,41 @@ class TermStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted tokenizer: a FRESH session re-encodes identically " +
+      "from the parquet artifact, and the vocab table covers exactly " +
+      "the encoded symbols") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val learned = TermStats.bpeLearnIter(docs, 4)
+    val pairs = learned.map { case (a, b, _) => (a, b) }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tok-spec").toString
+    try {
+      TermStats.writeTokenizer(docs, learned, dir)
+      val s2 = spark.newSession()
+      // merges reload in rank order and a fresh session's re-encode
+      // equals the in-session apply row-for-row
+      val loaded = TermStats.loadTokenizerMerges(s2, dir)
+      assert(loaded == pairs)
+      val want = TermStats.bpeApplyPairs(docs, pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+      val got = TermStats.bpeApplyPairs(
+          Tables.documents(s2, TestSpark.sf0001), loaded).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+      assert(got == want)
+      // the vocab artifact is exactly the encoded symbol set, ids
+      // dense alphabetic, counts = corpus symbol occurrences
+      val vocab = s2.read.parquet(s"$dir/vocab").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(vocab.map(_._1).toSeq == (1L to vocab.length).toSeq)
+      assert(vocab.map(_._2).toSeq == vocab.map(_._2).sorted.toSeq)
+      val symCount = want.flatMap(_._4.split(" "))
+        .groupBy(identity).map { case (s, xs) => s -> xs.length.toLong }
+      assert(vocab.map(v => v._2 -> v._3).toMap == symCount)
+    } finally graft.ops.SessionCleanup.deleteRecursively(dir)
+  }
+
   test("tensorPrep packs the BPE symbol stream: fixed-64 arrays, mask " +
       "algebra coherent, symbol totals conserved, one doc_start per doc") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
