@@ -433,8 +433,40 @@ object Similarity {
       (cw, ki) <- books(mi).zipWithIndex
     } yield (mi, ki, cw.toSeq)).toDF("mi", "ki", "cw").repartition(1)
       .write.mode("overwrite").parquet(s"$dir/books")
+    // the RESIDUAL codebooks too (the model half of true IVFPQ), so
+    // one artifact serves both composition variants; skipped when the
+    // corpus is too small for the second-stride seed rule.
+    val n = emb.count()
+    if (math.max(1L, n / centroids.length) >= 2) {
+      val rbooks = residualCodebooks(emb, centroids, m)
+      (for {
+        mi <- 0 until m
+        (cw, ki) <- rbooks(mi).zipWithIndex
+      } yield (mi, ki, cw.toSeq)).toDF("mi", "ki", "cw").repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/residual_books")
+    }
     codedFrame(emb, centroids, books, m)
       .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Answer TRUE-residual IVF-PQ top-k with the MODEL halves (coarse
+    * centroids + residual codebooks) loaded from a persisted artifact
+    * — the fresh-session contract for the residual composition. The
+    * residual CODES are per-(query, probed-list) artifacts built
+    * in-plan by [[ivfPqResidualTopK]] (corpus-code persistence is
+    * demonstrated by the plain path's `codes` table). */
+  def ivfPqResidualTopKFromIndex(spark: SparkSession, dir: String,
+      emb: DataFrame, queryPred: Column, k: Int, nprobe: Int = 4,
+      m: Int = 8, cands: Int = 32): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids").orderBy("k")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val rbRows = spark.read.parquet(s"$dir/residual_books").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val rbooks = Array.tabulate(m)(mi =>
+      Array.tabulate(centroids.length)(ki => rbRows((mi, ki))))
+    ivfPqResidualTopK(emb, centroids, queryPred, k, nprobe, m, cands,
+      booksOpt = Some(rbooks))
   }
 
   /** Answer IVF-PQ top-k FROM a persisted index: centroids/codebooks

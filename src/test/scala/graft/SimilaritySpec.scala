@@ -240,6 +240,18 @@ class SimilaritySpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getDouble(3))).toSeq
       assert(got == want)
+      // the residual model half rides the same artifact: a fresh
+      // session's residual top-k from the loaded codebooks equals the
+      // in-session residual composition
+      val wantR = Similarity.ivfPqResidualTopK(emb, seeds,
+          col("vec_id") < 10, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      val gotR = Similarity.ivfPqResidualTopKFromIndex(s2, dir,
+          Tables.embeddings(s2, d), col("vec_id") < 10, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(gotR == wantR)
     } finally graft.ops.SessionCleanup.deleteRecursively(dir)
   }
 
