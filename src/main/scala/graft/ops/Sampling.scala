@@ -189,6 +189,40 @@ object Sampling {
       .withColumn("off", col("boff") + sum(col("n")).over(inBkt) - col("n"))
   }
 
+  /** CURRICULUM ordering — the training-order policy curriculum
+    * learning uses (easy → hard): per-doc difficulty = −(mean unigram
+    * log-probability) (the gated perplexity-lite score; higher =
+    * rarer words = harder), phases 1–4 by corpus quartile (the exact
+    * same exact-`percentile` + broadcast-threshold pattern
+    * [[EventWindows.rfmSegments]] gates — never a global ntile sort),
+    * and a deterministic within-phase rank by (difficulty, doc_id).
+    *
+    * Scale note: the within-phase rank window partitions by phase — 4
+    * hot keys at 100 TB; the documented swap is the two-level
+    * [[withGroupRank]] machinery with level-1 ranges cut on difficulty
+    * quantiles. Difficulty is the 6-dp-ROUNDED score on both engines,
+    * so quartile thresholds and rank order are ulp-proof. */
+  def curriculum(docs: DataFrame): DataFrame = {
+    val diff = TermStats.unigramLogprob(docs)
+      .select(col("doc_id"),
+        round(-col("avg_logprob"), 6).as("difficulty"))
+    val q = diff.agg(
+      percentile(col("difficulty"), lit(0.25)).as("q1"),
+      percentile(col("difficulty"), lit(0.5)).as("q2"),
+      percentile(col("difficulty"), lit(0.75)).as("q3"))
+    val phased = diff.crossJoin(broadcast(q))
+      .select(col("doc_id"), col("difficulty"),
+        (lit(1) + (col("difficulty") > col("q1")).cast("int")
+          + (col("difficulty") > col("q2")).cast("int")
+          + (col("difficulty") > col("q3")).cast("int"))
+          .cast("long").as("phase"))
+    phased.withColumn("rnk", row_number().over(
+        Window.partitionBy("phase")
+          .orderBy(col("difficulty"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("difficulty"), col("phase"), col("rnk"))
+      .orderBy("doc_id")
+  }
+
   /** TEMPERATURE-MIXED language sampling — the α-mixing rule
     * multilingual LLM corpora are actually built with (mT5: sample
     * language ℓ with p_ℓ ∝ n_ℓ^α, α<1, so low-resource languages are
@@ -823,6 +857,10 @@ object Sampling {
           col("vec_id").as("cand_id"), col("rnk"))
       pos.unionByName(negs).orderBy("a_id", "role", "rnk")
     }),
+    // curriculum ordering: quartile phases over the gated difficulty
+    // score, deterministic within-phase order (easy → hard).
+    "sample_curriculum" -> ((s, d) =>
+      curriculum(Tables.documents(s, d))),
     // mT5-style α=0.5 temperature mix over LANGUAGES (the non-uniform
     // axis of this corpus: en dominates, so the mix up-weights the
     // low-resource languages) — integer-exact targets, seeded-md5 cut.
@@ -1110,6 +1148,35 @@ object Sampling {
         |       CAST(sum(least(off + n, (seq_id + 1) * 64)
         |         - greatest(off, seq_id * 64)) AS BIGINT) AS n_tokens
         |FROM w GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    // difficulty = the already-gated unigram score negated (identical
+    // rounded doubles both sides); quartiles via quantile_cont = the
+    // rfm percentile-parity precedent; phase/rank fully deterministic.
+    "sample_curriculum" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tok AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+        |freq AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+        |d AS (
+        |  SELECT doc_id,
+        |         round(-(round(sum(ln(CAST(freq.cnt AS DOUBLE) / tot.total))
+        |           / count(*), 6)), 6) AS difficulty
+        |  FROM tok JOIN freq USING (word) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |q AS (SELECT quantile_cont(difficulty, 0.25) AS q1,
+        |             quantile_cont(difficulty, 0.5) AS q2,
+        |             quantile_cont(difficulty, 0.75) AS q3 FROM d),
+        |p AS (
+        |  SELECT doc_id, difficulty,
+        |         CAST(1 + CAST(difficulty > q1 AS INT)
+        |           + CAST(difficulty > q2 AS INT)
+        |           + CAST(difficulty > q3 AS INT) AS BIGINT) AS phase
+        |  FROM d CROSS JOIN q)
+        |SELECT doc_id, difficulty, phase,
+        |       CAST(row_number() OVER (PARTITION BY phase
+        |         ORDER BY difficulty, doc_id) AS BIGINT) AS rnk
+        |FROM p ORDER BY doc_id""".stripMargin,
     // integer-exact target derivation (floor(sqrt·1e6) weights, BIGINT
     // sum, integer division) and the identical md5 key string.
     "sample_temperature_mix" ->

@@ -143,6 +143,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(alt.toSeq == out.toSeq)
   }
 
+  test("curriculum: phases partition the corpus by difficulty quartile " +
+      "in order, within-phase ranks are dense easy-to-hard, and the " +
+      "assignment is deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
+    val out = Sampling.curriculum(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == docs.count())
+    // phases are 1..4 and ordered: every phase-p doc is at most as hard
+    // as every phase-(p+1) doc
+    assert(out.map(_._3).toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    val byPhase = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    for (p <- 1L to 3L if byPhase.contains(p) && byPhase.contains(p + 1))
+      assert(byPhase(p).max <= byPhase(p + 1).min + 1e-12,
+        s"phase $p overlaps ${p + 1}")
+    // quartiles balance: no phase holds more than ~40% of the corpus
+    byPhase.values.foreach(v =>
+      assert(v.length <= out.length * 2 / 5, v.length))
+    // ranks dense per phase and non-decreasing in difficulty
+    out.groupBy(_._3).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to rows.length).toSeq)
+      assert(sorted.map(_._2).toSeq == sorted.map(_._2).sortBy(identity).toSeq)
+    }
+    // deterministic
+    val again = Sampling.curriculum(docs.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("temperature mix: targets match the closed form, the dominant " +
       "language is down-weighted and low-resource ones up-weighted " +
       "(the defining α<1 property), stable under repartition") {
