@@ -471,8 +471,56 @@ object Profile {
     }.reduce(_ unionByName _).orderBy("quantile")
   }
 
+  /** VOCABULARY-GROWTH curve (Heaps' law checkpoints) — the corpus
+    * statistic that sizes tokenizers and vocab tables: distinct-word
+    * count at 1/8, 1/4, 1/2 and all of the corpus (doc_id-prefix
+    * checkpoints; ids are dense so the threshold IS the doc count).
+    * The scale trick: growth needs NO multi-pass prefix scans — each
+    * word's FIRST document (one keyed min) places it on the curve, and
+    * every checkpoint is a conditional count over that vocab-sized
+    * frame; tokens per checkpoint are conditional sums over the token
+    * stream. One corpus pass + one vocab pass total. The type-token
+    * ratio rounds 6 dp HALF_UP on both engines; the Heaps exponent is
+    * spec-derived (ProfileSpec), not gated — it is a fit, not a fact.
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = docs.count()
+    val thrs = Seq(1L, 2L, 4L, 8L).map(k => n * k / 8)
+    val toks = docs.select(col("doc_id"),
+        explode(Text.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val firstDoc = toks.groupBy(col("word"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    // conditional aggregates: ONE pass over each frame for all four
+    // checkpoints (the 8 scalars are model-sized driver values)
+    val tokExprs = thrs.map(t =>
+      sum(when(col("doc_id") < t, 1L).otherwise(0L)).as(s"c$t"))
+    val tokCounts = toks.agg(tokExprs.head, tokExprs.tail: _*)
+      .collect().head
+    val vocExprs = thrs.map(t =>
+      sum(when(col("first_doc") < t, 1L).otherwise(0L)).as(s"v$t"))
+    val vocCounts = firstDoc.agg(vocExprs.head, vocExprs.tail: _*)
+      .collect().head
+    val rows = thrs.zipWithIndex.map { case (t, i) =>
+      val nt = tokCounts.getLong(i)
+      val nv = vocCounts.getLong(i)
+      val ttr = if (nt > 0)
+        BigDecimal(nv.toDouble / nt)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      (t, nt, nv, ttr)
+    }
+    rows.toDF("n_docs", "n_tokens", "n_vocab", "ttr").orderBy("n_docs")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_columns" -> ((s, d) => profileColumns(Tables.documents(s, d))),
+    // Heaps-law vocabulary-growth checkpoints (first-doc trick: one
+    // corpus pass + one vocab pass for all four prefixes).
+    "profile_vocab_growth" -> ((s, d) =>
+      vocabGrowth(Tables.documents(s, d))),
     // token-weighted length quantiles, integer-exact.
     "profile_weighted_quantiles" -> ((s, d) =>
       weightedLengthQuantiles(Tables.documents(s, d))),
@@ -602,6 +650,30 @@ object Profile {
   )
 
   def oracle: Map[String, String] = Map(
+    // the first-doc trick spelled out: each word's min doc places it on
+    // the growth curve; every checkpoint is a conditional count.
+    "profile_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tok AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+        |fd AS (SELECT word, min(doc_id) AS first_doc FROM tok
+        |       GROUP BY word),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |t AS (SELECT (nn.n * k) // 8 AS thr
+        |      FROM (SELECT unnest([1, 2, 4, 8]) AS k) CROSS JOIN nn),
+        |m AS (
+        |  SELECT thr AS n_docs,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM tok
+        |     WHERE doc_id < thr) AS n_tokens,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM fd
+        |     WHERE first_doc < thr) AS n_vocab
+        |  FROM t)
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs, n_tokens, n_vocab,
+        |  CASE WHEN n_tokens > 0
+        |    THEN round(CAST(n_vocab AS DOUBLE) / n_tokens, 6)
+        |    ELSE 0.0 END AS ttr
+        |FROM m ORDER BY n_docs""".stripMargin,
     // same per-length token totals, cumulative window, cross-multiplied
     // integer quantile test.
     "profile_weighted_quantiles" ->

@@ -30,6 +30,31 @@ class ProfileSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("vocabGrowth: checkpoints at exact corpus-eighths, tokens grow " +
+      "linearly, vocabulary sublinearly (Heaps exponent in [0,1)), " +
+      "type-token ratio non-increasing") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
+    val n = docs.count()
+    val out = graft.ops.Profile.vocabGrowth(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L).map(k => n * k / 8))
+    // tokens strictly increase; vocab never decreases; ttr never rises
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 > a._2 && b._3 >= a._3 && b._4 <= a._4 + 1e-12, (a, b))
+    case _ => ()
+    }
+    // the full-corpus row covers everything
+    val totalToks = docs.select(sum(size(filter(split(col("text"), " "),
+      w => length(w) > 0)))).head().getLong(0)
+    assert(out.last._2 == totalToks)
+    // Heaps' law V = K·N^beta — the fitted exponent from the first and
+    // last checkpoints must be a sane sublinear growth rate
+    val beta = math.log(out.last._3.toDouble / out.head._3) /
+      math.log(out.last._2.toDouble / out.head._2)
+    assert(beta >= 0.0 && beta < 1.0, beta)
+  }
+
   test("sourceDriftKs: identical sources score 0; a disjoint-range " +
       "source scores exactly the pooled-ECDF gap of 0.5") {
     def docs(ranges: (String, Range)*) = ranges.flatMap { case (s, r) =>
