@@ -184,15 +184,19 @@ object Bench {
     // A disabled guard must be VISIBLE (the same principle as the
     // regressions list itself): record WHY in the artifact, so a
     // guard-off capture can never masquerade as a guarded clean run.
-    val guardState: String = prevJson match {
-      case None => "off_no_prior"
-      case Some(j) if !envMatches(j, sfDir, cpus) => "off_env_mismatch"
-      case Some(j) if parsePrevQueries(j).isEmpty => "off_unparseable"
-      case _ => "armed"
+    // Parse once; an artifact with a present-but-empty queries map is
+    // labeled distinctly from an unparseable one.
+    val (guardState: String, prev: Map[String, Double]) = prevJson match {
+      case None => ("off_no_prior", Map.empty[String, Double])
+      case Some(j) if !envMatches(j, sfDir, cpus) =>
+        ("off_env_mismatch", Map.empty[String, Double])
+      case Some(j) =>
+        val parsed = parsePrevQueries(j)
+        if (parsed.nonEmpty) ("armed", parsed)
+        else if (j.contains("\"queries\":{}"))
+          ("off_empty_prior", Map.empty[String, Double])
+        else ("off_unparseable", Map.empty[String, Double])
     }
-    val prev: Map[String, Double] =
-      if (guardState == "armed") parsePrevQueries(prevJson.get)
-      else Map.empty
     System.err.println(s"[bench] trend guard: $guardState")
     val regressions = regressionsOf(prev, results, regrMax)
     for ((k, p, n) <- regressions)
@@ -297,7 +301,9 @@ object Bench {
       errors: Seq[String], noise: Double = 1.0,
       noiseRetried: Boolean = false,
       regressions: Seq[(String, Double, Double)] = Nil,
-      trendGuard: String = "armed"): String = {
+      // no default: every caller must STATE the guard state — an
+      // armed-looking artifact can never be produced by omission
+      trendGuard: String): String = {
     val okResults = results.filter(_._2 >= 0)
     val okBuild = build.filter(_._2 >= 0)
     val total = r3(okResults.map(_._2).sum)

@@ -487,7 +487,14 @@ object Profile {
     val spark = docs.sparkSession
     import spark.implicits._
     val n = docs.count()
+    // degenerate corpora: n < 8 collapses checkpoints to duplicates
+    // (keep the distinct ones); an empty corpus yields an empty curve
+    // instead of a null-sum NPE below.
     val thrs = Seq(1L, 2L, 4L, 8L).map(k => n * k / 8)
+      .distinct.filter(_ > 0)
+    if (thrs.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("n_docs", "n_tokens", "n_vocab", "ttr")
     val toks = docs.select(col("doc_id"),
         explode(Text.words(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
@@ -495,12 +502,16 @@ object Profile {
       .agg(min(col("doc_id")).as("first_doc"))
     // conditional aggregates: ONE pass over each frame for all four
     // checkpoints (the 8 scalars are model-sized driver values)
+    // coalesce: an all-empty-text corpus aggregates zero rows (null
+    // sums) — the curve is all-zeros, not an NPE
     val tokExprs = thrs.map(t =>
-      sum(when(col("doc_id") < t, 1L).otherwise(0L)).as(s"c$t"))
+      coalesce(sum(when(col("doc_id") < t, 1L).otherwise(0L)), lit(0L))
+        .as(s"c$t"))
     val tokCounts = toks.agg(tokExprs.head, tokExprs.tail: _*)
       .collect().head
     val vocExprs = thrs.map(t =>
-      sum(when(col("first_doc") < t, 1L).otherwise(0L)).as(s"v$t"))
+      coalesce(sum(when(col("first_doc") < t, 1L).otherwise(0L)), lit(0L))
+        .as(s"v$t"))
     val vocCounts = firstDoc.agg(vocExprs.head, vocExprs.tail: _*)
       .collect().head
     val rows = thrs.zipWithIndex.map { case (t, i) =>
@@ -652,6 +663,8 @@ object Profile {
   def oracle: Map[String, String] = Map(
     // the first-doc trick spelled out: each word's min doc places it on
     // the growth curve; every checkpoint is a conditional count.
+    // Precondition n >= 8 (all driver corpora): below that the Spark
+    // side dedups degenerate duplicate checkpoints this SQL keeps.
     "profile_vocab_growth" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word

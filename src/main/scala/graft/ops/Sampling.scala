@@ -293,10 +293,14 @@ object Sampling {
       Window.partitionBy(col("doc_id")).orderBy(col("pos"))).cast("long")
     val vocab = Scale.assignIdsByRange(
       toks.select(col("word")).distinct(), "word")
-    // offsets from the ALREADY-derived token stream (one corpus text
-    // scan total, not two — the per-doc token count IS toks' count):
-    val offs = docOffsetsFromCounts(
-      toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), buckets)
+    // Offsets come from a second NARROW pass over the text (per-row
+    // size(filter(words)) — no explode, no shuffle; column-pruned to
+    // doc_id+text). Deliberate: re-deriving counts from the exploded
+    // `toks` stream would REPLACE that narrow scan with a corpus-sized
+    // explode + per-doc count exchange (toks isn't cached, so the text
+    // scan is paid either way); caching the token stream at 100 TB is
+    // not an option.
+    val offs = docTokenOffsets(docs, buckets)
       .select(col("doc_id"), col("off"))
     val wide = toks.withColumn("tpos", tpos)
       .join(vocab, "word").join(offs, "doc_id")

@@ -435,10 +435,11 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/books")
     // the RESIDUAL codebooks too (the model half of true IVFPQ), so
     // one artifact serves both composition variants; skipped when the
-    // corpus is too small for the second-stride seed rule.
+    // corpus is too small for the second-stride seed rule (one count,
+    // one predicate definition — shared with residualCodebooks).
     val n = emb.count()
-    if (math.max(1L, n / centroids.length) >= 2) {
-      val rbooks = residualCodebooks(emb, centroids, m)
+    if (canResidual(n, centroids.length)) {
+      val rbooks = residualCodebooksN(emb, centroids, m, n)
       (for {
         mi <- 0 until m
         (cw, ki) <- rbooks(mi).zipWithIndex
@@ -458,13 +459,19 @@ object Similarity {
   def ivfPqResidualTopKFromIndex(spark: SparkSession, dir: String,
       emb: DataFrame, queryPred: Column, k: Int, nprobe: Int = 4,
       m: Int = 8, cands: Int = 32): DataFrame = {
+    require(new java.io.File(s"$dir/residual_books").exists(),
+      s"no residual_books in index artifact $dir — the corpus was too " +
+        "small for the second-stride seed rule at write time")
     val centroids = spark.read.parquet(s"$dir/centroids").orderBy("k")
       .collect().map(_.getSeq[Double](1).toArray)
     val rbRows = spark.read.parquet(s"$dir/residual_books").collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
       .toMap
+    // codeword count per subspace comes from the ARTIFACT (seeds can
+    // be fewer than nlist on a non-dense vec_id space), not assumed
     val rbooks = Array.tabulate(m)(mi =>
-      Array.tabulate(centroids.length)(ki => rbRows((mi, ki))))
+      rbRows.keys.filter(_._1 == mi).map(_._2).toArray.sorted
+        .map(ki => rbRows((mi, ki))))
     ivfPqResidualTopK(emb, centroids, queryPred, k, nprobe, m, cands,
       booksOpt = Some(rbooks))
   }
@@ -521,14 +528,23 @@ object Similarity {
     * the same fold orders as the engine expressions (sequential
     * index-order sums = list_inner_product), so the DuckDB oracle
     * re-derives every codeword bit-identically with a SELECT. */
+  /** Whether the second-stride seed rule is usable: stride >= 2 —
+    * stride 1 (n <= 2*nlist) would make `% stride === 1` match NOTHING
+    * (x % 1 is always 0): empty books, null codes. One definition,
+    * shared by the require below and [[writeIvfPqIndex]]'s skip. */
+  private[ops] def canResidual(n: Long, nlist: Int): Boolean =
+    math.max(1L, n / nlist) >= 2
+
   def residualCodebooks(emb: DataFrame, centroids: Array[Array[Double]],
-      m: Int = 8): Array[Array[Array[Double]]] = {
-    val n = emb.count()
+      m: Int = 8): Array[Array[Array[Double]]] =
+    residualCodebooksN(emb, centroids, m, emb.count())
+
+  private def residualCodebooksN(emb: DataFrame,
+      centroids: Array[Array[Double]], m: Int,
+      n: Long): Array[Array[Array[Double]]] = {
     val nlist = centroids.length
     val stride = math.max(1L, n / nlist)
-    // stride==1 (n <= 2*nlist) would make `% stride === 1` match NOTHING
-    // (x % 1 is always 0) — empty books, null codes. Fail loudly instead.
-    require(stride >= 2,
+    require(canResidual(n, nlist),
       s"residualCodebooks needs corpus size > 2*nlist (n=$n, nlist=$nlist)")
     val seeds2: Array[Array[Double]] = emb
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("ed"))

@@ -474,11 +474,8 @@ object TermStats {
     * from the DISTINCT vocabulary weighted by word counts. */
   def bpeVocab(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"),
-        posexplode(Text.words(col("text"))).as(Seq("pos", "word")))
-      .filter(length(col("word")) > 0)
-    val wfreq = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val wfreq = tokens(docs).groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
     val encv = wfreq.select(col("cnt"),
       bpeEncodePairsExpr(col("word"), merges).as("enc"))
     val wsyms = encv.select(col("cnt"),

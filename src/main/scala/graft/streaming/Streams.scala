@@ -238,7 +238,15 @@ object Streams {
     * arrival (ts before the state's last seen second) can't be
     * re-ordered after the fact; its negative gap is DROPPED from the
     * moments and counted in `droppedLate` so disordered input degrades
-    * visibly instead of corrupting mean/sd. */
+    * visibly instead of corrupting mean/sd.
+    *
+    * STATE-SCHEMA NOTE: `droppedLate` widened BotState (and SessState
+    * below) — a checkpoint written by the earlier 5-field encoder
+    * cannot resume on this code (Spark fails loudly with a state-store
+    * schema mismatch). Deliberate: the checkpointed-resume contract
+    * here covers same-version restarts (StreamsSpec); cross-version
+    * state migration needs an explicit offline rewrite, which a
+    * mid-stream silent default could only fake. */
   final case class BotState(lastTsSec: Long, lastId: Long, nGaps: Long,
       mean: Double, m2: Double, droppedLate: Long = 0L)
   final case class BotScore(userId: Long, nGaps: Long, meanGap: Double,

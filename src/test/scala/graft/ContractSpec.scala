@@ -262,7 +262,7 @@ class ContractSpec extends AnyFunSuite {
     val results = keys.map(_ -> 1.5)
     val build = keys.map(_ -> 2.5)
     val full = Bench.fullArtifact(results, build, 3, "/root/testdata/sf0.1",
-      "32", Seq.empty, noise = 1.08)
+      "32", Seq.empty, noise = 1.08, trendGuard = "armed")
     val node = mapper.readTree(full)
     assert(node.get("queries").size() == keys.size)
     assert(node.get("build").size() == keys.size)
@@ -279,7 +279,8 @@ class ContractSpec extends AnyFunSuite {
     val prevJson = Bench.fullArtifact(
       Seq("q_fast" -> 0.2, "q_slow" -> 1.0, "q_tiny" -> 0.01,
         "q_gone" -> 0.4),
-      Seq("q_fast" -> 0.3), 3, "/root/testdata/sf0.1", "32", Seq.empty)
+      Seq("q_fast" -> 0.3), 3, "/root/testdata/sf0.1", "32", Seq.empty,
+      trendGuard = "armed")
     val prev = Bench.parsePrevQueries(prevJson)
     assert(prev == Map("q_fast" -> 0.2, "q_slow" -> 1.0,
       "q_tiny" -> 0.01, "q_gone" -> 0.4))
@@ -297,7 +298,7 @@ class ContractSpec extends AnyFunSuite {
       Seq("q_fast" -> 0.25, "q_slow" -> 0.8)).isEmpty)
     // the full artifact names the offenders; the stdout line counts them
     val full = Bench.fullArtifact(cur, Nil, 3, "/root/testdata/sf0.1",
-      "32", Seq.empty, regressions = regr)
+      "32", Seq.empty, regressions = regr, trendGuard = "armed")
     val fnode = mapper.readTree(full)
     assert(fnode.get("regressions").size() == 1)
     assert(fnode.get("regressions").get(0).get("q").asText() == "q_fast")
