@@ -188,14 +188,25 @@ object Bench {
     // labeled distinctly from an unparseable one.
     val (guardState: String, prev: Map[String, Double]) = prevJson match {
       case None => ("off_no_prior", Map.empty[String, Double])
-      case Some(j) if !envMatches(j, sfDir, cpus) =>
-        ("off_env_mismatch", Map.empty[String, Double])
       case Some(j) =>
-        val parsed = parsePrevQueries(j)
-        if (parsed.nonEmpty) ("armed", parsed)
-        else if (j.contains("\"queries\":{}"))
-          ("off_empty_prior", Map.empty[String, Double])
-        else ("off_unparseable", Map.empty[String, Double])
+        // Parseability FIRST (ADVICE r9 #1): content that isn't one of
+        // our artifacts (no queries marker, no sf/cpus fields) must be
+        // labeled off_unparseable — checking envMatches first would
+        // mislabel it off_env_mismatch, recording the wrong reason the
+        // guard is off.
+        val looksLikeArtifact = j.contains("\"queries\":{") &&
+          strField(j, "sf").isDefined && strField(j, "cpus").isDefined
+        if (!looksLikeArtifact)
+          ("off_unparseable", Map.empty[String, Double])
+        else if (!envMatches(j, sfDir, cpus))
+          ("off_env_mismatch", Map.empty[String, Double])
+        else {
+          val parsed = parsePrevQueries(j)
+          if (parsed.nonEmpty) ("armed", parsed)
+          else if (j.contains("\"queries\":{}"))
+            ("off_empty_prior", Map.empty[String, Double])
+          else ("off_unparseable", Map.empty[String, Double])
+        }
     }
     System.err.println(s"[bench] trend guard: $guardState")
     val regressions = regressionsOf(prev, results, regrMax)

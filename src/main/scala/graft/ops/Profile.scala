@@ -479,7 +479,10 @@ object Profile {
     * word's FIRST document (one keyed min) places it on the curve, and
     * every checkpoint is a conditional count over that vocab-sized
     * frame; tokens per checkpoint are conditional sums over the token
-    * stream. One corpus pass + one vocab pass total. The type-token
+    * stream. One corpus pass + one vocab pass total, plus the
+    * metadata-only count-star that sizes the thresholds (parquet
+    * row-group counts — a third JOB, not a third data scan; ADVICE r9
+    * nit records it). The type-token
     * ratio rounds 6 dp HALF_UP on both engines; the Heaps exponent is
     * spec-derived (ProfileSpec), not gated — it is a fit, not a fact.
     */
@@ -673,8 +676,13 @@ object Profile {
         |fd AS (SELECT word, min(doc_id) AS first_doc FROM tok
         |       GROUP BY word),
         |nn AS (SELECT count(*) AS n FROM documents),
-        |t AS (SELECT (nn.n * k) // 8 AS thr
-        |      FROM (SELECT unnest([1, 2, 4, 8]) AS k) CROSS JOIN nn),
+        |-- DISTINCT + >0 mirror the engine's degenerate-corpus dedup
+        |-- (ADVICE r9 #5): for n < 8 both engines now agree on the
+        |-- collapsed checkpoint set, removing the implicit n >= 8
+        |-- precondition the gate used to lean on.
+        |t AS (SELECT DISTINCT (nn.n * k) // 8 AS thr
+        |      FROM (SELECT unnest([1, 2, 4, 8]) AS k) CROSS JOIN nn
+        |      WHERE (nn.n * k) // 8 > 0),
         |m AS (
         |  SELECT thr AS n_docs,
         |    (SELECT CAST(count(*) AS BIGINT) FROM tok

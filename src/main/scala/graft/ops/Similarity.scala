@@ -459,7 +459,11 @@ object Similarity {
   def ivfPqResidualTopKFromIndex(spark: SparkSession, dir: String,
       emb: DataFrame, queryPred: Column, k: Int, nprobe: Int = 4,
       m: Int = 8, cands: Int = 32): DataFrame = {
-    require(new java.io.File(s"$dir/residual_books").exists(),
+    // Hadoop FileSystem, not java.io.File (ADVICE r9 #2): the artifact
+    // dir may live on HDFS/S3 — anywhere spark.read.parquet can reach.
+    val rbPath = new org.apache.hadoop.fs.Path(s"$dir/residual_books")
+    val rbFs = rbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(rbFs.exists(rbPath),
       s"no residual_books in index artifact $dir — the corpus was too " +
         "small for the second-stride seed rule at write time")
     val centroids = spark.read.parquet(s"$dir/centroids").orderBy("k")
@@ -545,7 +549,7 @@ object Similarity {
     val nlist = centroids.length
     val stride = math.max(1L, n / nlist)
     require(canResidual(n, nlist),
-      s"residualCodebooks needs corpus size > 2*nlist (n=$n, nlist=$nlist)")
+      s"residualCodebooks needs corpus size >= 2*nlist (n=$n, nlist=$nlist)")
     val seeds2: Array[Array[Double]] = emb
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("ed"))
       .filter(col("vec_id") % stride === 1).orderBy("vec_id").limit(nlist)

@@ -246,7 +246,21 @@ object Streams {
     * schema mismatch). Deliberate: the checkpointed-resume contract
     * here covers same-version restarts (StreamsSpec); cross-version
     * state migration needs an explicit offline rewrite, which a
-    * mid-stream silent default could only fake. */
+    * mid-stream silent default could only fake.
+    *
+    * Offline rewrite recipe (ADVICE r9 #4 — the concrete migration
+    * path for a long-lived checkpoint): (1) stop the old query at a
+    * clean micro-batch boundary; (2) read its final state with the
+    * State Data Source (read-only in OSS Spark):
+    * `spark.read.format("statestore").load(oldCheckpointDir)` — rows
+    * carry the 5-field BotState; (3) map each to the 6-field shape
+    * with `droppedLate = 0L` and group it as a
+    * `KeyValueGroupedDataset[Long, BotState]`; (4) start the NEW query
+    * on a FRESH checkpoint dir via the initial-state overload —
+    * `mapGroupsWithState(timeout, initialState)(fn)` (Spark ≥ 3.2) —
+    * with the source offset set to where the old query stopped;
+    * (5) keep the old checkpoint until the first new micro-batch
+    * commits. No silent in-stream default, one auditable handoff. */
   final case class BotState(lastTsSec: Long, lastId: Long, nGaps: Long,
       mean: Double, m2: Double, droppedLate: Long = 0L)
   final case class BotScore(userId: Long, nGaps: Long, meanGap: Double,
