@@ -313,16 +313,7 @@ object TermStats {
     val learned = scala.collection.mutable.Buffer[(String, String, Long)]()
     var exhausted = false
     for (_ <- 1 to rounds if !exhausted) {
-      val syms = filter(split(enc, "  "), x => length(x) > 0)
-      val top = freq.select(col("cnt"), syms.as("s"))
-        .filter(size(col("s")) >= 2)
-        .select(col("cnt"), explode(transform(
-          sequence(lit(1), size(col("s")) - 1),
-          i => struct(element_at(col("s"), i).as("a"),
-            element_at(col("s"), i + 1).as("b")))).as("p"))
-        .groupBy(col("p").getField("a").as("lhs"),
-          col("p").getField("b").as("rhs"))
-        .agg(sum(col("cnt")).as("n"))
+      val top = pairCounts(freq.select(col("cnt"), enc.as("enc")))
         .orderBy(col("n").desc, col("lhs"), col("rhs"))
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
@@ -337,17 +328,109 @@ object TermStats {
     learned.toSeq
   }
 
-  /** [[bpeLearnIter]] memoized per (session, sf dir, rounds) — the
-    * trainedMerges pattern: the iterative model trains once per corpus
-    * (billed to the bench build pass); learn_iter re-emits the
-    * artifact, apply_iter consumes it. */
+  /** Adjacent-pair recount over an encoded vocabulary frame
+    * (cnt, enc) — the inner statistic of every BPE training round,
+    * shared verbatim by the sequential loop and the batched trainer so
+    * their counts can never drift. Overlapping-adjacency convention
+    * (the reference BPE's); one vocabulary-sized keyed sum. */
+  private def pairCounts(v: DataFrame): DataFrame = {
+    val syms = filter(split(col("enc"), "  "), x => length(x) > 0)
+    v.select(col("cnt"), syms.as("s"))
+      .filter(size(col("s")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(col("s")) - 1),
+        i => struct(element_at(col("s"), i).as("a"),
+          element_at(col("s"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p").getField("a").as("lhs"),
+        col("p").getField("b").as("rhs"))
+      .agg(sum(col("cnt")).as("n"))
+  }
+
+  /** [[bpeLearnIter]] with the driver round-trips BATCHED (VERDICT r9
+    * "Next round" #2): the sequential loop pays one Spark action per
+    * merge — fine at 10 rounds, serial death at 30k. This trainer
+    * chains `batch` recount→argmax→apply rounds LAZILY inside one
+    * action: round r's argmax is a 1-row `pick` frame, and the merged
+    * stream for round r+1 applies it with a broadcast cross join and a
+    * COLUMN-operand `replace` (same literal-replace semantics as the
+    * sequential loop's literal — the operands just arrive as data
+    * instead of strings), so no round needs the previous round's
+    * result on the driver. The k picks union into ONE collect: jobs
+    * drop from R to ⌈R/batch⌉ with BIT-IDENTICAL output by
+    * construction — every round still recounts over the true round-
+    * (r−1) stream (TermStatsSpec asserts equality with the sequential
+    * loop; the registered learn_iter key gates it against the
+    * unrolled-CTE oracle that replays the recounts).
+    *
+    * DAG discipline: each round's encoded frame feeds BOTH its pick
+    * and the next round's stream — uncached, the chain recomputes
+    * exponentially — so every per-round frame persists (vocab-sized ×
+    * batch rows in memory) and unpersists when its batch completes;
+    * the last frame carries over as the next batch's base. Exhaustion
+    * composes: an empty pick annihilates the downstream cross joins,
+    * so the union simply comes back short and the loop stops at the
+    * same round the sequential form would. */
+  def bpeLearnIterBatched(docs: DataFrame, rounds: Int = 10,
+      batch: Int = 5): Seq[(String, String, Long)] = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    val freq = tokens(docs).filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var v: DataFrame = freq.select(col("cnt"), concat(
+      regexp_replace(col("word"), "(.)", "  $1"), lit("  ")).as("enc"))
+      .persist()
+    val learned = scala.collection.mutable.Buffer[(String, String, Long)]()
+    var exhausted = false
+    var r = 0
+    try {
+      while (r < rounds && !exhausted) {
+        val k = math.min(batch, rounds - r)
+        val stale = scala.collection.mutable.Buffer[DataFrame]()
+        var cur = v
+        val picks = (1 to k).map { i =>
+          val pick = pairCounts(cur)
+            .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1)
+            .select(lit(r + i).as("r"), col("lhs"), col("rhs"), col("n"))
+            .persist()
+          stale += pick
+          cur = cur.crossJoin(broadcast(pick))
+            .select(col("cnt"), replace(col("enc"),
+              concat(lit(" "), col("lhs"), lit("  "), col("rhs"), lit(" ")),
+              concat(lit(" "), col("lhs"), col("rhs"), lit(" "))).as("enc"))
+            .persist()
+          stale += cur
+          pick
+        }
+        // ONE action materializes all k rounds (each chained frame is
+        // persisted, so nothing recomputes across the k picks)
+        val got = picks.reduce(_ unionByName _).orderBy("r").collect()
+        got.foreach(row =>
+          learned += ((row.getString(1), row.getString(2), row.getLong(3))))
+        if (got.length < k) exhausted = true
+        // the last chained frame is the next batch's base; retire the rest
+        val keep = if (exhausted) null else stale.last
+        v.unpersist(false)
+        stale.filter(_ ne keep).foreach(_.unpersist(false))
+        v = keep
+        r += k
+      }
+    } finally if (v != null) v.unpersist(false)
+    learned.toSeq
+  }
+
+  /** The iterative model memoized per (session, sf dir, rounds) — the
+    * trainedMerges pattern: trained once per corpus (billed to the
+    * bench build pass); learn_iter re-emits the artifact, apply_iter
+    * consumes it. Training runs the BATCHED loop — bit-identical to
+    * [[bpeLearnIter]] (TermStatsSpec) at ⌈R/batch⌉ driver round-trips
+    * instead of R; the learn_iter gate's unrolled-recount oracle
+    * validates the batched output directly. */
   private val iterMergeMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int), Seq[(String, String, Long)]]()
   private def trainedIterMerges(s: SparkSession, d: String,
       rounds: Int): Seq[(String, String, Long)] =
     iterMergeMemo.computeIfAbsent((s, d, rounds), { case (sp, dir, r) =>
       SessionCleanup.onEnd(sp) { iterMergeMemo.remove((sp, dir, r)) }
-      bpeLearnIter(Tables.documents(sp, dir), r)
+      bpeLearnIterBatched(Tables.documents(sp, dir), r, batch = 5)
     })
 
   /** Apply the learned BPE merge table to re-encode every document —
@@ -374,14 +457,28 @@ object TermStats {
       merges: Seq[(String, String)]): DataFrame =
     bpeApplyEnc(docs, w => bpeEncodePairsExpr(w, merges))
 
-  private def bpeApplyEnc(docs: DataFrame,
-      encFor: Column => Column): DataFrame = {
-    val toks = docs
+  /** The position-preserving token stream every apply/ids plan starts
+    * from: (doc_id, pos, word), empties dropped. */
+  private def tokensPos(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         posexplode(Text.words(col("text"))).as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
+
+  private def bpeApplyEnc(docs: DataFrame,
+      encFor: Column => Column): DataFrame = {
+    val toks = tokensPos(docs)
     val encv = toks.select(col("word")).distinct()
       .select(col("word"), encFor(col("word")).as("enc"))
+    bpeApplyFromEncv(toks, encv)
+  }
+
+  /** The shared apply tail: encoded distinct vocabulary joins back to
+    * the position-preserving token stream; per-doc symbol streams
+    * re-assemble by posexplode order, never collect order. */
+  private def bpeApplyFromEncv(toks: DataFrame,
+      encv0: DataFrame): DataFrame = {
+    val encv = encv0
       .withColumn("n_sym", size(split(col("enc"), " ")).cast("long"))
     toks.join(encv, "word")
       .groupBy(col("doc_id"))
@@ -391,6 +488,114 @@ object TermStats {
           array_sort(collect_list(struct(col("pos"), col("enc")))),
           x => x.getField("enc"))).as("syms"))
       .orderBy("doc_id")
+  }
+
+  /** PRODUCTION-SCALE greedy BPE encoding of one word (VERDICT r9
+    * "Next round" #1) — the executor-side twin of
+    * [[bpeEncodePairsExpr]], exact by construction at ANY merge count:
+    *
+    * The expression form stacks one Catalyst `replace` node per merge;
+    * measured in this environment (TermStatsSpec r10), a 1,000-deep
+    * chain stack-overflows the Column→Expression conversion before the
+    * optimizer even runs — so a production merge table (30k–100k
+    * merges, real tokenizers) is inexpressible as a plan. This
+    * function applies the SAME semantics as plain Scala over the
+    * symbol array: merges in rank order, each merge one left-to-right
+    * NON-OVERLAPPING pass.
+    *
+    * Equivalence argument (TermStatsSpec pins it empirically at 10 and
+    * 1,000 merges): (i) the double-space string's literal
+    * `replace(" a  b " → " ab ")` is left-to-right non-overlapping
+    * with the scan resuming AFTER each replacement — exactly the
+    * symbol-array pass below (merge consumes both symbols, scan
+    * resumes at the next symbol); (ii) one pass IS that merge's
+    * fixpoint: the replacement symbol `ab` is strictly longer than
+    * either operand, so it can never equal `a` or `b` and thus never
+    * creates a fresh occurrence of its own pattern; (iii) later merges
+    * see the merged stream, same as the stacked replaces.
+    *
+    * Cost: O(L²) substring-set build + one O(L) pass per merge whose
+    * fused pattern occurs in the word (symbols are contiguous word
+    * substrings, so `a+b` not a substring of the word ⟹ the pair can
+    * never be adjacent — the skip makes a 30k-merge table cost ~30k
+    * hash probes per DISTINCT word, not 30k passes). */
+  def bpeGreedyEncode(word: String,
+      merges: Array[(String, String, String)]): String = {
+    if (word.isEmpty) return ""
+    val subs = new java.util.HashSet[String](word.length * word.length)
+    var i = 0
+    while (i < word.length) {
+      var j = i + 1
+      while (j <= word.length) { subs.add(word.substring(i, j)); j += 1 }
+      i += 1
+    }
+    var cur: Array[String] = Array.tabulate(word.length)(k =>
+      word.substring(k, k + 1))
+    var mi = 0
+    while (mi < merges.length) {
+      val (a, b, ab) = merges(mi)
+      if (cur.length >= 2 && subs.contains(ab)) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](cur.length)
+        var k = 0
+        while (k < cur.length) {
+          if (k + 1 < cur.length && cur(k) == a && cur(k + 1) == b) {
+            out += ab; k += 2
+          } else { out += cur(k); k += 1 }
+        }
+        if (out.length < cur.length) cur = out.toArray
+      }
+      mi += 1
+    }
+    cur.mkString(" ")
+  }
+
+  /** Deterministic synthetic merge table for scale specs — collision-
+    * free (every fused symbol is distinct) and multi-char-exercising:
+    * all 676 single-letter pairs first, then (two-letter symbol,
+    * letter) pairs, so a production-sized table exists without a
+    * production-sized training run. NOT a learned model — a plan-shape
+    * probe: the 10-merge gate keys stay the correctness story. */
+  private[graft] def syntheticMerges(n: Int): Seq[(String, String)] = {
+    val letters = ('a' to 'z').map(_.toString)
+    val l1 = for (a <- letters; b <- letters) yield (a, b)
+    val l2 = for (a <- letters; b <- letters; c <- letters) yield (a + b, c)
+    val all = l1 ++ l2
+    require(n <= all.size, s"syntheticMerges supports up to ${all.size}")
+    all.take(n)
+  }
+
+  /** Encode the distinct vocabulary with [[bpeGreedyEncode]] — a
+    * mapPartitions under the per-partition-init license (the fused
+    * merge strings materialize once per partition, the broadcast merge
+    * table once per executor): bounded plan size at ANY merge count,
+    * where the expression chain is O(merges) Catalyst nodes. The
+    * vocabulary is corpus-vocab-sized and stays DISTRIBUTED — only the
+    * merge table (the model) rides the broadcast. */
+  private def encodeVocabScaled(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    words.select(col("word")).as[String]
+      .mapPartitions { it =>
+        // per-partition init: fuse each merge's replacement string once
+        val fused = bc.value.map { case (a, b) => (a, b, a + b) }
+        it.map(w => (w, bpeGreedyEncode(w, fused)))
+      }
+      .toDF("word", "enc")
+  }
+
+  /** [[bpeApplyPairs]] at production merge counts: the same plan
+    * (distinct-vocab encode → position-preserving join-back) with the
+    * encoder swapped from the O(merges)-node expression chain to the
+    * O(1)-node [[encodeVocabScaled]] scan. Registered against the
+    * apply_iter oracle VERBATIM — the scaled encoder must not change
+    * one byte of the encoding. */
+  def bpeApplyScaled(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = tokensPos(docs)
+    bpeApplyFromEncv(toks,
+      encodeVocabScaled(toks.select(col("word")).distinct(), merges))
   }
 
   /** The last rung of the tokenizer ladder: learn ([[bpeTopMerges]]) →
@@ -772,6 +977,19 @@ object TermStats {
     "tokenize_bpe_apply_iter" -> ((s, d) =>
       bpeApplyPairs(Tables.documents(s, d),
         trainedIterMerges(s, d, 10).map { case (a, b, _) => (a, b) })),
+    // PRODUCTION-SCALE encode: same merges LOADED from the persisted
+    // tokenizer artifact, applied by the O(1)-plan-node greedy
+    // per-partition encoder instead of the O(merges)-node expression
+    // chain — oracle identical to apply_iter because the scaled
+    // encoder must not change one byte of the encoding. TermStatsSpec
+    // additionally pins equality at 1,000 and 5,000 synthetic merges
+    // against the literal string-replace twin: the expression chain
+    // itself stack-overflows at 1,000 nodes during Column→Expression
+    // conversion (measured r10), so the scaled path is not an
+    // optimization but the ONLY expressible form at production depth.
+    "tokenize_bpe_apply_scaled" -> ((s, d) =>
+      bpeApplyScaled(Tables.documents(s, d),
+        loadTokenizerMerges(s, persistedTokenizerDir(s, d)))),
     // dense ids over the ITERATIVELY merged symbol vocabulary — the
     // tensor path string-projected, completing the iter family.
     "tokenize_bpe_ids_iter" -> ((s, d) =>
@@ -997,6 +1215,9 @@ object TermStats {
     // apply shares apply_iter's oracle verbatim (the
     // sim_ann_index_persist identical-oracle contract).
     "tokenize_bpe_persist" -> applyIterOracleSql,
+    // the scaled encoder must not change the encoding either: same
+    // contract, same oracle verbatim.
+    "tokenize_bpe_apply_scaled" -> applyIterOracleSql,
     // vocabulary artifact: corpus-count-weighted symbols of the
     // iteratively merged vocabulary, alphabetic dense ids.
     "tokenize_bpe_vocab_iter" ->

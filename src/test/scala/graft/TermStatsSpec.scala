@@ -235,6 +235,102 @@ class TermStatsSpec extends AnyFunSuite {
         =!= col("word")).count() == 0L)
   }
 
+  test("bpeGreedyEncode (scaled encoder) equals the expression chain " +
+      "on the learned table, and the batched trainer is bit-identical " +
+      "to the sequential loop") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    // batched == sequential at production settings (rounds=10, batch=5)
+    val seqM = TermStats.bpeLearnIter(docs, 10)
+    assert(TermStats.bpeLearnIterBatched(docs, 10, batch = 5) == seqM)
+    // scaled apply == expression-chain apply on the learned table
+    val pairs = seqM.map { case (a, b, _) => (a, b) }
+    val want = TermStats.bpeApplyPairs(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    val got = TermStats.bpeApplyScaled(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == want)
+  }
+
+  test("batched trainer: exhaustion composes across batch boundaries " +
+      "and every batch size gives the same table") {
+    // tiny corpus exhausts after 4 merges: he, t+he, (space-free "the"
+    // fully fused), then cross-word pairs can't exist — requesting 8
+    // rounds must stop where the sequential loop stops, for EVERY
+    // batch size (an empty pick annihilates the downstream chain).
+    val tiny = Seq((1L, "the the the"), (2L, "he he"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val seqM = TermStats.bpeLearnIter(tiny, 8)
+    for (b <- Seq(1, 2, 3, 8))
+      assert(TermStats.bpeLearnIterBatched(tiny, 8, batch = b) == seqM,
+        s"batch=$b")
+  }
+
+  /** The literal string-replace twin of [[TermStats.bpeEncodePairsExpr]]
+    * — the EXACT semantics the expression chain compiles to
+    * (UTF8String.replace and java.lang.String.replace are both
+    * left-to-right non-overlapping literal replaces, scan resuming
+    * after each replacement), evaluated driver-side so it exists at
+    * merge counts the expression chain cannot reach: at 1,000 merges
+    * the Column→Expression conversion itself overflows the JVM stack
+    * (measured in this suite's environment r10) — the chain dies
+    * before the optimizer even sees it. */
+  private def refStringEncode(word: String,
+      merges: Seq[(String, String)]): String = {
+    var s = word.map(c => "  " + c).mkString + "  "
+    merges.foreach { case (a, b) =>
+      s = s.replace(" " + a + "  " + b + " ", " " + a + b + " ")
+    }
+    s.replace("  ", " ").trim
+  }
+
+  test("scaled encoder at production merge counts: equality with the " +
+      "string-replace reference at 1,000 and 5,000 merges, bounded-" +
+      "plan completion, losslessness, determinism") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    // sanity: the reference twin reproduces the expression chain at an
+    // expressible depth (the learned-table equality in the previous
+    // test already pins bpeApplyScaled == bpeApplyPairs end-to-end)
+    val m10 = TermStats.bpeLearnIter(docs, 4).map { case (a, b, _) => (a, b) }
+    val vocab = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+    vocab.select(col("word"),
+        TermStats.bpeEncodePairsExpr(col("word"), m10).as("enc"))
+      .collect().foreach(r =>
+        assert(refStringEncode(r.getString(0), m10) == r.getString(1),
+          r.getString(0)))
+    // 1,000 and 5,000 merges: inexpressible as a plan (the 1,000-deep
+    // Column tree stack-overflows during conversion in this
+    // environment; the repo's earlier measurement pegs ~16k nodes as
+    // the optimizer ceiling elsewhere) — the scaled encoder matches
+    // the reference twin symbol-for-symbol at both depths.
+    val words = vocab.collect().map(_.getString(0))
+    for (n <- Seq(1000, 5000)) {
+      val m = TermStats.syntheticMerges(n)
+      val fused = m.map { case (a, b) => (a, b, a + b) }.toArray
+      words.foreach { w =>
+        assert(TermStats.bpeGreedyEncode(w, fused) == refStringEncode(w, m),
+          s"$n merges: $w")
+      }
+    }
+    // the full DISTRIBUTED path at 5,000 merges: one mapPartitions node
+    // regardless of merge count — completes, deterministic, lossless.
+    val m5k = TermStats.syntheticMerges(5000)
+    val rows = TermStats.bpeApplyScaled(docs, m5k).collect()
+    assert(rows.nonEmpty)
+    val again = TermStats.bpeApplyScaled(docs, m5k).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    val docText = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val want = docText(r.getLong(0)).split(" ").filter(_.nonEmpty)
+        .mkString("")
+      assert(r.getString(3).replace(" ", "") == want, r.getLong(0))
+    }
+  }
+
   test("bpeIdsTensor: ArrayType(LongType) schema and the array zips " +
       "exactly to the gated string form (sf0.001)") {
     import org.apache.spark.sql.types.{ArrayType, LongType}
