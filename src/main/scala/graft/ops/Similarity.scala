@@ -490,6 +490,16 @@ object Similarity {
   def ivfPqTopKFromIndex(spark: SparkSession, dir: String,
       emb: DataFrame, queryPred: Column, k: Int, nprobe: Int = 4,
       m: Int = 8, cands: Int = 32): DataFrame = {
+    val (centroids, books) = loadIndexModel(spark, dir, m)
+    ivfPqSearch(emb, spark.read.parquet(s"$dir/codes"),
+      centroids, books, queryPred, k, nprobe, m, cands)
+  }
+
+  /** The artifact's MODEL half (coarse centroids + plain PQ codebooks)
+    * as driver arrays — shared by the query path and the incremental
+    * append path, so both consume the identical frozen model. */
+  private def loadIndexModel(spark: SparkSession, dir: String,
+      m: Int): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val centroids = spark.read.parquet(s"$dir/centroids").orderBy("k")
       .collect().map(_.getSeq[Double](1).toArray)
     val bookRows = spark.read.parquet(s"$dir/books").collect()
@@ -497,8 +507,27 @@ object Similarity {
       .toMap
     val books = Array.tabulate(m)(mi =>
       Array.tabulate(centroids.length)(ki => bookRows((mi, ki))))
-    ivfPqSearch(emb, spark.read.parquet(s"$dir/codes"),
-      centroids, books, queryPred, k, nprobe, m, cands)
+    (centroids, books)
+  }
+
+  /** INCREMENTAL index maintenance (VERDICT r9 "Next round" #3) — the
+    * nightly-ingest form the dedup families already have: route ONLY
+    * the new batch through the artifact's LOADED frozen model
+    * (centroids + codebooks read back from parquet, never re-derived)
+    * and append its coded rows to the codes table. FAISS's `add()`
+    * contract: coding is per-row, so append-then-query is IDENTICAL to
+    * rebuilding every code with the same model (SimilaritySpec asserts
+    * it with a base-corpus-only model; the registered key shares the
+    * full-rebuild sim_ann_ivfpq oracle verbatim). At 100 TB this is
+    * the difference between coding the nightly batch and re-coding the
+    * whole corpus: the batch scan is the only corpus-sized work, the
+    * model rides the driver, and the parquet append adds files without
+    * touching existing ones. */
+  def appendToIvfPqIndex(spark: SparkSession, dir: String,
+      newEmb: DataFrame, m: Int = 8): Unit = {
+    val (centroids, books) = loadIndexModel(spark, dir, m)
+    codedFrame(newEmb, centroids, books, m)
+      .write.mode("append").parquet(s"$dir/codes")
   }
 
   /** Index artifact written once per (session, sf dir) — billed to the
@@ -518,6 +547,34 @@ object Similarity {
         trainedCentroids(sp, dir, 16, 0), out)
       SessionCleanup.onEnd(sp) {
         indexDirMemo.remove((sp, dir))
+        SessionCleanup.deleteRecursively(out)
+      }
+      out
+    })
+
+  /** The APPEND-MAINTAINED index memoized per (session, sf dir) — the
+    * gate setup for sim_ann_index_append: the artifact is built from
+    * the BASE corpus only (vec_id % 5 ≠ 0, the established split),
+    * then the held-out batch (vec_id % 5 = 0) is routed through the
+    * LOADED model and its codes appended. The frozen model is the
+    * full-corpus seeded centroids so the key can share the
+    * sim_ann_ivfpq full-rebuild oracle VERBATIM (the gate's point:
+    * append must equal rebuild given the same model — FAISS add());
+    * SimilaritySpec proves the same identity with a model trained on
+    * the base corpus alone, the strict nightly-ingest setup. */
+  private val appendIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def appendedIndexDir(s: SparkSession, d: String): String =
+    appendIndexMemo.computeIfAbsent((s, d), { case (sp, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-annappend").toString
+      val emb = Tables.embeddings(sp, dir)
+      writeIvfPqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        trainedCentroids(sp, dir, 16, 0), out)
+      appendToIvfPqIndex(sp, out, emb.filter(col("vec_id") % 5 === 0))
+      SessionCleanup.onEnd(sp) {
+        appendIndexMemo.remove((sp, dir))
         SessionCleanup.deleteRecursively(out)
       }
       out
@@ -1181,6 +1238,14 @@ object Similarity {
     "sim_ann_index_persist" -> ((s, d) =>
       ivfPqTopKFromIndex(s, persistedIndexDir(s, d),
         Tables.embeddings(s, d), col("vec_id") < 10, 5)),
+    // INCREMENTAL maintenance of the persisted index: base-corpus
+    // build (vec_id % 5 != 0), the held-out batch routed through the
+    // LOADED frozen model, codes APPENDED, top-k answered from the
+    // merged artifact — oracle = the full-rebuild ivfpq SQL verbatim,
+    // because append-with-the-same-model must equal rebuild.
+    "sim_ann_index_append" -> ((s, d) =>
+      ivfPqTopKFromIndex(s, appendedIndexDir(s, d),
+        Tables.embeddings(s, d), col("vec_id") < 10, 5)),
     // TRUE IVFPQ: PQ codes quantize the RESIDUAL x − c(x) (what FAISS
     // encodes), per-probed-list query tables; residual codebooks from
     // the disjoint second-stride seed rows — memoized model artifact.
@@ -1611,6 +1676,9 @@ object Similarity {
     // production contract the memos only simulate (build once, load in a
     // later session); identity with the in-session route is the gate.
     "sim_ann_index_persist" -> ivfPqOracleSql,
+    // append-then-query must equal full-rebuild-then-query given the
+    // same frozen model: the oracle IS the full rebuild, verbatim.
+    "sim_ann_index_append" -> ivfPqOracleSql,
     // TRUE IVFPQ replay: residual codewords from the second-stride seed
     // rows (rcw), per-vector residual codes (res/sd/codes), and
     // PER-(query, probed-list) distance tables (qres/qd) — joining qd

@@ -255,6 +255,56 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.ops.SessionCleanup.deleteRecursively(dir)
   }
 
+  test("index append: routing a new batch through the LOADED frozen " +
+      "model and appending its codes answers identically to a full " +
+      "rebuild with the same model — the strict nightly-ingest setup " +
+      "(model trained on the base corpus alone)") {
+    val d = TestSpark.sf0001
+    val emb = Tables.embeddings(spark, d)
+    // hold out vec_id % 5 == 2: the stride-seed rows (multiples of the
+    // stride, ≡ 0 mod 5) and the residual second-stride rows (≡ 1 mod
+    // 5) all stay in the base, so a base-only model is derivable —
+    // holding out % 5 == 0 would delete every seed row.
+    val base = emb.filter(col("vec_id") % 5 =!= 2)
+    val batch = emb.filter(col("vec_id") % 5 === 2)
+    // the honest incremental contract: the frozen model never saw the
+    // new batch — seeded from the BASE corpus only
+    val baseSeeds = Similarity.ivfCentroids(base, 16, 0)
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-annappend-a").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-annappend-b").toString
+    try {
+      Similarity.writeIvfPqIndex(base, baseSeeds, dirA)
+      val beforeCodes = spark.read.parquet(s"$dirA/codes").count()
+      assert(beforeCodes == base.count())
+      Similarity.appendToIvfPqIndex(spark, dirA, batch)
+      // the merged codes table covers the full corpus exactly once,
+      // and only files were ADDED (base codes untouched)
+      val codes = spark.read.parquet(s"$dirA/codes")
+      assert(codes.count() == emb.count())
+      assert(codes.select("n_id").distinct().count() == emb.count())
+      // rebuild-from-scratch with the SAME frozen model
+      Similarity.writeIvfPqIndex(emb, baseSeeds, dirB)
+      def topk(dir: String) =
+        Similarity.ivfPqTopKFromIndex(spark, dir, emb,
+            col("vec_id") < 10, 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSeq
+      assert(topk(dirA) == topk(dirB))
+      // and a FRESH session answers the same from the appended artifact
+      val s2 = spark.newSession()
+      val got2 = Similarity.ivfPqTopKFromIndex(s2, dirA,
+          Tables.embeddings(s2, d), col("vec_id") < 10, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(got2 == topk(dirB))
+    } finally {
+      graft.ops.SessionCleanup.deleteRecursively(dirA)
+      graft.ops.SessionCleanup.deleteRecursively(dirB)
+    }
+  }
+
   test("incremental embedding dedup: output is new-batch only, every " +
       "dropped new vector has a TRUE existing near-dup (soundness), " +
       "and the result is run-stable") {
