@@ -19,7 +19,8 @@ import graft.functions._
   * registers every graft native Catalyst expression as a first-class SQL
   * function — `rolling_hash(text)`, `rolling_hash_windows(text, w)`,
   * `word_shingles(text, n)`, `simhash64(text)`, `minhash_sig(text, k)`,
-  * `dot_product(a, b)`, `quantize_int8(a)`, `word_set_count(text, array(...))` — session-wide
+  * `dot_product(a, b)`, `quantize_int8(a)`, `word_set_count(text, array(...))`,
+  * `nfc_normalize(text)` — session-wide
   * and for every session built with
   * the extension, unlike the per-session temp registration in
   * `RollingHash.registerSql`. The builders hand Catalyst the same
@@ -80,6 +81,8 @@ object GraftExtensions {
     d("quantize_int8", classOf[QuantizeInt8Expr],
       es => QuantizeInt8Expr(es.head)),
     d("word_set_count", classOf[WordSetCountExpr],
-      es => WordSetCountExpr(es.head, stringSeqLit(es(1), "word_set_count")))
+      es => WordSetCountExpr(es.head, stringSeqLit(es(1), "word_set_count"))),
+    d("nfc_normalize", classOf[NfcExpr],
+      es => NfcExpr(es.head))
   )
 }

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization (VERDICT r9 "Next round" #4) — the
+  * canonical-composition pass a MULTILINGUAL corpus pipeline needs
+  * before hashing/shingling: without it, `e` + COMBINING ACUTE and the
+  * precomposed `é` are different byte sequences, so dedup shingles,
+  * MinHash signatures, and vocabulary keys silently fragment on any
+  * corpus that mixes sources (the temperature-mix keys explicitly
+  * target one).
+  *
+  * Spark has no built-in NFC function; this is the native Catalyst
+  * expression route (not a UDF): codegen emits a direct static call to
+  * `java.text.Normalizer.normalize(s, NFC)` — the JDK's implementation
+  * of the Unicode canonical-composition algorithm, the same spec
+  * DuckDB's `nfc_normalize` implements, which is what lets the
+  * registered key hash-gate byte-for-byte across engines (TextSpec
+  * pins composition, casefold interaction, and idempotence).
+  */
+object Nfc {
+
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: Normalizer.isNormalized is O(n) with no allocation —
+    // ASCII (the overwhelming hot path of a text corpus) never copies
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC))
+  }
+
+  def nfc(c: Column): Column =
+    GraftBridge.column(NfcExpr(GraftBridge.expression(c)))
+
+  /** Make it callable from SQL text: `SELECT nfc_normalize(text)` —
+    * the same name DuckDB uses, so SQL snippets port verbatim. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftBridge.registerTempFunction(spark, "nfc_normalize",
+      exprs => NfcExpr(exprs.head))
+}
+
+case class NfcExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "nfc_normalize"
+  override def nullSafeEval(input: Any): Any =
+    Nfc.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Nfc.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcExpr =
+    copy(child = newChild)
+}

@@ -226,4 +226,37 @@ class TextSpec extends AnyFunSuite {
     val (w2, s2, y2, _) = got(2L)
     assert(w2 == 1 && s2 == 1 && y2 == 1) // floors: min 1 sentence/syllable
   }
+
+  test("normalizeUnicode: NFC composes decomposed marks, casefold " +
+      "lowers precomposed uppercase, whitespace collapses, ASCII " +
+      "passes through, and the chain is idempotent") {
+    val raw = Seq(
+      (1L, "Café"),       // decomposed e + COMBINING ACUTE
+      (2L, "ÉCOLE"),       // precomposed uppercase É
+      (3L, "Über  NOËL"), // decomposed + doubled space
+      (4L, " plain  ASCII text "))
+    val df = raw.toDF("id", "t")
+    val got = df.select(col("id"), Text.normalizeUnicode(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // composed single codepoints, lowered, collapsed, trimmed
+    assert(got(1L) == "café" && got(1L).length == 4)
+    assert(got(2L) == "école" && got(2L).length == 5)
+    assert(got(3L) == "über noël")
+    assert(got(4L) == "plain ascii text")
+    // idempotence: a normalized string is a fixpoint
+    val twice = df.select(col("id"),
+        Text.normalizeUnicode(Text.normalizeUnicode(col("t"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice == got)
+    // the registered key's enrichment: every fifth doc gains the
+    // suffix and its normalized tail is fully composed + lowered
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val out = Text.queries("text_normalize_unicode")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val enrichedTail = " café über école noël"
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      if (id % 5 == 0) assert(out(id).endsWith(enrichedTail), id)
+      else assert(!out(id).endsWith(enrichedTail), id)
+    }
+  }
 }
