@@ -320,6 +320,18 @@ object Sampling {
       window: Int): DataFrame = {
     val pad = (n: Column) =>
       array_repeat(lit(0L), (lit(window) - n).cast("int"))
+    // SEGMENT IDS (VERDICT r9 "Next round" #5): per-token document
+    // index within the sequence (1,1,1,2,2,…) — what a trainer that
+    // blocks cross-document attention consumes beside doc_start. The
+    // prefix sum of the boundary array, +1 when the sequence opens
+    // mid-document (the carried-over partial doc is segment 1 either
+    // way, so the first real position is ALWAYS 1 and max equals
+    // n_docs — SamplingSpec pins both). O(window²) slice-sums per
+    // sequence (64² = 4k adds) — bounded by the window, not the data.
+    val segReal = transform(
+      sequence(lit(1), size(col("bnd0"))),
+      i => aggregate(slice(col("bnd0"), lit(1), i), lit(0L),
+        (a, x) => a + x) + (lit(1L) - element_at(col("bnd0"), 1)))
     wide.groupBy(col("seq_id"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_tokens"),
@@ -331,7 +343,8 @@ object Sampling {
         concat(col("ids0"), pad(size(col("ids0")))).as("ids"),
         concat(col("bnd0"), pad(size(col("bnd0")))).as("doc_start"),
         concat(array_repeat(lit(1L), size(col("ids0")).cast("int")),
-          pad(size(col("ids0")))).as("loss_mask"))
+          pad(size(col("ids0")))).as("loss_mask"),
+        concat(segReal, pad(size(col("bnd0")))).as("segment_ids"))
       .orderBy("seq_id")
   }
 
@@ -834,6 +847,18 @@ object Sampling {
           concat_ws(" ", transform(col("loss_mask"),
             x => x.cast("string"))).as("loss_mask"))
         .orderBy("seq_id")),
+    // the SEGMENT-IDS tensor beside doc_start/loss_mask: per-token
+    // document index within the sequence (1,1,1,2,2,…; 0 on padding) —
+    // the attention-isolation input for trainers that block
+    // cross-document attention. Same machinery, gated through the
+    // string projection plus the array-derived max (= n_docs).
+    "sample_pack_segments" -> ((s, d) =>
+      packSequencesTensor(Tables.documents(s, d))
+        .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+          concat_ws(" ", transform(col("segment_ids"),
+            x => x.cast("string"))).as("segment_ids"),
+          array_max(col("segment_ids")).as("n_segments"))
+        .orderBy("seq_id")),
     // contrastive training-pair mining: per anchor one positive
     // (lowest-id label-mate) and 3 seeded-hash negatives from other
     // labels — the md5-rank "random" choice every sampling key uses,
@@ -884,6 +909,41 @@ object Sampling {
   )
 
   private[ops] val tokRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** The pack-tensor oracle's shared CTE chain through `wide`
+    * (position-indexed token stream → exclusive global offsets →
+    * (seq_id, spos, id, bnd) grid) — single source of truth for
+    * sample_pack_tensor and sample_pack_segments, so the window
+    * arithmetic can never drift between them. */
+  private val packTensorWideCtes: String =
+    """toks AS (
+      |  SELECT doc_id, pos, word FROM (
+      |    SELECT doc_id, words[i] AS word, i AS pos FROM (
+      |      SELECT doc_id, string_split(text, ' ') AS words,
+      |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+      |      FROM documents))
+      |  WHERE length(word) > 0),
+      |tp AS (
+      |  SELECT doc_id, word,
+      |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+      |           AS BIGINT) AS tpos
+      |  FROM toks),
+      |dl AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+      |offs AS (
+      |  SELECT doc_id,
+      |         CAST(sum(n) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+      |           AS BIGINT) AS off
+      |  FROM dl),
+      |vocab AS (
+      |  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS id
+      |  FROM (SELECT DISTINCT word FROM toks)),
+      |wide AS (
+      |  SELECT tp.doc_id, v.id,
+      |         CAST((o.off + tp.tpos - 1) // 64 AS BIGINT) AS seq_id,
+      |         CAST((o.off + tp.tpos - 1) % 64 AS BIGINT) AS spos,
+      |         CASE WHEN tp.tpos = 1 THEN 1 ELSE 0 END AS bnd
+      |  FROM tp JOIN vocab v USING (word) JOIN offs o USING (doc_id))""".stripMargin
 
   /** Power-of-2 bin as a fold of integer comparisons — the SQL twin of
     * [[lengthBucketBatches]]' bin column, shared with composed
@@ -1206,46 +1266,49 @@ object Sampling {
     // pack_sequences, alphabetic vocab ids, per-sequence string_agg in
     // intra-sequence position order, explicit 0-padding to the window.
     "sample_pack_tensor" ->
-      """WITH toks AS (
-        |  SELECT doc_id, pos, word FROM (
-        |    SELECT doc_id, words[i] AS word, i AS pos FROM (
-        |      SELECT doc_id, string_split(text, ' ') AS words,
-        |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
-        |      FROM documents))
-        |  WHERE length(word) > 0),
-        |tp AS (
-        |  SELECT doc_id, word,
-        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-        |           AS BIGINT) AS tpos
-        |  FROM toks),
-        |dl AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
-        |offs AS (
-        |  SELECT doc_id,
-        |         CAST(sum(n) OVER (ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
-        |           AS BIGINT) AS off
-        |  FROM dl),
-        |vocab AS (
-        |  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS id
-        |  FROM (SELECT DISTINCT word FROM toks)),
-        |wide AS (
-        |  SELECT tp.doc_id, v.id,
-        |         CAST((o.off + tp.tpos - 1) // 64 AS BIGINT) AS seq_id,
-        |         CAST((o.off + tp.tpos - 1) % 64 AS BIGINT) AS spos,
-        |         CASE WHEN tp.tpos = 1 THEN 1 ELSE 0 END AS bnd
-        |  FROM tp JOIN vocab v USING (word) JOIN offs o USING (doc_id)),
-        |seqs AS (
-        |  SELECT seq_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |         CAST(count(*) AS BIGINT) AS n_tokens,
-        |         string_agg(CAST(id AS VARCHAR), ' ' ORDER BY spos) AS ids0,
-        |         string_agg(CAST(bnd AS VARCHAR), ' ' ORDER BY spos) AS bnd0
-        |  FROM wide GROUP BY seq_id)
-        |SELECT seq_id, n_docs, n_tokens,
-        |       ids0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS ids,
-        |       bnd0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS doc_start,
-        |       trim(repeat('1 ', CAST(n_tokens AS INT)))
-        |         || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS loss_mask
-        |FROM seqs ORDER BY seq_id""".stripMargin,
+      s"""WITH $packTensorWideCtes,
+         |seqs AS (
+         |  SELECT seq_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |         CAST(count(*) AS BIGINT) AS n_tokens,
+         |         string_agg(CAST(id AS VARCHAR), ' ' ORDER BY spos) AS ids0,
+         |         string_agg(CAST(bnd AS VARCHAR), ' ' ORDER BY spos) AS bnd0
+         |  FROM wide GROUP BY seq_id)
+         |SELECT seq_id, n_docs, n_tokens,
+         |       ids0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS ids,
+         |       bnd0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS doc_start,
+         |       trim(repeat('1 ', CAST(n_tokens AS INT)))
+         |         || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS loss_mask
+         |FROM seqs ORDER BY seq_id""".stripMargin,
+    // segment ids = prefix sum of the boundary stream within the
+    // sequence, +1 when the sequence opens mid-document (the carried
+    // partial doc is segment 1); padding stays 0. n_segments = the max
+    // — the oracle re-derives it from its own cumsum, binding the
+    // array's content AND its peak to the hash.
+    "sample_pack_segments" ->
+      s"""WITH $packTensorWideCtes,
+         |segw AS (
+         |  SELECT seq_id, spos, doc_id,
+         |         CAST(sum(bnd) OVER (PARTITION BY seq_id ORDER BY spos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum
+         |  FROM wide),
+         |fb AS (
+         |  SELECT seq_id,
+         |         CAST(1 - max(CASE WHEN spos = 0 THEN bnd ELSE 0 END)
+         |           AS BIGINT) AS o
+         |  FROM wide GROUP BY seq_id),
+         |seqs AS (
+         |  SELECT s.seq_id, CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+         |         CAST(count(*) AS BIGINT) AS n_tokens,
+         |         string_agg(CAST(s.cum + f.o AS VARCHAR), ' '
+         |           ORDER BY s.spos) AS seg0,
+         |         CAST(max(s.cum + f.o) AS BIGINT) AS n_segments
+         |  FROM segw s JOIN fb f USING (seq_id) GROUP BY s.seq_id)
+         |SELECT seq_id, n_docs, n_tokens,
+         |       seg0 || repeat(' 0', 64 - CAST(n_tokens AS INT))
+         |         AS segment_ids,
+         |       n_segments
+         |FROM seqs ORDER BY seq_id""".stripMargin,
     // identical md5 rank keys (same pipe-joined decimal strings), same
     // lowest-id positive, same per-anchor rank windows.
     "sample_negatives_contrastive" ->

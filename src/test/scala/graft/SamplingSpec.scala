@@ -259,6 +259,44 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("segment_ids tensor: fixed-64, first real position is 1, " +
+      "increments exactly at doc_start, max equals n_docs, padding 0, " +
+      "mask-consistent; the registered key is its string projection") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
+    val tens = Sampling.packSequencesTensor(docs)
+    assert(tens.schema("segment_ids").dataType.isInstanceOf[ArrayType] &&
+      tens.schema("segment_ids").dataType.asInstanceOf[ArrayType]
+        .elementType == LongType)
+    val rows = tens.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getSeq[Long](4), r.getSeq[Long](5),
+      r.getSeq[Long](6)))
+    rows.foreach { case (seq, nDocs, nToks, bnd, mask, segs) =>
+      assert(segs.size == 64, seq)
+      val real = segs.take(nToks.toInt)
+      // the carried-over partial doc is segment 1 either way
+      assert(real.head == 1L, seq)
+      // nondecreasing, and the step IS the boundary stream
+      real.indices.drop(1).foreach { i =>
+        assert(real(i) - real(i - 1) == bnd(i), s"seq $seq pos $i")
+      }
+      // one segment per distinct doc in the sequence
+      assert(real.max == nDocs && real.distinct.size == nDocs.toInt, seq)
+      // nonzero exactly where the loss mask is 1
+      segs.zip(mask).foreach { case (s, m) =>
+        assert((s > 0L) == (m == 1L), seq)
+      }
+    }
+    // the registered key is exactly the string projection + max
+    val viaKey = Sampling.queries("sample_pack_segments")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getLong(4))).toMap
+    rows.foreach { case (seq, nDocs, _, _, _, segs) =>
+      assert(viaKey(seq) == ((segs.mkString(" "), nDocs)), seq)
+    }
+  }
+
   test("pack tensor plan: every join broadcasts (vocab and offsets are " +
       "model-sized) — no sort-merge join in the executed plan") {
     val df = Sampling.packSequencesTensor(
