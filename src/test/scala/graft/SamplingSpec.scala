@@ -332,6 +332,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("temperatureMixRanked equals the windowed temperatureMix " +
+      "row-for-row at every range count — bucketing affects only " +
+      "partitioning, never ranks") {
+    val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
+    val want = Sampling.temperatureMix(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(want.nonEmpty)
+    for (ranges <- Seq(1, 3, 8)) {
+      val got = Sampling.temperatureMixRanked(docs, ranges = ranges)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got == want, s"ranges=$ranges")
+    }
+  }
+
   test("sample_kfold: every doc in exactly one of 5 folds, sizes near-uniform") {
     val assign = graft.SparkEntry.queries("sample_kfold")(
       spark, TestSpark.sf0001)
