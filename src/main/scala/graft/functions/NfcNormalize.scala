@@ -26,9 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
 object Nfc {
 
   def compute(s: UTF8String): UTF8String = {
+    // ASCII fast path on the raw UTF-8 bytes, BEFORE any String decode
+    // (bytes == code points ⟺ pure ASCII, and ASCII is closed under
+    // NFC) — the overwhelming hot path of a text corpus allocates
+    // nothing. Non-ASCII rows decode once; already-normalized ones
+    // return the original without a second copy.
+    if (s.numBytes == s.numChars) return s
     val str = s.toString
-    // fast path: Normalizer.isNormalized is O(n) with no allocation —
-    // ASCII (the overwhelming hot path of a text corpus) never copies
     if (java.text.Normalizer.isNormalized(str,
         java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str,

@@ -665,9 +665,9 @@ object Profile {
 
   def oracle: Map[String, String] = Map(
     // the first-doc trick spelled out: each word's min doc places it on
-    // the growth curve; every checkpoint is a conditional count.
-    // Precondition n >= 8 (all driver corpora): below that the Spark
-    // side dedups degenerate duplicate checkpoints this SQL keeps.
+    // the growth curve; every checkpoint is a conditional count. The
+    // threshold CTE dedups degenerate (n < 8) checkpoints exactly like
+    // the Spark side — no corpus-size precondition (ADVICE r9 #5).
     "profile_vocab_growth" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word

@@ -223,27 +223,6 @@ object Sampling {
       .orderBy("doc_id")
   }
 
-  /** TEMPERATURE-MIXED language sampling — the α-mixing rule
-    * multilingual LLM corpora are actually built with (mT5: sample
-    * language ℓ with p_ℓ ∝ n_ℓ^α, α<1, so low-resource languages are
-    * UP-weighted relative to their share): per-language targets for a
-    * doc `budget` at α = 0.5, then the top-target docs per language by
-    * the seeded-md5 rank every sampling key uses (stable under
-    * repartition/AQE where df.sample is not).
-    *
-    * Determinism discipline: the target derivation is INTEGER-exact on
-    * both engines — wᵢ = ⌊√nᵢ·10⁶⌋ (IEEE sqrt is correctly rounded, so
-    * the double pipeline is bit-identical), W = Σwᵢ exact BIGINT,
-    * targetᵢ = (budget·wᵢ) div W — no float sum ever crosses a floor.
-    * The language table is model-sized (a 5-row collect under the
-    * standing license); the corpus-sized pass is the rank cut.
-    *
-    * Scale note: the per-language rank window partitions by lang — 5
-    * hot keys at 100 TB; the swap is [[temperatureMixRanked]] — the
-    * two-level machinery with level-1 ranges cut on the md5 key's
-    * quantiles instead of doc_id (bucketing affects only partitioning,
-    * never ranks) — REGISTERED as sample_temperature_mix_ranked with
-    * the identical oracle and a result-identity spec. */
   /** The per-language target CASE column (model-sized language table,
     * integer-exact derivation) — shared by the windowed and two-level
     * ranked forms of the temperature mix so the α-mixing arithmetic
@@ -266,6 +245,27 @@ object Sampling {
       .withColumn("skey",
         md5(concat_ws("|", lit("tmix:"), col("doc_id"))))
 
+  /** TEMPERATURE-MIXED language sampling — the α-mixing rule
+    * multilingual LLM corpora are actually built with (mT5: sample
+    * language ℓ with p_ℓ ∝ n_ℓ^α, α<1, so low-resource languages are
+    * UP-weighted relative to their share): per-language targets for a
+    * doc `budget` at α = 0.5, then the top-target docs per language by
+    * the seeded-md5 rank every sampling key uses (stable under
+    * repartition/AQE where df.sample is not).
+    *
+    * Determinism discipline: the target derivation is INTEGER-exact on
+    * both engines — wᵢ = ⌊√nᵢ·10⁶⌋ (IEEE sqrt is correctly rounded, so
+    * the double pipeline is bit-identical), W = Σwᵢ exact BIGINT,
+    * targetᵢ = (budget·wᵢ) div W — no float sum ever crosses a floor.
+    * The language table is model-sized (a 5-row collect under the
+    * standing license); the corpus-sized pass is the rank cut.
+    *
+    * Scale note: the per-language rank window partitions by lang — 5
+    * hot keys at 100 TB; the swap is [[temperatureMixRanked]] — the
+    * two-level machinery with level-1 ranges cut on the md5 key's
+    * quantiles instead of doc_id (bucketing affects only partitioning,
+    * never ranks) — REGISTERED as sample_temperature_mix_ranked with
+    * the identical oracle and a result-identity spec. */
   def temperatureMix(docs: DataFrame, budget: Long = 200L): DataFrame = {
     val targetCol = tmixTargetCol(docs, budget)
     tmixKeyed(docs)
@@ -297,25 +297,9 @@ object Sampling {
     val base = tmixKeyed(docs)
       .withColumn("sk15",
         conv(substring(col("skey"), 1, 15), 16, 10).cast("long"))
-    val probes = (1 until ranges).map(_.toDouble / ranges).toArray
-    val splits =
-      if (probes.isEmpty) Array.empty[Double]
-      else base.stat.approxQuantile("sk15", probes, 0.001).distinct.sorted
-    val rng = splits.foldLeft(lit(0)) { (acc, s) =>
-      acc + when(col("sk15") >= lit(s), 1).otherwise(0)
-    }
-    val r = base.withColumn("rng", rng)
-    val offsets = r.groupBy(col("lang"), col("rng"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("off", coalesce(sum(col("cnt")).over(
-        Window.partitionBy(col("lang")).orderBy(col("rng"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("lang"), col("rng"), col("off"))
-    val inRange = Window.partitionBy(col("lang"), col("rng"))
-      .orderBy(col("skey"), col("doc_id"))
-    r.join(broadcast(offsets), Seq("lang", "rng"))
-      .withColumn("rnk",
-        (col("off") + row_number().over(inRange)).cast("long"))
+    withGroupRank(base, "lang", ranges, bucketCol = "sk15",
+        orderCols = Seq(col("skey"), col("doc_id")))
+      .withColumn("rnk", col("rk").cast("long"))
       .filter(col("rnk") <= targetCol)
       .select(col("doc_id"), col("lang"), col("rnk"))
       .orderBy("doc_id")
@@ -416,21 +400,26 @@ object Sampling {
     * The bin itself is a fold of integer comparisons against powers of
     * two (floor(log2) without touching libm — log2 of an exact power is
     * engine-ulp territory; `n >= 2^k` is not). */
-  /** 1-based rank within `grp`, ordered by doc_id, via the two-level
-    * machinery: doc_id range buckets cut by approxQuantile (bucketing
-    * affects only partitioning, never ranks), per-(grp, range) counts
-    * cumsum to offsets over O(groups × ranges) rows, then the heavy
-    * rank runs partitioned by (grp, range) — no group ever lands on a
-    * single partition. Shared by [[lengthBucketBatches]] (rank within
-    * length bin) and [[interleaveBySource]] (rank within source). */
+  /** 1-based rank within `grp` via the two-level machinery: range
+    * buckets cut by approxQuantile on `bucketCol` (which must be a
+    * numeric column MONOTONE in the `orderCols` prefix — equal values
+    * always share a bucket, so bucketing affects only partitioning,
+    * never ranks), per-(grp, range) counts cumsum to offsets over
+    * O(groups × ranges) rows, then the heavy rank runs partitioned by
+    * (grp, range) — no group ever lands on a single partition. Shared
+    * by [[lengthBucketBatches]] (rank within length bin, doc_id
+    * order), [[interleaveBySource]] (rank within source), and
+    * [[temperatureMixRanked]] (rank within lang by the md5 sampling
+    * key, bucketed on its numeric prefix). */
   private def withGroupRank(rows: DataFrame, grp: String,
-      ranges: Int): DataFrame = {
+      ranges: Int, bucketCol: String = "doc_id",
+      orderCols: Seq[Column] = Seq(col("doc_id"))): DataFrame = {
     val probes = (1 until ranges).map(_.toDouble / ranges).toArray
     val splits =
       if (probes.isEmpty) Array.empty[Double]
-      else rows.stat.approxQuantile("doc_id", probes, 0.001).distinct.sorted
+      else rows.stat.approxQuantile(bucketCol, probes, 0.001).distinct.sorted
     val rng = splits.foldLeft(lit(0)) { (acc, s) =>
-      acc + when(col("doc_id") >= lit(s), 1).otherwise(0)
+      acc + when(col(bucketCol) >= lit(s), 1).otherwise(0)
     }
     val r = rows.withColumn("rng", rng)
     val offsets = r.groupBy(col(grp), col("rng"))
@@ -440,7 +429,7 @@ object Sampling {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(grp), col("rng"), col("off"))
     val inRange = Window.partitionBy(col(grp), col("rng"))
-      .orderBy(col("doc_id"))
+      .orderBy(orderCols: _*)
     r.join(broadcast(offsets), Seq(grp, "rng"))
       .withColumn("rk", col("off") + row_number().over(inRange))
       .drop("rng", "off")

@@ -420,7 +420,7 @@ object Similarity {
     * by id (FAISS's refine index stores them; at 100 TB that storage
     * call is made explicitly by the caller). */
   def writeIvfPqIndex(emb: DataFrame, centroids: Array[Array[Double]],
-      dir: String, m: Int = 8): Unit = {
+      dir: String, m: Int = 8, writeResiduals: Boolean = true): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val books = pqBooks(centroids, m)
@@ -436,9 +436,14 @@ object Similarity {
     // the RESIDUAL codebooks too (the model half of true IVFPQ), so
     // one artifact serves both composition variants; skipped when the
     // corpus is too small for the second-stride seed rule (one count,
-    // one predicate definition — shared with residualCodebooks).
+    // one predicate definition — shared with residualCodebooks), or
+    // when the caller only needs the plain-codes contract
+    // (writeResiduals = false — the append gate's base build, which
+    // must not leave base-corpus residual books beside full-corpus
+    // codes; ivfPqResidualTopKFromIndex then fails its friendly
+    // require instead of silently mixing corpora).
     val n = emb.count()
-    if (canResidual(n, centroids.length)) {
+    if (writeResiduals && canResidual(n, centroids.length)) {
       val rbooks = residualCodebooksN(emb, centroids, m, n)
       (for {
         mi <- 0 until m
@@ -571,7 +576,7 @@ object Similarity {
         .createTempDirectory("graft-annappend").toString
       val emb = Tables.embeddings(sp, dir)
       writeIvfPqIndex(emb.filter(col("vec_id") % 5 =!= 0),
-        trainedCentroids(sp, dir, 16, 0), out)
+        trainedCentroids(sp, dir, 16, 0), out, writeResiduals = false)
       appendToIvfPqIndex(sp, out, emb.filter(col("vec_id") % 5 === 0))
       SessionCleanup.onEnd(sp) {
         appendIndexMemo.remove((sp, dir))

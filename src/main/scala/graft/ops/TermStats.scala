@@ -362,58 +362,62 @@ object TermStats {
     * loop; the registered learn_iter key gates it against the
     * unrolled-CTE oracle that replays the recounts).
     *
-    * DAG discipline: each round's encoded frame feeds BOTH its pick
-    * and the next round's stream — uncached, the chain recomputes
-    * exponentially — so every per-round frame persists (vocab-sized ×
-    * batch rows in memory) and unpersists when its batch completes;
-    * the last frame carries over as the next batch's base. Exhaustion
-    * composes: an empty pick annihilates the downstream cross joins,
-    * so the union simply comes back short and the loop stops at the
-    * same round the sequential form would. */
+    * DAG discipline (measured in r10, the hard way): NESTING persisted
+    * frames is a trap here — once a chained cache materializes, every
+    * later plan that touches it re-prints/re-plans the cached child's
+    * AQE tree (final + initial plan per level), so a k-deep chain of
+    * materialized InMemoryRelations costs O(2^k) planning/plan-string
+    * work per subsequent action; at k = 5 the second batch's first
+    * action burned 30+ min in `generateTreeString` before doing any
+    * work. The shape that scales is the graph-loop pattern
+    * ([[Graphs]]' localCheckpoint-per-round): the batch BASE is an
+    * eager localCheckpoint — lineage-free, plan = one RDD scan — and
+    * the k in-batch rounds stay completely LAZY (no persist). The k
+    * picks recompute shared prefixes of the replace chain
+    * (Σ ≤ k(k+1)/2 vocab-sized recounts per batch worst case; Spark's
+    * ReuseExchange dedupes the identical broadcast pick subplans
+    * within the one action), and the next batch's base is one more
+    * eager localCheckpoint of the final frame. Two actions per batch
+    * instead of the sequential loop's k, flat plans everywhere, no
+    * cache bookkeeping. Exhaustion composes: an empty pick annihilates
+    * the downstream cross joins, so the union simply comes back short
+    * and the loop stops at the same round the sequential form would. */
   def bpeLearnIterBatched(docs: DataFrame, rounds: Int = 10,
       batch: Int = 5): Seq[(String, String, Long)] = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
     val freq = tokens(docs).filter(length(col("word")) >= 2)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // eager: the one corpus-sized pass, materialized once, lineage cut
     var v: DataFrame = freq.select(col("cnt"), concat(
       regexp_replace(col("word"), "(.)", "  $1"), lit("  ")).as("enc"))
-      .persist()
+      .localCheckpoint(true)
     val learned = scala.collection.mutable.Buffer[(String, String, Long)]()
     var exhausted = false
     var r = 0
-    try {
-      while (r < rounds && !exhausted) {
-        val k = math.min(batch, rounds - r)
-        val stale = scala.collection.mutable.Buffer[DataFrame]()
-        var cur = v
-        val picks = (1 to k).map { i =>
-          val pick = pairCounts(cur)
-            .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1)
-            .select(lit(r + i).as("r"), col("lhs"), col("rhs"), col("n"))
-            .persist()
-          stale += pick
-          cur = cur.crossJoin(broadcast(pick))
-            .select(col("cnt"), replace(col("enc"),
-              concat(lit(" "), col("lhs"), lit("  "), col("rhs"), lit(" ")),
-              concat(lit(" "), col("lhs"), col("rhs"), lit(" "))).as("enc"))
-            .persist()
-          stale += cur
-          pick
-        }
-        // ONE action materializes all k rounds (each chained frame is
-        // persisted, so nothing recomputes across the k picks)
-        val got = picks.reduce(_ unionByName _).orderBy("r").collect()
-        got.foreach(row =>
-          learned += ((row.getString(1), row.getString(2), row.getLong(3))))
-        if (got.length < k) exhausted = true
-        // the last chained frame is the next batch's base; retire the rest
-        val keep = if (exhausted) null else stale.last
-        v.unpersist(false)
-        stale.filter(_ ne keep).foreach(_.unpersist(false))
-        v = keep
-        r += k
+    while (r < rounds && !exhausted) {
+      val k = math.min(batch, rounds - r)
+      var cur = v
+      val picks = (1 to k).map { i =>
+        val pick = pairCounts(cur)
+          .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1)
+          .select(lit(r + i).as("r"), col("lhs"), col("rhs"), col("n"))
+        cur = cur.crossJoin(broadcast(pick))
+          .select(col("cnt"), replace(col("enc"),
+            concat(lit(" "), col("lhs"), lit("  "), col("rhs"), lit(" ")),
+            concat(lit(" "), col("lhs"), col("rhs"), lit(" "))).as("enc"))
+        pick
       }
-    } finally if (v != null) v.unpersist(false)
+      // ONE action collects all k picks (lazy chain, flat base)
+      val got = picks.reduce(_ unionByName _).orderBy("r").collect()
+      got.foreach(row =>
+        learned += ((row.getString(1), row.getString(2), row.getLong(3))))
+      if (got.length < k) exhausted = true
+      else if (r + k < rounds)
+        // batch boundary: truncate the k-round lineage so the next
+        // batch's plans start from a flat RDD scan
+        v = cur.localCheckpoint(true)
+      r += k
+    }
     learned.toSeq
   }
 
@@ -514,23 +518,33 @@ object TermStats {
     * creates a fresh occurrence of its own pattern; (iii) later merges
     * see the merged stream, same as the stacked replaces.
     *
-    * Cost: O(L²) substring-set build + one O(L) pass per merge whose
-    * fused pattern occurs in the word (symbols are contiguous word
-    * substrings, so `a+b` not a substring of the word ⟹ the pair can
-    * never be adjacent — the skip makes a 30k-merge table cost ~30k
-    * hash probes per DISTINCT word, not 30k passes). */
+    * Cost: O(L·maxSymLen) substring-set build (substrings LONGER than
+    * the longest fused symbol can never be probed, so they are never
+    * inserted — an unbounded build would be O(L³) bytes and OOM on one
+    * pathological whitespace-free token: a long URL, a base64 blob)
+    * plus one O(L) pass per merge whose fused pattern occurs in the
+    * word (symbols are contiguous word substrings, so `a+b` not a
+    * substring of the word ⟹ the pair can never be adjacent — the
+    * skip makes a 30k-merge table cost ~30k hash probes per DISTINCT
+    * word, not 30k passes). `maxSymLen` is the longest fused-symbol
+    * length, hoisted to the caller's per-partition init. */
   def bpeGreedyEncode(word: String,
-      merges: Array[(String, String, String)]): String = {
+      merges: Array[(String, String, String)], maxSymLen: Int): String = {
     if (word.isEmpty) return ""
-    val subs = new java.util.HashSet[String](word.length * word.length)
+    val subs = new java.util.HashSet[String](
+      math.min(word.length * math.max(maxSymLen, 1), 1 << 16))
     var i = 0
     while (i < word.length) {
       var j = i + 1
-      while (j <= word.length) { subs.add(word.substring(i, j)); j += 1 }
+      val cap = math.min(word.length, i + maxSymLen)
+      while (j <= cap) { subs.add(word.substring(i, j)); j += 1 }
       i += 1
     }
-    var cur: Array[String] = Array.tabulate(word.length)(k =>
-      word.substring(k, k + 1))
+    // initial symbols are CODE POINTS, matching the expression chain's
+    // regexp_replace("(.)") — Java regex `.` consumes a full surrogate
+    // pair, so a code-UNIT split would diverge on supplementary chars
+    var cur: Array[String] = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
     var mi = 0
     while (mi < merges.length) {
       val (a, b, ab) = merges(mi)
@@ -578,9 +592,11 @@ object TermStats {
     val bc = spark.sparkContext.broadcast(merges.toArray)
     words.select(col("word")).as[String]
       .mapPartitions { it =>
-        // per-partition init: fuse each merge's replacement string once
+        // per-partition init: fuse each merge's replacement string and
+        // the probe-length bound once
         val fused = bc.value.map { case (a, b) => (a, b, a + b) }
-        it.map(w => (w, bpeGreedyEncode(w, fused)))
+        val maxSymLen = fused.foldLeft(0)((m, f) => math.max(m, f._3.length))
+        it.map(w => (w, bpeGreedyEncode(w, fused, maxSymLen)))
       }
       .toDF("word", "enc")
   }

@@ -131,7 +131,7 @@ object Text {
   // DECOMPOSED (NFC must compose them); ÉCOLE is PRECOMPOSED uppercase
   // (casefold must lower it); separators are doubled spaces.
   private[graft] val uniSuffix =
-    " Café  Über ÉCOLE  NOËL"
+    " Cafe\u0301  U\u0308ber \u00c9COLE  NOE\u0308L"
   private[graft] def uniEnrich(text: Column, docId: Column): Column =
     when(docId % 5 === 0, concat(text, lit(uniSuffix))).otherwise(text)
   private[graft] val sqlUniEnrich =

@@ -251,6 +251,15 @@ class TermStatsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .toSeq
     assert(got == want)
+    // supplementary chars: initial symbols are CODE POINTS (the
+    // expression chain's regexp_replace("(.)") consumes a surrogate
+    // pair whole) — a code-UNIT split would emit 4 symbols here
+    val emoji = "a😀b"
+    val viaExpr = Seq(Tuple1(emoji)).toDF("word")
+      .select(TermStats.bpeEncodePairsExpr(col("word"), Seq.empty).as("e"))
+      .collect().head.getString(0)
+    assert(viaExpr.split(" ").length == 3)
+    assert(TermStats.bpeGreedyEncode(emoji, Array.empty, 0) == viaExpr)
   }
 
   test("batched trainer: exhaustion composes across batch boundaries " +
@@ -310,9 +319,10 @@ class TermStatsSpec extends AnyFunSuite {
     for (n <- Seq(1000, 5000)) {
       val m = TermStats.syntheticMerges(n)
       val fused = m.map { case (a, b) => (a, b, a + b) }.toArray
+      val maxLen = fused.foldLeft(0)((x, f) => math.max(x, f._3.length))
       words.foreach { w =>
-        assert(TermStats.bpeGreedyEncode(w, fused) == refStringEncode(w, m),
-          s"$n merges: $w")
+        assert(TermStats.bpeGreedyEncode(w, fused, maxLen)
+          == refStringEncode(w, m), s"$n merges: $w")
       }
     }
     // the full DISTRIBUTED path at 5,000 merges: one mapPartitions node

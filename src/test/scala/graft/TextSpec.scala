@@ -231,17 +231,17 @@ class TextSpec extends AnyFunSuite {
       "lowers precomposed uppercase, whitespace collapses, ASCII " +
       "passes through, and the chain is idempotent") {
     val raw = Seq(
-      (1L, "Café"),       // decomposed e + COMBINING ACUTE
-      (2L, "ÉCOLE"),       // precomposed uppercase É
-      (3L, "Über  NOËL"), // decomposed + doubled space
+      (1L, "Cafe\u0301"),       // decomposed e + COMBINING ACUTE
+      (2L, "\u00c9COLE"),       // precomposed uppercase É
+      (3L, "U\u0308ber  NOE\u0308L"), // decomposed + doubled space
       (4L, " plain  ASCII text "))
     val df = raw.toDF("id", "t")
     val got = df.select(col("id"), Text.normalizeUnicode(col("t")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     // composed single codepoints, lowered, collapsed, trimmed
-    assert(got(1L) == "café" && got(1L).length == 4)
-    assert(got(2L) == "école" && got(2L).length == 5)
-    assert(got(3L) == "über noël")
+    assert(got(1L) == "caf\u00e9" && got(1L).length == 4)
+    assert(got(2L) == "\u00e9cole" && got(2L).length == 5)
+    assert(got(3L) == "\u00fcber no\u00ebl")
     assert(got(4L) == "plain ascii text")
     // idempotence: a normalized string is a fixpoint
     val twice = df.select(col("id"),
@@ -253,7 +253,7 @@ class TextSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val out = Text.queries("text_normalize_unicode")(spark, TestSpark.sf0001)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val enrichedTail = " café über école noël"
+    val enrichedTail = " caf\u00e9 \u00fcber \u00e9cole no\u00ebl"
     docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
       if (id % 5 == 0) assert(out(id).endsWith(enrichedTail), id)
       else assert(!out(id).endsWith(enrichedTail), id)
