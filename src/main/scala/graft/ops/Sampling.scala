@@ -371,6 +371,19 @@ object Sampling {
       sequence(lit(1), size(col("bnd0"))),
       i => aggregate(slice(col("bnd0"), lit(1), i), lit(0L),
         (a, x) => a + x) + (lit(1L) - element_at(col("bnd0"), 1)))
+    // NEXT-TOKEN LABELS (r10): the causal-LM target array — labels[i]
+    // is ids[i+1] UNLESS position i+1 starts a new document (a packed
+    // trainer must not learn to predict doc 2's opening token from
+    // doc 1's closing context) or i is the sequence's last real
+    // position (the continuation lives in the NEXT sequence; 0 =
+    // ignore, the same sentinel as padding since real ids start at 1).
+    // Both element_at calls are short-circuit-guarded by i < size, so
+    // the bound never overruns under ANSI.
+    val labReal = transform(
+      sequence(lit(1), size(col("ids0"))),
+      i => when(i < size(col("ids0")) &&
+          element_at(col("bnd0"), i + 1) === 0L,
+        element_at(col("ids0"), i + 1)).otherwise(lit(0L)))
     wide.groupBy(col("seq_id"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_tokens"),
@@ -383,7 +396,8 @@ object Sampling {
         concat(col("bnd0"), pad(size(col("bnd0")))).as("doc_start"),
         concat(array_repeat(lit(1L), size(col("ids0")).cast("int")),
           pad(size(col("ids0")))).as("loss_mask"),
-        concat(segReal, pad(size(col("bnd0")))).as("segment_ids"))
+        concat(segReal, pad(size(col("bnd0")))).as("segment_ids"),
+        concat(labReal, pad(size(col("ids0")))).as("labels"))
       .orderBy("seq_id")
   }
 
@@ -903,6 +917,22 @@ object Sampling {
             x => x.cast("string"))).as("segment_ids"),
           array_max(col("segment_ids")).as("n_segments"))
         .orderBy("seq_id")),
+    // the NEXT-TOKEN LABELS tensor (the causal-LM target): ids shifted
+    // left by one with 0 (= ignore) at document boundaries — a packed
+    // trainer must not predict doc 2's first token from doc 1 — at the
+    // sequence's last real position (the continuation lives in the
+    // next sequence), and over padding. Gated through the string
+    // projection plus two array-derived scalars (sum, #supervised).
+    "sample_pack_labels" -> ((s, d) =>
+      packSequencesTensor(Tables.documents(s, d))
+        .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+          concat_ws(" ", transform(col("labels"),
+            x => x.cast("string"))).as("labels"),
+          aggregate(col("labels"), lit(0L), (a, x) => a + x)
+            .as("labels_sum"),
+          size(filter(col("labels"), x => x > 0L)).cast("long")
+            .as("n_predict"))
+        .orderBy("seq_id")),
     // contrastive training-pair mining: per anchor one positive
     // (lowest-id label-mate) and 3 seeded-hash negatives from other
     // labels — the md5-rank "random" choice every sampling key uses,
@@ -1366,6 +1396,32 @@ object Sampling {
          |       seg0 || repeat(' 0', 64 - CAST(n_tokens AS INT))
          |         AS segment_ids,
          |       n_segments
+         |FROM seqs ORDER BY seq_id""".stripMargin,
+    // labels re-derived from the SAME wide grid with lead() over the
+    // in-sequence position: next id when the next position exists and
+    // does not open a new document, else 0 (lead past the last real
+    // position is NULL, so the CASE falls through to 0 — exactly the
+    // engine's sequence-end rule); padding positions append literal 0s.
+    "sample_pack_labels" ->
+      s"""WITH $packTensorWideCtes,
+         |lab AS (
+         |  SELECT doc_id, seq_id, spos,
+         |         CASE WHEN lead(bnd) OVER w = 0
+         |              THEN lead(id) OVER w ELSE 0 END AS lab
+         |  FROM wide
+         |  WINDOW w AS (PARTITION BY seq_id ORDER BY spos)),
+         |seqs AS (
+         |  SELECT seq_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |         CAST(count(*) AS BIGINT) AS n_tokens,
+         |         string_agg(CAST(lab AS VARCHAR), ' ' ORDER BY spos)
+         |           AS lab0,
+         |         CAST(sum(lab) AS BIGINT) AS labels_sum,
+         |         CAST(sum(CASE WHEN lab > 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_predict
+         |  FROM lab GROUP BY seq_id)
+         |SELECT seq_id, n_docs, n_tokens,
+         |       lab0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS labels,
+         |       labels_sum, n_predict
          |FROM seqs ORDER BY seq_id""".stripMargin,
     // identical md5 rank keys (same pipe-joined decimal strings), same
     // lowest-id positive, same per-anchor rank windows.

@@ -660,6 +660,64 @@ object TermStats {
       .orderBy("doc_id")
   }
 
+  /** The deterministic unseen-symbol token for the UNK gate: 'ø' never
+    * occurs in the ASCII synthetic corpus, so no merge operand and no
+    * vocabulary symbol can contain it — every enriched document is
+    * GUARANTEED at least one out-of-vocabulary symbol. Escape-pinned
+    * source literal (the uniEnrich convention). */
+  private[graft] val unkSuffix = " nøvel"
+
+  /** INFERENCE-TIME id mapping with an UNK contract (r10): encode a
+    * NEW batch (the doc_id%7==0 split, enriched with [[unkSuffix]] so
+    * out-of-vocabulary symbols actually occur) using the SHIPPED
+    * tokenizer — merges from the persisted artifact, vocabulary = the
+    * dense ids of the full original corpus's encoded symbols (what
+    * tokenize_bpe_vocab_iter persists). Symbols outside the vocabulary
+    * map to id 0 (= UNK; real ids start at 1, same sentinel rule as
+    * the tensor padding) and are counted per document — the contract
+    * every production tokenizer needs the first time tonight's crawl
+    * contains a character yesterday's corpus didn't.
+    *
+    * Same vocab-sized plan as [[bpeIdsWith]]: both encodes run over
+    * DISTINCT words, the corpus-sized passes carry one row per token;
+    * the only new machinery is the LEFT join + coalesce(0). */
+  def bpeIdsUnk(docs: DataFrame, merges: Seq[(String, String)],
+      suffix: String = unkSuffix): DataFrame = {
+    // the shipped vocabulary: symbols of the ORIGINAL corpus encoding
+    val corpEncv = tokensPos(docs).select(col("word")).distinct()
+      .select(bpeEncodePairsExpr(col("word"), merges).as("enc"))
+    val symVocab = Scale.assignIdsByRange(
+      corpEncv.select(explode(split(col("enc"), " ")).as("sym"))
+        .distinct(), "sym")
+    // tonight's batch: held-out docs + the guaranteed-unseen token
+    val held = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(suffix)).as("text"))
+    val heldToks = tokensPos(held)
+    val heldEncv = heldToks.select(col("word")).distinct()
+      .select(col("word"),
+        bpeEncodePairsExpr(col("word"), merges).as("enc"))
+    val wsyms = heldEncv.select(col("word"),
+      posexplode(split(col("enc"), " ")).as(Seq("spos", "sym")))
+    val wordIds = wsyms.join(symVocab, Seq("sym"), "left")
+      .withColumn("uid", coalesce(col("id"), lit(0L)))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_sym"),
+        sum(when(col("id").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_unk_w"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("spos"), col("uid")))),
+          x => x.getField("uid").cast("string"))).as("wids"))
+    heldToks.join(wordIds, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_sym")).as("n_symbols"),
+        sum(col("n_unk_w")).as("n_unk"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("wids")))),
+          x => x.getField("wids"))).as("ids"))
+      .orderBy("doc_id")
+  }
+
   /** The CAPSTONE trainer-prep pipeline: corpus → ITERATIVELY trained
     * BPE (the recount loop) → symbol ids → fixed-`window` packed
     * tensor sequences — the complete tokenize-to-dataloader path as
@@ -1006,6 +1064,14 @@ object TermStats {
     "tokenize_bpe_apply_scaled" -> ((s, d) =>
       bpeApplyScaled(Tables.documents(s, d),
         loadTokenizerMerges(s, persistedTokenizerDir(s, d)))),
+    // the UNK contract: tonight's batch (held-out split + a
+    // guaranteed-unseen token) encoded with the SHIPPED artifact's
+    // merges against the full-corpus vocabulary; out-of-vocabulary
+    // symbols → id 0, counted per doc. TermStatsSpec pins n_unk >= 1
+    // on every enriched doc and 0 under an unenriched batch.
+    "tokenize_bpe_ids_unk" -> ((s, d) =>
+      bpeIdsUnk(Tables.documents(s, d),
+        loadTokenizerMerges(s, persistedTokenizerDir(s, d)))),
     // dense ids over the ITERATIVELY merged symbol vocabulary — the
     // tensor path string-projected, completing the iter family.
     "tokenize_bpe_ids_iter" -> ((s, d) =>
@@ -1234,6 +1300,55 @@ object TermStats {
     // the scaled encoder must not change the encoding either: same
     // contract, same oracle verbatim.
     "tokenize_bpe_apply_scaled" -> applyIterOracleSql,
+    // the UNK gate replays the full inference path: vocabulary =
+    // alphabetic dense ids over the ORIGINAL corpus's encoded symbols
+    // (toks0 — only ASCII symbols, so both engines' orderings agree),
+    // the held-out stream encodes enriched text with the same merge
+    // chain, and the LEFT join's NULLs become 0/UNK. The ø-bearing
+    // symbols can never reach sv (no corpus word contains ø), so
+    // every enriched doc counts at least one UNK.
+    "tokenize_bpe_ids_unk" ->
+      s"""WITH ${bpeIterCtes(10)},
+         |toks0 AS (
+         |  SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, words[i] AS word, i AS pos FROM (
+         |      SELECT doc_id, string_split(text, ' ') AS words,
+         |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+         |      FROM documents))
+         |  WHERE length(word) > 0),
+         |htoks AS (
+         |  SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, words[i] AS word, i AS pos FROM (
+         |      SELECT doc_id,
+         |             string_split(text || '$unkSuffix', ' ') AS words,
+         |             unnest(range(1,
+         |               len(string_split(text || '$unkSuffix', ' ')) + 1))
+         |               AS i
+         |      FROM documents WHERE doc_id % 7 = 0))
+         |  WHERE length(word) > 0),
+         |encv AS (
+         |  SELECT word,
+         |    ${bpeIterOracleEncode(10)} AS enc
+         |  FROM (SELECT word FROM toks0 UNION SELECT word FROM htoks)),
+         |sv AS (
+         |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+         |    AS id
+         |  FROM (SELECT DISTINCT unnest(string_split(enc, ' ')) AS sym
+         |        FROM encv
+         |        WHERE word IN (SELECT DISTINCT word FROM toks0))),
+         |ds AS (
+         |  SELECT doc_id, pos, i AS spos, syms[i] AS sym FROM (
+         |    SELECT h.doc_id, h.pos, string_split(e.enc, ' ') AS syms,
+         |           unnest(range(1, len(string_split(e.enc, ' ')) + 1))
+         |             AS i
+         |    FROM htoks h JOIN encv e ON h.word = e.word))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_symbols,
+         |       CAST(sum(CASE WHEN sv.id IS NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_unk,
+         |       string_agg(CAST(coalesce(sv.id, 0) AS VARCHAR), ' '
+         |         ORDER BY ds.pos, ds.spos) AS ids
+         |FROM ds LEFT JOIN sv USING (sym)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // vocabulary artifact: corpus-count-weighted symbols of the
     // iteratively merged vocabulary, alphabetic dense ids.
     "tokenize_bpe_vocab_iter" ->

@@ -143,6 +143,41 @@ object Text {
     trim(regexp_replace(
       graft.functions.Nfc.nfc(lower(text)), " +", " "))
 
+  // --- Unicode-canonical dedup (dedup_unicode) -----------------------
+  // The NFC key's actual payoff: exact dedup keyed on the CANONICAL
+  // form, so the same text arriving precomposed from one source and
+  // decomposed from another (the normal state of a multi-source crawl
+  // — NFC-normalizing and non-normalizing pipelines both exist in the
+  // wild) collapses into one group where raw-byte hashing sees two
+  // distinct documents. The gate constructs that exact situation
+  // deterministically: every fifth document appears twice — once with
+  // [[uniSuffix]] (decomposed marks, doubled spaces) and once, under
+  // doc_id + 100000, with the PRECOMPOSED byte-different twin below —
+  // and the output's n_raw column proves raw hashing keeps them apart
+  // (n_raw = 2) while the normalized key unifies them (one group).
+  // Same digest-groupBy shape as dedup_exact: only (md5, min-id,
+  // counts) rows shuffle, payloads stay put; the normalize chain is
+  // one codegen'd map pass.
+  private[graft] val uniSuffixPre =
+    " Café Über ÉCOLE NOËL"
+  def unicodeDedup(docs: DataFrame): DataFrame = {
+    val five = docs.filter(col("doc_id") % 5 === 0)
+    val all = five
+      .select(col("doc_id"),
+        concat(col("text"), lit(uniSuffix)).as("text"))
+      .unionByName(five.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(uniSuffixPre)).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("text")))
+    all
+      .groupBy(md5(normalizeUnicode(col("text")).cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_raw"))
+      .select(col("doc_id"), col("h"), col("n_docs"), col("n_raw"))
+      .orderBy("doc_id")
+  }
+
   // --- HTML boilerplate strip (text_html_strip) ---------------------
   // The crawl-ingest cleaning stage: drop markup, decode the common
   // entities, collapse the whitespace the removed tags leave behind.
@@ -408,6 +443,12 @@ object Text {
           length(norm).cast("long").as("n_chars_norm"))
         .orderBy("doc_id")
     }),
+    // exact dedup keyed on the CANONICAL form: precomposed and
+    // decomposed twins of the same text (deterministically
+    // constructed, byte-different — n_raw proves it) collapse into one
+    // group where raw-byte hashing keeps them apart.
+    "dedup_unicode" -> ((s, d) =>
+      unicodeDedup(Tables.documents(s, d))),
     // PII scrub: per-doc email/URL counts + the redacted text. Map-only
     // regexp_count/regexp_replace over the (deterministically enriched)
     // corpus — at 100 TB this is one codegen'd pass, no shuffle.
@@ -624,6 +665,29 @@ object Text {
          |SELECT doc_id, norm_text,
          |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm
          |FROM n ORDER BY doc_id""".stripMargin,
+    // the canonical-dedup replay: same twin construction (decomposed
+    // suffix under the original id, precomposed under id + 100000),
+    // same lower → nfc_normalize → collapse key, raw-byte md5 for the
+    // contrast column.
+    "dedup_unicode" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text || '$uniSuffix' AS text
+         |  FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text || '$uniSuffixPre'
+         |  FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |n AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(nfc_normalize(lower(text)),
+         |      ' +', ' ', 'g'))) AS h,
+         |    md5(text) AS rawh
+         |  FROM base)
+         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, h,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT rawh) AS BIGINT) AS n_raw
+         |FROM n GROUP BY h ORDER BY doc_id""".stripMargin,
     "text_pii_mask" ->
       s"""WITH enr AS (
          |  SELECT doc_id, $sqlPiiEnrich AS etext FROM documents)

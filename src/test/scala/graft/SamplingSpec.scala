@@ -297,6 +297,37 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("labels tensor: ids shifted left by one, 0 at document " +
+      "boundaries, sequence end, and padding; the registered key is " +
+      "its string projection plus the derived scalars") {
+    val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
+    val tens = Sampling.packSequencesTensor(docs)
+    val rows = tens.collect().map(r => (r.getLong(0), r.getLong(2),
+      r.getSeq[Long](3), r.getSeq[Long](4), r.getSeq[Long](7)))
+    rows.foreach { case (seq, nToks, ids, bnd, labs) =>
+      assert(labs.size == 64, seq)
+      labs.indices.foreach { i =>
+        val expect =
+          if (i + 1 < nToks && bnd(i + 1) == 0L) ids(i + 1) else 0L
+        assert(labs(i) == expect, s"seq $seq pos $i")
+      }
+      // supervised positions = real tokens minus one per boundary
+      // that follows them minus the sequence-final position
+      val nPred = labs.count(_ > 0L)
+      val nStartsAfterFirst =
+        bnd.slice(1, nToks.toInt).count(_ == 1L)
+      assert(nPred == nToks - 1 - nStartsAfterFirst, seq)
+    }
+    val viaKey = Sampling.queries("sample_pack_labels")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getLong(4),
+        r.getLong(5))).toMap
+    rows.foreach { case (seq, _, _, _, labs) =>
+      assert(viaKey(seq) ==
+        ((labs.mkString(" "), labs.sum, labs.count(_ > 0L).toLong)), seq)
+    }
+  }
+
   test("pack tensor plan: every join broadcasts (vocab and offsets are " +
       "model-sized) — no sort-merge join in the executed plan") {
     val df = Sampling.packSequencesTensor(

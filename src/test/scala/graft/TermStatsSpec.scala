@@ -262,6 +262,31 @@ class TermStatsSpec extends AnyFunSuite {
     assert(TermStats.bpeGreedyEncode(emoji, Array.empty, 0) == viaExpr)
   }
 
+  test("ids_unk: every enriched doc counts at least one UNK, the id " +
+      "stream marks exactly n_unk zeros, and an unenriched batch has " +
+      "zero UNKs (held-out words were in the shipped vocabulary)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val pairs = TermStats.bpeLearnIter(docs, 10)
+      .map { case (a, b, _) => (a, b) }
+    val out = TermStats.bpeIdsUnk(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty && out.forall(_._1 % 7 == 0))
+    out.foreach { case (id, nSym, nUnk, ids) =>
+      val toks = ids.split(" ")
+      assert(toks.length == nSym, s"doc $id symbol count")
+      // the ø-bearing token guarantees at least one OOV symbol, and
+      // the zeros in the stream are exactly the counted UNKs
+      assert(nUnk >= 1, s"doc $id must hit the unseen token")
+      assert(toks.count(_ == "0") == nUnk, s"doc $id unk marks")
+      // real ids stay 1-based so 0 is unambiguous
+      assert(toks.forall(t => t.toLong >= 0L), s"doc $id id range")
+    }
+    // no enrichment → the batch's words all appeared in the original
+    // corpus, so every symbol resolves and nothing maps to UNK
+    val clean = TermStats.bpeIdsUnk(docs, pairs, suffix = "").collect()
+    assert(clean.nonEmpty && clean.forall(_.getLong(2) == 0L))
+  }
+
   test("batched trainer: exhaustion composes across batch boundaries " +
       "and every batch size gives the same table") {
     // tiny corpus exhausts after 4 merges: he, t+he, (space-free "the"

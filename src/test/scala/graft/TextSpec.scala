@@ -259,4 +259,30 @@ class TextSpec extends AnyFunSuite {
       else assert(!out(id).endsWith(enrichedTail), id)
     }
   }
+
+  test("dedup_unicode: byte-different precomposed/decomposed twins " +
+      "collapse under the canonical key while raw hashing keeps them " +
+      "apart, and nothing else merges across the twin id space") {
+    // the two suffixes are byte-different but canonically equal
+    val s = Seq((1L, Text.uniSuffix), (2L, Text.uniSuffixPre))
+      .toDF("id", "t")
+      .select(col("id"), Text.normalizeUnicode(col("t")).as("n"),
+        md5(col("t").cast("binary")).as("raw"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(s(0)._1 == s(1)._1 && s(0)._2 != s(1)._2)
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val nDocs = docs.count()
+    val nFifth = docs.filter(col("doc_id") % 5 === 0).count()
+    val out = Text.queries("dedup_unicode")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // group mass conserves: every input row lands in exactly one group
+    assert(out.map(_._2).sum == nDocs + nFifth)
+    // the twin is never the group representative (min is the original)
+    assert(out.forall(_._1 < 100000L))
+    // every fifth-doc group holds its byte-different twin: the
+    // canonical key unified what raw hashing could not
+    out.filter(_._1 % 5 == 0).foreach { case (id, n, nRaw) =>
+      assert(n >= 2 && nRaw >= 2, s"group $id")
+    }
+  }
 }
