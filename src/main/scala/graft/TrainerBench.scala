@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic main for the SCALE_r10 trainer A/B: time the SEQUENTIAL
+  * BPE training loop (one Spark action per merge round) against the
+  * BATCHED loop (k lazy rounds per action, VERDICT r9 "Next round" #2)
+  * on the same corpus and rounds, and time the production-scale greedy
+  * encoder over the distinct vocabulary at synthetic merge depths the
+  * expression chain cannot express (it stack-overflows near 1,000
+  * nodes — measured in TermStatsSpec). Emits one JSON line per
+  * measurement; the tables land in SCALE_r10.md.
+  *
+  * Usage: runMain graft.TrainerBench [sfDir ...]
+  * (defaults to the three driver SFs; rounds via SPARK_GRAFT_ROUNDS,
+  * default 10 — the registered keys' setting.)
+  */
+object TrainerBench {
+  def main(args: Array[String]): Unit = {
+    val sfs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    for (sf <- sfs) {
+      val docs = graft.model.Tables.documents(spark, sf)
+      docs.count() // warm the scan
+      // JIT/codegen warm-up on the smallest corpus shape, then
+      // min-of-3 steady state for both loops; equality asserted so the
+      // timing claim and the bit-identity claim are the same run.
+      val seqT = (1 to 3).map(_ =>
+        time(graft.ops.TermStats.bpeLearnIter(docs, rounds))).minBy(_._2)
+      val batT = (1 to 3).map(_ =>
+        time(graft.ops.TermStats.bpeLearnIterBatched(docs, rounds,
+          batch = 5))).minBy(_._2)
+      require(seqT._1 == batT._1, "batched trainer diverged from sequential")
+      println(s"""{"sf":"$sf","rounds":$rounds,""" +
+        s""""sequential_s":${r3(seqT._2)},"batched_s":${r3(batT._2)},""" +
+        s""""speedup":${r3(seqT._2 / batT._2)}}""")
+    }
+    // scaled greedy encoder at depths the expression chain cannot host:
+    // encode the sf0.1 distinct vocabulary under 1,000 and 5,000
+    // synthetic merges (plan size is O(1) in the merge count).
+    val docs01 = graft.model.Tables.documents(spark, sfs.last)
+    for (n <- Seq(1000, 5000)) {
+      val merges = graft.ops.TermStats.syntheticMerges(n)
+      val t = (1 to 3).map(_ => time(
+        graft.ops.TermStats.bpeApplyScaled(docs01, merges)
+          .queryExecution.toRdd.count())).map(_._2).min
+      println(s"""{"sf":"${sfs.last}","scaled_encode_merges":$n,""" +
+        s""""apply_s":${r3(t)}}""")
+    }
+    spark.stop()
+  }
+}
