@@ -442,14 +442,18 @@ object Similarity {
     // must not leave base-corpus residual books beside full-corpus
     // codes; ivfPqResidualTopKFromIndex then fails its friendly
     // require instead of silently mixing corpora).
-    val n = emb.count()
-    if (writeResiduals && canResidual(n, centroids.length)) {
-      val rbooks = residualCodebooksN(emb, centroids, m, n)
-      (for {
-        mi <- 0 until m
-        (cw, ki) <- rbooks(mi).zipWithIndex
-      } yield (mi, ki, cw.toSeq)).toDF("mi", "ki", "cw").repartition(1)
-        .write.mode("overwrite").parquet(s"$dir/residual_books")
+    // count only when the residual path can consume it — with
+    // writeResiduals = false the count would be a wasted corpus scan
+    if (writeResiduals) {
+      val n = emb.count()
+      if (canResidual(n, centroids.length)) {
+        val rbooks = residualCodebooksN(emb, centroids, m, n)
+        (for {
+          mi <- 0 until m
+          (cw, ki) <- rbooks(mi).zipWithIndex
+        } yield (mi, ki, cw.toSeq)).toDF("mi", "ki", "cw").repartition(1)
+          .write.mode("overwrite").parquet(s"$dir/residual_books")
+      }
     }
     codedFrame(emb, centroids, books, m)
       .write.mode("overwrite").parquet(s"$dir/codes")

@@ -412,10 +412,19 @@ object TermStats {
       got.foreach(row =>
         learned += ((row.getString(1), row.getString(2), row.getLong(3))))
       if (got.length < k) exhausted = true
-      else if (r + k < rounds)
+      else if (r + k < rounds) {
         // batch boundary: truncate the k-round lineage so the next
-        // batch's plans start from a flat RDD scan
+        // batch's plans start from a flat RDD scan — and RELEASE the
+        // superseded base's blocks explicitly (at thousands of batches,
+        // waiting for driver GC + ContextCleaner would stack
+        // MEMORY_AND_DISK copies of the vocab frame on the executors;
+        // nothing references the old base once the new one
+        // materializes, so unpersist is safe)
+        val prev = v
         v = cur.localCheckpoint(true)
+        org.apache.spark.sql.GraftBridge.checkpointRdd(prev)
+          .foreach(_.unpersist(false))
+      }
       r += k
     }
     learned.toSeq
@@ -531,8 +540,12 @@ object TermStats {
   def bpeGreedyEncode(word: String,
       merges: Array[(String, String, String)], maxSymLen: Int): String = {
     if (word.isEmpty) return ""
+    // capacity sized in LONG then clamped: the Int product
+    // length × maxSymLen wraps negative on exactly the pathological
+    // whitespace-free blobs this bound exists for, and a negative
+    // initial capacity throws
     val subs = new java.util.HashSet[String](
-      math.min(word.length * math.max(maxSymLen, 1), 1 << 16))
+      math.min(word.length.toLong * math.max(maxSymLen, 1), 1L << 16).toInt)
     var i = 0
     while (i < word.length) {
       var j = i + 1
@@ -678,17 +691,17 @@ object TermStats {
     * every production tokenizer needs the first time tonight's crawl
     * contains a character yesterday's corpus didn't.
     *
-    * Same vocab-sized plan as [[bpeIdsWith]]: both encodes run over
-    * DISTINCT words, the corpus-sized passes carry one row per token;
-    * the only new machinery is the LEFT join + coalesce(0). */
+    * Same vocab-sized plan as [[bpeIdsWith]]: the encode runs over the
+    * batch's DISTINCT words, the corpus-sized pass carries one row per
+    * token; the only new machinery is the LEFT join + coalesce(0).
+    * The vocabulary arrives as a (sym, id) frame — the artifact's
+    * persisted `vocab` table via [[loadTokenizerVocab]] in the
+    * registered key, so inference consumes the SHIPPED model halves
+    * verbatim rather than re-deriving them from the corpus (bpeVocab
+    * assigns the identical alphabetic dense ids, which is what the
+    * oracle replays). */
   def bpeIdsUnk(docs: DataFrame, merges: Seq[(String, String)],
-      suffix: String = unkSuffix): DataFrame = {
-    // the shipped vocabulary: symbols of the ORIGINAL corpus encoding
-    val corpEncv = tokensPos(docs).select(col("word")).distinct()
-      .select(bpeEncodePairsExpr(col("word"), merges).as("enc"))
-    val symVocab = Scale.assignIdsByRange(
-      corpEncv.select(explode(split(col("enc"), " ")).as("sym"))
-        .distinct(), "sym")
+      symVocab: DataFrame, suffix: String = unkSuffix): DataFrame = {
     // tonight's batch: held-out docs + the guaranteed-unseen token
     val held = docs.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"),
@@ -789,6 +802,12 @@ object TermStats {
       dir: String): Seq[(String, String)] =
     spark.read.parquet(s"$dir/merges").orderBy("rnk")
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Load the persisted (sym, id) vocabulary from `dir` — stays a
+    * DataFrame (corpus-vocab-sized, joined distributed), unlike the
+    * model-sized merge list. */
+  def loadTokenizerVocab(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/vocab").select(col("sym"), col("id"))
 
   /** Tokenizer artifact written once per (session, sf dir) — billed to
     * the build pass; steady state pays the honest reload. */
@@ -1066,12 +1085,15 @@ object TermStats {
         loadTokenizerMerges(s, persistedTokenizerDir(s, d)))),
     // the UNK contract: tonight's batch (held-out split + a
     // guaranteed-unseen token) encoded with the SHIPPED artifact's
-    // merges against the full-corpus vocabulary; out-of-vocabulary
-    // symbols → id 0, counted per doc. TermStatsSpec pins n_unk >= 1
-    // on every enriched doc and 0 under an unenriched batch.
-    "tokenize_bpe_ids_unk" -> ((s, d) =>
+    // merges against its persisted vocab table — BOTH model halves
+    // loaded, nothing re-derived; out-of-vocabulary symbols → id 0,
+    // counted per doc. TermStatsSpec pins n_unk >= 1 on every
+    // enriched doc and 0 under an unenriched batch.
+    "tokenize_bpe_ids_unk" -> ((s, d) => {
+      val dir = persistedTokenizerDir(s, d)
       bpeIdsUnk(Tables.documents(s, d),
-        loadTokenizerMerges(s, persistedTokenizerDir(s, d)))),
+        loadTokenizerMerges(s, dir), loadTokenizerVocab(s, dir))
+    }),
     // dense ids over the ITERATIVELY merged symbol vocabulary — the
     // tensor path string-projected, completing the iter family.
     "tokenize_bpe_ids_iter" -> ((s, d) =>

@@ -138,10 +138,17 @@ object Text {
     s"CASE WHEN doc_id % 5 = 0 THEN text || '$uniSuffix' ELSE text END"
 
   /** lower → NFC → whitespace collapse → trim; map-only, one
-    * codegen'd chain. */
+    * codegen'd chain. The lowercase is the LOCALE-PINNED one fused
+    * into the Nfc expression, NOT Spark's `lower()` — the built-in
+    * falls back to the JVM-default-locale `String.toLowerCase()` on
+    * non-ASCII rows (which every enriched doc is), so under a tr-TR/az
+    * default locale capital I would lowercase to dotless ı while
+    * DuckDB's locale-independent lower yields i, breaking the
+    * byte-exact gate and making the "canonical form" machine-
+    * dependent. */
   def normalizeUnicode(text: Column): Column =
     trim(regexp_replace(
-      graft.functions.Nfc.nfc(lower(text)), " +", " "))
+      graft.functions.Nfc.nfcLower(text), " +", " "))
 
   // --- Unicode-canonical dedup (dedup_unicode) -----------------------
   // The NFC key's actual payoff: exact dedup keyed on the CANONICAL

@@ -20,4 +20,17 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** The materialized RDD behind a `localCheckpoint(true)`-produced
+    * frame (its plan is one `LogicalRDD` scan), so iterative loops can
+    * UNPERSIST a superseded checkpoint instead of waiting for the
+    * driver GC + ContextCleaner to notice it — without this, a
+    * thousands-of-batches training loop accumulates MEMORY_AND_DISK
+    * copies of its base frame between GC cycles. None for any other
+    * plan shape (callers must only release frames they checkpointed
+    * themselves and no longer reference). */
+  def checkpointRdd(df: Dataset[Row]): Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.collectFirst {
+      case r: execution.LogicalRDD => r.rdd
+    }
 }

@@ -268,7 +268,9 @@ class TermStatsSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val pairs = TermStats.bpeLearnIter(docs, 10)
       .map { case (a, b, _) => (a, b) }
-    val out = TermStats.bpeIdsUnk(docs, pairs).collect()
+    // the frozen vocabulary half, exactly as the artifact persists it
+    val vocab = TermStats.bpeVocab(docs, pairs).select("sym", "id")
+    val out = TermStats.bpeIdsUnk(docs, pairs, vocab).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     assert(out.nonEmpty && out.forall(_._1 % 7 == 0))
     out.foreach { case (id, nSym, nUnk, ids) =>
@@ -283,7 +285,8 @@ class TermStatsSpec extends AnyFunSuite {
     }
     // no enrichment → the batch's words all appeared in the original
     // corpus, so every symbol resolves and nothing maps to UNK
-    val clean = TermStats.bpeIdsUnk(docs, pairs, suffix = "").collect()
+    val clean = TermStats.bpeIdsUnk(docs, pairs, vocab, suffix = "")
+      .collect()
     assert(clean.nonEmpty && clean.forall(_.getLong(2) == 0L))
   }
 
