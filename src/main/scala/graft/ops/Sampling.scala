@@ -933,6 +933,20 @@ object Sampling {
           size(filter(col("labels"), x => x > 0L)).cast("long")
             .as("n_predict"))
         .orderBy("seq_id")),
+    // packing-efficiency observability: the padding-waste row every
+    // training-prep run should log (trainers budget GPU time by
+    // token throughput; silent padding is silent cost). One tiny agg
+    // over the tensor frame — only the final sequence ever pads under
+    // this packer, so efficiency is a direct packer-correctness probe.
+    "profile_pack_efficiency" -> ((s, d) =>
+      packSequencesTensor(Tables.documents(s, d))
+        .agg(count(lit(1)).as("n_sequences"),
+          sum(col("n_tokens")).as("n_tokens_total"))
+        .select(col("n_sequences"), col("n_tokens_total"),
+          (col("n_sequences") * 64 - col("n_tokens_total"))
+            .as("n_padding"),
+          round(col("n_tokens_total").cast("double") /
+            (col("n_sequences") * 64), 6).as("efficiency"))),
     // contrastive training-pair mining: per anchor one positive
     // (lowest-id label-mate) and 3 seeded-hash negatives from other
     // labels — the md5-rank "random" choice every sampling key uses,
@@ -1397,6 +1411,18 @@ object Sampling {
          |         AS segment_ids,
          |       n_segments
          |FROM seqs ORDER BY seq_id""".stripMargin,
+    // padding accounting over the same wide grid: per-sequence token
+    // counts, then one scalar row (round(6) on both engines).
+    "profile_pack_efficiency" ->
+      s"""WITH $packTensorWideCtes,
+         |seqs AS (SELECT seq_id, count(*) AS n FROM wide
+         |         GROUP BY seq_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_sequences,
+         |       CAST(sum(n) AS BIGINT) AS n_tokens_total,
+         |       CAST(count(*) * 64 - sum(n) AS BIGINT) AS n_padding,
+         |       round(CAST(sum(n) AS DOUBLE) / (count(*) * 64), 6)
+         |         AS efficiency
+         |FROM seqs""".stripMargin,
     // labels re-derived from the SAME wide grid with lead() over the
     // in-sequence position: next id when the next position exists and
     // does not open a new document, else 0 (lead past the last real

@@ -702,33 +702,81 @@ object TermStats {
     * oracle replays). */
   def bpeIdsUnk(docs: DataFrame, merges: Seq[(String, String)],
       symVocab: DataFrame, suffix: String = unkSuffix): DataFrame = {
-    // tonight's batch: held-out docs + the guaranteed-unseen token
-    val held = docs.filter(col("doc_id") % 7 === 0)
+    val heldToks = tokensPos(heldBatch(docs, suffix))
+    heldToks.join(unkWordArrays(heldToks, merges, symVocab), "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_sym")).as("n_symbols"),
+        sum(col("n_unk_w")).as("n_unk"),
+        concat_ws(" ", transform(
+          flatten(transform(
+            array_sort(collect_list(struct(col("pos"), col("wids")))),
+            x => x.getField("wids"))),
+          x => x.cast("string"))).as("ids"))
+      .orderBy("doc_id")
+  }
+
+  /** Tonight's batch: the held-out split + the guaranteed-unseen
+    * token. */
+  private def heldBatch(docs: DataFrame, suffix: String): DataFrame =
+    docs.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"),
         concat(col("text"), lit(suffix)).as("text"))
-    val heldToks = tokensPos(held)
+
+  /** The UNK-resolving word encode shared by [[bpeIdsUnk]] and
+    * [[inferencePrep]]: each DISTINCT batch word → (n_sym, n_unk_w,
+    * wids) with out-of-vocabulary symbols already coalesced to id 0,
+    * ids as an ARRAY in intra-word symbol order. */
+  private def unkWordArrays(heldToks: DataFrame,
+      merges: Seq[(String, String)], symVocab: DataFrame): DataFrame = {
     val heldEncv = heldToks.select(col("word")).distinct()
       .select(col("word"),
         bpeEncodePairsExpr(col("word"), merges).as("enc"))
     val wsyms = heldEncv.select(col("word"),
       posexplode(split(col("enc"), " ")).as(Seq("spos", "sym")))
-    val wordIds = wsyms.join(symVocab, Seq("sym"), "left")
+    wsyms.join(symVocab, Seq("sym"), "left")
       .withColumn("uid", coalesce(col("id"), lit(0L)))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n_sym"),
         sum(when(col("id").isNull, lit(1L)).otherwise(lit(0L)))
           .as("n_unk_w"),
-        concat_ws(" ", transform(
+        transform(
           array_sort(collect_list(struct(col("spos"), col("uid")))),
-          x => x.getField("uid").cast("string"))).as("wids"))
-    heldToks.join(wordIds, "word")
+          x => x.getField("uid")).as("wids"))
+  }
+
+  /** The INFERENCE capstone (r10): tonight's batch → the SHIPPED
+    * tokenizer artifact (merges + vocab, both loaded) → UNK-resolved
+    * symbol ids → fixed-`window` packed tensor sequences — the
+    * nightly-ingest twin of [[tensorPrep]], which does the same for
+    * the TRAINING corpus with an in-session model. Same composition
+    * of gated stages: the per-doc UNK-resolved id arrays (in (token
+    * pos, symbol pos) order) feed the shared two-level offset
+    * machinery and per-sequence assembly; offsets run over SYMBOL
+    * counts of the batch only — the original corpus is never
+    * re-encoded. */
+  def inferencePrep(docs: DataFrame, merges: Seq[(String, String)],
+      symVocab: DataFrame, suffix: String = unkSuffix,
+      window: Int = 64, buckets: Int = 8): DataFrame = {
+    val heldToks = tokensPos(heldBatch(docs, suffix))
+    val perDoc = heldToks
+      .join(unkWordArrays(heldToks, merges, symVocab), "word")
       .groupBy(col("doc_id"))
-      .agg(sum(col("n_sym")).as("n_symbols"),
-        sum(col("n_unk_w")).as("n_unk"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("wids")))),
-          x => x.getField("wids"))).as("ids"))
-      .orderBy("doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("wids")))),
+        x => x.getField("wids"))).as("ids"))
+    val offs = Sampling.docOffsetsFromCounts(
+      perDoc.select(col("doc_id"),
+        size(col("ids")).cast("long").as("n")), buckets)
+      .select(col("doc_id"), col("off"))
+    val wide = perDoc
+      .select(col("doc_id"), posexplode(col("ids")).as(Seq("sp", "id")))
+      .join(offs, "doc_id")
+      .withColumn("gpos", col("off") + col("sp"))
+      .withColumn("seq_id", expr(s"CAST(gpos div $window AS BIGINT)"))
+      .withColumn("spos", expr(s"CAST(gpos % $window AS BIGINT)"))
+      .withColumn("bnd",
+        when(col("sp") === 0, lit(1L)).otherwise(lit(0L)))
+    Sampling.assembleSequences(wide, window)
   }
 
   /** The CAPSTONE trainer-prep pipeline: corpus → ITERATIVELY trained
@@ -958,6 +1006,80 @@ object TermStats {
        |FROM toks JOIN encv USING (word)
        |GROUP BY toks.doc_id ORDER BY doc_id""".stripMargin
 
+  /** The UNK inference stream spelled as CTEs (shared verbatim by the
+    * ids_unk gate and the inference-prep capstone so the vocab/encode/
+    * left-join replay can never drift between them): toks0 = the
+    * original corpus's token stream (the vocabulary's domain), htoks =
+    * the enriched held-out batch, encv = ONE encode over the union of
+    * distinct words, sv = alphabetic dense ids over the ORIGINAL
+    * corpus's symbols only, ds = the batch's positioned symbol
+    * stream. */
+  private lazy val unkStreamCtes: String =
+    s"""toks0 AS (
+       |  SELECT doc_id, pos, word FROM (
+       |    SELECT doc_id, words[i] AS word, i AS pos FROM (
+       |      SELECT doc_id, string_split(text, ' ') AS words,
+       |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+       |      FROM documents))
+       |  WHERE length(word) > 0),
+       |htoks AS (
+       |  SELECT doc_id, pos, word FROM (
+       |    SELECT doc_id, words[i] AS word, i AS pos FROM (
+       |      SELECT doc_id,
+       |             string_split(text || '$unkSuffix', ' ') AS words,
+       |             unnest(range(1,
+       |               len(string_split(text || '$unkSuffix', ' ')) + 1))
+       |               AS i
+       |      FROM documents WHERE doc_id % 7 = 0))
+       |  WHERE length(word) > 0),
+       |encv AS (
+       |  SELECT word,
+       |    ${bpeIterOracleEncode(10)} AS enc
+       |  FROM (SELECT word FROM toks0 UNION SELECT word FROM htoks)),
+       |sv AS (
+       |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+       |    AS id
+       |  FROM (SELECT DISTINCT unnest(string_split(enc, ' ')) AS sym
+       |        FROM encv
+       |        WHERE word IN (SELECT DISTINCT word FROM toks0))),
+       |ds AS (
+       |  SELECT doc_id, pos, i AS spos, syms[i] AS sym FROM (
+       |    SELECT h.doc_id, h.pos, string_split(e.enc, ' ') AS syms,
+       |           unnest(range(1, len(string_split(e.enc, ' ')) + 1))
+       |             AS i
+       |    FROM htoks h JOIN encv e ON h.word = e.word))""".stripMargin
+
+  /** The pack-assembly tail shared by pipeline_tensor_prep and
+    * pipeline_inference_prep (both consume a `dsi(doc_id, id, tp)`
+    * stream): exclusive per-doc symbol-count offsets → 64-window cut →
+    * per-sequence string assembly with explicit 0-padding. */
+  private val packTailSql: String =
+    """dl AS (SELECT doc_id, count(*) AS n FROM dsi GROUP BY doc_id),
+      |offs AS (
+      |  SELECT doc_id,
+      |         CAST(sum(n) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+      |           AS BIGINT) AS off
+      |  FROM dl),
+      |wide AS (
+      |  SELECT s.doc_id, s.id,
+      |         CAST((o.off + s.tp - 1) // 64 AS BIGINT) AS seq_id,
+      |         CAST((o.off + s.tp - 1) % 64 AS BIGINT) AS spos,
+      |         CASE WHEN s.tp = 1 THEN 1 ELSE 0 END AS bnd
+      |  FROM dsi s JOIN offs o USING (doc_id)),
+      |seqs AS (
+      |  SELECT seq_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |         CAST(count(*) AS BIGINT) AS n_tokens,
+      |         string_agg(CAST(id AS VARCHAR), ' ' ORDER BY spos) AS ids0,
+      |         string_agg(CAST(bnd AS VARCHAR), ' ' ORDER BY spos) AS bnd0
+      |  FROM wide GROUP BY seq_id)
+      |SELECT seq_id, n_docs, n_tokens,
+      |       ids0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS ids,
+      |       bnd0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS doc_start,
+      |       trim(repeat('1 ', CAST(n_tokens AS INT)))
+      |         || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS loss_mask
+      |FROM seqs ORDER BY seq_id""".stripMargin
+
   private def idsOracleBody(prefixCtes: String, encSql: String): String =
     s"""WITH $prefixCtes,
        |toks AS (
@@ -1056,6 +1178,23 @@ object TermStats {
           concat_ws(" ", transform(col("loss_mask"),
             x => x.cast("string"))).as("loss_mask"))
         .orderBy("seq_id")),
+    // the INFERENCE capstone: tonight's batch through the LOADED
+    // artifact (merges + vocab) to UNK-resolved packed tensors — the
+    // nightly twin of pipeline_tensor_prep; the original corpus is
+    // never re-encoded.
+    "pipeline_inference_prep" -> ((s, d) => {
+      val dir = persistedTokenizerDir(s, d)
+      inferencePrep(Tables.documents(s, d),
+        loadTokenizerMerges(s, dir), loadTokenizerVocab(s, dir))
+        .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+          concat_ws(" ", transform(col("ids"),
+            x => x.cast("string"))).as("ids"),
+          concat_ws(" ", transform(col("doc_start"),
+            x => x.cast("string"))).as("doc_start"),
+          concat_ws(" ", transform(col("loss_mask"),
+            x => x.cast("string"))).as("loss_mask"))
+        .orderBy("seq_id")
+    }),
     // TRUE iterative BPE: recount-after-each-merge training (10
     // rounds); the emitted table is the memoized model artifact. The
     // oracle REPLAYS the whole loop as unrolled per-round CTEs.
@@ -1259,7 +1398,7 @@ object TermStats {
     // (token pos, symbol pos) order → exclusive symbol-count offsets →
     // 64-window cut → the pack_tensor assembly tail.
     "pipeline_tensor_prep" ->
-      s"""WITH ${bpeIterCtes(10)},
+      (s"""WITH ${bpeIterCtes(10)},
          |toks AS (
          |  SELECT doc_id, pos, word FROM (
          |    SELECT doc_id, words[i] AS word, i AS pos FROM (
@@ -1287,31 +1426,7 @@ object TermStats {
          |         CAST(row_number() OVER (PARTITION BY ds.doc_id
          |           ORDER BY ds.pos, ds.sp2) AS BIGINT) AS tp
          |  FROM ds JOIN sv USING (sym)),
-         |dl AS (SELECT doc_id, count(*) AS n FROM dsi GROUP BY doc_id),
-         |offs AS (
-         |  SELECT doc_id,
-         |         CAST(sum(n) OVER (ORDER BY doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
-         |           AS BIGINT) AS off
-         |  FROM dl),
-         |wide AS (
-         |  SELECT s.doc_id, s.id,
-         |         CAST((o.off + s.tp - 1) // 64 AS BIGINT) AS seq_id,
-         |         CAST((o.off + s.tp - 1) % 64 AS BIGINT) AS spos,
-         |         CASE WHEN s.tp = 1 THEN 1 ELSE 0 END AS bnd
-         |  FROM dsi s JOIN offs o USING (doc_id)),
-         |seqs AS (
-         |  SELECT seq_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-         |         CAST(count(*) AS BIGINT) AS n_tokens,
-         |         string_agg(CAST(id AS VARCHAR), ' ' ORDER BY spos) AS ids0,
-         |         string_agg(CAST(bnd AS VARCHAR), ' ' ORDER BY spos) AS bnd0
-         |  FROM wide GROUP BY seq_id)
-         |SELECT seq_id, n_docs, n_tokens,
-         |       ids0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS ids,
-         |       bnd0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS doc_start,
-         |       trim(repeat('1 ', CAST(n_tokens AS INT)))
-         |         || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS loss_mask
-         |FROM seqs ORDER BY seq_id""".stripMargin,
+         |""".stripMargin + packTailSql),
     // apply the iteratively learned table: same CTE prefix, encoder =
     // the nested replace chain reading each round's pick_r operands.
     "tokenize_bpe_apply_iter" -> applyIterOracleSql,
@@ -1331,39 +1446,7 @@ object TermStats {
     // every enriched doc counts at least one UNK.
     "tokenize_bpe_ids_unk" ->
       s"""WITH ${bpeIterCtes(10)},
-         |toks0 AS (
-         |  SELECT doc_id, pos, word FROM (
-         |    SELECT doc_id, words[i] AS word, i AS pos FROM (
-         |      SELECT doc_id, string_split(text, ' ') AS words,
-         |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
-         |      FROM documents))
-         |  WHERE length(word) > 0),
-         |htoks AS (
-         |  SELECT doc_id, pos, word FROM (
-         |    SELECT doc_id, words[i] AS word, i AS pos FROM (
-         |      SELECT doc_id,
-         |             string_split(text || '$unkSuffix', ' ') AS words,
-         |             unnest(range(1,
-         |               len(string_split(text || '$unkSuffix', ' ')) + 1))
-         |               AS i
-         |      FROM documents WHERE doc_id % 7 = 0))
-         |  WHERE length(word) > 0),
-         |encv AS (
-         |  SELECT word,
-         |    ${bpeIterOracleEncode(10)} AS enc
-         |  FROM (SELECT word FROM toks0 UNION SELECT word FROM htoks)),
-         |sv AS (
-         |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
-         |    AS id
-         |  FROM (SELECT DISTINCT unnest(string_split(enc, ' ')) AS sym
-         |        FROM encv
-         |        WHERE word IN (SELECT DISTINCT word FROM toks0))),
-         |ds AS (
-         |  SELECT doc_id, pos, i AS spos, syms[i] AS sym FROM (
-         |    SELECT h.doc_id, h.pos, string_split(e.enc, ' ') AS syms,
-         |           unnest(range(1, len(string_split(e.enc, ' ')) + 1))
-         |             AS i
-         |    FROM htoks h JOIN encv e ON h.word = e.word))
+         |$unkStreamCtes
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_symbols,
          |       CAST(sum(CASE WHEN sv.id IS NULL THEN 1 ELSE 0 END)
          |         AS BIGINT) AS n_unk,
@@ -1371,6 +1454,22 @@ object TermStats {
          |         ORDER BY ds.pos, ds.spos) AS ids
          |FROM ds LEFT JOIN sv USING (sym)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the inference capstone replays the SAME unk stream (shared CTEs
+    // verbatim) into the SAME pack-assembly tail pipeline_tensor_prep
+    // uses: dsi re-ranks the batch's symbol stream per doc, coalescing
+    // out-of-vocabulary symbols to UNK id 0.
+    // NOTE: packTailSql is concatenated AFTER stripMargin — its
+    // `|| repeat` continuation lines would lose a pipe to a second
+    // margin strip if interpolated inside the margin block.
+    "pipeline_inference_prep" ->
+      (s"""WITH ${bpeIterCtes(10)},
+         |$unkStreamCtes,
+         |dsi AS (
+         |  SELECT ds.doc_id, coalesce(sv.id, 0) AS id,
+         |         CAST(row_number() OVER (PARTITION BY ds.doc_id
+         |           ORDER BY ds.pos, ds.spos) AS BIGINT) AS tp
+         |  FROM ds LEFT JOIN sv USING (sym)),
+         |""".stripMargin + packTailSql),
     // vocabulary artifact: corpus-count-weighted symbols of the
     // iteratively merged vocabulary, alphabetic dense ids.
     "tokenize_bpe_vocab_iter" ->

@@ -328,6 +328,23 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("pack efficiency: one row whose padding algebra closes and " +
+      "matches the tensor frame (only the final sequence pads)") {
+    val tens = Sampling.packSequencesTensor(
+      graft.model.Tables.documents(spark, TestSpark.sf0001))
+    val nSeq = tens.count()
+    val nTok = tens.collect().map(_.getLong(2)).sum
+    val row = Sampling.queries("profile_pack_efficiency")(
+      spark, TestSpark.sf0001).collect()
+    assert(row.length == 1)
+    val (s, t, p, e) = (row(0).getLong(0), row(0).getLong(1),
+      row(0).getLong(2), row(0).getDouble(3))
+    assert(s == nSeq && t == nTok && p == 64 * s - t)
+    // only the final sequence pads under this packer
+    assert(p >= 0 && p < 64)
+    assert(e > 0.0 && e <= 1.0)
+  }
+
   test("pack tensor plan: every join broadcasts (vocab and offsets are " +
       "model-sized) — no sort-merge join in the executed plan") {
     val df = Sampling.packSequencesTensor(

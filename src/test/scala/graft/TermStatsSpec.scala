@@ -290,6 +290,34 @@ class TermStatsSpec extends AnyFunSuite {
     assert(clean.nonEmpty && clean.forall(_.getLong(2) == 0L))
   }
 
+  test("inferencePrep: packed sequences carry exactly the bpeIdsUnk " +
+      "symbol stream in doc order (UNK zeros included), fixed-64 " +
+      "arrays, only the final sequence pads") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val pairs = TermStats.bpeLearnIter(docs, 10)
+      .map { case (a, b, _) => (a, b) }
+    val vocab = TermStats.bpeVocab(docs, pairs).select("sym", "id")
+    // the flat reference stream: per-doc UNK-resolved ids in doc order
+    val flat = TermStats.bpeIdsUnk(docs, pairs, vocab).collect()
+      .sortBy(_.getLong(0))
+      .flatMap(_.getString(3).split(" ").map(_.toLong)).toSeq
+    val nUnkTotal = TermStats.bpeIdsUnk(docs, pairs, vocab).collect()
+      .map(_.getLong(2)).sum
+    val seqs = TermStats.inferencePrep(docs, pairs, vocab).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(2), r.getSeq[Long](3), r.getSeq[Long](5)))
+    seqs.foreach { case (_, ids, mask) =>
+      assert(ids.size == 64 && mask.size == 64)
+    }
+    // real positions re-concatenate to the reference stream exactly
+    val packed = seqs.flatMap { case (n, ids, _) => ids.take(n.toInt) }
+    assert(packed.toSeq == flat)
+    // the batch's UNKs all survive packing as in-stream zeros
+    assert(packed.count(_ == 0L).toLong == nUnkTotal && nUnkTotal >= 1)
+    // only the final sequence pads
+    seqs.dropRight(1).foreach { case (n, _, _) => assert(n == 64L) }
+  }
+
   test("batched trainer: exhaustion composes across batch boundaries " +
       "and every batch size gives the same table") {
     // tiny corpus exhausts after 4 merges: he, t+he, (space-free "the"
