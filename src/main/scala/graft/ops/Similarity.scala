@@ -539,6 +539,33 @@ object Similarity {
       .write.mode("append").parquet(s"$dir/codes")
   }
 
+  /** COMPACT the append-maintained artifact's codes table (r10 — the
+    * last step of the index lifecycle: build → nightly append →
+    * periodic compact): every parquet append adds a file set, so a
+    * month of nightly ingests leaves the query path opening dozens of
+    * small files per scan. Rewrite the codes into `targetFiles` sized
+    * files and swap — results must be IDENTICAL (the codes rows are
+    * the index; their file layout is not), which is what lets the
+    * registered key share the full-rebuild oracle verbatim. The swap
+    * is rename-based through a `codes_pre_compact` backup (the
+    * artifact dir is single-writer by the persistence contract —
+    * same assumption every writeIvfPqIndex overwrite already makes);
+    * at 100 TB, size `targetFiles` from the codes byte count the way
+    * sink_compact_sized does. */
+  def compactIvfPqIndexCodes(spark: SparkSession, dir: String,
+      targetFiles: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    val codes = new Path(s"$dir/codes")
+    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$dir/codes_compact_tmp")
+    spark.read.parquet(codes.toString).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(s"$dir/codes_pre_compact")
+    require(fs.rename(codes, bak) && fs.rename(tmp, codes),
+      s"compact swap failed under $dir")
+    fs.delete(bak, true)
+  }
+
   /** Index artifact written once per (session, sf dir) — billed to the
     * bench build pass like every model artifact; the steady-state run
     * pays the honest RELOAD cost (parquet scans of the artifact). */
@@ -584,6 +611,33 @@ object Similarity {
       appendToIvfPqIndex(sp, out, emb.filter(col("vec_id") % 5 === 0))
       SessionCleanup.onEnd(sp) {
         appendIndexMemo.remove((sp, dir))
+        SessionCleanup.deleteRecursively(out)
+      }
+      out
+    })
+
+  /** The COMPACTED lifecycle artifact for sim_ann_index_compact: base
+    * build (no residuals), TWO nightly appends (the held-out split in
+    * halves, so the codes table really holds three file generations),
+    * then one compaction — built once per (session, sf dir), queried
+    * from the swapped-in sized file. Model = the full-corpus seeded
+    * centroids so the key shares the full-rebuild oracle verbatim
+    * (compaction must not change one row). */
+  private val compactIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def compactedIndexDir(s: SparkSession, d: String): String =
+    compactIndexMemo.computeIfAbsent((s, d), { case (sp, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-anncompact").toString
+      val emb = Tables.embeddings(sp, dir)
+      writeIvfPqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        trainedCentroids(sp, dir, 16, 0), out, writeResiduals = false)
+      appendToIvfPqIndex(sp, out, emb.filter(col("vec_id") % 10 === 0))
+      appendToIvfPqIndex(sp, out, emb.filter(col("vec_id") % 10 === 5))
+      compactIvfPqIndexCodes(sp, out)
+      SessionCleanup.onEnd(sp) {
+        compactIndexMemo.remove((sp, dir))
         SessionCleanup.deleteRecursively(out)
       }
       out
@@ -1255,6 +1309,13 @@ object Similarity {
     "sim_ann_index_append" -> ((s, d) =>
       ivfPqTopKFromIndex(s, appendedIndexDir(s, d),
         Tables.embeddings(s, d), col("vec_id") < 10, 5)),
+    // the lifecycle's last step: base build + TWO appends + one codes
+    // COMPACTION (many small append files → one sized file), top-k
+    // answered from the swapped artifact — compaction must not change
+    // one row, so the oracle is again the full rebuild verbatim.
+    "sim_ann_index_compact" -> ((s, d) =>
+      ivfPqTopKFromIndex(s, compactedIndexDir(s, d),
+        Tables.embeddings(s, d), col("vec_id") < 10, 5)),
     // TRUE IVFPQ: PQ codes quantize the RESIDUAL x − c(x) (what FAISS
     // encodes), per-probed-list query tables; residual codebooks from
     // the disjoint second-stride seed rows — memoized model artifact.
@@ -1688,6 +1749,8 @@ object Similarity {
     // append-then-query must equal full-rebuild-then-query given the
     // same frozen model: the oracle IS the full rebuild, verbatim.
     "sim_ann_index_append" -> ivfPqOracleSql,
+    // and compaction must not change one row: same oracle again.
+    "sim_ann_index_compact" -> ivfPqOracleSql,
     // TRUE IVFPQ replay: residual codewords from the second-stride seed
     // rows (rcw), per-vector residual codes (res/sd/codes), and
     // PER-(query, probed-list) distance tables (qres/qd) — joining qd

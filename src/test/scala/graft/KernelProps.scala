@@ -180,6 +180,43 @@ object KernelProps extends Properties("graft.kernels") {
     }
   }
 
+  // --- scaled BPE encoder vs the literal-replace reference ----------
+  // The reference IS the expression chain's semantics (left-to-right
+  // non-overlapping literal replace on the doubled-space string, scan
+  // resuming after each replacement), built over CODE POINTS so a
+  // supplementary char is one symbol — the property pins
+  // bpeGreedyEncode against it for arbitrary words and arbitrary merge
+  // tables, including merges whose operands never occur, repeat
+  // operands (a == b), multi-char operands, and out-of-order tables
+  // where a fused operand was never produced by an earlier merge.
+  private def refBpeEncode(word: String,
+      merges: List[(String, String)]): String = {
+    var s = word.codePoints().toArray
+      .map(cp => "  " + new String(Character.toChars(cp))).mkString + "  "
+    merges.foreach { case (a, b) =>
+      s = s.replace(" " + a + "  " + b + " ", " " + a + b + " ")
+    }
+    s.replace("  ", " ").trim
+  }
+
+  private val bpeWordGen: Gen[String] = Gen.chooseNum(0, 12).flatMap { n =>
+    Gen.listOfN(n,
+      Gen.oneOf("a", "b", "c", "é", "中", "😀")).map(_.mkString)
+  }
+  private val bpeMergesGen: Gen[List[(String, String)]] = {
+    val sym = Gen.oneOf("a", "b", "c", "ab", "bc", "abc", "é", "中")
+    Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, Gen.zip(sym, sym)))
+  }
+
+  property("bpeGreedyEncode equals the literal-replace reference for " +
+      "arbitrary words and merge tables") =
+    forAll(bpeWordGen, bpeMergesGen) { (w, ms) =>
+      val fused = ms.map { case (a, b) => (a, b, a + b) }.toArray
+      val maxLen = fused.foldLeft(0)((x, f) => math.max(x, f._3.length))
+      graft.ops.TermStats.bpeGreedyEncode(w, fused, maxLen) ==
+        refBpeEncode(w, ms)
+    }
+
   property("progress line always carries two fixed-format numbers") =
     forAll(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 1000L),
       Gen.chooseNum(0.0, 1e6)) { (up, extra, rate) =>

@@ -305,6 +305,45 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("index compaction: the codes table shrinks to one sized file, " +
+      "answers are identical before and after the swap, and a fresh " +
+      "session reads the compacted artifact bit-identically") {
+    val d = TestSpark.sf0001
+    val emb = Tables.embeddings(spark, d)
+    val seeds = Similarity.ivfCentroids(emb, 16, 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-anncompact-spec").toString
+    try {
+      Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        seeds, dir, writeResiduals = false)
+      Similarity.appendToIvfPqIndex(spark, dir,
+        emb.filter(col("vec_id") % 10 === 0))
+      Similarity.appendToIvfPqIndex(spark, dir,
+        emb.filter(col("vec_id") % 10 === 5))
+      def topk() = Similarity.ivfPqTopKFromIndex(spark, dir, emb,
+          col("vec_id") < 10, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      def parts() = new java.io.File(s"$dir/codes").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val before = topk()
+      val filesBefore = parts()
+      assert(filesBefore >= 3, "three generations should mean 3+ files")
+      Similarity.compactIvfPqIndexCodes(spark, dir)
+      assert(parts() == 1)
+      // the backup generation is gone; rows and answers are unchanged
+      assert(!new java.io.File(s"$dir/codes_pre_compact").exists())
+      assert(spark.read.parquet(s"$dir/codes").count() == emb.count())
+      assert(topk() == before)
+      val s2 = spark.newSession()
+      val got2 = Similarity.ivfPqTopKFromIndex(s2, dir,
+          Tables.embeddings(s2, d), col("vec_id") < 10, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(got2 == before)
+    } finally graft.ops.SessionCleanup.deleteRecursively(dir)
+  }
+
   test("incremental embedding dedup: output is new-batch only, every " +
       "dropped new vector has a TRUE existing near-dup (soundness), " +
       "and the result is run-stable") {
