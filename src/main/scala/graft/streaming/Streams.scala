@@ -448,6 +448,48 @@ object Streams {
     }
   }
 
+  /** STREAMING tokenizer inference (r10): encode a stream of documents
+    * with the LOADED tokenizer artifact's merge table via the
+    * production-scale greedy encoder — the live twin of
+    * tokenize_bpe_apply_scaled, same output columns per finalized doc
+    * (StreamsSpec asserts stream ≡ batch row-for-row). STATELESS by
+    * design: the batch key's distinct-vocabulary encode is a
+    * per-corpus optimization a stream cannot make (the vocabulary is
+    * never closed), so each doc encodes its own words against a
+    * per-PARTITION word memo — bounded, rebuilt per micro-batch,
+    * exploiting the Zipf repetition inside a batch without carrying
+    * unbounded state across batches. The model (merge table) rides a
+    * broadcast; works unchanged on a batch frame (the spec's equality
+    * harness runs it both ways). */
+  def encodeStream(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val fused = bc.value.map { case (a, b) => (a, b, a + b) }
+        val maxSymLen = fused.foldLeft(0)((m, f) =>
+          math.max(m, f._3.length))
+        val memo = new java.util.HashMap[String, String]()
+        it.map { case (id, text) =>
+          val words = text.split(" ").filter(_.nonEmpty)
+          val encs = words.map { w =>
+            var e = memo.get(w)
+            if (e == null) {
+              e = graft.ops.TermStats.bpeGreedyEncode(w, fused, maxSymLen)
+              memo.put(w, e)
+            }
+            e
+          }
+          (id, words.length.toLong,
+            encs.map(_.split(" ").length.toLong).sum,
+            encs.mkString(" "))
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_symbols", "syms")
+  }
+
   /** Transactional micro-batch upload+mark (stream_foreachBatch_sink):
     * each batch of pending rows is uploaded then the manifest snapshot is
     * swapped; the checkpoint dir makes restarts resume exactly where the

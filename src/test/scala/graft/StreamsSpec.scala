@@ -19,6 +19,42 @@ class StreamsSpec extends AnyFunSuite {
     q.awaitTermination()
   }
 
+  test("streaming tokenizer inference equals the batch scaled encoder " +
+      "row-for-row across micro-batches (stateless, memo per batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val merges = graft.ops.TermStats.bpeLearnIter(docs, 10)
+      .map { case (a, b, _) => (a, b) }
+    // the batch truth: the gated scaled-encode key's machinery
+    val want = graft.ops.TermStats.bpeApplyScaled(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    // feed the corpus as TWO micro-batches
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.encodeStream(
+        mem.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("encode_stream_out").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("encode_stream_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq.sortBy(_._1)
+    assert(got == want)
+    // and the same function over the BATCH frame agrees too (one code
+    // path, two execution modes)
+    val gotBatch = Streams.encodeStream(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq.sortBy(_._1)
+    assert(gotBatch == want)
+  }
+
   test("streaming tumbling counts equal the batch (oracle-checked) query") {
     val stream = Streams.tumblingRate(Streams.eventsStream(spark, TestSpark.sf0001))
     runToMemory(stream, "tumbling_out")
