@@ -23,29 +23,50 @@ import org.apache.spark.unsafe.types.UTF8String
   * registered key hash-gate byte-for-byte across engines (TextSpec
   * pins composition, casefold interaction, and idempotence).
   *
-  * The `lower` flag fuses a LOCALE-PINNED (Locale.ROOT) lowercase in
-  * front of the composition. Spark's own `lower()` falls back to the
-  * JVM-default-locale `String.toLowerCase()` for non-ASCII input, so a
-  * driver running under tr-TR/az/lt would turn capital I into dotless
-  * ı while DuckDB's locale-independent lower yields i — the byte-exact
-  * hash gates (and the "canonical form" promise itself) must not
-  * depend on the machine's locale.
+  * The `lower` flag fuses a locale-independent, codepoint-wise SIMPLE
+  * lowercase (`Character.toLowerCase(int)` over code points — the
+  * UnicodeData.txt 1:1 mapping) in front of the composition. Two traps
+  * this dodges (ADVICE r10 #3): (a) Spark's own `lower()` falls back
+  * to the JVM-default-locale `String.toLowerCase()` for non-ASCII
+  * input, so a driver running under tr-TR/az/lt would turn capital I
+  * into dotless ı while DuckDB's locale-independent lower yields i;
+  * (b) even `String.toLowerCase(Locale.ROOT)` applies Unicode FULL
+  * case mapping, which diverges from DuckDB's utf8proc codepoint
+  * mapping on inputs like U+0130 İ (full: "i̇", two code points;
+  * simple/utf8proc: "i") — the simple mapping is what keeps the
+  * byte-exact cross-engine gate honest on arbitrary text, not just
+  * the gated corpus (TextSpec pins the İ case).
   */
 object Nfc {
 
   def compute(s: UTF8String): UTF8String = compute(s, false)
 
+  /** Codepoint-wise simple lowercase — utf8proc's (and DuckDB's)
+    * mapping. 1:1 on code points by construction, so it can never
+    * grow the string the way full case mapping can (ẞ→ss, İ→i̇). */
+  private def simpleLower(s: String): String = {
+    var i = 0
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
   def compute(s: UTF8String, toLower: Boolean): UTF8String = {
     // ASCII fast path on the raw UTF-8 bytes, BEFORE any String decode
     // (bytes == code points ⟺ pure ASCII, and ASCII is closed under
-    // NFC and under ROOT-locale lowercase — UTF8String.toLowerCase
+    // NFC and under simple lowercase — UTF8String.toLowerCase
     // takes its branchless byte path here) — the overwhelming hot path
     // of a text corpus allocates nothing. Non-ASCII rows decode once;
     // already-normalized ones return without a second copy.
     if (s.numBytes == s.numChars)
       return if (toLower) s.toLowerCase else s
     var str = s.toString
-    if (toLower) str = str.toLowerCase(java.util.Locale.ROOT)
+    if (toLower) str = simpleLower(str)
     if (java.text.Normalizer.isNormalized(str,
         java.text.Normalizer.Form.NFC)) {
       if (toLower) UTF8String.fromString(str) else s

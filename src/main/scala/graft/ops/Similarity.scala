@@ -549,8 +549,12 @@ object Similarity {
     * registered key share the full-rebuild oracle verbatim. The swap
     * is rename-based through a `codes_pre_compact` backup (the
     * artifact dir is single-writer by the persistence contract —
-    * same assumption every writeIvfPqIndex overwrite already makes);
-    * at 100 TB, size `targetFiles` from the codes byte count the way
+    * same assumption every writeIvfPqIndex overwrite already makes).
+    * QUERIES MUST BE QUIESCED during compaction: between the two
+    * renames the codes dir does not exist, so a concurrent reader in
+    * that window fails — the swap is crash-SAFE (see below) but not
+    * reader-transparent (ADVICE r10 #1). At 100 TB, size
+    * `targetFiles` from the codes byte count the way
     * sink_compact_sized does. */
   def compactIvfPqIndexCodes(spark: SparkSession, dir: String,
       targetFiles: Int = 1): Unit = {
@@ -561,8 +565,25 @@ object Similarity {
     spark.read.parquet(codes.toString).repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     val bak = new Path(s"$dir/codes_pre_compact")
-    require(fs.rename(codes, bak) && fs.rename(tmp, codes),
-      s"compact swap failed under $dir")
+    // A stale backup from a prior crashed run would make the first
+    // rename fail on HDFS-like filesystems (rename refuses an existing
+    // destination) — clear it before swapping; the compacted rewrite
+    // just completed above, so the stale backup is superseded either
+    // way (ADVICE r10 #1).
+    if (fs.exists(bak)) fs.delete(bak, true)
+    require(fs.rename(codes, bak),
+      s"compact swap (codes -> pre_compact backup) failed under $dir")
+    // If the second rename fails, roll BACK (bak -> codes) before
+    // throwing, so a failed compaction never leaves the index without
+    // a codes dir; a crash between the renames is recoverable from the
+    // backup (and the stale-backup sweep above self-heals on retry).
+    if (!fs.rename(tmp, codes)) {
+      val rolledBack = fs.rename(bak, codes)
+      throw new IllegalStateException(
+        s"compact swap (tmp -> codes) failed under $dir; " +
+          (if (rolledBack) "rolled back to pre-compact codes"
+           else s"rollback ALSO failed — restore manually from $bak"))
+    }
     fs.delete(bak, true)
   }
 

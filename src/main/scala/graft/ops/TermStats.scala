@@ -677,8 +677,11 @@ object TermStats {
     * occurs in the ASCII synthetic corpus, so no merge operand and no
     * vocabulary symbol can contain it — every enriched document is
     * GUARANTEED at least one out-of-vocabulary symbol. Escape-pinned
-    * source literal (the uniEnrich convention). */
-  private[graft] val unkSuffix = " nøvel"
+    * source literal (the uniEnrich convention) — the character is a
+    * unicode escape, not raw UTF-8 bytes, so a non-UTF-8 -encoding
+    * compile cannot silently mangle it and void the guaranteed-OOV
+    * property (ADVICE r10 #4). */
+  private[graft] val unkSuffix = " n\u00f8vel"
 
   /** INFERENCE-TIME id mapping with an UNK contract (r10): encode a
     * NEW batch (the doc_id%7==0 split, enriched with [[unkSuffix]] so

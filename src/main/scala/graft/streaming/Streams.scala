@@ -472,19 +472,28 @@ object Streams {
         val maxSymLen = fused.foldLeft(0)((m, f) =>
           math.max(m, f._3.length))
         val memo = new java.util.HashMap[String, String]()
-        it.map { case (id, text) =>
+        it.flatMap { case (id, text) =>
           val words = text.split(" ").filter(_.nonEmpty)
-          val encs = words.map { w =>
-            var e = memo.get(w)
-            if (e == null) {
-              e = graft.ops.TermStats.bpeGreedyEncode(w, fused, maxSymLen)
-              memo.put(w, e)
+          // Empty/whitespace-only docs are DROPPED, matching the batch
+          // twin exactly: bpeApplyScaled's inner join + groupBy over
+          // the exploded token stream never produces a row for a doc
+          // with zero non-empty tokens, and the stream ≡ batch
+          // row-for-row guarantee must hold on such docs too
+          // (ADVICE r10 #2; StreamsSpec pins the case).
+          if (words.isEmpty) None
+          else {
+            val encs = words.map { w =>
+              var e = memo.get(w)
+              if (e == null) {
+                e = graft.ops.TermStats.bpeGreedyEncode(w, fused, maxSymLen)
+                memo.put(w, e)
+              }
+              e
             }
-            e
+            Some((id, words.length.toLong,
+              encs.map(_.split(" ").length.toLong).sum,
+              encs.mkString(" ")))
           }
-          (id, words.length.toLong,
-            encs.map(_.split(" ").length.toLong).sum,
-            encs.mkString(" "))
         }
       }
       .toDF("doc_id", "n_tokens", "n_symbols", "syms")

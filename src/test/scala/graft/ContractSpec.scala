@@ -331,6 +331,54 @@ class ContractSpec extends AnyFunSuite {
     assert(mapper.readTree(full).get("trend_guard").asText() == "armed")
   }
 
+  test("bench trend-guard baseline prefers the COMMITTED artifact over " +
+      "the on-disk ratchet, in order pinned > committed > disk") {
+    // VERDICT r10 "What's wrong" #2: the on-disk BENCH_FULL.json is
+    // overwritten by every full run, so guarding against it RATCHETS
+    // the baseline across same-session captures. The guard must read
+    // the last COMMITTED artifact — only a deliberate `git commit`
+    // moves that — with the disk file as a git-less fallback and an
+    // explicitly pinned path trumping both.
+    val dir = java.nio.file.Files.createTempDirectory("graft-benchbase")
+      .toFile
+    def sh(cmd: String*): Unit = {
+      val p = new ProcessBuilder(cmd: _*).directory(dir)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() == 0, s"${cmd.mkString(" ")}: $out")
+    }
+    def put(name: String, content: String): String = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+      f.getPath
+    }
+    val full = new java.io.File(dir, "BENCH_FULL.json").getPath
+    // nothing anywhere (tmp dir is outside any git repo) → disk, empty
+    assert(Bench.baselineContent(full, None) == (("disk", None)))
+    // disk file but still no repo → disk fallback carries it
+    put("BENCH_FULL.json", "DISK_V1")
+    assert(Bench.baselineContent(full, None) == (("disk", Some("DISK_V1"))))
+    // commit, then overwrite the working file: the COMMITTED content
+    // wins — a same-session rerun can no longer move the baseline
+    sh("git", "init", "-q")
+    sh("git", "add", "BENCH_FULL.json")
+    sh("git", "-c", "user.email=t@t", "-c", "user.name=t",
+      "commit", "-qm", "baseline")
+    put("BENCH_FULL.json", "DISK_RATCHETED")
+    assert(Bench.baselineContent(full, None)
+      == (("committed", Some("DISK_V1"))))
+    // an explicitly pinned baseline trumps both
+    val pin = put("pin.json", "PINNED")
+    assert(Bench.baselineContent(full, Some(pin))
+      == (("pinned", Some("PINNED"))))
+    // a pinned path that doesn't exist stays labeled pinned (visible),
+    // not silently downgraded to another source
+    assert(Bench.baselineContent(full,
+      Some(new java.io.File(dir, "absent.json").getPath))
+      == (("pinned", None)))
+    graft.ops.SessionCleanup.deleteRecursively(dir.getPath)
+  }
+
   test("events_sessionize accounts for every event and session, and " +
       "agrees with the streaming session-window definition") {
     import org.apache.spark.sql.functions._

@@ -23,17 +23,26 @@ class StreamsSpec extends AnyFunSuite {
       "row-for-row across micro-batches (stateless, memo per batch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val docs = Tables.documents(spark, TestSpark.sf0001)
-    val merges = graft.ops.TermStats.bpeLearnIter(docs, 10)
+    val base = Tables.documents(spark, TestSpark.sf0001)
+    // ADVICE r10 #2: the stream ≡ batch guarantee must hold on
+    // empty/whitespace-only docs too — both paths DROP them (the batch
+    // twin's inner join + groupBy never emits a row for a zero-token
+    // doc). Inject one empty and one whitespace-only doc.
+    val docs = base.select(col("doc_id"), col("text")).unionByName(
+      Seq((900001L, ""), (900002L, "   ")).toDF("doc_id", "text"))
+    val merges = graft.ops.TermStats.bpeLearnIter(base, 10)
       .map { case (a, b, _) => (a, b) }
     // the batch truth: the gated scaled-encode key's machinery
     val want = graft.ops.TermStats.bpeApplyScaled(docs, merges).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getString(3))).toSeq
-    // feed the corpus as TWO micro-batches
-    val rows = docs.select(col("doc_id"), col("text")).collect()
+    assert(!want.exists(r => r._1 == 900001L || r._1 == 900002L),
+      "batch twin must drop zero-token docs")
+    // feed the corpus as TWO micro-batches (one injected empty in each)
+    val baseRows = base.select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
-    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val (h1, h2) = baseRows.splitAt(baseRows.size / 2)
+    val (b1, b2) = (h1 :+ (900001L, ""), h2 :+ (900002L, "   "))
     val mem = MemoryStream[(Long, String)]
     val q = Streams.encodeStream(
         mem.toDF().toDF("doc_id", "text"), merges)

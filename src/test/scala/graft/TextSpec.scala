@@ -248,6 +248,19 @@ class TextSpec extends AnyFunSuite {
         Text.normalizeUnicode(Text.normalizeUnicode(col("t"))).as("n"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(twice == got)
+    // SIMPLE case mapping (ADVICE r10 #3): U+0130 İ lowers to the
+    // single codepoint i (the UnicodeData/utf8proc/DuckDB mapping),
+    // NOT Java full case mapping's i + U+0307 COMBINING DOT ABOVE —
+    // the divergence that voided the old byte-exact-across-engines
+    // claim on arbitrary text. U+1E9E ẞ (simple = full here) and
+    // plain Turkish-trap I stay covered too.
+    val simple = Seq((1L, "İstanbul"), (2L, "ẞ"), (3L, "III"))
+      .toDF("id", "t")
+      .select(col("id"), Text.normalizeUnicode(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(simple(1L) == "istanbul" && simple(1L).length == 8)
+    assert(simple(2L) == "ß")
+    assert(simple(3L) == "iii")
     // the registered key's enrichment: every fifth doc gains the
     // suffix and its normalized tail is fully composed + lowered
     val docs = Tables.documents(spark, TestSpark.sf0001)
