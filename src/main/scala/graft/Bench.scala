@@ -290,15 +290,15 @@ object Bench {
     kv.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
 
   /** Calibration-probe workload size and its pinned quiet-machine
-    * seconds (best min-of-3 across three r11 calibration passes:
-    * 0.380/0.354/0.300 — the pin is the BEST observed, so factor ≥ 1
-    * in honest windows). The probe PLAN is frozen — xxhash64 over a
-    * generated range, one 32-row exchange — so the pin only moves if
-    * ProbeRows does; window_factor ≈ 1 on a quiet machine, >1 under
-    * contention, and cross-round per-key deltas divide by it before
-    * being read as code regressions. */
+    * seconds (best min-of-3 observed across the r11 calibration
+    * passes: 0.380/0.354/0.300/0.268 — the pin is the BEST observed,
+    * so factor ≥ 1 in honest windows). The probe PLAN is frozen —
+    * xxhash64 over a generated range, one 32-row exchange — so the pin
+    * only moves if ProbeRows does; window_factor ≈ 1 on a quiet
+    * machine, >1 under contention, and cross-round per-key deltas
+    * divide by it before being read as code regressions. */
   private[graft] val ProbeRows = 400000000L
-  private[graft] val ProbeQuietSec = 0.30
+  private[graft] val ProbeQuietSec = 0.268
 
   /** Pick the trend-guard baseline: an explicitly pinned file
     * (SPARK_GRAFT_BENCH_BASELINE) > the last COMMITTED artifact

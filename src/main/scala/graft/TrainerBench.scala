@@ -39,17 +39,60 @@ object TrainerBench {
       val docs = graft.model.Tables.documents(spark, sf)
       docs.count() // warm the scan
       // JIT/codegen warm-up on the smallest corpus shape, then
-      // min-of-3 steady state for both loops; equality asserted so the
-      // timing claim and the bit-identity claim are the same run.
+      // min-of-3 steady state for all three loops; equality asserted so
+      // the timing claim and the bit-identity claim are the same run.
       val seqT = (1 to 3).map(_ =>
         time(graft.ops.TermStats.bpeLearnIter(docs, rounds))).minBy(_._2)
       val batT = (1 to 3).map(_ =>
         time(graft.ops.TermStats.bpeLearnIterBatched(docs, rounds,
           batch = 5))).minBy(_._2)
+      val incT = (1 to 3).map(_ =>
+        time(graft.ops.TermStats.bpeLearnIterIncremental(docs, rounds,
+          batch = 5))).minBy(_._2)
       require(seqT._1 == batT._1, "batched trainer diverged from sequential")
+      require(seqT._1 == incT._1,
+        "incremental trainer diverged from sequential")
       println(s"""{"sf":"$sf","rounds":$rounds,""" +
         s""""sequential_s":${r3(seqT._2)},"batched_s":${r3(batT._2)},""" +
-        s""""speedup":${r3(seqT._2 / batT._2)}}""")
+        s""""incremental_s":${r3(incT._2)},""" +
+        s""""speedup":${r3(seqT._2 / batT._2)},""" +
+        s""""speedup_incr":${r3(seqT._2 / incT._2)}}""")
+    }
+    // r11 per-config table (VERDICT r10 #7 + #2): driver actions and
+    // recount-row volume per trainer/batch config on sf0.01 — the
+    // in-tree baseline the incremental trainer's win is measured
+    // against. Recount volume is batch-INDEPENDENT (each pick explodes
+    // once; batching amortizes actions and replace-chain map work), so
+    // the volume line prints once: full = Σ_r fullRows_r (every
+    // recounting trainer), incremental = fullRows_0 + Σ_r Δ-rows.
+    val docsAcct = graft.model.Tables.documents(spark, sfs(1))
+    val table = graft.ops.TermStats.bpeLearnIter(docsAcct, rounds)
+    val vols = graft.ops.TermStats.recountVolumes(docsAcct, table)
+    val fullRows = vols.map(_._1).sum
+    val incrRows = vols.headOption.map(_._1).getOrElse(0L) +
+      vols.map(_._2).sum
+    println(s"""{"sf":"${sfs(1)}","rounds":$rounds,""" +
+      s""""recount_rows_full":$fullRows,""" +
+      s""""recount_rows_incremental":$incrRows,""" +
+      s""""volume_ratio":${r3(fullRows.toDouble / math.max(1L, incrRows))}}""")
+    for (b <- Seq(1, 5, 10)) {
+      // batched: 2 actions per batch; incremental: 1 argmax per round
+      // + 2 checkpoints per batch boundary (batch dials lineage, not
+      // the action count — the win is recount volume)
+      val actions = 2 * ((rounds + b - 1) / b)
+      val actionsIncr = rounds + 2 * ((rounds + b - 1) / b)
+      val batB = (1 to 3).map(_ =>
+        time(graft.ops.TermStats.bpeLearnIterBatched(docsAcct, rounds,
+          batch = b))).minBy(_._2)
+      val incB = (1 to 3).map(_ =>
+        time(graft.ops.TermStats.bpeLearnIterIncremental(docsAcct, rounds,
+          batch = b))).minBy(_._2)
+      require(batB._1 == table && incB._1 == table,
+        s"trainer diverged at batch=$b")
+      println(s"""{"sf":"${sfs(1)}","rounds":$rounds,"batch":$b,""" +
+        s""""actions_batched":$actions,"actions_incremental":$actionsIncr,""" +
+        s""""batched_s":${r3(batB._2)},""" +
+        s""""incremental_s":${r3(incB._2)}}""")
     }
     // scaled greedy encoder at depths the expression chain cannot host:
     // encode the sf0.1 distinct vocabulary under 1,000 and 5,000

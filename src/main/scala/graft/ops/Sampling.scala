@@ -198,11 +198,24 @@ object Sampling {
     * and a deterministic within-phase rank by (difficulty, doc_id).
     *
     * Scale note: the within-phase rank window partitions by phase — 4
-    * hot keys at 100 TB; the documented swap is the two-level
-    * [[withGroupRank]] machinery with level-1 ranges cut on difficulty
-    * quantiles. Difficulty is the 6-dp-ROUNDED score on both engines,
-    * so quartile thresholds and rank order are ulp-proof. */
-  def curriculum(docs: DataFrame): DataFrame = {
+    * hot keys at 100 TB; the swap is [[curriculumRanked]] — the
+    * two-level [[withGroupRank]] machinery with level-1 ranges cut on
+    * difficulty quantiles — REGISTERED as sample_curriculum_ranked
+    * with the identical oracle and a result-identity spec (VERDICT
+    * r10 "Next round" #6: the last documented-not-executed hot-key
+    * window retired). Difficulty is the 6-dp-ROUNDED score on both
+    * engines, so quartile thresholds and rank order are ulp-proof. */
+  def curriculum(docs: DataFrame): DataFrame =
+    curriculumPhased(docs).withColumn("rnk", row_number().over(
+        Window.partitionBy("phase")
+          .orderBy(col("difficulty"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("difficulty"), col("phase"), col("rnk"))
+      .orderBy("doc_id")
+
+  /** The (doc_id, difficulty, phase) frame shared by [[curriculum]]
+    * and [[curriculumRanked]] so the quartile arithmetic can never
+    * drift between the windowed and two-level forms. */
+  private def curriculumPhased(docs: DataFrame): DataFrame = {
     val diff = TermStats.unigramLogprob(docs)
       .select(col("doc_id"),
         round(-col("avg_logprob"), 6).as("difficulty"))
@@ -210,18 +223,32 @@ object Sampling {
       percentile(col("difficulty"), lit(0.25)).as("q1"),
       percentile(col("difficulty"), lit(0.5)).as("q2"),
       percentile(col("difficulty"), lit(0.75)).as("q3"))
-    val phased = diff.crossJoin(broadcast(q))
+    diff.crossJoin(broadcast(q))
       .select(col("doc_id"), col("difficulty"),
         (lit(1) + (col("difficulty") > col("q1")).cast("int")
           + (col("difficulty") > col("q2")).cast("int")
           + (col("difficulty") > col("q3")).cast("int"))
           .cast("long").as("phase"))
-    phased.withColumn("rnk", row_number().over(
-        Window.partitionBy("phase")
-          .orderBy(col("difficulty"), col("doc_id"))).cast("long"))
+  }
+
+  /** [[curriculum]] with the per-phase rank window SWAPPED for the
+    * two-level [[withGroupRank]] machinery (the temperatureMixRanked
+    * precedent): level-1 ranges cut on DIFFICULTY quantiles — a
+    * numeric column monotone in the rank order's prefix, so equal
+    * difficulties always share a range and bucketing affects only
+    * partitioning, never ranks; per-(phase, range) counts cumsum to
+    * offsets over O(4 × ranges) broadcast rows; the heavy row_number
+    * runs partitioned by (phase, range) — no phase ever lands on one
+    * partition. Result-identical to the windowed form by construction
+    * (SamplingSpec collect-asserts it at ranges 1/3/8; the registered
+    * key shares the windowed oracle verbatim). */
+  def curriculumRanked(docs: DataFrame, ranges: Int = 8): DataFrame =
+    withGroupRank(curriculumPhased(docs), "phase", ranges,
+        bucketCol = "difficulty",
+        orderCols = Seq(col("difficulty"), col("doc_id")))
+      .withColumn("rnk", col("rk").cast("long"))
       .select(col("doc_id"), col("difficulty"), col("phase"), col("rnk"))
       .orderBy("doc_id")
-  }
 
   /** The per-language target CASE column (model-sized language table,
     * integer-exact derivation) — shared by the windowed and two-level
@@ -305,50 +332,95 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** RESERVED token ids of the packed-tensor layout (VERDICT r10
+    * "Next round" #5 — the special-token contract every real trainer
+    * ships): 0 = padding / UNK / ignore (unchanged from r8–r10),
+    * 1 = BOS, 2 = EOS; REAL vocabulary ids start at 3 (the raw
+    * 1-based vocab/artifact ids shift by +2 at pack time — the
+    * reserved space is a property of the packed TRAINING layout; the
+    * tokenizer artifact's own id space stays 1-based and unshifted,
+    * which [[extendWithSpecials]] documents). */
+  private[ops] val BosId = 1L
+  private[ops] val EosId = 2L
+  private[ops] val IdShift = 2L
+
+  /** [[BosId]] ++ (ids + [[IdShift]]) ++ [[EosId]] per document —
+    * id 0 (UNK from the inference path) stays 0, never shifted into
+    * the reserved range. Input: (doc_id, ids: array&lt;long&gt;) with
+    * raw 1-based ids; zero-token docs must already be absent (they
+    * contribute no BOS/EOS — the same drop rule as the encoders). */
+  private[ops] def extendWithSpecials(perDoc: DataFrame): DataFrame =
+    perDoc.select(col("doc_id"), concat(
+      array(lit(BosId)),
+      transform(col("ids"),
+        x => when(x === 0L, lit(0L)).otherwise(x + lit(IdShift))),
+      array(lit(EosId))).as("ids"))
+
+  /** (seq_id, spos, id, bnd, doc_id) grid from per-doc id ARRAYS with
+    * the special-token contract applied — the single wide-frame
+    * builder shared by [[packSequencesTensor]] and the BPE-symbol
+    * capstones ([[graft.ops.TermStats.tensorPrep]] /
+    * `inferencePrep`), so the offset arithmetic, the BOS/EOS
+    * insertion, and the boundary flags can never drift between the
+    * word-level and symbol-level packers. Offsets are the shared
+    * two-level prefix sum over the EXTENDED counts (n + 2 per doc —
+    * never a global window); bnd marks the BOS position (= where the
+    * document begins in the packed stream). */
+  private[ops] def wideFromPerDoc(perDoc: DataFrame, window: Int,
+      buckets: Int): DataFrame =
+    // The ids ARRAY rides through the prefix-sum pass on its own row
+    // (docOffsetsFromCounts preserves input columns), so each doc's
+    // offset lands beside its ids with NO doc-level join at all — the
+    // only joins in the pack plan are the broadcast bucket-offsets
+    // (O(buckets) rows) and the vocab; the pre-r11 form paid a second
+    // corpus pass plus a per-doc join here.
+    docOffsetsFromCounts(
+      extendWithSpecials(perDoc)
+        .withColumn("n", size(col("ids")).cast("long")), buckets)
+      .select(col("doc_id"), col("off"),
+        posexplode(col("ids")).as(Seq("sp", "id")))
+      .withColumn("gpos", col("off") + col("sp"))
+      .withColumn("seq_id", expr(s"CAST(gpos div $window AS BIGINT)"))
+      .withColumn("spos", expr(s"CAST(gpos % $window AS BIGINT)"))
+      .withColumn("bnd",
+        when(col("sp") === 0, lit(1L)).otherwise(lit(0L)))
+
   /** TRAINER-READY tensor form of sequence packing (VERDICT r8 "Next
-    * round" #2): where [[packSequences]] reports the packing DECISION,
-    * this emits the frame a data loader actually consumes — per
-    * `window`-token sequence, fixed-length `ArrayType(LongType)`
-    * columns: `ids` (vocabulary token ids, 0-padded; real ids start at
-    * 1 so padding is unambiguous), `doc_start` (1 where a new document
-    * begins — the attention-reset/boundary mask), and `loss_mask`
-    * (1 over real tokens, 0 over padding; only the final sequence ever
-    * pads).
+    * round" #2; r10 #5 special tokens): where [[packSequences]]
+    * reports the packing DECISION, this emits the frame a data loader
+    * actually consumes — per `window`-token sequence, fixed-length
+    * `ArrayType(LongType)` columns: `ids` (each document wrapped
+    * BOS … EOS, vocabulary ids shifted past the reserved range —
+    * 0 = pad, 1 = BOS, 2 = EOS, real ids ≥ 3), `doc_start` (1 at each
+    * BOS — the attention-reset/boundary mask), and `loss_mask`
+    * (1 exactly where `labels` holds a real supervision target: EOS
+    * is supervised, BOS and padding are not; see
+    * [[assembleSequences]]).
     *
-    * Scale shape: doc offsets come from the SHARED two-level prefix
-    * sum ([[docTokenOffsets]] — never a global window); the intra-doc
-    * token index is a per-DOC window (bounded by doc length); the
-    * sequence assembly is one keyed aggregate collecting ≤ `window`
-    * elements per group. The registered key gates the string
-    * projection of every array (hash-safe); SamplingSpec pins the
-    * array forms (fixed length, mask algebra, zip-to-string). */
+    * Scale shape: per-doc id arrays are one keyed collect (the same
+    * bounded-by-doc-length shape [[graft.ops.TermStats.bpeIdsTensor]]
+    * gates); extended counts feed the SHARED two-level prefix sum
+    * (never a global window); the sequence assembly is one keyed
+    * aggregate collecting ≤ `window` elements per group. One corpus
+    * scan total — counts now derive from the collected arrays, so the
+    * former second narrow text pass is gone. The registered key gates
+    * the string projection of every array (hash-safe); SamplingSpec
+    * pins the array forms (fixed length, mask algebra, special-token
+    * placement, zip-to-string). */
   def packSequencesTensor(docs: DataFrame, window: Int = 64,
       buckets: Int = 8): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
         posexplode(Text.words(col("text"))).as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
-    val tpos = row_number().over(
-      Window.partitionBy(col("doc_id")).orderBy(col("pos"))).cast("long")
     val vocab = Scale.assignIdsByRange(
       toks.select(col("word")).distinct(), "word")
-    // Offsets come from a second NARROW pass over the text (per-row
-    // size(filter(words)) — no explode, no shuffle; column-pruned to
-    // doc_id+text). Deliberate: re-deriving counts from the exploded
-    // `toks` stream would REPLACE that narrow scan with a corpus-sized
-    // explode + per-doc count exchange (toks isn't cached, so the text
-    // scan is paid either way); caching the token stream at 100 TB is
-    // not an option.
-    val offs = docTokenOffsets(docs, buckets)
-      .select(col("doc_id"), col("off"))
-    val wide = toks.withColumn("tpos", tpos)
-      .join(vocab, "word").join(offs, "doc_id")
-      .withColumn("gpos", col("off") + col("tpos") - 1)
-      .withColumn("seq_id", expr(s"CAST(gpos div $window AS BIGINT)"))
-      .withColumn("spos", expr(s"CAST(gpos % $window AS BIGINT)"))
-      .withColumn("bnd",
-        when(col("tpos") === 1, lit(1L)).otherwise(lit(0L)))
-    assembleSequences(wide, window)
+    val perDoc = toks.join(vocab, "word")
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("id")))),
+        x => x.getField("id")).as("ids"))
+    assembleSequences(wideFromPerDoc(perDoc, window, buckets), window)
   }
 
   /** The per-sequence tensor assembly shared by [[packSequencesTensor]]
@@ -371,19 +443,32 @@ object Sampling {
       sequence(lit(1), size(col("bnd0"))),
       i => aggregate(slice(col("bnd0"), lit(1), i), lit(0L),
         (a, x) => a + x) + (lit(1L) - element_at(col("bnd0"), 1)))
-    // NEXT-TOKEN LABELS (r10): the causal-LM target array — labels[i]
-    // is ids[i+1] UNLESS position i+1 starts a new document (a packed
-    // trainer must not learn to predict doc 2's opening token from
-    // doc 1's closing context) or i is the sequence's last real
-    // position (the continuation lives in the NEXT sequence; 0 =
-    // ignore, the same sentinel as padding since real ids start at 1).
-    // Both element_at calls are short-circuit-guarded by i < size, so
-    // the bound never overruns under ANSI.
+    // NEXT-TOKEN LABELS (r10; r11 special tokens): the causal-LM
+    // target array — labels[i] is ids[i+1] UNLESS position i+1 starts
+    // a new document (its BOS must never be a target: a packed trainer
+    // must not learn to predict doc 2's opening token from doc 1's
+    // closing context) or i is the sequence's last real position (the
+    // continuation lives in the NEXT sequence; 0 = ignore, the same
+    // sentinel as padding since real content ids are ≥ 2). With the
+    // BOS/EOS contract this rule needs NO new cases: the position
+    // after a last word holds EOS (bnd = 0) so EOS IS supervised, and
+    // the position after an EOS holds the next doc's BOS (bnd = 1) so
+    // BOS never is. Both element_at calls are short-circuit-guarded by
+    // i < size, so the bound never overruns under ANSI.
     val labReal = transform(
       sequence(lit(1), size(col("ids0"))),
       i => when(i < size(col("ids0")) &&
           element_at(col("bnd0"), i + 1) === 0L,
         element_at(col("ids0"), i + 1)).otherwise(lit(0L)))
+    // LOSS MASK (r11): 1 exactly where `labels` carries a real target
+    // — the supervision mask a packed causal-LM trainer feeds its loss
+    // (label 0 = ignore; an UNK target collapses to that sentinel, so
+    // UNK-target positions are unsupervised by construction). Derived
+    // from the PADDED labels array so padding is 0 by construction;
+    // before r11 this was a plain real-token mask, which with reserved
+    // tokens would have claimed BOS-target and sequence-tail positions
+    // are supervised.
+    val labArr = concat(labReal, pad(size(col("ids0"))))
     wide.groupBy(col("seq_id"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_tokens"),
@@ -394,10 +479,10 @@ object Sampling {
       .select(col("seq_id"), col("n_docs"), col("n_tokens"),
         concat(col("ids0"), pad(size(col("ids0")))).as("ids"),
         concat(col("bnd0"), pad(size(col("bnd0")))).as("doc_start"),
-        concat(array_repeat(lit(1L), size(col("ids0")).cast("int")),
-          pad(size(col("ids0")))).as("loss_mask"),
+        transform(labArr,
+          x => when(x =!= 0L, lit(1L)).otherwise(lit(0L))).as("loss_mask"),
         concat(segReal, pad(size(col("bnd0")))).as("segment_ids"),
-        concat(labReal, pad(size(col("ids0")))).as("labels"))
+        labArr.as("labels"))
       .orderBy("seq_id")
   }
 
@@ -822,8 +907,11 @@ object Sampling {
     "sample_mix_equalize" -> ((s, d) => mixEqualize(Tables.documents(s, d))),
     // serpentine shard packing by size rank — per-shard token totals.
     "sample_pack_balanced" -> ((s, d) => packBalanced(Tables.documents(s, d))),
-    // quality-quartile curriculum with deterministic in-phase shuffle.
-    "sample_curriculum" -> ((s, d) => curriculumOrder(Tables.documents(s, d))),
+    // NOTE: curriculumOrder (quality-quartile + shuffle) is gated
+    // through pipeline_training_order below; the standalone
+    // sample_curriculum key is the difficulty-based form further down
+    // (a duplicate literal entry here was silently shadowed by it —
+    // removed r11).
     // the composed per-doc card: shard bin + phase + shuffle key.
     "pipeline_training_order" -> ((s, d) =>
       trainingOrder(Tables.documents(s, d))),
@@ -978,6 +1066,12 @@ object Sampling {
     // score, deterministic within-phase order (easy → hard).
     "sample_curriculum" -> ((s, d) =>
       curriculum(Tables.documents(s, d))),
+    // the SAME curriculum with the per-phase hot-key window swapped
+    // for the two-level rank (ranges cut on difficulty quantiles) —
+    // result-identical by construction, shares the windowed oracle
+    // verbatim (VERDICT r10 "Next round" #6).
+    "sample_curriculum_ranked" -> ((s, d) =>
+      curriculumRanked(Tables.documents(s, d))),
     // mT5-style α=0.5 temperature mix over LANGUAGES (the non-uniform
     // axis of this corpus: en dominates, so the mix up-weights the
     // low-resource languages) — integer-exact targets, seeded-md5 cut.
@@ -1027,10 +1121,14 @@ object Sampling {
       |WHERE rnk <= target ORDER BY doc_id""".stripMargin
 
   /** The pack-tensor oracle's shared CTE chain through `wide`
-    * (position-indexed token stream → exclusive global offsets →
+    * (position-indexed token stream → BOS/EOS-extended per-doc stream
+    * → exclusive global offsets over the EXTENDED counts →
     * (seq_id, spos, id, bnd) grid) — single source of truth for
-    * sample_pack_tensor and sample_pack_segments, so the window
-    * arithmetic can never drift between them. */
+    * sample_pack_tensor / _segments / _labels / profile_pack_efficiency,
+    * so the window arithmetic and the special-token contract can never
+    * drift between them. Reserved ids mirror the engine: 1 = BOS at
+    * extended position 1 (also the bnd mark), 2 = EOS at position
+    * n + 2, vocabulary ids = alphabetic row_number + 2. */
   private val packTensorWideCtes: String =
     """toks AS (
       |  SELECT doc_id, pos, word FROM (
@@ -1047,19 +1145,56 @@ object Sampling {
       |dl AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
       |offs AS (
       |  SELECT doc_id,
-      |         CAST(sum(n) OVER (ORDER BY doc_id
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
-      |           AS BIGINT) AS off
+      |         CAST(sum(n + 2) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - (n + 2) AS BIGINT) AS off
       |  FROM dl),
       |vocab AS (
-      |  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS id
+      |  SELECT word,
+      |         CAST(row_number() OVER (ORDER BY word) + 2 AS BIGINT) AS id
       |  FROM (SELECT DISTINCT word FROM toks)),
+      |ext AS (
+      |  SELECT tp.doc_id, v.id, tp.tpos + 1 AS epos
+      |  FROM tp JOIN vocab v USING (word)
+      |  UNION ALL SELECT doc_id, 1 AS id, 1 AS epos FROM dl
+      |  UNION ALL SELECT doc_id, 2 AS id, n + 2 AS epos FROM dl),
       |wide AS (
-      |  SELECT tp.doc_id, v.id,
-      |         CAST((o.off + tp.tpos - 1) // 64 AS BIGINT) AS seq_id,
-      |         CAST((o.off + tp.tpos - 1) % 64 AS BIGINT) AS spos,
-      |         CASE WHEN tp.tpos = 1 THEN 1 ELSE 0 END AS bnd
-      |  FROM tp JOIN vocab v USING (word) JOIN offs o USING (doc_id))""".stripMargin
+      |  SELECT e.doc_id, e.id,
+      |         CAST((o.off + e.epos - 1) // 64 AS BIGINT) AS seq_id,
+      |         CAST((o.off + e.epos - 1) % 64 AS BIGINT) AS spos,
+      |         CASE WHEN e.epos = 1 THEN 1 ELSE 0 END AS bnd
+      |  FROM ext e JOIN offs o USING (doc_id))""".stripMargin
+
+  /** The difficulty-curriculum oracle — one global per-phase window,
+    * the spec both the windowed [[curriculum]] and the two-level
+    * [[curriculumRanked]] must replay exactly (shared verbatim by
+    * both keys). */
+  private val curriculumOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |tok AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+      |freq AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+      |d AS (
+      |  SELECT doc_id,
+      |         round(-(round(sum(ln(CAST(freq.cnt AS DOUBLE) / tot.total))
+      |           / count(*), 6)), 6) AS difficulty
+      |  FROM tok JOIN freq USING (word) CROSS JOIN tot
+      |  GROUP BY doc_id),
+      |q AS (SELECT quantile_cont(difficulty, 0.25) AS q1,
+      |             quantile_cont(difficulty, 0.5) AS q2,
+      |             quantile_cont(difficulty, 0.75) AS q3 FROM d),
+      |p AS (
+      |  SELECT doc_id, difficulty,
+      |         CAST(1 + CAST(difficulty > q1 AS INT)
+      |           + CAST(difficulty > q2 AS INT)
+      |           + CAST(difficulty > q3 AS INT) AS BIGINT) AS phase
+      |  FROM d CROSS JOIN q)
+      |SELECT doc_id, difficulty, phase,
+      |       CAST(row_number() OVER (PARTITION BY phase
+      |         ORDER BY difficulty, doc_id) AS BIGINT) AS rnk
+      |FROM p ORDER BY doc_id""".stripMargin
 
   /** Power-of-2 bin as a fold of integer comparisons — the SQL twin of
     * [[lengthBucketBatches]]' bin column, shared with composed
@@ -1250,31 +1385,10 @@ object Sampling {
          |FROM ph JOIN bins USING (doc_id)
          |ORDER BY bin, phase DESC, shuffle_key, doc_id""".stripMargin
     },
-    // same integer ppm score, quantile_cont thresholds (interpolations
-    // of integers — deterministic doubles), same 60-bit shuffle key.
-    "sample_curriculum" -> {
-      val stops = Text.stop.map(w => s"'$w'").mkString(", ")
-      s"""WITH s AS (
-         |  SELECT doc_id,
-         |    (CAST(len(list_filter(string_split(text, ' '),
-         |       w -> w IN ($stops))) AS BIGINT) * 1000000)
-         |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
-         |  FROM documents),
-         |q AS (SELECT quantile_cont(CAST(score AS DOUBLE), 0.25) AS q1,
-         |             quantile_cont(CAST(score AS DOUBLE), 0.5) AS q2,
-         |             quantile_cont(CAST(score AS DOUBLE), 0.75) AS q3
-         |      FROM s)
-         |SELECT doc_id, CAST(score AS BIGINT) AS score,
-         |       CAST((CASE WHEN score >= q1 THEN 1 ELSE 0 END)
-         |          + (CASE WHEN score >= q2 THEN 1 ELSE 0 END)
-         |          + (CASE WHEN score >= q3 THEN 1 ELSE 0 END) AS BIGINT)
-         |         AS phase,
-         |       CAST(concat('0x', substr(md5(concat('cur:',
-         |         CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
-         |         AS shuffle_key
-         |FROM s CROSS JOIN q
-         |ORDER BY phase DESC, shuffle_key, doc_id""".stripMargin
-    },
+    // NOTE (r11): a second "sample_curriculum" oracle (the ppm-score
+    // form) used to sit here and was silently shadowed by the
+    // difficulty-based entry later in this same literal — removed; its
+    // machinery is still exercised via pipeline_training_order.
     // single global window — identical ranks to the two-level size-rank
     // form; same serpentine deal and per-shard rollup.
     "sample_pack_balanced" ->
@@ -1331,32 +1445,11 @@ object Sampling {
     // difficulty = the already-gated unigram score negated (identical
     // rounded doubles both sides); quartiles via quantile_cont = the
     // rfm percentile-parity precedent; phase/rank fully deterministic.
-    "sample_curriculum" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        |  FROM documents),
-        |tok AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
-        |freq AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
-        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
-        |d AS (
-        |  SELECT doc_id,
-        |         round(-(round(sum(ln(CAST(freq.cnt AS DOUBLE) / tot.total))
-        |           / count(*), 6)), 6) AS difficulty
-        |  FROM tok JOIN freq USING (word) CROSS JOIN tot
-        |  GROUP BY doc_id),
-        |q AS (SELECT quantile_cont(difficulty, 0.25) AS q1,
-        |             quantile_cont(difficulty, 0.5) AS q2,
-        |             quantile_cont(difficulty, 0.75) AS q3 FROM d),
-        |p AS (
-        |  SELECT doc_id, difficulty,
-        |         CAST(1 + CAST(difficulty > q1 AS INT)
-        |           + CAST(difficulty > q2 AS INT)
-        |           + CAST(difficulty > q3 AS INT) AS BIGINT) AS phase
-        |  FROM d CROSS JOIN q)
-        |SELECT doc_id, difficulty, phase,
-        |       CAST(row_number() OVER (PARTITION BY phase
-        |         ORDER BY difficulty, doc_id) AS BIGINT) AS rnk
-        |FROM p ORDER BY doc_id""".stripMargin,
+    "sample_curriculum" -> curriculumOracleSql,
+    // the two-level ranked form must be RESULT-IDENTICAL to the
+    // windowed form (bucketing affects only partitioning, never
+    // ranks): same oracle, verbatim.
+    "sample_curriculum_ranked" -> curriculumOracleSql,
     // integer-exact target derivation (floor(sqrt·1e6) weights, BIGINT
     // sum, integer division) and the identical md5 key string.
     "sample_temperature_mix" -> tmixOracleSql,
@@ -1364,22 +1457,30 @@ object Sampling {
     // windowed form (bucketing affects only partitioning, never
     // ranks): same oracle, verbatim.
     "sample_temperature_mix_ranked" -> tmixOracleSql,
-    // the tensor frame's global-cumsum spec: same exclusive offsets as
-    // pack_sequences, alphabetic vocab ids, per-sequence string_agg in
-    // intra-sequence position order, explicit 0-padding to the window.
+    // the tensor frame's global-cumsum spec: extended (BOS/EOS-wrapped)
+    // per-doc streams, shifted alphabetic vocab ids, per-sequence
+    // string_agg in intra-sequence position order, explicit 0-padding
+    // to the window. loss_mask is re-derived from the SAME lead() rule
+    // as the labels oracle (1 iff the position has a real target), so
+    // the supervision contract binds to the hash here too.
     "sample_pack_tensor" ->
       s"""WITH $packTensorWideCtes,
+         |lm AS (
+         |  SELECT doc_id, seq_id, spos, id, bnd,
+         |         CASE WHEN lead(bnd) OVER w = 0 THEN 1 ELSE 0 END AS msk
+         |  FROM wide
+         |  WINDOW w AS (PARTITION BY seq_id ORDER BY spos)),
          |seqs AS (
          |  SELECT seq_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |         CAST(count(*) AS BIGINT) AS n_tokens,
          |         string_agg(CAST(id AS VARCHAR), ' ' ORDER BY spos) AS ids0,
-         |         string_agg(CAST(bnd AS VARCHAR), ' ' ORDER BY spos) AS bnd0
-         |  FROM wide GROUP BY seq_id)
+         |         string_agg(CAST(bnd AS VARCHAR), ' ' ORDER BY spos) AS bnd0,
+         |         string_agg(CAST(msk AS VARCHAR), ' ' ORDER BY spos) AS lm0
+         |  FROM lm GROUP BY seq_id)
          |SELECT seq_id, n_docs, n_tokens,
          |       ids0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS ids,
          |       bnd0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS doc_start,
-         |       trim(repeat('1 ', CAST(n_tokens AS INT)))
-         |         || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS loss_mask
+         |       lm0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS loss_mask
          |FROM seqs ORDER BY seq_id""".stripMargin,
     // segment ids = prefix sum of the boundary stream within the
     // sequence, +1 when the sequence opens mid-document (the carried

@@ -500,8 +500,37 @@ object Similarity {
       emb: DataFrame, queryPred: Column, k: Int, nprobe: Int = 4,
       m: Int = 8, cands: Int = 32): DataFrame = {
     val (centroids, books) = loadIndexModel(spark, dir, m)
-    ivfPqSearch(emb, spark.read.parquet(s"$dir/codes"),
+    ivfPqSearch(emb, liveCodes(spark, dir),
       centroids, books, queryPred, k, nprobe, m, cands)
+  }
+
+  /** TOMBSTONE vectors in the persisted artifact (VERDICT r10 "Next
+    * round" #3 — FAISS `remove_ids` semantics, the inverse of
+    * [[appendToIvfPqIndex]]): the ids land in a `tombstones` parquet
+    * table beside the codes (an append — nothing corpus-sized moves),
+    * the query path anti-joins them out of every answer, and the next
+    * [[compactIvfPqIndexCodes]] physically drops their codes and
+    * clears the table. The production triggers — GDPR takedowns,
+    * dedup-driven retractions — arrive as id lists, which is exactly
+    * the input here. */
+  def deleteFromIvfPqIndex(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit =
+    ids.select(col("vec_id")).write.mode("append")
+      .parquet(s"$dir/tombstones")
+
+  /** The artifact's LIVE codes: the codes table minus any tombstoned
+    * ids — what every reader of the index consumes. No tombstones
+    * table (the common case) reads the codes scan unchanged; with one,
+    * the anti-join ships only the (small) id list. */
+  private def liveCodes(spark: SparkSession, dir: String): DataFrame = {
+    val codes = spark.read.parquet(s"$dir/codes")
+    val tPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tPath))
+      codes.join(spark.read.parquet(tPath.toString)
+          .select(col("vec_id").as("n_id")).distinct(),
+        Seq("n_id"), "left_anti")
+    else codes
   }
 
   /** The artifact's MODEL half (coarse centroids + plain PQ codebooks)
@@ -562,7 +591,12 @@ object Similarity {
     val codes = new Path(s"$dir/codes")
     val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$dir/codes_compact_tmp")
-    spark.read.parquet(codes.toString).repartition(targetFiles)
+    // Compaction rewrites the LIVE codes (r11): tombstoned rows are
+    // physically dropped here — FAISS remove_ids' reclamation half —
+    // and the tombstones table is cleared after the swap, so the
+    // rewritten index answers identically with no anti-join left on
+    // the query path.
+    liveCodes(spark, dir).repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     val bak = new Path(s"$dir/codes_pre_compact")
     // A stale backup from a prior crashed run would make the first
@@ -585,6 +619,10 @@ object Similarity {
            else s"rollback ALSO failed — restore manually from $bak"))
     }
     fs.delete(bak, true)
+    // tombstones are folded into the rewrite above — clear them LAST
+    // (after the swap landed), so a crash anywhere earlier leaves a
+    // correct tombstoned index, never a resurrected one
+    fs.delete(new Path(s"$dir/tombstones"), true)
   }
 
   /** Index artifact written once per (session, sf dir) — billed to the
@@ -659,6 +697,36 @@ object Similarity {
       compactIvfPqIndexCodes(sp, out)
       SessionCleanup.onEnd(sp) {
         compactIndexMemo.remove((sp, dir))
+        SessionCleanup.deleteRecursively(out)
+      }
+      out
+    })
+
+  /** The TOMBSTONED lifecycle artifact for sim_ann_index_delete: full
+    * build (full-corpus seeded model, no residuals), then the
+    * deterministic takedown split vec_id % 7 = 3 tombstoned — built
+    * once per (session, sf dir), queried with the tombstones still in
+    * place (the anti-join path; SimilaritySpec additionally proves the
+    * compacted form answers identically and physically drops the
+    * rows). The oracle is the full-rebuild ivfpq SQL over the corpus
+    * MINUS the deleted split with the model still derived from the
+    * FULL corpus — exactly FAISS remove_ids: deletion never retrains
+    * the model. */
+  private val deleteIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private[graft] val deletePred: Column = col("vec_id") % 7 === 3
+
+  private def deletedIndexDir(s: SparkSession, d: String): String =
+    deleteIndexMemo.computeIfAbsent((s, d), { case (sp, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-anndelete").toString
+      val emb = Tables.embeddings(sp, dir)
+      writeIvfPqIndex(emb, trainedCentroids(sp, dir, 16, 0), out,
+        writeResiduals = false)
+      deleteFromIvfPqIndex(sp, out, emb.filter(deletePred))
+      SessionCleanup.onEnd(sp) {
+        deleteIndexMemo.remove((sp, dir))
         SessionCleanup.deleteRecursively(out)
       }
       out
@@ -1337,6 +1405,16 @@ object Similarity {
     "sim_ann_index_compact" -> ((s, d) =>
       ivfPqTopKFromIndex(s, compactedIndexDir(s, d),
         Tables.embeddings(s, d), col("vec_id") < 10, 5)),
+    // the lifecycle's INVERSE of append (r11): a takedown split
+    // (vec_id % 7 = 3) tombstoned in the persisted artifact, top-k
+    // answered with deleted ids excluded from queries, candidates,
+    // and results — FAISS remove_ids. Oracle = the full-rebuild ivfpq
+    // SQL over the corpus minus the split, model still full-corpus
+    // (deletion never retrains).
+    "sim_ann_index_delete" -> ((s, d) =>
+      ivfPqTopKFromIndex(s, deletedIndexDir(s, d),
+        Tables.embeddings(s, d),
+        col("vec_id") < 10 && !deletePred, 5)),
     // TRUE IVFPQ: PQ codes quantize the RESIDUAL x − c(x) (what FAISS
     // encodes), per-probed-list query tables; residual codebooks from
     // the disjoint second-stride seed rows — memoized model artifact.
@@ -1397,11 +1475,20 @@ object Similarity {
        |labs AS (
        |  SELECT id AS vec_id, min(lab) AS cluster FROM reach GROUP BY id)""".stripMargin
 
-  /** The sim_ann_ivfpq gate SQL, extracted so sim_ann_index_persist
-    * (identical results answered from the persisted artifact) can share
-    * it verbatim. */
-  private val ivfPqOracleSql: String =
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+  /** The sim_ann_ivfpq gate SQL, extracted so sim_ann_index_persist /
+    * _append / _compact (identical results answered from the persisted
+    * artifact) can share it verbatim. [[ivfPqOracleSqlLive]]
+    * parameterizes the LIVE predicate for sim_ann_index_delete: the
+    * model CTEs (stride, seeds, centroids) always read the FULL corpus
+    * — deletion never retrains the model — while queries and
+    * candidates restrict to undeleted rows; live = None interpolates
+    * to empty strings, so the unparameterized constant below is
+    * byte-identical to the r8–r10 oracle. */
+  private val ivfPqOracleSql: String = ivfPqOracleSqlLive(None)
+
+  private def ivfPqOracleSqlLive(live: Option[String]): String = {
+    val and = live.map(p => s" AND $p").getOrElse("")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |en AS (
         |  SELECT vec_id,
         |         list_transform(emb,
@@ -1429,10 +1516,11 @@ object Similarity {
         |  SELECT vec_id, k,
         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, k DESC) AS rn
         |  FROM ac),
-        |assigned AS (SELECT vec_id, k AS cluster FROM ranked_ac WHERE rn = 1),
+        |assigned AS (SELECT vec_id, k AS cluster FROM ranked_ac
+        |             WHERE rn = 1$and),
         |probes AS (
         |  SELECT vec_id AS q_id, k AS cluster FROM ranked_ac
-        |  WHERE rn <= 4 AND vec_id < 10),
+        |  WHERE rn <= 4 AND vec_id < 10$and),
         |cand AS (
         |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
         |  FROM probes p JOIN assigned a ON p.cluster = a.cluster
@@ -1496,6 +1584,7 @@ object Similarity {
         |  FROM scored)
         |SELECT q_id, rnk, n_id, round(cos, 6) AS cos_sim FROM ranked
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
     // same arithmetic as the Spark side's dot-identity form: the error
@@ -1772,6 +1861,12 @@ object Similarity {
     "sim_ann_index_append" -> ivfPqOracleSql,
     // and compaction must not change one row: same oracle again.
     "sim_ann_index_compact" -> ivfPqOracleSql,
+    // delete = the full rebuild over the corpus MINUS the takedown
+    // split, with the model (stride/seeds/centroids) still derived
+    // from the FULL corpus — FAISS remove_ids never retrains; only
+    // queries and candidate vectors restrict to live rows.
+    "sim_ann_index_delete" ->
+      ivfPqOracleSqlLive(Some("vec_id % 7 <> 3")),
     // TRUE IVFPQ replay: residual codewords from the second-stride seed
     // rows (rcw), per-vector residual codes (res/sd/codes), and
     // PER-(query, probed-list) distance tables (qres/qd) — joining qd

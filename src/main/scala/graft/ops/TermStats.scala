@@ -430,20 +430,149 @@ object TermStats {
     learned.toSeq
   }
 
+  /** [[bpeLearnIterBatched]] with INCREMENTAL pair-count maintenance
+    * (VERDICT r10 "Next round" #2 — what Sennrich's learn_bpe and HF
+    * tokenizers actually do): the batched loop still RECOUNTS every
+    * pair of every vocabulary word each round (Σ ≤ k(k+1)/2
+    * vocab-sized explodes per batch — at 30k merges, ~90M recount
+    * rows); but a merge only changes the pairs of words that CONTAIN
+    * it, so this trainer maintains the pair-count frame P by deltas:
+    *
+    *   P₀   = pairCounts(v₀)                      (the ONE full recount)
+    *   Δᵣ   = pairCounts(matchedᵣ as-was, cnt NEGATED
+    *            ∪ matchedᵣ re-encoded)            (merge-site words only)
+    *   Pᵣ₊₁ = (Pᵣ ∪ Δᵣ) Σ-by-pair, filter n > 0
+    *
+    * pairCounts is ADDITIVE over rows and unmatched words contribute
+    * identical pairs before and after, so Pᵣ ≡ pairCounts(vᵣ) exactly,
+    * every round — the argmax (same (n DESC, lhs, rhs) pin) is
+    * BIT-IDENTICAL to the recounting trainers by construction, and
+    * TermStatsSpec collect-asserts it against both. Zero-count pairs
+    * drop from P (filter n > 0), so exhaustion is still "P is empty",
+    * matching the recount's no-pairs-left. Under Zipf, matchedᵣ
+    * shrinks fast with rank: the per-round explode volume falls from
+    * the whole vocabulary to the merge's match set — the difference
+    * between O(R · vocab) and O(vocab + Σ|matchedᵣ|) exploded rows
+    * over an R = 30k run (TrainerBench records both).
+    *
+    * DAG discipline — the batched loop's trick does NOT carry over
+    * (measured, the hard way): chaining the k picks lazily as
+    * broadcast 1-row frames makes every pickᵢ a subplan referenced
+    * from THREE downstream frames (vᵢ, Δᵢ old+new), so the logical
+    * tree multiplies ~4× per round — at k = 5 the analyzer burned
+    * 25+ min on one driver core before the first job. The pick
+    * therefore COLLECTS each round (its operands become literals, so
+    * every frame references only its predecessor and plan growth is
+    * linear in k): one tiny P-argmax action per round — reading the
+    * MAINTAINED pair frame, not a recount — plus two checkpoint
+    * actions per batch boundary (v and P, superseded blocks released
+    * explicitly). `batch` now dials the CHECKPOINT cadence (the
+    * within-batch chains re-execute their ≤ batch-deep delta suffix
+    * per argmax), not the action count: this trainer trades the
+    * batched loop's action amortization for merge-site-only recount
+    * volume — the term that actually grows with R. */
+  def bpeLearnIterIncremental(docs: DataFrame, rounds: Int = 10,
+      batch: Int = 5): Seq[(String, String, Long)] = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    val freq = tokens(docs).filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var v: DataFrame = freq.select(col("cnt"), concat(
+      regexp_replace(col("word"), "(.)", "  $1"), lit("  ")).as("enc"))
+      .localCheckpoint(true)
+    var p: DataFrame = pairCounts(v).localCheckpoint(true)
+    val learned = scala.collection.mutable.Buffer[(String, String, Long)]()
+    var exhausted = false
+    var r = 0
+    while (r < rounds && !exhausted) {
+      val k = math.min(batch, rounds - r)
+      var cur = v
+      var curP = p
+      var i = 0
+      while (i < k && !exhausted) {
+        val top = curP.orderBy(col("n").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, n) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          learned += ((a, b, n))
+          val pat = lit(" " + a + "  " + b + " ")
+          val rep = lit(" " + a + b + " ")
+          val matched = cur.filter(col("enc").contains(pat))
+          // the delta in ONE pairCounts pass: old pairs enter negated,
+          // re-encoded pairs positive — additivity does the subtraction
+          val delta = pairCounts(
+            matched.select((-col("cnt")).as("cnt"), col("enc"))
+              .unionByName(matched.select(col("cnt"),
+                replace(col("enc"), pat, rep).as("enc"))))
+          curP = curP.unionByName(delta)
+            .groupBy(col("lhs"), col("rhs")).agg(sum(col("n")).as("n"))
+            .filter(col("n") > 0)
+          cur = cur.select(col("cnt"),
+            when(col("enc").contains(pat), replace(col("enc"), pat, rep))
+              .otherwise(col("enc")).as("enc"))
+        }
+        i += 1
+      }
+      if (!exhausted && r + k < rounds) {
+        val (prevV, prevP) = (v, p)
+        v = cur.localCheckpoint(true)
+        p = curP.localCheckpoint(true)
+        Seq(prevV, prevP).foreach(f =>
+          org.apache.spark.sql.GraftBridge.checkpointRdd(f)
+            .foreach(_.unpersist(false)))
+      }
+      r += k
+    }
+    learned.toSeq
+  }
+
+  /** Per-round RECOUNT-ROW volumes for the trainer A/B accounting
+    * (VERDICT r10 "Next round" #7 — TrainerBench's table): for each
+    * round r of a LEARNED merge table, (full, incremental) exploded
+    * pair-row counts over the distinct vocabulary — full = what every
+    * recounting trainer explodes that round (Σ_w symbols_r(w) − 1);
+    * incremental = what the delta explodes (matched words only, both
+    * their as-was and re-encoded forms). Diagnostic-only: one small
+    * vocab aggregate per round, replace chains at gate depth. */
+  private[graft] def recountVolumes(docs: DataFrame,
+      merges: Seq[(String, String, Long)]): Seq[(Long, Long)] = {
+    val vocab = tokens(docs).filter(length(col("word")) >= 2)
+      .select("word").distinct()
+    def rows(e: Column): Column =
+      greatest(size(split(e, " ")) - 1, lit(0)).cast("long")
+    merges.indices.map { r =>
+      val encPre = bpeEncodePairsExpr(col("word"),
+        merges.take(r).map { case (a, b, _) => (a, b) })
+      val encPost = bpeEncodePairsExpr(col("word"),
+        merges.take(r + 1).map { case (a, b, _) => (a, b) })
+      val (a, b, _) = merges(r)
+      val isM = concat(lit(" "), encPre, lit(" ")).contains(s" $a $b ")
+      val row = vocab.agg(
+        sum(rows(encPre)).as("full"),
+        sum(when(isM, rows(encPre) + rows(encPost))
+          .otherwise(lit(0L))).as("incr")).collect()(0)
+      (row.getLong(0), row.getLong(1))
+    }
+  }
+
   /** The iterative model memoized per (session, sf dir, rounds) — the
     * trainedMerges pattern: trained once per corpus (billed to the
     * bench build pass); learn_iter re-emits the artifact, apply_iter
-    * consumes it. Training runs the BATCHED loop — bit-identical to
-    * [[bpeLearnIter]] (TermStatsSpec) at ⌈R/batch⌉ driver round-trips
-    * instead of R; the learn_iter gate's unrolled-recount oracle
-    * validates the batched output directly. */
+    * consumes it. Training runs the INCREMENTAL loop (r11) —
+    * bit-identical to [[bpeLearnIter]] and [[bpeLearnIterBatched]]
+    * (TermStatsSpec collect-asserts all three) at ⌈R/batch⌉ driver
+    * round-trips and merge-site-only recount volume; the learn_iter
+    * gate's unrolled-recount oracle validates the output directly —
+    * the gate is the proof that maintenance never drifts from the
+    * recount it replaces. */
   private val iterMergeMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int), Seq[(String, String, Long)]]()
   private def trainedIterMerges(s: SparkSession, d: String,
       rounds: Int): Seq[(String, String, Long)] =
     iterMergeMemo.computeIfAbsent((s, d, rounds), { case (sp, dir, r) =>
       SessionCleanup.onEnd(sp) { iterMergeMemo.remove((sp, dir, r)) }
-      bpeLearnIterBatched(Tables.documents(sp, dir), r, batch = 5)
+      bpeLearnIterIncremental(Tables.documents(sp, dir), r, batch = 5)
     })
 
   /** Apply the learned BPE merge table to re-encode every document —
@@ -767,19 +896,12 @@ object TermStats {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("pos"), col("wids")))),
         x => x.getField("wids"))).as("ids"))
-    val offs = Sampling.docOffsetsFromCounts(
-      perDoc.select(col("doc_id"),
-        size(col("ids")).cast("long").as("n")), buckets)
-      .select(col("doc_id"), col("off"))
-    val wide = perDoc
-      .select(col("doc_id"), posexplode(col("ids")).as(Seq("sp", "id")))
-      .join(offs, "doc_id")
-      .withColumn("gpos", col("off") + col("sp"))
-      .withColumn("seq_id", expr(s"CAST(gpos div $window AS BIGINT)"))
-      .withColumn("spos", expr(s"CAST(gpos % $window AS BIGINT)"))
-      .withColumn("bnd",
-        when(col("sp") === 0, lit(1L)).otherwise(lit(0L)))
-    Sampling.assembleSequences(wide, window)
+    // Special-token contract (r11): the SHARED wide-frame builder
+    // wraps each doc BOS … EOS and shifts artifact ids past the
+    // reserved range — UNK id 0 stays 0 by the builder's shift rule,
+    // so the UNK and padding sentinels remain one value.
+    Sampling.assembleSequences(
+      Sampling.wideFromPerDoc(perDoc, window, buckets), window)
   }
 
   /** The CAPSTONE trainer-prep pipeline: corpus → ITERATIVELY trained
@@ -792,21 +914,14 @@ object TermStats {
     * offsets run over SYMBOL counts, so sequences pack the tokenizer's
     * actual output stream, not word counts. */
   def tensorPrep(docs: DataFrame, merges: Seq[(String, String)],
-      window: Int = 64, buckets: Int = 8): DataFrame = {
-    val perDoc = bpeIdsTensor(docs, merges)
-    val offs = Sampling.docOffsetsFromCounts(
-      perDoc.select(col("doc_id"), col("n_symbols").as("n")), buckets)
-      .select(col("doc_id"), col("off"))
-    val wide = perDoc
-      .select(col("doc_id"), posexplode(col("ids")).as(Seq("sp", "id")))
-      .join(offs, "doc_id")
-      .withColumn("gpos", col("off") + col("sp"))
-      .withColumn("seq_id", expr(s"CAST(gpos div $window AS BIGINT)"))
-      .withColumn("spos", expr(s"CAST(gpos % $window AS BIGINT)"))
-      .withColumn("bnd",
-        when(col("sp") === 0, lit(1L)).otherwise(lit(0L)))
-    Sampling.assembleSequences(wide, window)
-  }
+      window: Int = 64, buckets: Int = 8): DataFrame =
+    // Special-token contract (r11): the SHARED wide-frame builder
+    // wraps each doc BOS … EOS and shifts the tokenizer's 1-based
+    // symbol ids past the reserved range (0=pad, 1=BOS, 2=EOS).
+    Sampling.assembleSequences(
+      Sampling.wideFromPerDoc(
+        bpeIdsTensor(docs, merges).select(col("doc_id"), col("ids")),
+        window, buckets), window)
 
   /** The learned tokenizer's VOCABULARY table (id, sym, n) — the other
     * half of a shippable tokenizer artifact beside the merge list:
@@ -1054,33 +1169,53 @@ object TermStats {
 
   /** The pack-assembly tail shared by pipeline_tensor_prep and
     * pipeline_inference_prep (both consume a `dsi(doc_id, id, tp)`
-    * stream): exclusive per-doc symbol-count offsets → 64-window cut →
-    * per-sequence string assembly with explicit 0-padding. */
+    * stream with RAW 1-based ids, 0 = UNK): BOS/EOS extension with the
+    * reserved-id shift (0 stays 0 — the UNK/pad sentinel; vocabulary
+    * ids + 2) → exclusive per-doc EXTENDED-count offsets → 64-window
+    * cut → per-sequence string assembly with explicit 0-padding.
+    * loss_mask re-derives from the same lead() supervision rule as the
+    * labels oracle (1 iff the position has a real target — EOS
+    * supervised; BOS, sequence tails, and UNK targets not: an UNK
+    * target's label IS the 0/ignore sentinel, so its position cannot
+    * be supervised), mirroring the engine's r11 contract. */
   private val packTailSql: String =
     """dl AS (SELECT doc_id, count(*) AS n FROM dsi GROUP BY doc_id),
+      |extd AS (
+      |  SELECT doc_id,
+      |         CASE WHEN id = 0 THEN 0 ELSE id + 2 END AS id,
+      |         tp + 1 AS tp
+      |  FROM dsi
+      |  UNION ALL SELECT doc_id, 1 AS id, 1 AS tp FROM dl
+      |  UNION ALL SELECT doc_id, 2 AS id, n + 2 AS tp FROM dl),
       |offs AS (
       |  SELECT doc_id,
-      |         CAST(sum(n) OVER (ORDER BY doc_id
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
-      |           AS BIGINT) AS off
+      |         CAST(sum(n + 2) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - (n + 2) AS BIGINT) AS off
       |  FROM dl),
       |wide AS (
       |  SELECT s.doc_id, s.id,
       |         CAST((o.off + s.tp - 1) // 64 AS BIGINT) AS seq_id,
       |         CAST((o.off + s.tp - 1) % 64 AS BIGINT) AS spos,
       |         CASE WHEN s.tp = 1 THEN 1 ELSE 0 END AS bnd
-      |  FROM dsi s JOIN offs o USING (doc_id)),
+      |  FROM extd s JOIN offs o USING (doc_id)),
+      |lm AS (
+      |  SELECT doc_id, seq_id, spos, id, bnd,
+      |         CASE WHEN lead(bnd) OVER w = 0 AND lead(id) OVER w <> 0
+      |              THEN 1 ELSE 0 END AS msk
+      |  FROM wide
+      |  WINDOW w AS (PARTITION BY seq_id ORDER BY spos)),
       |seqs AS (
       |  SELECT seq_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
       |         CAST(count(*) AS BIGINT) AS n_tokens,
       |         string_agg(CAST(id AS VARCHAR), ' ' ORDER BY spos) AS ids0,
-      |         string_agg(CAST(bnd AS VARCHAR), ' ' ORDER BY spos) AS bnd0
-      |  FROM wide GROUP BY seq_id)
+      |         string_agg(CAST(bnd AS VARCHAR), ' ' ORDER BY spos) AS bnd0,
+      |         string_agg(CAST(msk AS VARCHAR), ' ' ORDER BY spos) AS lm0
+      |  FROM lm GROUP BY seq_id)
       |SELECT seq_id, n_docs, n_tokens,
       |       ids0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS ids,
       |       bnd0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS doc_start,
-      |       trim(repeat('1 ', CAST(n_tokens AS INT)))
-      |         || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS loss_mask
+      |       lm0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS loss_mask
       |FROM seqs ORDER BY seq_id""".stripMargin
 
   private def idsOracleBody(prefixCtes: String, encSql: String): String =

@@ -499,6 +499,102 @@ object Streams {
       .toDF("doc_id", "n_tokens", "n_symbols", "syms")
   }
 
+  /** Carry state of the STREAMING packer: the next sequence id to
+    * emit and the open partial sequence's per-token (id, boundary,
+    * doc) triples — at most `window − 1` tokens. */
+  final case class PackState(nextSeq: Long, ids: Seq[Long],
+    bnds: Seq[Long], docs: Seq[Long])
+
+  /** One emitted packed sequence — the same eight columns, in the same
+    * order, as the batch [[graft.ops.Sampling.assembleSequences]]
+    * (StreamsSpec asserts row-for-row equality against
+    * packSequencesTensor). */
+  final case class PackedSeq(seq_id: Long, n_docs: Long, n_tokens: Long,
+    ids: Seq[Long], doc_start: Seq[Long], loss_mask: Seq[Long],
+    segment_ids: Seq[Long], labels: Seq[Long])
+
+  /** STREAMING sequence packing (VERDICT r10 "Next round" #4) — the
+    * live twin of the pack stage, the one stage of
+    * pipeline_inference_prep that was batch-only: consume a stream of
+    * per-doc id arrays (RAW 1-based vocabulary ids, 0 = UNK — the
+    * encode stage's output), apply the r11 special-token contract
+    * (BOS … EOS wrap, ids shifted past the reserved range), and emit
+    * fixed-`window` tensor sequences. The OPEN partial sequence
+    * carries across micro-batches in flatMapGroupsWithState state —
+    * only COMPLETED sequences are emitted, so a document that lands on
+    * a batch boundary straddles it through the carry; a marker row
+    * with doc_id = −1 flushes the final 0-padded partial (the
+    * end-of-stream signal a bounded replay has and an unbounded stream
+    * never sends).
+    *
+    * Scale shape: packing is inherently SEQUENTIAL at the point of
+    * sequence assembly (every token's global offset depends on every
+    * prior doc), so the group key is the SHARD id — here the single
+    * literal shard 0; at 100 TB run one packer per upstream shard
+    * (partition/topic) with shard-local sequence ids, exactly how
+    * production loaders shard packing. State is bounded by window − 1
+    * tokens per shard. Within a micro-batch docs sort by doc_id (the
+    * batch packer's offset order); across batches arrival order IS the
+    * stream's contract. */
+  def packStream(docs: DataFrame, window: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("ids")).as[(Long, Seq[Long])]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[PackState, PackedSeq](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[PackState]) =>
+          val st = state.getOption.getOrElse(PackState(0L, Nil, Nil, Nil))
+          var nextSeq = st.nextSeq
+          val ids = scala.collection.mutable.ArrayBuffer(st.ids: _*)
+          val bnds = scala.collection.mutable.ArrayBuffer(st.bnds: _*)
+          val dcs = scala.collection.mutable.ArrayBuffer(st.docs: _*)
+          val out = scala.collection.mutable.Buffer[PackedSeq]()
+          def emit(n: Int): Unit = {
+            out += assembleOne(nextSeq, ids.take(n).toSeq,
+              bnds.take(n).toSeq, dcs.take(n).toSeq, window)
+            nextSeq += 1
+            ids.remove(0, n); bnds.remove(0, n); dcs.remove(0, n)
+          }
+          val (flush, real) = rows.toSeq.partition(_._1 < 0L)
+          real.sortBy(_._1).foreach { case (docId, raw) =>
+            // the shared special-token contract: BOS ++ (ids + 2,
+            // 0 stays 0) ++ EOS, boundary mark on the BOS
+            val ext = 1L +: raw.map(x => if (x == 0L) 0L else x + 2L) :+ 2L
+            ids ++= ext
+            bnds += 1L; bnds ++= Seq.fill(ext.size - 1)(0L)
+            dcs ++= Seq.fill(ext.size)(docId)
+            while (ids.size >= window) emit(window)
+          }
+          if (flush.nonEmpty && ids.nonEmpty) emit(ids.size)
+          if (flush.nonEmpty) state.update(PackState(nextSeq, Nil, Nil, Nil))
+          else state.update(
+            PackState(nextSeq, ids.toSeq, bnds.toSeq, dcs.toSeq))
+          out.iterator
+      }
+      .toDF()
+  }
+
+  /** One packed sequence from ≤ `window` real (id, bnd, doc) triples —
+    * the Scala replay of the batch assembly's array math (labels =
+    * next id unless the next position opens a doc or is absent;
+    * loss_mask = labels ≠ 0; segment_ids = boundary prefix sum +1 on
+    * a mid-doc open; everything 0-padded to `window`). */
+  private def assembleOne(seqId: Long, ids: Seq[Long], bnds: Seq[Long],
+      docs: Seq[Long], window: Int): PackedSeq = {
+    val n = ids.size
+    val pad = Seq.fill(window - n)(0L)
+    val labs = ids.indices.map { i =>
+      if (i + 1 < n && bnds(i + 1) == 0L) ids(i + 1) else 0L
+    } ++ pad
+    val segs = ids.indices.map { i =>
+      bnds.take(i + 1).sum + (1L - bnds.head)
+    } ++ pad
+    PackedSeq(seqId, docs.distinct.size.toLong, n.toLong,
+      ids ++ pad, bnds ++ pad,
+      labs.map(l => if (l != 0L) 1L else 0L), segs, labs)
+  }
+
   /** Transactional micro-batch upload+mark (stream_foreachBatch_sink):
     * each batch of pending rows is uploaded then the manifest snapshot is
     * swapped; the checkpoint dir makes restarts resume exactly where the

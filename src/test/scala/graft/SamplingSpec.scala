@@ -209,8 +209,8 @@ class SamplingSpec extends AnyFunSuite {
   }
 
   test("packSequencesTensor: fixed-64 ArrayType(LongType) columns with " +
-      "coherent mask algebra, agreeing with packSequences and the " +
-      "gated string key") {
+      "the special-token contract (BOS/EOS placement, supervision " +
+      "mask), conservation, and the gated string key") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{ArrayType, LongType}
     val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
@@ -222,37 +222,46 @@ class SamplingSpec extends AnyFunSuite {
           .elementType == LongType, c)
     }
     val rows = tens.collect().map(r => (r.getLong(0), r.getLong(1),
-      r.getLong(2), r.getSeq[Long](3), r.getSeq[Long](4), r.getSeq[Long](5)))
-    rows.foreach { case (seq, nDocs, nToks, ids, bnd, mask) =>
+      r.getLong(2), r.getSeq[Long](3), r.getSeq[Long](4),
+      r.getSeq[Long](5), r.getSeq[Long](7)))
+    rows.foreach { case (seq, nDocs, nToks, ids, bnd, mask, labs) =>
       assert(ids.size == 64 && bnd.size == 64 && mask.size == 64, seq)
-      // loss mask: 1 over the nToks real tokens, 0 over padding
-      assert(mask.sum == nToks && mask.take(nToks.toInt).forall(_ == 1L)
-        && mask.drop(nToks.toInt).forall(_ == 0L), seq)
-      // vocab ids start at 1, so real slots are nonzero, padding zero
+      // loss mask (r11): 1 exactly where labels carries a real target
+      assert(mask == labs.map(l => if (l != 0L) 1L else 0L), seq)
+      assert(mask.drop(nToks.toInt).forall(_ == 0L), seq)
+      // reserved ids: real slots nonzero (1=BOS, 2=EOS, vocab >= 3),
+      // padding zero
       assert(ids.take(nToks.toInt).forall(_ >= 1L)
         && ids.drop(nToks.toInt).forall(_ == 0L), seq)
+      // BOS sits EXACTLY at the boundary marks; EOS count in a
+      // sequence can exceed BOS count only via carried-over docs
+      ids.take(nToks.toInt).zip(bnd).foreach { case (id, b) =>
+        assert((id == 1L) == (b == 1L), s"seq $seq BOS/bnd")
+      }
       // boundary marks only fall on real tokens
       assert(bnd.drop(nToks.toInt).forall(_ == 0L) &&
         bnd.forall(b => b == 0L || b == 1L), seq)
       assert(nDocs >= 1L, seq)
     }
-    // sequence grid and fills agree with the gated packing report
-    val want = Sampling.packSequences(docs).collect()
-      .map(r => r.getLong(0) -> r.getLong(4)).toMap
-    assert(rows.map(_._1).toSet == want.keySet)
-    rows.foreach { case (seq, _, nToks, _, _, _) =>
-      assert(want(seq) == nToks, s"seq $seq fill")
-    }
-    // every doc starts exactly once across the whole grid
+    // conservation: every doc with tokens contributes words + BOS +
+    // EOS; exactly one BOS and one EOS per doc across the grid
     val nDocsWithTokens = docs.filter(size(filter(split(col("text"), " "),
       w => length(w) > 0)) > 0).count()
+    val nWords = docs.select(size(filter(split(col("text"), " "),
+        w => length(w) > 0)).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(rows.map(_._3).sum == nWords + 2 * nDocsWithTokens)
     assert(rows.map(_._5.sum).sum == nDocsWithTokens)
+    assert(rows.flatMap(_._4).count(_ == 1L).toLong == nDocsWithTokens)
+    assert(rows.flatMap(_._4).count(_ == 2L).toLong == nDocsWithTokens)
+    // dense full grid: every sequence but the last is full
+    rows.dropRight(1).foreach(r => assert(r._3 == 64L, r._1))
     // and the registered key is exactly the string projection
     val viaKey = Sampling.queries("sample_pack_tensor")(
       spark, TestSpark.sf0001).collect()
       .map(r => r.getLong(0) -> (r.getString(3), r.getString(4),
         r.getString(5))).toMap
-    rows.foreach { case (seq, _, _, ids, bnd, mask) =>
+    rows.foreach { case (seq, _, _, ids, bnd, mask, _) =>
       val (is, bs, ms) = viaKey(seq)
       assert(ids.mkString(" ") == is && bnd.mkString(" ") == bs &&
         mask.mkString(" ") == ms, s"seq $seq zip")
@@ -260,8 +269,8 @@ class SamplingSpec extends AnyFunSuite {
   }
 
   test("segment_ids tensor: fixed-64, first real position is 1, " +
-      "increments exactly at doc_start, max equals n_docs, padding 0, " +
-      "mask-consistent; the registered key is its string projection") {
+      "increments exactly at doc_start, max equals n_docs, padding 0; " +
+      "the registered key is its string projection") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{ArrayType, LongType}
     val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
@@ -283,9 +292,13 @@ class SamplingSpec extends AnyFunSuite {
       }
       // one segment per distinct doc in the sequence
       assert(real.max == nDocs && real.distinct.size == nDocs.toInt, seq)
-      // nonzero exactly where the loss mask is 1
+      // nonzero exactly on real positions (r11: the loss mask is now
+      // the SUPERVISION mask, a strict subset of real positions —
+      // every supervised position still has a segment)
+      assert(real.forall(_ > 0L) &&
+        segs.drop(nToks.toInt).forall(_ == 0L), seq)
       segs.zip(mask).foreach { case (s, m) =>
-        assert((s > 0L) == (m == 1L), seq)
+        assert(m == 0L || s > 0L, seq)
       }
     }
     // the registered key is exactly the string projection + max
@@ -317,7 +330,20 @@ class SamplingSpec extends AnyFunSuite {
       val nStartsAfterFirst =
         bnd.slice(1, nToks.toInt).count(_ == 1L)
       assert(nPred == nToks - 1 - nStartsAfterFirst, seq)
+      // special-token supervision (r11): BOS (id 1) is NEVER a target
+      assert(!labs.contains(1L), seq)
     }
+    // … and EOS (id 2) IS a target wherever its position has an
+    // in-sequence predecessor: every packed doc ends in EOS, so the
+    // corpus-wide EOS-label count equals #docs minus the EOS tokens
+    // that landed on a sequence's first slot (their predecessor lives
+    // in the previous sequence and is masked by the sequence-end rule)
+    val nEosLabels = rows.flatMap(_._5).count(_ == 2L)
+    val nEosTokens = rows.map(r => r._3.take(r._2.toInt)
+      .count(_ == 2L)).sum
+    val nEosAtSeqStart = rows.count(r => r._3.headOption.contains(2L))
+    assert(nEosLabels == nEosTokens - nEosAtSeqStart)
+    assert(nEosTokens > 0)
     val viaKey = Sampling.queries("sample_pack_labels")(
       spark, TestSpark.sf0001).collect()
       .map(r => r.getLong(0) -> (r.getString(3), r.getLong(4),
@@ -391,6 +417,23 @@ class SamplingSpec extends AnyFunSuite {
       val got = Sampling.temperatureMixRanked(docs, ranges = ranges)
         .collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got == want, s"ranges=$ranges")
+    }
+  }
+
+  test("curriculumRanked equals the windowed curriculum row-for-row at " +
+      "every range count — difficulty-quantile bucketing affects only " +
+      "partitioning, never ranks") {
+    val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
+    val want = Sampling.curriculum(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(want.nonEmpty)
+    for (ranges <- Seq(1, 3, 8)) {
+      val got = Sampling.curriculumRanked(docs, ranges = ranges)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+          r.getLong(3))).toSeq
       assert(got == want, s"ranges=$ranges")
     }
   }

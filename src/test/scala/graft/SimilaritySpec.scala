@@ -344,6 +344,59 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.ops.SessionCleanup.deleteRecursively(dir)
   }
 
+  test("index delete: tombstoned ids vanish from every answer, " +
+      "delete → compact → query equals a rebuild WITHOUT the deleted " +
+      "split under the same frozen model, compaction physically drops " +
+      "the rows and clears the tombstones, and a fresh session agrees") {
+    val d = TestSpark.sf0001
+    val emb = Tables.embeddings(spark, d)
+    val live = emb.filter(!Similarity.deletePred)
+    val seeds = Similarity.ivfCentroids(emb, 16, 0)
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-anndelete-a").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-anndelete-b").toString
+    try {
+      Similarity.writeIvfPqIndex(emb, seeds, dirA, writeResiduals = false)
+      Similarity.deleteFromIvfPqIndex(spark, dirA,
+        emb.filter(Similarity.deletePred))
+      // rebuild-from-scratch WITHOUT the deleted split, SAME model
+      Similarity.writeIvfPqIndex(live, seeds, dirB,
+        writeResiduals = false)
+      def topk(dir: String) =
+        Similarity.ivfPqTopKFromIndex(spark, dir, emb,
+            col("vec_id") < 10 && !Similarity.deletePred, 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSeq
+      val delAnswer = topk(dirA)
+      assert(delAnswer == topk(dirB))
+      // no deleted id ever surfaces as query or neighbor
+      delAnswer.foreach { case (q, _, n, _) =>
+        assert(q % 7 != 3 && n % 7 != 3, s"($q,$n)")
+      }
+      // codes still hold the full corpus rows (delete is a tombstone,
+      // not a rewrite) until compaction physically drops them
+      assert(spark.read.parquet(s"$dirA/codes").count() == emb.count())
+      Similarity.compactIvfPqIndexCodes(spark, dirA)
+      assert(spark.read.parquet(s"$dirA/codes").count() == live.count())
+      assert(!new java.io.File(s"$dirA/tombstones").exists())
+      assert(new java.io.File(s"$dirA/codes").listFiles()
+        .count(_.getName.endsWith(".parquet")) == 1)
+      assert(topk(dirA) == delAnswer)
+      // and a FRESH session answers the same from the compacted artifact
+      val s2 = spark.newSession()
+      val got2 = Similarity.ivfPqTopKFromIndex(s2, dirA,
+          Tables.embeddings(s2, d),
+          col("vec_id") < 10 && !Similarity.deletePred, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(got2 == delAnswer)
+    } finally {
+      graft.ops.SessionCleanup.deleteRecursively(dirA)
+      graft.ops.SessionCleanup.deleteRecursively(dirB)
+    }
+  }
+
   test("incremental embedding dedup: output is new-batch only, every " +
       "dropped new vector has a TRUE existing near-dup (soundness), " +
       "and the result is run-stable") {

@@ -64,6 +64,59 @@ class StreamsSpec extends AnyFunSuite {
     assert(gotBatch == want)
   }
 
+  test("streaming packer equals batch packSequencesTensor row-for-row " +
+      "across three micro-batches, carrying the open partial sequence " +
+      "(and its mid-sequence doc) across batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    // batch truth: the gated tensor packer over the full corpus
+    def arrs(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3),
+        r.getSeq[Long](4), r.getSeq[Long](5), r.getSeq[Long](6),
+        r.getSeq[Long](7))
+    val want = graft.ops.Sampling.packSequencesTensor(docs)
+      .collect().map(arrs).toSeq
+    // the encode-stage output the packer consumes: per-doc RAW word-id
+    // arrays under the same alphabetic 1-based vocabulary the batch
+    // packer derives
+    val words = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    val vocab = words.select("word").distinct().orderBy("word")
+      .collect().map(_.getString(0)).zipWithIndex
+      .map { case (w, i) => w -> (i + 1L) }.toMap
+    val perDoc = words.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (id, rs) =>
+        (id, rs.sortBy(_._2).map(t => vocab(t._3)).toSeq)
+      }
+    val third = perDoc.size / 3
+    val (b1, rest) = perDoc.splitAt(third)
+    val (b2, b3) = rest.splitAt(third)
+    val mem = MemoryStream[(Long, Seq[Long])]
+    val q = Streams.packStream(mem.toDF().toDF("doc_id", "ids"))
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("pack_stream_out").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      // the carry is real: batch 1's token count is not a multiple of
+      // 64, so only the completed prefix was emitted and a partial
+      // sequence (with its mid-sequence doc) is waiting in state
+      val toks1 = b1.map(_._2.size.toLong + 2L).sum
+      assert(toks1 % 64 != 0, "fixture must leave a partial sequence")
+      assert(spark.table("pack_stream_out").count() == toks1 / 64)
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+      // end-of-stream flush: emit the final padded partial
+      mem.addData((-1L, Seq.empty[Long])); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("pack_stream_out").collect().map(arrs)
+      .toSeq.sortBy(_._1)
+    assert(got == want)
+  }
+
   test("streaming tumbling counts equal the batch (oracle-checked) query") {
     val stream = Streams.tumblingRate(Streams.eventsStream(spark, TestSpark.sf0001))
     runToMemory(stream, "tumbling_out")

@@ -239,9 +239,12 @@ class TermStatsSpec extends AnyFunSuite {
       "on the learned table, and the batched trainer is bit-identical " +
       "to the sequential loop") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
-    // batched == sequential at production settings (rounds=10, batch=5)
+    // batched == sequential at production settings (rounds=10, batch=5),
+    // and the r11 incremental-pair-count trainer matches both — the
+    // maintained P frame never drifts from the recount it replaces
     val seqM = TermStats.bpeLearnIter(docs, 10)
     assert(TermStats.bpeLearnIterBatched(docs, 10, batch = 5) == seqM)
+    assert(TermStats.bpeLearnIterIncremental(docs, 10, batch = 5) == seqM)
     // scaled apply == expression-chain apply on the learned table
     val pairs = seqM.map { case (a, b, _) => (a, b) }
     val want = TermStats.bpeApplyPairs(docs, pairs).collect()
@@ -297,10 +300,15 @@ class TermStatsSpec extends AnyFunSuite {
     val pairs = TermStats.bpeLearnIter(docs, 10)
       .map { case (a, b, _) => (a, b) }
     val vocab = TermStats.bpeVocab(docs, pairs).select("sym", "id")
-    // the flat reference stream: per-doc UNK-resolved ids in doc order
+    // the flat reference stream: per-doc UNK-resolved ids in doc
+    // order, each doc wrapped in the r11 special-token contract (BOS
+    // prepended, EOS appended, vocab ids shifted past the reserved
+    // range, UNK 0 NOT shifted — it stays the pad/ignore sentinel)
     val flat = TermStats.bpeIdsUnk(docs, pairs, vocab).collect()
       .sortBy(_.getLong(0))
-      .flatMap(_.getString(3).split(" ").map(_.toLong)).toSeq
+      .flatMap(r => 1L +: r.getString(3).split(" ")
+        .map(_.toLong).map(x => if (x == 0L) 0L else x + 2L) :+ 2L)
+      .toSeq
     val nUnkTotal = TermStats.bpeIdsUnk(docs, pairs, vocab).collect()
       .map(_.getLong(2)).sum
     val seqs = TermStats.inferencePrep(docs, pairs, vocab).collect()
@@ -328,9 +336,14 @@ class TermStatsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
       .withColumn("n_chars", length(col("text")))
     val seqM = TermStats.bpeLearnIter(tiny, 8)
-    for (b <- Seq(1, 2, 3, 8))
+    for (b <- Seq(1, 2, 3, 8)) {
       assert(TermStats.bpeLearnIterBatched(tiny, 8, batch = b) == seqM,
         s"batch=$b")
+      // incremental maintenance exhausts identically: P runs dry at
+      // the same round the recount does, for every batch size
+      assert(TermStats.bpeLearnIterIncremental(tiny, 8, batch = b) == seqM,
+        s"incremental batch=$b")
+    }
   }
 
   /** The literal string-replace twin of [[TermStats.bpeEncodePairsExpr]]
@@ -463,25 +476,36 @@ class TermStatsSpec extends AnyFunSuite {
     val out = TermStats.tensorPrep(docs, merges).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getSeq[Long](3), r.getSeq[Long](4), r.getSeq[Long](5)))
-    // dense sequence grid; fixed window; mask algebra
+    // dense sequence grid; fixed window; supervision-mask algebra
     assert(out.map(_._1).toSeq == out.indices.map(_.toLong))
     out.foreach { case (seq, nDocs, nToks, ids, bnd, mask) =>
       assert(ids.size == 64 && bnd.size == 64 && mask.size == 64, seq)
-      assert(mask.sum == nToks && ids.take(nToks.toInt).forall(_ >= 1L)
+      // mask is the r11 supervision mask: a subset of real positions,
+      // zero over padding; real ids nonzero (1=BOS, 2=EOS, vocab >= 3)
+      assert(mask.drop(nToks.toInt).forall(_ == 0L) &&
+        mask.forall(m => m == 0L || m == 1L), seq)
+      assert(ids.take(nToks.toInt).forall(_ >= 1L)
         && ids.drop(nToks.toInt).forall(_ == 0L), seq)
+      // BOS sits exactly at the boundary marks
+      ids.take(nToks.toInt).zip(bnd).foreach { case (id, b) =>
+        assert((id == 1L) == (b == 1L), s"seq $seq BOS/bnd")
+      }
       assert(nDocs >= 1L && bnd.sum <= nDocs, seq)
     }
-    // every sequence but the tail is full, and the SYMBOL total (not
-    // the word total) is conserved — the stream being packed is the
-    // tokenizer's actual output
+    // every sequence but the tail is full, and the EXTENDED symbol
+    // total (symbols + BOS + EOS per doc, r11) is conserved — the
+    // stream being packed is the tokenizer's actual output wrapped in
+    // the special-token contract
     out.dropRight(1).foreach(s => assert(s._3 == 64L, s._1))
     val totalSyms = TermStats.bpeIdsTensor(docs, merges)
       .agg(sum(col("n_symbols"))).head().getLong(0)
-    assert(out.map(_._3).sum == totalSyms)
-    // one doc_start per packed document
     val nDocsWithTokens = docs.select(col("doc_id"))
       .where(length(col("text")) > 0).count()
+    assert(out.map(_._3).sum == totalSyms + 2 * nDocsWithTokens)
+    // one doc_start (= one BOS) and one EOS per packed document
     assert(out.map(_._5.sum).sum == nDocsWithTokens)
+    assert(out.flatMap(_._4).count(_ == 1L).toLong == nDocsWithTokens)
+    assert(out.flatMap(_._4).count(_ == 2L).toLong == nDocsWithTokens)
   }
 
   test("tokenize_vocab_ids round-trips: ids decode back to the original " +
