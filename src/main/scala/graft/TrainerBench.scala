@@ -35,6 +35,48 @@ object TrainerBench {
       val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
+    // LONG-RUN mode (VERDICT r10 #2's done-criterion): train the
+    // incremental loop alone for SPARK_GRAFT_LONG_ROUNDS merges — the
+    // bounded-wall-time demonstration at a depth the recounting loops
+    // cannot reasonably reach. The driver corpus EXHAUSTS at 89 merges
+    // at every SF (one shared template vocabulary — every distinct
+    // word fully fuses; measured: 89 merges in 23.2 s at sf0.01,
+    // 32.1 s at sf0.1), so depth needs pair DIVERSITY: generate a
+    // deterministic wide-vocabulary corpus — 20,000 distinct 8-char
+    // pseudo-words (fixed-width base-26 of (index, index-hash), so
+    // distinctness is by construction), 5,000 docs × 60 seeded-uniform
+    // draws. batch = 1 is the incremental trainer's best operating
+    // point (its per-argmax action is tiny, so checkpoint cadence —
+    // not action count — is the dial; measured in the rounds=10
+    // table).
+    sys.env.get("SPARK_GRAFT_LONG_ROUNDS").foreach { lr =>
+      import spark.implicits._
+      def b26f(x0: Long, w: Int): String = {
+        val cs = new Array[Char](w)
+        var x = x0
+        var k = w - 1
+        while (k >= 0) { cs(k) = ('a' + (x % 26)).toChar; x /= 26; k -= 1 }
+        new String(cs)
+      }
+      val vocabArr = Array.tabulate(20000)(i =>
+        b26f(i, 4) + b26f((i.toLong * 2654435761L) & 0xfffffL, 4))
+      val bcV = spark.sparkContext.broadcast(vocabArr)
+      val docsL = spark.range(5000L).as[Long].mapPartitions { it =>
+        val v = bcV.value
+        it.map { id =>
+          val r = new scala.util.Random(42L * 1000003L + id * 2654435761L)
+          (id, Array.fill(60)(v(r.nextInt(v.length))).mkString(" "))
+        }
+      }.toDF("doc_id", "text")
+      docsL.count()
+      val (m, t) = time(graft.ops.TermStats.bpeLearnIterIncremental(
+        docsL, lr.toInt, batch = 1))
+      println(s"""{"corpus":"synthetic-widevocab-20k","docs":5000,""" +
+        s""""long_rounds":${lr.toInt},""" +
+        s""""merges_learned":${m.size},"incremental_s":${r3(t)}}""")
+      spark.stop()
+      return
+    }
     for (sf <- sfs) {
       val docs = graft.model.Tables.documents(spark, sf)
       docs.count() // warm the scan

@@ -595,6 +595,56 @@ object Streams {
       labs.map(l => if (l != 0L) 1L else 0L), segs, labs)
   }
 
+  /** STREAMING inference capstone (r11): encode → UNK-resolve → pack
+    * as ONE streaming query — the live twin of the whole
+    * pipeline_inference_prep chain, now that [[packStream]] closed its
+    * last batch-only stage. Documents arriving on a stream are encoded
+    * with the LOADED tokenizer's merges by the production-scale greedy
+    * encoder (per-partition word memo, the [[encodeStream]] machinery),
+    * their symbols resolved against the SHIPPED frozen vocabulary
+    * (out-of-vocabulary → id 0 = UNK, the same sentinel contract as
+    * the batch path's LEFT join + coalesce), and the id arrays packed
+    * into fixed-`window` tensor sequences with the special-token
+    * contract by [[packStream]]. Both model halves ride broadcasts;
+    * zero-token docs drop (the encodeStream rule); StreamsSpec asserts
+    * stream ≡ batch [[graft.ops.TermStats.inferencePrep]] row-for-row
+    * across micro-batches. */
+  def inferenceStream(docs: DataFrame, merges: Seq[(String, String)],
+      vocab: Map[String, Long], window: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bcM = spark.sparkContext.broadcast(merges.toArray)
+    val bcV = spark.sparkContext.broadcast(vocab)
+    val ids = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val fused = bcM.value.map { case (a, b) => (a, b, a + b) }
+        val maxSymLen = fused.foldLeft(0)((m, f) =>
+          math.max(m, f._3.length))
+        val memo = new java.util.HashMap[String, Array[Long]]()
+        val v = bcV.value
+        it.flatMap { case (id, text) =>
+          // the packStream flush marker passes through untouched
+          if (id < 0L) Some((id, Seq.empty[Long]))
+          else {
+            val words = text.split(" ").filter(_.nonEmpty)
+            if (words.isEmpty) None
+            else Some((id, words.flatMap { w =>
+              var e = memo.get(w)
+              if (e == null) {
+                e = graft.ops.TermStats
+                  .bpeGreedyEncode(w, fused, maxSymLen)
+                  .split(" ").map(s => v.getOrElse(s, 0L))
+                memo.put(w, e)
+              }
+              e
+            }.toSeq))
+          }
+        }
+      }
+      .toDF("doc_id", "ids")
+    packStream(ids, window)
+  }
+
   /** Transactional micro-batch upload+mark (stream_foreachBatch_sink):
     * each batch of pending rows is uploaded then the manifest snapshot is
     * swapped; the checkpoint dir makes restarts resume exactly where the

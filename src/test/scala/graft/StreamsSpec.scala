@@ -117,6 +117,55 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming inference capstone: encode -> UNK ids -> packed " +
+      "tensors as ONE streaming query equals batch inferencePrep " +
+      "row-for-row across micro-batches (both model halves loaded)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val pairs = graft.ops.TermStats.bpeLearnIter(docs, 10)
+      .map { case (a, b, _) => (a, b) }
+    val vocabDf = graft.ops.TermStats.bpeVocab(docs, pairs)
+      .select("sym", "id")
+    def arrs(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3),
+        r.getSeq[Long](4), r.getSeq[Long](5), r.getSeq[Long](6),
+        r.getSeq[Long](7))
+    // batch truth: the gated nightly capstone over the held-out batch
+    val want = graft.ops.TermStats.inferencePrep(docs, pairs, vocabDf)
+      .collect().map(arrs).toSeq
+    // the SHIPPED model halves as the stream consumes them
+    val vocab = vocabDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tonight's batch: the held-out split, enriched so OOV symbols
+    // actually occur (the ids_unk gate's construction)
+    val held = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(graft.ops.TermStats.unkSuffix)).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val third = held.size / 3
+    val (c1, rest) = held.splitAt(third)
+    val (c2, c3) = rest.splitAt(third)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.inferenceStream(
+        mem.toDF().toDF("doc_id", "text"), pairs, vocab)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("inference_stream_out").start()
+    try {
+      mem.addData(c1: _*); q.processAllAvailable()
+      mem.addData(c2: _*); q.processAllAvailable()
+      mem.addData(c3: _*); q.processAllAvailable()
+      mem.addData((-1L, "")); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("inference_stream_out").collect().map(arrs)
+      .toSeq.sortBy(_._1)
+    assert(got == want)
+    // the UNK contract survives the whole live chain: in-stream zeros
+    // appear (the enriched ø token is out-of-vocabulary)
+    assert(got.exists { case (_, _, n, ids, _, _, _, _) =>
+      ids.take(n.toInt).contains(0L) })
+  }
+
   test("streaming tumbling counts equal the batch (oracle-checked) query") {
     val stream = Streams.tumblingRate(Streams.eventsStream(spark, TestSpark.sf0001))
     runToMemory(stream, "tumbling_out")
