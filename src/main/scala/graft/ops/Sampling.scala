@@ -373,10 +373,18 @@ object Sampling {
     // offset lands beside its ids with NO doc-level join at all — the
     // only joins in the pack plan are the broadcast bucket-offsets
     // (O(buckets) rows) and the vocab; the pre-r11 form paid a second
-    // corpus pass plus a per-doc join here.
+    // corpus pass plus a per-doc join here. The extended frame
+    // MATERIALIZES once (localCheckpoint — the trainingMix
+    // stage-boundary pattern): docOffsetsFromCounts evaluates its
+    // input three times (quantile probe, bucket totals, the rows
+    // side), and re-running the per-doc explode → vocab join →
+    // collect chain per evaluation tripled the pack keys' wall time
+    // (measured in the r11 closing capture: pack_segments 3.6 → 7.5 s
+    // before this cut, 1 corpus pass + 3 checkpoint scans after).
     docOffsetsFromCounts(
       extendWithSpecials(perDoc)
-        .withColumn("n", size(col("ids")).cast("long")), buckets)
+        .withColumn("n", size(col("ids")).cast("long"))
+        .localCheckpoint(), buckets)
       .select(col("doc_id"), col("off"),
         posexplode(col("ids")).as(Seq("sp", "id")))
       .withColumn("gpos", col("off") + col("sp"))
