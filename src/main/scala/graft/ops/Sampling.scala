@@ -494,6 +494,72 @@ object Sampling {
       .orderBy("seq_id")
   }
 
+  /** UNPACK — the packer's inverse (r11): from the packed tensor frame
+    * ALONE (ids + doc_start arrays, nothing else), reconstruct every
+    * document's original raw id stream — what a dataloader-side
+    * validation pass runs to prove the packed dataset is
+    * INFORMATION-COMPLETE before training burns GPU-hours on it. The
+    * special-token contract is what makes this well-defined: BOS marks
+    * (= doc_start) delimit documents across sequence boundaries,
+    * padding is id 0, and the interior ids unshift by −2 back to the
+    * raw vocabulary ids. Carried mid-sequence docs stitch back
+    * together by global position (seq_id · window + spos).
+    *
+    * Scale shape: the document index is a prefix COUNT of boundary
+    * marks over the global position order — the same two-level form as
+    * every packing prefix sum (range-bucket on seq_id by quantiles,
+    * per-bucket bnd totals cumsum over O(buckets) broadcast rows,
+    * within-bucket window) — never one global window; the per-doc
+    * reassembly is the usual bounded keyed collect. The registered
+    * key's oracle derives the IDENTITY side directly from the raw text
+    * (per-doc alphabetic word ids in position order), so the hash gate
+    * binds pack → unpack ≡ identity end-to-end. */
+  def unpackSequences(packed: DataFrame, window: Int = 64,
+      buckets: Int = 8): DataFrame = {
+    val toks = packed
+      .select(col("seq_id"),
+        posexplode(arrays_zip(col("ids"), col("doc_start")))
+          .as(Seq("sp", "z")))
+      .select(col("seq_id"),
+        (col("seq_id") * window + col("sp")).as("gpos"),
+        col("z.ids").as("id"), col("z.doc_start").as("bnd"))
+      .filter(col("id") =!= 0L) // strip padding (word-level pack: no UNKs)
+      // stage boundary: quantile probe + bucket totals + the rows side
+      // are three evaluations of this frame — materialize once (the
+      // same triple-evaluation cut as wideFromPerDoc, measured 8.8 →
+      // ~2 s isolated)
+      .localCheckpoint()
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val splits =
+      if (probes.isEmpty) Array.empty[Double]
+      else toks.stat.approxQuantile("seq_id", probes, 0.001)
+        .distinct.sorted
+    val rng = splits.foldLeft(lit(0)) { (acc, s) =>
+      acc + when(col("seq_id") >= lit(s), 1).otherwise(0)
+    }
+    val rows = toks.withColumn("rng", rng)
+    val offs = rows.groupBy(col("rng"))
+      .agg(sum(col("bnd")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(
+        Window.orderBy(col("rng"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rng"), col("boff"))
+    val inRng = Window.partitionBy(col("rng")).orderBy(col("gpos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.join(broadcast(offs), "rng")
+      // inclusive boundary cumsum: the stream opens with a BOS, so
+      // this is the dense 1-based document index
+      .withColumn("doc_n", col("boff") + sum(col("bnd")).over(inRng))
+      // interior only: strip BOS/EOS, unshift to the raw vocab ids
+      .filter(col("id") =!= BosId && col("id") =!= EosId)
+      .groupBy(col("doc_n"))
+      .agg(count(lit(1)).as("n_ids"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("gpos"), col("id")))),
+          x => (x.getField("id") - IdShift).cast("string"))).as("ids"))
+      .orderBy("doc_n")
+  }
+
   /** Sequence-length bucketing for batch assembly: bin docs by
     * power-of-2 token length (so batch members pad to at most 2× the
     * shortest — the standard dynamic-batching move), then give every
@@ -1029,6 +1095,12 @@ object Sampling {
           size(filter(col("labels"), x => x > 0L)).cast("long")
             .as("n_predict"))
         .orderBy("seq_id")),
+    // UNPACK round-trip: packed tensors alone → per-doc raw id streams
+    // (BOS-delimited stitch across sequences, padding stripped, ids
+    // unshifted); the oracle derives the IDENTITY side from raw text,
+    // so the gate proves the packed layout is information-complete.
+    "sample_pack_roundtrip" -> ((s, d) =>
+      unpackSequences(packSequencesTensor(Tables.documents(s, d)))),
     // packing-efficiency observability: the padding-waste row every
     // training-prep run should log (trainers budget GPU time by
     // token throughput; silent padding is silent cost). One tiny agg
@@ -1520,6 +1592,36 @@ object Sampling {
          |         AS segment_ids,
          |       n_segments
          |FROM seqs ORDER BY seq_id""".stripMargin,
+    // the round-trip gate's oracle is the IDENTITY, derived straight
+    // from the raw text (per-doc alphabetic RAW word ids in position
+    // order, dense 1-based doc_n in doc_id order) — deliberately NOT a
+    // replay of pack-then-unpack: the engine side must reproduce this
+    // through the packed representation, which is the whole claim.
+    "sample_pack_roundtrip" ->
+      """WITH toks AS (
+        |  SELECT doc_id, pos, word FROM (
+        |    SELECT doc_id, words[i] AS word, i AS pos FROM (
+        |      SELECT doc_id, string_split(text, ' ') AS words,
+        |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        |      FROM documents))
+        |  WHERE length(word) > 0),
+        |tp AS (
+        |  SELECT doc_id, word,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |           AS BIGINT) AS tpos
+        |  FROM toks),
+        |vocab AS (
+        |  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS id
+        |  FROM (SELECT DISTINCT word FROM toks)),
+        |g AS (
+        |  SELECT tp.doc_id, CAST(count(*) AS BIGINT) AS n_ids,
+        |         string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY tp.tpos)
+        |           AS ids
+        |  FROM tp JOIN vocab v USING (word) GROUP BY tp.doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+        |         AS doc_n,
+        |       n_ids, ids
+        |FROM g ORDER BY doc_n""".stripMargin,
     // padding accounting over the same wide grid: per-sequence token
     // counts, then one scalar row (round(6) on both engines).
     "profile_pack_efficiency" ->

@@ -371,6 +371,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(e > 0.0 && e <= 1.0)
   }
 
+  test("unpackSequences inverts the packer from the tensor frame alone: " +
+      "every document's raw id stream reconstructs exactly — count, " +
+      "order, and mid-sequence stitching included") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, TestSpark.sf0001)
+    val got = Sampling.queries("sample_pack_roundtrip")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // the identity side, derived from raw text (the oracle's claim,
+    // re-derived in Scala so this spec stands alone)
+    val words = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    val vocab = words.select("word").distinct().orderBy("word")
+      .collect().map(_.getString(0)).zipWithIndex
+      .map { case (w, i) => w -> (i + 1L) }.toMap
+    val want = words.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((_, rs), i) =>
+        val ids = rs.sortBy(_._2).map(t => vocab(t._3))
+        (i + 1L, ids.length.toLong, ids.mkString(" "))
+      }
+    assert(got == want)
+    // stitching was real: at least one doc spans a sequence boundary
+    // (its id count exceeds what one window could hold alongside BOS)
+    assert(want.exists(_._2 >= 64))
+  }
+
   test("pack tensor plan: every join broadcasts (vocab and offsets are " +
       "model-sized) — no sort-merge join in the executed plan") {
     val df = Sampling.packSequencesTensor(
