@@ -186,18 +186,12 @@ object Bench {
         (merged, math.min(noiseA, noiseB), true)
       } else (passA.map(t => (t._1, t._2)), noiseA, false)
     val probeEnd = windowProbe()
-    // min of the two probes: the FASTEST this machine demonstrably ran
-    // during the pass — a one-sided contention burst at either probe
-    // can't inflate the factor, matching min-of-N's logic per query.
-    val windowFactor = r3(math.min(probeStart, probeEnd) / ProbeQuietSec)
     val results = passFinal.map { case (name, t) =>
       System.err.println(f"[bench] min   $name%-28s ${t}%8.3f s")
       name -> t
     }
     System.err.println(f"[bench] window noise (median max/min spread): " +
       f"$noise%.3f retried=$noiseRetried")
-    System.err.println(f"[bench] window probe: start=$probeStart%.3f s " +
-      f"end=$probeEnd%.3f s factor=$windowFactor%.3f (quiet=$ProbeQuietSec%.3f)")
 
     // Per-key trend guard (VERDICT r7 "Next round" #2): both the r6 and
     // r7 judges found individual-key regressions by hand-diffing the
@@ -255,7 +249,42 @@ object Bench {
     }
     val guardState = s"${guardBase}_$baseSrc"
     System.err.println(s"[bench] trend guard: $guardState")
-    val regressions = regressionsOf(prev, results, regrMax)
+    // Quiet-probe baseline (ADVICE r11 #4): the 0.268 s pin is THIS
+    // machine lineage's best observed probe — on a different host it
+    // measures hardware speed, not window contention. The baseline is
+    // therefore derived per machine where possible: the COMMITTED
+    // artifact's own probe minimum (same env by the guard's sf/cpus
+    // check, same machine in every round to date) competes with the
+    // pin, the smaller wins, and the artifact RECORDS the base and
+    // its source (probe_quiet_base / probe_quiet_src) plus the
+    // capture host (host) so cross-host readers can see when the
+    // factor is not comparable. The pin's provenance: ProbePinHost.
+    val prevProbeMin = prevJson.flatMap(parseProbeMin)
+    val (quietBase, quietSrc) = prevProbeMin match {
+      case Some(p) if p > 0 && p < ProbeQuietSec => (p, "committed_probe")
+      case _ => (ProbeQuietSec, "pin")
+    }
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case scala.util.control.NonFatal(_) => "unknown" }
+    // min of the two probes: the FASTEST this machine demonstrably ran
+    // during the pass — a one-sided contention burst at either probe
+    // can't inflate the factor, matching min-of-N's logic per query.
+    val probeMin = math.min(probeStart, probeEnd)
+    val windowFactor = r3(probeMin / quietBase)
+    System.err.println(f"[bench] window probe: start=$probeStart%.3f s " +
+      f"end=$probeEnd%.3f s factor=$windowFactor%.3f " +
+      f"(base=$quietBase%.3f src=$quietSrc host=$host)")
+    // Floor-aware regression flags (VERDICT r11 "Next round" #5): a
+    // key must exceed BOTH the ratio threshold AND the pass's own
+    // probe time to flag — a contention burst that doubles a 100 ms
+    // key is invisible next to a 0.27 s probe and has repeatedly cost
+    // an adjudication cycle (SCALE_r10 §4, r11 §4, the r11 driver
+    // trio); a burst that doubles a 3 s key is not noise. K defaults
+    // to 1 probe.
+    val probeK =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REGR_PROBE_K", "1.0").toDouble
+    val regressions = regressionsOf(prev, results, regrMax,
+      probeFloor = probeK * probeMin)
     for ((k, p, n) <- regressions)
       System.err.println(f"[bench] REGRESSION $k%-28s prev=$p%.3f now=$n%.3f (${n / p}%.1fx > $regrMax%.1fx)")
 
@@ -267,7 +296,8 @@ object Bench {
     val full = fullArtifact(results, build, runs, sfDir, cpus,
       errors.distinct.toSeq, noise, noiseRetried, regressions,
       guardState, probeStart = probeStart, probeEnd = probeEnd,
-      windowFactor = windowFactor)
+      windowFactor = windowFactor, quietBase = quietBase,
+      quietSrc = quietSrc, host = host)
     // A narrowed (SPARK_GRAFT_BENCH_ONLY) diagnostic run must never
     // clobber the committed full artifact with a partial map.
     if (only.isEmpty) {
@@ -299,6 +329,15 @@ object Bench {
     * divide by it before being read as code regressions. */
   private[graft] val ProbeRows = 400000000L
   private[graft] val ProbeQuietSec = 0.268
+  /** Where the 0.268 s pin was observed (ADVICE r11 #4): the r11
+    * driver sandbox — hostname "localhost" under Linux 6.x, 32 cores,
+    * the box every round r1–r12 has captured on. On any OTHER host
+    * the pin measures hardware speed, so the runtime prefers the
+    * committed artifact's own probe minimum as the quiet base (see
+    * main) and records base + source + capture host in the artifact;
+    * cross-host comparisons should divide per-key times only by a
+    * same-host factor. */
+  private[graft] val ProbePinHost = "r11-driver-sandbox (localhost, 32-core)"
 
   /** Pick the trend-guard baseline: an explicitly pinned file
     * (SPARK_GRAFT_BENCH_BASELINE) > the last COMMITTED artifact
@@ -382,14 +421,34 @@ object Bench {
   /** Keys whose new min exceeds `factor`× their previous committed min,
     * with both sides above the timer-jitter floor (sub-50 ms times
     * spread arbitrarily; the noise sentinel excludes them for the same
-    * reason). Returns (key, prev, now), worst ratio first. */
+    * reason) AND the new time above `probeFloor` (r12: K× the pass's
+    * own calibration-probe seconds — a JVM/GC burst that doubles a
+    * key smaller than one probe is floor noise, not a regression;
+    * probeFloor = 0 preserves the pre-r12 semantics for A/B runs).
+    * Returns (key, prev, now), worst ratio first. */
   private[graft] def regressionsOf(prev: Map[String, Double],
       cur: Seq[(String, Double)], factor: Double = 2.5,
-      floor: Double = 0.05): Seq[(String, Double, Double)] =
+      floor: Double = 0.05,
+      probeFloor: Double = 0.0): Seq[(String, Double, Double)] =
     cur.collect {
-      case (k, n) if n >= floor && prev.get(k).exists(p =>
+      case (k, n) if n >= floor && n > probeFloor && prev.get(k).exists(p =>
         p >= floor && n > factor * p) => (k, prev(k), n)
     }.sortBy { case (_, p, n) => -(n / p) }
+
+  /** Probe minimum recorded in a previous artifact — min of its
+    * probe_start / probe_end fields (absent or non-positive → None). */
+  private[graft] def parseProbeMin(json: String): Option[Double] = {
+    def num(name: String): Option[Double] =
+      ("\"" + name + "\":(-?[0-9][0-9.eE+-]*)").r
+        .findFirstMatchIn(json)
+        .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+    (num("probe_start"), num("probe_end")) match {
+      case (Some(a), Some(b)) if a > 0 && b > 0 => Some(math.min(a, b))
+      case (Some(a), None) if a > 0 => Some(a)
+      case (None, Some(b)) if b > 0 => Some(b)
+      case _ => None
+    }
+  }
 
   private def jregr(rs: Seq[(String, Double, Double)]): String =
     rs.map { case (k, p, n) =>
@@ -412,7 +471,8 @@ object Bench {
       // armed-looking artifact can never be produced by omission
       trendGuard: String,
       probeStart: Double = -1.0, probeEnd: Double = -1.0,
-      windowFactor: Double = -1.0): String = {
+      windowFactor: Double = -1.0, quietBase: Double = ProbeQuietSec,
+      quietSrc: String = "pin", host: String = "unknown"): String = {
     val okResults = results.filter(_._2 >= 0)
     val okBuild = build.filter(_._2 >= 0)
     val total = r3(okResults.map(_._2).sum)
@@ -422,6 +482,8 @@ object Bench {
       s""""noise":${r3(noise)},"noise_retried":$noiseRetried,""" +
       s""""probe_start":${r3(probeStart)},"probe_end":${r3(probeEnd)},""" +
       s""""window_factor":${r3(windowFactor)},""" +
+      s""""probe_quiet_base":${r3(quietBase)},""" +
+      s""""probe_quiet_src":"$quietSrc","host":"$host",""" +
       s""""errors":$errs,"trend_guard":"$trendGuard",""" +
       s""""regressions":${jregr(regressions)},""" +
       s""""queries":${jmap(okResults)},""" +

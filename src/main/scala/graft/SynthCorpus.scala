@@ -48,6 +48,36 @@ object SynthCorpus {
     } else wordsFor(seed, id, vocab).mkString(" ")
   }
 
+  /** Wide-vocabulary corpus for trainer DEPTH evidence (TrainerBench
+    * long-run mode, SCALE_r11 §3, and the r12 local-trainer specs):
+    * `nWords` distinct 8-char pseudo-words — fixed-width base-26 of
+    * (index, index·Knuth-hash), distinct by construction — drawn
+    * `draws` times per doc, seeded-uniform. The driver corpus exhausts
+    * at 89 merges (one shared template vocabulary — every distinct
+    * word fully fuses); training depth needs pair DIVERSITY, which
+    * this supplies deterministically with no files written. */
+  def wideVocabDocs(spark: SparkSession, nWords: Int, nDocs: Long,
+      draws: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    def b26f(x0: Long, w: Int): String = {
+      val cs = new Array[Char](w)
+      var x = x0
+      var k = w - 1
+      while (k >= 0) { cs(k) = ('a' + (x % 26)).toChar; x /= 26; k -= 1 }
+      new String(cs)
+    }
+    val vocabArr = Array.tabulate(nWords)(i =>
+      b26f(i, 4) + b26f((i.toLong * 2654435761L) & 0xfffffL, 4))
+    val bc = spark.sparkContext.broadcast(vocabArr)
+    spark.range(nDocs).as[Long].mapPartitions { it =>
+      val v = bc.value
+      it.map { id =>
+        val r = rngFor(seed, id)
+        (id, Array.fill(draws)(v(r.nextInt(v.length))).mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+  }
+
   def writeDocuments(spark: SparkSession, out: String, n: Long,
       vocab: Array[String], seed: Long = 42L): Unit = {
     import spark.implicits._

@@ -35,45 +35,40 @@ object TrainerBench {
       val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
-    // LONG-RUN mode (VERDICT r10 #2's done-criterion): train the
-    // incremental loop alone for SPARK_GRAFT_LONG_ROUNDS merges — the
-    // bounded-wall-time demonstration at a depth the recounting loops
-    // cannot reasonably reach. The driver corpus EXHAUSTS at 89 merges
-    // at every SF (one shared template vocabulary — every distinct
-    // word fully fuses; measured: 89 merges in 23.2 s at sf0.01,
-    // 32.1 s at sf0.1), so depth needs pair DIVERSITY: generate a
-    // deterministic wide-vocabulary corpus — 20,000 distinct 8-char
-    // pseudo-words (fixed-width base-26 of (index, index-hash), so
-    // distinctness is by construction), 5,000 docs × 60 seeded-uniform
-    // draws. batch = 1 is the incremental trainer's best operating
-    // point (its per-argmax action is tiny, so checkpoint cadence —
-    // not action count — is the dial; measured in the rounds=10
-    // table).
+    // LONG-RUN mode (VERDICT r10 #2 / r11 #1's done-criteria): train
+    // for SPARK_GRAFT_LONG_ROUNDS merges — the bounded-wall-time
+    // demonstration at a depth the recounting loops cannot reasonably
+    // reach. The driver corpus EXHAUSTS at 89 merges at every SF (one
+    // shared template vocabulary — every distinct word fully fuses;
+    // measured: 89 merges in 23.2 s at sf0.01, 32.1 s at sf0.1), so
+    // depth needs pair DIVERSITY: the deterministic wide-vocabulary
+    // corpus (20,000 distinct pseudo-words, 5,000 docs × 60 draws —
+    // SynthCorpus.wideVocabDocs, shared with the specs). r12 times
+    // BOTH the distributed incremental loop and the DRIVER-LOCAL
+    // in-memory trainer on the same run and requires bit-identity —
+    // the "1,000 real merges" row now carries the local trainer's
+    // wall-clock next to the 0.42 s/round scheduler-latency trajectory
+    // it retires. SPARK_GRAFT_LONG_SKIP_DIST=1 skips the distributed
+    // leg (at 30k rounds it is ~3.5 h by construction — the point of
+    // the local path).
     sys.env.get("SPARK_GRAFT_LONG_ROUNDS").foreach { lr =>
-      import spark.implicits._
-      def b26f(x0: Long, w: Int): String = {
-        val cs = new Array[Char](w)
-        var x = x0
-        var k = w - 1
-        while (k >= 0) { cs(k) = ('a' + (x % 26)).toChar; x /= 26; k -= 1 }
-        new String(cs)
-      }
-      val vocabArr = Array.tabulate(20000)(i =>
-        b26f(i, 4) + b26f((i.toLong * 2654435761L) & 0xfffffL, 4))
-      val bcV = spark.sparkContext.broadcast(vocabArr)
-      val docsL = spark.range(5000L).as[Long].mapPartitions { it =>
-        val v = bcV.value
-        it.map { id =>
-          val r = new scala.util.Random(42L * 1000003L + id * 2654435761L)
-          (id, Array.fill(60)(v(r.nextInt(v.length))).mkString(" "))
-        }
-      }.toDF("doc_id", "text")
+      val docsL = SynthCorpus.wideVocabDocs(spark, 20000, 5000L, 60)
       docsL.count()
-      val (m, t) = time(graft.ops.TermStats.bpeLearnIterIncremental(
-        docsL, lr.toInt, batch = 1))
+      val (mLoc, tLoc) = time(graft.ops.TermStats.bpeLearnLocal(
+        docsL, lr.toInt))
+      val dist = if (sys.env.contains("SPARK_GRAFT_LONG_SKIP_DIST")) None
+        else {
+          val (m, t) = time(graft.ops.TermStats.bpeLearnIterIncremental(
+            docsL, lr.toInt))
+          require(m == mLoc,
+            "driver-local trainer diverged from the distributed loop")
+          Some(t)
+        }
       println(s"""{"corpus":"synthetic-widevocab-20k","docs":5000,""" +
         s""""long_rounds":${lr.toInt},""" +
-        s""""merges_learned":${m.size},"incremental_s":${r3(t)}}""")
+        s""""merges_learned":${mLoc.size},"local_s":${r3(tLoc)}""" +
+        dist.map(t => s""","incremental_s":${r3(t)},""" +
+          s""""speedup_local":${r3(t / tLoc)}""").getOrElse("") + "}")
       spark.stop()
       return
     }
@@ -89,16 +84,21 @@ object TrainerBench {
         time(graft.ops.TermStats.bpeLearnIterBatched(docs, rounds,
           batch = 5))).minBy(_._2)
       val incT = (1 to 3).map(_ =>
-        time(graft.ops.TermStats.bpeLearnIterIncremental(docs, rounds,
-          batch = 5))).minBy(_._2)
+        time(graft.ops.TermStats.bpeLearnIterIncremental(docs, rounds)))
+        .minBy(_._2)
+      val locT = (1 to 3).map(_ =>
+        time(graft.ops.TermStats.bpeLearnLocal(docs, rounds))).minBy(_._2)
       require(seqT._1 == batT._1, "batched trainer diverged from sequential")
       require(seqT._1 == incT._1,
         "incremental trainer diverged from sequential")
+      require(seqT._1 == locT._1,
+        "driver-local trainer diverged from sequential")
       println(s"""{"sf":"$sf","rounds":$rounds,""" +
         s""""sequential_s":${r3(seqT._2)},"batched_s":${r3(batT._2)},""" +
-        s""""incremental_s":${r3(incT._2)},""" +
+        s""""incremental_s":${r3(incT._2)},"local_s":${r3(locT._2)},""" +
         s""""speedup":${r3(seqT._2 / batT._2)},""" +
-        s""""speedup_incr":${r3(seqT._2 / incT._2)}}""")
+        s""""speedup_incr":${r3(seqT._2 / incT._2)},""" +
+        s""""speedup_local":${r3(seqT._2 / locT._2)}}""")
     }
     // r11 per-config table (VERDICT r10 #7 + #2): driver actions and
     // recount-row volume per trainer/batch config on sf0.01 — the
@@ -107,22 +107,31 @@ object TrainerBench {
     // once; batching amortizes actions and replace-chain map work), so
     // the volume line prints once: full = Σ_r fullRows_r (every
     // recounting trainer), incremental = fullRows_0 + Σ_r Δ-rows.
-    val docsAcct = graft.model.Tables.documents(spark, sfs(1))
+    // sfs.lift: the documented single-argument invocation must not
+    // throw after the per-SF loop (ADVICE r11 #5)
+    val sfAcct = sfs.lift(1).getOrElse(sfs.head)
+    val docsAcct = graft.model.Tables.documents(spark, sfAcct)
     val table = graft.ops.TermStats.bpeLearnIter(docsAcct, rounds)
     val vols = graft.ops.TermStats.recountVolumes(docsAcct, table)
     val fullRows = vols.map(_._1).sum
     val incrRows = vols.headOption.map(_._1).getOrElse(0L) +
       vols.map(_._2).sum
-    println(s"""{"sf":"${sfs(1)}","rounds":$rounds,""" +
+    println(s"""{"sf":"$sfAcct","rounds":$rounds,""" +
       s""""recount_rows_full":$fullRows,""" +
       s""""recount_rows_incremental":$incrRows,""" +
       s""""volume_ratio":${r3(fullRows.toDouble / math.max(1L, incrRows))}}""")
     for (b <- Seq(1, 5, 10)) {
-      // batched: 2 actions per batch; incremental: 1 argmax per round
-      // + 2 checkpoints per batch boundary (batch dials lineage, not
-      // the action count — the win is recount volume)
+      // batched: 2 actions per batch. The incremental loop's batch
+      // dial is FOLDED AWAY (r12 — VERDICT r11 #6): the lazy
+      // within-batch delta chains re-executed their suffixes
+      // quadratically (measured 24.2 s at batch=10 vs 2.0 s at
+      // batch=1, SCALE_r11 §3), so the loop now always runs its
+      // measured best operating point — one merge, one checkpoint
+      // pair per round — and this table's incremental column must
+      // read FLAT across b (the done-criterion: batch=10 within
+      // 1.2× of batch=1).
       val actions = 2 * ((rounds + b - 1) / b)
-      val actionsIncr = rounds + 2 * ((rounds + b - 1) / b)
+      val actionsIncr = 3 * rounds
       val batB = (1 to 3).map(_ =>
         time(graft.ops.TermStats.bpeLearnIterBatched(docsAcct, rounds,
           batch = b))).minBy(_._2)
@@ -131,7 +140,7 @@ object TrainerBench {
           batch = b))).minBy(_._2)
       require(batB._1 == table && incB._1 == table,
         s"trainer diverged at batch=$b")
-      println(s"""{"sf":"${sfs(1)}","rounds":$rounds,"batch":$b,""" +
+      println(s"""{"sf":"$sfAcct","rounds":$rounds,"batch":$b,""" +
         s""""actions_batched":$actions,"actions_incremental":$actionsIncr,""" +
         s""""batched_s":${r3(batB._2)},""" +
         s""""incremental_s":${r3(incB._2)}}""")

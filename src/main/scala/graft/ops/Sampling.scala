@@ -505,6 +505,19 @@ object Sampling {
     * raw vocabulary ids. Carried mid-sequence docs stitch back
     * together by global position (seq_id · window + spos).
     *
+    * PRECONDITION — word-level packs only (ADVICE r11 #2): the padding
+    * strip below drops EVERY id-0 position, which is lossless exactly
+    * when 0 appears only as tail padding — true of
+    * [[packSequencesTensor]]'s word-id streams (ids ≥ 1 before the
+    * shift). It is NOT the inverse of the INFERENCE pack
+    * ([[graft.ops.TermStats.inferencePrep]]), whose streams reuse 0
+    * in-window as the UNK sentinel: unpacking such a tensor silently
+    * drops the UNK positions (their count survives in n_tokens, their
+    * places do not). An UNK-faithful inverse needs the pack to keep
+    * UNK distinguishable from padding — e.g. reserve a separate UNK id
+    * ≥ 3 — not a smarter unpacker: interior-vs-tail zero position is
+    * genuinely ambiguous at the final sequence's tail.
+    *
     * Scale shape: the document index is a prefix COUNT of boundary
     * marks over the global position order — the same two-level form as
     * every packing prefix sum (range-bucket on seq_id by quantiles,

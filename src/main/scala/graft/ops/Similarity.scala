@@ -590,6 +590,20 @@ object Similarity {
     import org.apache.hadoop.fs.Path
     val codes = new Path(s"$dir/codes")
     val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Self-heal on entry (ADVICE r11 #1): a crash BETWEEN the two
+    // renames below leaves the index with no codes dir and the full
+    // pre-compact codes parked in the backup — a state in which
+    // liveCodes (and therefore a naive retry) fails on the missing
+    // path. Detect exactly that state and restore the backup FIRST,
+    // so retrying the compaction recovers without manual renames; the
+    // restored codes are the complete pre-swap table (the backup
+    // rename was atomic), and the tombstones were deliberately not
+    // yet cleared, so the restored index answers correctly.
+    val bak = new Path(s"$dir/codes_pre_compact")
+    if (!fs.exists(codes) && fs.exists(bak))
+      require(fs.rename(bak, codes),
+        s"mid-swap crash recovery (pre_compact backup -> codes) " +
+          s"failed under $dir — restore manually from $bak")
     val tmp = new Path(s"$dir/codes_compact_tmp")
     // Compaction rewrites the LIVE codes (r11): tombstoned rows are
     // physically dropped here — FAISS remove_ids' reclamation half —
@@ -598,7 +612,6 @@ object Similarity {
     // the query path.
     liveCodes(spark, dir).repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    val bak = new Path(s"$dir/codes_pre_compact")
     // A stale backup from a prior crashed run would make the first
     // rename fail on HDFS-like filesystems (rename refuses an existing
     // destination) — clear it before swapping; the compacted rewrite

@@ -465,17 +465,32 @@ object TermStats {
     * every frame references only its predecessor and plan growth is
     * linear in k): one tiny P-argmax action per round — reading the
     * MAINTAINED pair frame, not a recount — plus two checkpoint
-    * actions per batch boundary (v and P, superseded blocks released
-    * explicitly). `batch` now dials the CHECKPOINT cadence (the
-    * within-batch chains re-execute their ≤ batch-deep delta suffix
-    * per argmax), not the action count: this trainer trades the
-    * batched loop's action amortization for merge-site-only recount
-    * volume — the term that actually grows with R. */
+    * actions per round (v and P, superseded blocks released
+    * explicitly). The former `batch` dial (checkpoint cadence > 1,
+    * keeping the within-batch delta chains LAZY) re-executed each
+    * chain's ≤ batch-deep suffix per argmax — quadratic in the
+    * cadence, measured 24.2 s at batch=10 vs 2.0 s at batch=1 on the
+    * rounds=10 table (SCALE_r11 §3) — so the dial is FOLDED AWAY
+    * (VERDICT r11 "Next round" #6): the loop always applies one merge
+    * per round with a per-round checkpoint, its measured best
+    * operating point; the `batch` parameter remains only so existing
+    * call sites compile and is validated then ignored (every cadence
+    * produced a bit-identical table, so the fold is
+    * output-invisible). */
   def bpeLearnIterIncremental(docs: DataFrame, rounds: Int = 10,
-      batch: Int = 5): Seq[(String, String, Long)] = {
+      batch: Int = 1): Seq[(String, String, Long)] = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
-    val freq = tokens(docs).filter(length(col("word")) >= 2)
+    bpeLearnIterIncrementalFromFreq(wordFreq(docs), rounds)
+  }
+
+  /** The word-count frame every trainer starts from: one corpus-sized
+    * pass, (word, cnt) over distinct words of length ≥ 2. */
+  private def wordFreq(docs: DataFrame): DataFrame =
+    tokens(docs).filter(length(col("word")) >= 2)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  private def bpeLearnIterIncrementalFromFreq(freq: DataFrame,
+      rounds: Int): Seq[(String, String, Long)] = {
     var v: DataFrame = freq.select(col("cnt"), concat(
       regexp_replace(col("word"), "(.)", "  $1"), lit("  ")).as("enc"))
       .localCheckpoint(true)
@@ -484,45 +499,235 @@ object TermStats {
     var exhausted = false
     var r = 0
     while (r < rounds && !exhausted) {
-      val k = math.min(batch, rounds - r)
-      var cur = v
-      var curP = p
-      var i = 0
-      while (i < k && !exhausted) {
-        val top = curP.orderBy(col("n").desc, col("lhs"), col("rhs"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (a, b, n) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          learned += ((a, b, n))
-          val pat = lit(" " + a + "  " + b + " ")
-          val rep = lit(" " + a + b + " ")
-          val matched = cur.filter(col("enc").contains(pat))
-          // the delta in ONE pairCounts pass: old pairs enter negated,
-          // re-encoded pairs positive — additivity does the subtraction
-          val delta = pairCounts(
-            matched.select((-col("cnt")).as("cnt"), col("enc"))
-              .unionByName(matched.select(col("cnt"),
-                replace(col("enc"), pat, rep).as("enc"))))
-          curP = curP.unionByName(delta)
-            .groupBy(col("lhs"), col("rhs")).agg(sum(col("n")).as("n"))
-            .filter(col("n") > 0)
-          cur = cur.select(col("cnt"),
-            when(col("enc").contains(pat), replace(col("enc"), pat, rep))
-              .otherwise(col("enc")).as("enc"))
+      val top = p.orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((a, b, n))
+        val pat = lit(" " + a + "  " + b + " ")
+        val rep = lit(" " + a + b + " ")
+        val matched = v.filter(col("enc").contains(pat))
+        // the delta in ONE pairCounts pass: old pairs enter negated,
+        // re-encoded pairs positive — additivity does the subtraction
+        val delta = pairCounts(
+          matched.select((-col("cnt")).as("cnt"), col("enc"))
+            .unionByName(matched.select(col("cnt"),
+              replace(col("enc"), pat, rep).as("enc"))))
+        val nextP = p.unionByName(delta)
+          .groupBy(col("lhs"), col("rhs")).agg(sum(col("n")).as("n"))
+          .filter(col("n") > 0)
+        val nextV = v.select(col("cnt"),
+          when(col("enc").contains(pat), replace(col("enc"), pat, rep))
+            .otherwise(col("enc")).as("enc"))
+        if (r + 1 < rounds) {
+          val (prevV, prevP) = (v, p)
+          v = nextV.localCheckpoint(true)
+          p = nextP.localCheckpoint(true)
+          Seq(prevV, prevP).foreach(f =>
+            org.apache.spark.sql.GraftBridge.checkpointRdd(f)
+              .foreach(_.unpersist(false)))
         }
-        i += 1
       }
-      if (!exhausted && r + k < rounds) {
-        val (prevV, prevP) = (v, p)
-        v = cur.localCheckpoint(true)
-        p = curP.localCheckpoint(true)
-        Seq(prevV, prevP).foreach(f =>
-          org.apache.spark.sql.GraftBridge.checkpointRdd(f)
-            .foreach(_.unpersist(false)))
+      r += 1
+    }
+    learned.toSeq
+  }
+
+  /** DRIVER-LOCAL BPE training (VERDICT r11 "Next round" #1 — what
+    * Sennrich's learn_bpe and HF tokenizers actually do): the trainer's
+    * whole state is MODEL-sized — the distinct-word count frame plus
+    * the pair counts derived from it — so once the one corpus-sized
+    * pass (the word-count groupBy) has run, the merge loop itself has
+    * no business paying a Spark action per round. This collects the
+    * (word, cnt) frame under the repo's "the MODEL may live on the
+    * driver" license and runs the loop in memory:
+    *
+    *   - pair counts maintained by per-word deltas (subtract the
+    *     matched word's old adjacent pairs, merge, add the new ones) —
+    *     the same Δ algebra as [[bpeLearnIterIncremental]], just
+    *     applied to a hash map instead of a DataFrame;
+    *   - the argmax comes from a LAZY-DELETION HEAP: every pair-count
+    *     change pushes a (count, lhs, rhs) entry; pops whose count no
+    *     longer matches the live map are discarded. Total pushes =
+    *     total delta pairs, so the heap work is proportional to the
+    *     same merge-site volume the distributed delta explodes —
+    *     O(Δ log P) per round instead of a full-map scan;
+    *   - ties pin by (n DESC, lhs, rhs) under UTF-8 BYTE order — the
+    *     ordering Spark's UTF8String comparison gives the distributed
+    *     argmax (Java String compareTo is UTF-16 code-unit order,
+    *     which disagrees beyond the BMP, so the comparator compares
+    *     encoded bytes);
+    *   - symbols split per CODE POINT, matching what Java-regex `.`
+    *     matches in the distributed encoder's regexp_replace;
+    *   - merge application is the left-to-right NON-OVERLAPPING scan —
+    *     exactly Java `String.replace` over the double-space encoding.
+    *
+    * Bit-identical to [[bpeLearnIter]] / [[bpeLearnIterBatched]] /
+    * [[bpeLearnIterIncremental]] by construction (TermStatsSpec
+    * collect-asserts all of them, incl. at 1,000 real merges on the
+    * wide-vocabulary synthetic corpus); exhaustion is "no pairs left",
+    * the same stop the recount's empty argmax gives. The 30k-merge
+    * trajectory drops from ~3.5 h of per-round scheduler latency
+    * (0.42 s/round, SCALE_r11 §3) to in-memory minutes; TrainerBench
+    * records the measured wall-clock. For vocabularies that exceed
+    * driver memory, [[bpeLearnAuto]] routes to the distributed
+    * incremental loop instead. */
+  def bpeLearnLocal(docs: DataFrame, rounds: Int = 10):
+      Seq[(String, String, Long)] = {
+    val rows = wordFreq(docs).collect()
+    bpeLearnInMemory(
+      rows.map(r => (r.getString(0), r.getLong(1))), rounds)
+  }
+
+  /** Route by trainer-state size (the dial VERDICT r11 #1 asked for):
+    * ONE materialization of the word-count frame serves both the count
+    * probe and whichever loop wins — ≤ `driverMaxWords` distinct words
+    * collects to the driver loop; above it, the distributed
+    * incremental loop reads the already-checkpointed frame (no second
+    * corpus pass either way). 4M words × ~60 B ≈ 250 MB, comfortable
+    * on any driver that runs Spark at all; real corpora (sf0.1: ~19k
+    * distinct words; even 100 TB of natural text plateaus around 10⁷
+    * distinct words by Heaps' law) take the local path. */
+  def bpeLearnAuto(docs: DataFrame, rounds: Int = 10,
+      driverMaxWords: Long = 4000000L): Seq[(String, String, Long)] = {
+    val freq = wordFreq(docs).localCheckpoint(true)
+    try {
+      val nWords = freq.agg(count(lit(1))).collect()(0).getLong(0)
+      if (nWords <= driverMaxWords)
+        bpeLearnInMemory(freq.collect()
+          .map(r => (r.getString(0), r.getLong(1))), rounds)
+      else bpeLearnIterIncrementalFromFreq(freq, rounds)
+    } finally {
+      org.apache.spark.sql.GraftBridge.checkpointRdd(freq)
+        .foreach(_.unpersist(false))
+    }
+  }
+
+  /** UTF-8 byte comparison — Spark's UTF8String binary ordering, which
+    * the distributed argmax's `orderBy(lhs, rhs)` tie-break uses. */
+  private def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** The in-memory merge loop behind [[bpeLearnLocal]] — pure
+    * Scala, no SparkSession, so the spec can drive it on raw arrays. */
+  private[graft] def bpeLearnInMemory(words: Array[(String, Long)],
+      rounds: Int): Seq[(String, String, Long)] = {
+    import scala.collection.mutable
+    // per-word symbol arrays (code points) and counts
+    val syms = new Array[Array[String]](words.length)
+    val cnt = new Array[Long](words.length)
+    var w = 0
+    while (w < words.length) {
+      syms(w) = words(w)._1.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      cnt(w) = words(w)._2
+      w += 1
+    }
+    // live pair counts; pair → word indices currently containing it
+    val pc = mutable.HashMap[(String, String), Long]()
+    val occ = mutable.HashMap[(String, String), mutable.HashSet[Int]]()
+    // lazy-deletion heap: (count, lhs, rhs), max count first, ties by
+    // (lhs, rhs) ascending UTF-8 — the distributed argmax's exact pin
+    val heap = new java.util.PriorityQueue[(Long, String, String)](64,
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(p: (Long, String, String),
+            q: (Long, String, String)): Int = {
+          if (p._1 != q._1) java.lang.Long.compare(q._1, p._1)
+          else {
+            val c = utf8Compare(p._2, q._2)
+            if (c != 0) c else utf8Compare(p._3, q._3)
+          }
+        }
+      })
+    def pairsOf(s: Array[String]): Iterator[(String, String)] =
+      (0 until s.length - 1).iterator.map(i => (s(i), s(i + 1)))
+    // apply a per-word delta: -cnt over the old pairs, +cnt over the
+    // new; push every changed live count; maintain occ by presence
+    def reindex(idx: Int, old: Array[String], nw: Array[String]): Unit = {
+      val delta = mutable.HashMap[(String, String), Long]()
+      pairsOf(old).foreach(p =>
+        delta.update(p, delta.getOrElse(p, 0L) - cnt(idx)))
+      pairsOf(nw).foreach(p =>
+        delta.update(p, delta.getOrElse(p, 0L) + cnt(idx)))
+      delta.foreach { case (p, d) =>
+        if (d != 0L) {
+          val v = pc.getOrElse(p, 0L) + d
+          if (v > 0L) { pc.update(p, v); heap.add((v, p._1, p._2)) }
+          else pc.remove(p)
+        }
       }
-      r += k
+      val oldSet = pairsOf(old).toSet
+      val newSet = pairsOf(nw).toSet
+      (oldSet diff newSet).foreach { p =>
+        occ.get(p).foreach { s => s.remove(idx); if (s.isEmpty) occ.remove(p) }
+      }
+      (newSet diff oldSet).foreach(p =>
+        occ.getOrElseUpdate(p, mutable.HashSet[Int]()).add(idx))
+    }
+    // initial counts: the one "full recount", P₀
+    w = 0
+    while (w < words.length) {
+      pairsOf(syms(w)).foreach { p =>
+        pc.update(p, pc.getOrElse(p, 0L) + cnt(w))
+        occ.getOrElseUpdate(p, mutable.HashSet[Int]()).add(w)
+      }
+      w += 1
+    }
+    pc.foreach { case (p, v) => heap.add((v, p._1, p._2)) }
+    // left-to-right NON-OVERLAPPING merge — String.replace semantics
+    // over the double-space encoding, at the symbol level
+    def mergeWord(s: Array[String], a: String, b: String): Array[String] = {
+      val out = mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toArray
+    }
+    val learned = mutable.Buffer[(String, String, Long)]()
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      // pop to the first LIVE entry — stale counts discard
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && !heap.isEmpty) {
+        val e = heap.poll()
+        if (pc.get((e._2, e._3)).contains(e._1)) top = Some(e)
+      }
+      top match {
+        case None => exhausted = true
+        case Some((n, a, b)) =>
+          learned += ((a, b, n))
+          // every word currently holding (a, b) adjacent — snapshot,
+          // reindex mutates occ
+          occ.get((a, b)).map(_.toArray).getOrElse(Array.empty)
+            .foreach { idx =>
+              val old = syms(idx)
+              val nw = mergeWord(old, a, b)
+              syms(idx) = nw
+              reindex(idx, old, nw)
+            }
+          // the merged pair is fully consumed by the non-overlapping
+          // scan (no output adjacency (a,b) can survive it), mirroring
+          // the distributed filter(n > 0) drop — assert, don't assume
+          require(!pc.contains((a, b)),
+            s"merge ($a,$b) left live adjacent occurrences")
+      }
+      r += 1
     }
     learned.toSeq
   }
@@ -559,20 +764,21 @@ object TermStats {
   /** The iterative model memoized per (session, sf dir, rounds) — the
     * trainedMerges pattern: trained once per corpus (billed to the
     * bench build pass); learn_iter re-emits the artifact, apply_iter
-    * consumes it. Training runs the INCREMENTAL loop (r11) —
-    * bit-identical to [[bpeLearnIter]] and [[bpeLearnIterBatched]]
-    * (TermStatsSpec collect-asserts all three) at ⌈R/batch⌉ driver
-    * round-trips and merge-site-only recount volume; the learn_iter
-    * gate's unrolled-recount oracle validates the output directly —
-    * the gate is the proof that maintenance never drifts from the
-    * recount it replaces. */
+    * consumes it. Training runs [[bpeLearnAuto]] (r12): the
+    * driver-local in-memory loop for model-sized vocabularies (this
+    * corpus: ~19k distinct words), the distributed incremental loop
+    * beyond the driver threshold — all four trainers bit-identical
+    * (TermStatsSpec collect-asserts them); the learn_iter gate's
+    * unrolled-recount oracle validates the output directly — the gate
+    * is the proof that neither maintenance nor the driver-local loop
+    * ever drifts from the recount they replace. */
   private val iterMergeMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int), Seq[(String, String, Long)]]()
   private def trainedIterMerges(s: SparkSession, d: String,
       rounds: Int): Seq[(String, String, Long)] =
     iterMergeMemo.computeIfAbsent((s, d, rounds), { case (sp, dir, r) =>
       SessionCleanup.onEnd(sp) { iterMergeMemo.remove((sp, dir, r)) }
-      bpeLearnIterIncremental(Tables.documents(sp, dir), r, batch = 5)
+      bpeLearnAuto(Tables.documents(sp, dir), r)
     })
 
   /** Apply the learned BPE merge table to re-encode every document —
@@ -874,6 +1080,55 @@ object TermStats {
         transform(
           array_sort(collect_list(struct(col("spos"), col("uid")))),
           x => x.getField("uid")).as("wids"))
+  }
+
+  /** TOKENIZER DECODE (VERDICT r11 "Next round" #7) — ids → text from
+    * the PERSISTED vocabulary artifact: the inference-side inverse
+    * that [[graft.ops.Sampling.unpackSequences]] proves at the PACK
+    * layer (packed tensors → per-doc id streams) but nothing gated at
+    * the VOCABULARY layer (id streams → text). The id side is the
+    * UNK-resolving encode ([[unkWordArrays]] — the bpeIdsUnk stream);
+    * the decode side consults ONLY the (sym, id) vocab table: each id
+    * joins back to its symbol, a word's symbols concatenate in symbol
+    * order (losslessness of the symbol split is the spec'd BPE
+    * property), id 0 — out-of-vocabulary — surfaces as U+FFFD, the
+    * replacement character every production decoder emits for
+    * unknowable positions, and the document reassembles by token
+    * position with single spaces (the [[Text.words]] convention).
+    *
+    * Registered with `suffix = ""` (no enrichment): every symbol of
+    * the held split is in the shipped vocabulary, so decode ∘ encode
+    * must be the IDENTITY — the oracle is literally the source text.
+    * The UNK path (enriched batch: ø-bearing symbols decode to U+FFFD
+    * exactly where bpeIdsUnk counted them) is TermStatsSpec's
+    * UNK-doc case. Scale shape: both directions run over the batch's
+    * DISTINCT words (vocab-sized); the corpus-sized passes are the
+    * token-stream join-backs. */
+  def bpeDecode(docs: DataFrame, merges: Seq[(String, String)],
+      symVocab: DataFrame, suffix: String = ""): DataFrame = {
+    val heldToks = tokensPos(heldBatch(docs, suffix))
+    val wordIds = unkWordArrays(heldToks, merges, symVocab)
+    // decode side: ids -> symbols from the artifact table ONLY (the
+    // original word string never flows into the reassembly)
+    val decv = wordIds
+      .select(col("word"), posexplode(col("wids")).as(Seq("spos", "uid")))
+      .join(symVocab.select(col("id").as("uid"), col("sym").as("dsym")),
+        Seq("uid"), "left")
+      .groupBy(col("word"))
+      .agg(sum(when(col("dsym").isNull, 1L).otherwise(0L)).as("n_unk_w"),
+        concat_ws("", transform(
+          // escape-pinned like unkSuffix (ADVICE r10 #4): U+FFFD as a
+          // unicode escape, immune to source-encoding mangling
+          array_sort(collect_list(struct(col("spos"),
+            coalesce(col("dsym"), lit("\uFFFD")).as("s")))),
+          x => x.getField("s"))).as("dword"))
+    heldToks.join(decv, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_unk_w")).as("n_unk"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("dword")))),
+          x => x.getField("dword"))).as("text"))
+      .orderBy("doc_id")
   }
 
   /** The INFERENCE capstone (r10): tonight's batch → the SHIPPED
@@ -1371,6 +1626,16 @@ object TermStats {
       bpeIdsUnk(Tables.documents(s, d),
         loadTokenizerMerges(s, dir), loadTokenizerVocab(s, dir))
     }),
+    // DECODE: ids -> text through the PERSISTED vocab table only —
+    // the vocabulary-layer inverse; on the unenriched held split every
+    // symbol is in-vocab, so decode ∘ encode is the identity and the
+    // oracle is the source text itself. UNK surfacing (U+FFFD at
+    // exactly the OOV positions) is TermStatsSpec's enriched case.
+    "tokenize_bpe_decode" -> ((s, d) => {
+      val dir = persistedTokenizerDir(s, d)
+      bpeDecode(Tables.documents(s, d),
+        loadTokenizerMerges(s, dir), loadTokenizerVocab(s, dir))
+    }),
     // dense ids over the ITERATIVELY merged symbol vocabulary — the
     // tensor path string-projected, completing the iter family.
     "tokenize_bpe_ids_iter" -> ((s, d) =>
@@ -1592,6 +1857,16 @@ object TermStats {
          |         ORDER BY ds.pos, ds.spos) AS ids
          |FROM ds LEFT JOIN sv USING (sym)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // decode ∘ encode on the unenriched held split is the IDENTITY —
+    // the oracle asserts the source text directly (zero UNKs: every
+    // symbol of the original corpus is in its own vocabulary); the
+    // Spark side must reproduce it from the id stream + the persisted
+    // vocab table alone, so any drift in encode, vocabulary ids, or
+    // the decode-side reassembly fails the hash.
+    "tokenize_bpe_decode" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS n_unk, text
+        |FROM documents WHERE doc_id % 7 = 0
+        |ORDER BY doc_id""".stripMargin,
     // the inference capstone replays the SAME unk stream (shared CTEs
     // verbatim) into the SAME pack-assembly tail pipeline_tensor_prep
     // uses: dsi re-ranks the batch's symbol stream per doc, coalescing

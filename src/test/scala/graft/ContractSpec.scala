@@ -296,6 +296,40 @@ class ContractSpec extends AnyFunSuite {
     // a clean window yields an empty list
     assert(Bench.regressionsOf(prev,
       Seq("q_fast" -> 0.25, "q_slow" -> 0.8)).isEmpty)
+    // FLOOR-AWARE flags (VERDICT r11 "Next round" #5): with a probe
+    // floor armed, a key must ALSO exceed K× the pass's probe time —
+    // q_fast's 0.9 s clears a 0.3 s probe floor (still flagged), but a
+    // 100 ms -> 280 ms burst (2.8x, above the 50 ms jitter floor, the
+    // exact shape that burned the r10/r11 adjudication cycles) does
+    // not clear it and must NOT flag; the same burst on a 3 s-scale
+    // key still flags. probeFloor = 0 preserves the pre-r12 behavior.
+    val burstPrev = prev + ("q_small" -> 0.1) + ("q_big" -> 3.0)
+    val burstCur = Seq("q_fast" -> 0.9, "q_small" -> 0.28, "q_big" -> 9.0)
+    assert(Bench.regressionsOf(burstPrev, burstCur, probeFloor = 0.3)
+      == Seq(("q_fast", 0.2, 0.9), ("q_big", 3.0, 9.0))
+        .sortBy { case (_, p, n) => -(n / p) })
+    assert(Bench.regressionsOf(burstPrev, burstCur)
+      .map(_._1).contains("q_small"),
+      "without the floor the burst would have flagged — the floor is " +
+        "doing real work")
+    // probe-minimum parser: reads our own artifact's probe fields,
+    // None on absent/non-positive values
+    val probedArtifact = Bench.fullArtifact(cur, Nil, 3,
+      "/root/testdata/sf0.1", "32", Seq.empty, trendGuard = "armed",
+      probeStart = 0.41, probeEnd = 0.35)
+    assert(Bench.parseProbeMin(probedArtifact).contains(0.35))
+    assert(Bench.parseProbeMin("""{"queries":{}}""").isEmpty)
+    assert(Bench.parseProbeMin(
+      """{"probe_start":-1.0,"probe_end":-1.0}""").isEmpty)
+    // the artifact records the quiet base, its source, and the host —
+    // a cross-host reader can see when the factor is not comparable
+    val based = Bench.fullArtifact(cur, Nil, 3, "/root/testdata/sf0.1",
+      "32", Seq.empty, trendGuard = "armed", quietBase = 0.31,
+      quietSrc = "committed_probe", host = "boxA")
+    val bnode = mapper.readTree(based)
+    assert(math.abs(bnode.get("probe_quiet_base").asDouble() - 0.31) < 1e-9)
+    assert(bnode.get("probe_quiet_src").asText() == "committed_probe")
+    assert(bnode.get("host").asText() == "boxA")
     // the full artifact names the offenders; the stdout line counts them
     val full = Bench.fullArtifact(cur, Nil, 3, "/root/testdata/sf0.1",
       "32", Seq.empty, regressions = regr, trendGuard = "armed")

@@ -128,6 +128,42 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resizePng: the re-encoded output is a REAL 8x8 PNG that decodes " +
+      "back to the nearest-neighbor sample of the source formula (dims " +
+      "+ every pixel), and the emitted means match a driver recompute") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").limit(20)
+    val rows = Multimodal.resizePng(Multimodal.pngPayloads(docs))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getAs[Array[Byte]](6)))
+    assert(rows.nonEmpty)
+    val nbs = docs.select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, ow, oh, mr, mg, mb, png) =>
+      assert((ow, oh) == (8, 8))
+      // the payload is a genuine PNG: magic bytes + a real decode
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte &&
+        png(2) == 'N'.toByte && png(3) == 'G'.toByte)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 8 && img.getHeight == 8, s"doc $id dims")
+      val nb = nbs(id)
+      val w = (1 + nb % 16).toInt; val h = (1 + (nb * 7) % 16).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val v = ((id * 2654435761L + (x * w / 8) * 31 +
+          (y * h / 8) * 7) & 0xffffff).toInt
+        // every decoded output pixel IS the formula's sampled source
+        // pixel — decode, rescale, and re-encode all bind here
+        assert((img.getRGB(x, y) & 0xffffff) == v, s"doc $id px($x,$y)")
+        sr += (v >> 16) & 255; sg += (v >> 8) & 255; sb += v & 255
+      }
+      assert((mr, mg, mb) == (sr / 64, sg / 64, sb / 64), s"doc $id means")
+    }
+  }
+
   test("patchesPng: engine-decoded 4x4 patch means equal a driver-side " +
       "recompute from the pixel formula; the grid is exactly " +
       "(w/4)x(h/4); means stay in [0,255]") {

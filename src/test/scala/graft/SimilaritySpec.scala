@@ -397,6 +397,44 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("compaction mid-swap crash is SELF-HEALING on retry: with codes " +
+      "absent and the pre-compact backup parked (the exact between-" +
+      "renames state), re-running compaction restores the backup, " +
+      "folds the still-present tombstones, and answers equal the " +
+      "uncrashed compaction (ADVICE r11 #1)") {
+    val d = TestSpark.sf0001
+    val emb = Tables.embeddings(spark, d)
+    val live = emb.filter(!Similarity.deletePred)
+    val seeds = Similarity.ivfCentroids(emb, 16, 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-anncrash-spec").toString
+    try {
+      Similarity.writeIvfPqIndex(emb, seeds, dir, writeResiduals = false)
+      Similarity.deleteFromIvfPqIndex(spark, dir,
+        emb.filter(Similarity.deletePred))
+      def topk() =
+        Similarity.ivfPqTopKFromIndex(spark, dir, emb,
+            col("vec_id") < 10 && !Similarity.deletePred, 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSeq
+      val want = topk()
+      // simulate the crash BETWEEN the two renames: codes parked in
+      // the backup, no codes dir, tombstones not yet cleared (the
+      // compaction clears them last), a half-written tmp left behind
+      val codes = new java.io.File(s"$dir/codes")
+      val bak = new java.io.File(s"$dir/codes_pre_compact")
+      assert(codes.renameTo(bak), "crash simulation rename failed")
+      assert(!codes.exists() && bak.exists())
+      new java.io.File(s"$dir/codes_compact_tmp").mkdirs()
+      // the RETRY must recover on its own — no manual renames
+      Similarity.compactIvfPqIndexCodes(spark, dir)
+      assert(codes.exists() && !bak.exists())
+      assert(!new java.io.File(s"$dir/tombstones").exists())
+      assert(spark.read.parquet(s"$dir/codes").count() == live.count())
+      assert(topk() == want)
+    } finally graft.ops.SessionCleanup.deleteRecursively(dir)
+  }
+
   test("incremental embedding dedup: output is new-batch only, every " +
       "dropped new vector has a TRUE existing near-dup (soundness), " +
       "and the result is run-stable") {

@@ -117,6 +117,88 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("SHARD-PARALLEL streaming packer (N=4): each shard's sequences " +
+      "equal the batch packer run on that shard's split, sequence ids " +
+      "are shard-prefixed and shard-locally dense, one flush marker " +
+      "drains every shard, and no sequence mixes docs across shards") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val nShards = 4
+    def arrs(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3),
+        r.getSeq[Long](4), r.getSeq[Long](5), r.getSeq[Long](6),
+        r.getSeq[Long](7))
+    // per-shard batch truth: the gated packer over the shard's SPLIT —
+    // ids assigned from the split's own vocabulary, so the stream's
+    // per-doc arrays below must use the same split-local assignment
+    // (packing is id-agnostic; the sharded stage is the pack, and the
+    // equality binds per shard iff no sequence mixes shards)
+    val wantByShard = (0 until nShards).map { s =>
+      s -> graft.ops.Sampling.packSequencesTensor(
+        docs.filter(col("doc_id") % nShards === s))
+        .collect().map(arrs).toSeq
+    }.toMap
+    val words = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val perDoc = (0 until nShards).flatMap { s =>
+      val shardWords = words.filter(_._1 % nShards == s)
+      val vocab = shardWords.map(_._3).distinct.sorted.zipWithIndex
+        .map { case (w, i) => w -> (i + 1L) }.toMap
+      shardWords.groupBy(_._1).toSeq.map { case (id, rs) =>
+        (id, rs.sortBy(_._2).map(t => vocab(t._3)).toSeq)
+      }
+    }.sortBy(_._1)
+    val third = perDoc.size / 3
+    val (b1, rest) = perDoc.splitAt(third)
+    val (b2, b3) = rest.splitAt(third)
+    val mem = MemoryStream[(Long, Seq[Long])]
+    val q = Streams.packStream(mem.toDF().toDF("doc_id", "ids"),
+        shards = nShards)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("pack_shard_out").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+      // ONE marker row must drain all four packers
+      mem.addData((-1L, Seq.empty[Long])); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("pack_shard_out").collect().map(arrs).toSeq
+    val byShard = got.groupBy(t => (t._1 >> 40).toInt)
+    assert(byShard.keySet == (0 until nShards).toSet,
+      "every shard must have emitted (incl. its flushed partial)")
+    for (s <- 0 until nShards) {
+      val shardSeqs = byShard(s).sortBy(_._1)
+      // shard-local ids dense from 0, re-based to the batch ids
+      assert(shardSeqs.map(_._1 & ((1L << 40) - 1)) ==
+        shardSeqs.indices.map(_.toLong), s"shard $s seq ids")
+      val rebased = shardSeqs.map(t =>
+        t.copy(_1 = t._1 & ((1L << 40) - 1)))
+      assert(rebased == wantByShard(s), s"shard $s pack")
+      assert(rebased.size >= 2, s"shard $s must pack multiple sequences")
+    }
+    // a real row on a negative doc_id must fail LOUDLY, never be
+    // silently consumed as a flush signal (ADVICE r11 #3)
+    val mem2 = MemoryStream[(Long, Seq[Long])]
+    val q2 = Streams.packStream(mem2.toDF().toDF("doc_id", "ids"))
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("pack_neg_out").start()
+    try {
+      mem2.addData((-5L, Seq(1L, 2L)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c =>
+        c.isInstanceOf[IllegalArgumentException] &&
+          c.getMessage.contains("flush marker")))
+    } finally q2.stop()
+  }
+
   test("streaming inference capstone: encode -> UNK ids -> packed " +
       "tensors as ONE streaming query equals batch inferencePrep " +
       "row-for-row across micro-batches (both model halves loaded)") {

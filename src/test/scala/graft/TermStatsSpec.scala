@@ -245,6 +245,12 @@ class TermStatsSpec extends AnyFunSuite {
     val seqM = TermStats.bpeLearnIter(docs, 10)
     assert(TermStats.bpeLearnIterBatched(docs, 10, batch = 5) == seqM)
     assert(TermStats.bpeLearnIterIncremental(docs, 10, batch = 5) == seqM)
+    // r12 driver-local trainer: bit-identical to the whole family, and
+    // the auto router takes the local path on this model-sized vocab
+    // AND the distributed path when the threshold forces it over
+    assert(TermStats.bpeLearnLocal(docs, 10) == seqM)
+    assert(TermStats.bpeLearnAuto(docs, 10) == seqM)
+    assert(TermStats.bpeLearnAuto(docs, 10, driverMaxWords = 1L) == seqM)
     // scaled apply == expression-chain apply on the learned table
     val pairs = seqM.map { case (a, b, _) => (a, b) }
     val want = TermStats.bpeApplyPairs(docs, pairs).collect()
@@ -291,6 +297,54 @@ class TermStatsSpec extends AnyFunSuite {
     val clean = TermStats.bpeIdsUnk(docs, pairs, vocab, suffix = "")
       .collect()
     assert(clean.nonEmpty && clean.forall(_.getLong(2) == 0L))
+  }
+
+  test("bpeDecode: decode ∘ encode is the identity on the unenriched " +
+      "held split; the enriched batch surfaces U+FFFD at exactly the " +
+      "OOV symbols and n_unk matches bpeIdsUnk per doc") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val pairs = TermStats.bpeLearnIter(docs, 10)
+      .map { case (a, b, _) => (a, b) }
+    val vocabDf = TermStats.bpeVocab(docs, pairs).select("sym", "id")
+    val vocabSet = vocabDf.collect().map(_.getString(0)).toSet
+    val src = docs.filter(col("doc_id") % 7 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // identity: in-vocab ids decode back to the source text verbatim
+    val dec = TermStats.bpeDecode(docs, pairs, vocabDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(dec.nonEmpty && dec.map(_._1).toSet == src.keySet)
+    dec.foreach { case (id, nUnk, text) =>
+      assert(nUnk == 0L, s"doc $id must be fully in-vocab")
+      assert(text == src(id), s"doc $id decode identity")
+    }
+    // enriched: expected decode replays the greedy encode driver-side
+    // and replaces exactly the out-of-vocabulary symbols with U+FFFD
+    val fused = pairs.map { case (a, b) => (a, b, a + b) }.toArray
+    val maxSymLen = fused.foldLeft(0)((m, f) => math.max(m, f._3.length))
+    def decodeWord(w: String): (Long, String) = {
+      val syms = TermStats.bpeGreedyEncode(w, fused, maxSymLen).split(" ")
+      (syms.count(s => !vocabSet(s)).toLong,
+        syms.map(s => if (vocabSet(s)) s else "\uFFFD").mkString(""))
+    }
+    val unkCounts = TermStats.bpeIdsUnk(docs, pairs, vocabDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val decU = TermStats.bpeDecode(docs, pairs, vocabDf,
+        suffix = TermStats.unkSuffix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(decU.nonEmpty)
+    decU.foreach { case (id, nUnk, text) =>
+      val enriched = src(id) + TermStats.unkSuffix
+      val (wantUnks, wantText) = enriched.split(" ")
+        .filter(_.nonEmpty).map(decodeWord)
+        .foldLeft((0L, Vector.empty[String])) {
+          case ((n, ws), (nu, dw)) => (n + nu, ws :+ dw)
+        } match { case (n, ws) => (n, ws.mkString(" ")) }
+      assert(nUnk == wantUnks && nUnk >= 1L, s"doc $id unk count")
+      assert(nUnk == unkCounts(id), s"doc $id vs bpeIdsUnk")
+      assert(text == wantText, s"doc $id enriched decode")
+      assert(text.contains("\uFFFD"), s"doc $id must surface the UNK")
+    }
   }
 
   test("inferencePrep: packed sequences carry exactly the bpeIdsUnk " +
@@ -344,6 +398,79 @@ class TermStatsSpec extends AnyFunSuite {
       assert(TermStats.bpeLearnIterIncremental(tiny, 8, batch = b) == seqM,
         s"incremental batch=$b")
     }
+    // the driver-local loop exhausts at the same merge with the same
+    // table: its heap running dry IS the recount's empty argmax
+    assert(TermStats.bpeLearnLocal(tiny, 8) == seqM)
+  }
+
+  /** Independent full-RECOUNT reference trainer, entirely in-memory:
+    * recounts every adjacent pair of every word each round (no
+    * maintained state, no heap, no index — nothing shared with
+    * [[TermStats.bpeLearnInMemory]]'s delta/lazy-heap machinery except
+    * the problem statement), argmax pinned (n DESC, lhs, rhs). The
+    * corpus it runs on is pure ASCII, where Java String ordering and
+    * Spark's UTF-8 binary ordering coincide, so compareTo is the same
+    * tie-break the engines use. */
+  private def refRecountTrain(words: Seq[(Seq[String], Long)],
+      rounds: Int): Seq[(String, String, Long)] = {
+    var ws = words
+    val learned = scala.collection.mutable.Buffer[(String, String, Long)]()
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val pc = scala.collection.mutable.HashMap[(String, String), Long]()
+      ws.foreach { case (s, c) =>
+        (0 until s.length - 1).foreach { i =>
+          val p = (s(i), s(i + 1))
+          pc.update(p, pc.getOrElse(p, 0L) + c)
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val ((a, b), n) = pc.minBy { case ((l, rh), v) => (-v, l, rh) }
+        learned += ((a, b, n))
+        ws = ws.map { case (s, c) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += s(i); i += 1 }
+          }
+          (out.toSeq, c)
+        }
+      }
+      r += 1
+    }
+    learned.toSeq
+  }
+
+  test("driver-local trainer at depth: 1,000 real merges on the " +
+      "20k-word wide-vocabulary corpus are bit-identical to an " +
+      "independent full-recount reference, and to the distributed " +
+      "incremental loop at the depth it can afford in a spec") {
+    // the same deterministic corpus TrainerBench's long-run mode
+    // trains (SCALE_r11 §3); the driver corpus exhausts at 89 merges,
+    // so depth evidence needs this one's pair diversity
+    val docs = SynthCorpus.wideVocabDocs(spark, 20000, 5000L, 60)
+    // word counts recomputed INDEPENDENTLY from the collected text —
+    // the reference shares no Spark plan with the trainer under test
+    val freq = scala.collection.mutable.HashMap[String, Long]()
+    docs.collect().foreach(_.getString(1).split(" ")
+      .filter(_.length >= 2)
+      .foreach(w => freq.update(w, freq.getOrElse(w, 0L) + 1L)))
+    val refWords = freq.toSeq.sortBy(_._1).map { case (w, c) =>
+      (w.map(_.toString): Seq[String], c) }
+    val want = refRecountTrain(refWords, 1000)
+    assert(want.size == 1000, s"corpus must sustain 1,000 real merges " +
+      s"(got ${want.size})")
+    val local = TermStats.bpeLearnLocal(docs, 1000)
+    assert(local == want,
+      "delta/lazy-heap maintenance drifted from the full recount")
+    // distributed incremental ≡ local at 40 rounds (0.4 s/round of
+    // scheduler latency bounds what a spec should spend — TrainerBench
+    // long-run mode carries the full-depth distributed equality)
+    assert(TermStats.bpeLearnIterIncremental(docs, 40) == want.take(40))
   }
 
   /** The literal string-replace twin of [[TermStats.bpeEncodePairsExpr]]
