@@ -356,6 +356,26 @@ object Sampling {
         x => when(x === 0L, lit(0L)).otherwise(x + lit(IdShift))),
       array(lit(EosId))).as("ids"))
 
+  /** UNK-FAITHFUL reserved ids (r12 — the inverse-completeness gap
+    * [[unpackSequences]]' precondition documents, closed): 0 = padding
+    * ONLY, 1 = BOS, 2 = EOS, 3 = UNK, real vocabulary ids ≥ 4 (raw
+    * ids shift by +3). Reserving a separate UNK id is what makes an
+    * INFERENCE pack information-complete — the base contract folds
+    * UNK into the pad sentinel, so its unpack cannot tell a dropped
+    * token from a trailing pad. Supervision semantics preserved: an
+    * UNK target is still never supervised — the loss mask excludes
+    * label = [[UnkId]] explicitly ([[assembleSequences]]' `unkId`
+    * parameter) instead of relying on UNK collapsing to 0. */
+  private[ops] val UnkId = 3L
+  private[ops] val IdShiftUnk = 3L
+
+  private[ops] def extendWithSpecialsUnk(perDoc: DataFrame): DataFrame =
+    perDoc.select(col("doc_id"), concat(
+      array(lit(BosId)),
+      transform(col("ids"),
+        x => when(x === 0L, lit(UnkId)).otherwise(x + lit(IdShiftUnk))),
+      array(lit(EosId))).as("ids"))
+
   /** (seq_id, spos, id, bnd, doc_id) grid from per-doc id ARRAYS with
     * the special-token contract applied — the single wide-frame
     * builder shared by [[packSequencesTensor]] and the BPE-symbol
@@ -367,7 +387,7 @@ object Sampling {
     * never a global window); bnd marks the BOS position (= where the
     * document begins in the packed stream). */
   private[ops] def wideFromPerDoc(perDoc: DataFrame, window: Int,
-      buckets: Int): DataFrame =
+      buckets: Int, unkFaithful: Boolean = false): DataFrame =
     // The ids ARRAY rides through the prefix-sum pass on its own row
     // (docOffsetsFromCounts preserves input columns), so each doc's
     // offset lands beside its ids with NO doc-level join at all — the
@@ -382,7 +402,8 @@ object Sampling {
     // (measured in the r11 closing capture: pack_segments 3.6 → 7.5 s
     // before this cut, 1 corpus pass + 3 checkpoint scans after).
     docOffsetsFromCounts(
-      extendWithSpecials(perDoc)
+      (if (unkFaithful) extendWithSpecialsUnk(perDoc)
+       else extendWithSpecials(perDoc))
         .withColumn("n", size(col("ids")).cast("long"))
         .localCheckpoint(), buckets)
       .select(col("doc_id"), col("off"),
@@ -436,7 +457,7 @@ object Sampling {
     * elements per sequence, 0-padded arrays + loss mask. Input needs
     * (seq_id, spos, id, bnd, doc_id). */
   private[ops] def assembleSequences(wide: DataFrame,
-      window: Int): DataFrame = {
+      window: Int, unkId: Option[Long] = None): DataFrame = {
     val pad = (n: Column) =>
       array_repeat(lit(0L), (lit(window) - n).cast("int"))
     // SEGMENT IDS (VERDICT r9 "Next round" #5): per-token document
@@ -470,13 +491,19 @@ object Sampling {
         element_at(col("ids0"), i + 1)).otherwise(lit(0L)))
     // LOSS MASK (r11): 1 exactly where `labels` carries a real target
     // — the supervision mask a packed causal-LM trainer feeds its loss
-    // (label 0 = ignore; an UNK target collapses to that sentinel, so
-    // UNK-target positions are unsupervised by construction). Derived
-    // from the PADDED labels array so padding is 0 by construction;
-    // before r11 this was a plain real-token mask, which with reserved
-    // tokens would have claimed BOS-target and sequence-tail positions
-    // are supervised.
+    // (label 0 = ignore; under the base contract an UNK target
+    // collapses to that sentinel, so UNK-target positions are
+    // unsupervised by construction; under the r12 UNK-FAITHFUL
+    // contract UNK keeps its own reserved id in `labels` — still
+    // information — and `unkId` excludes it from the mask explicitly,
+    // preserving the same supervision semantics). Derived from the
+    // PADDED labels array so padding is 0 by construction; before r11
+    // this was a plain real-token mask, which with reserved tokens
+    // would have claimed BOS-target and sequence-tail positions are
+    // supervised.
     val labArr = concat(labReal, pad(size(col("ids0"))))
+    val supervised = (x: Column) =>
+      unkId.foldLeft(x =!= 0L)((c, u) => c && x =!= lit(u))
     wide.groupBy(col("seq_id"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_tokens"),
@@ -488,7 +515,8 @@ object Sampling {
         concat(col("ids0"), pad(size(col("ids0")))).as("ids"),
         concat(col("bnd0"), pad(size(col("bnd0")))).as("doc_start"),
         transform(labArr,
-          x => when(x =!= 0L, lit(1L)).otherwise(lit(0L))).as("loss_mask"),
+          x => when(supervised(x), lit(1L)).otherwise(lit(0L)))
+          .as("loss_mask"),
         concat(segReal, pad(size(col("bnd0")))).as("segment_ids"),
         labArr.as("labels"))
       .orderBy("seq_id")
@@ -514,9 +542,14 @@ object Sampling {
     * in-window as the UNK sentinel: unpacking such a tensor silently
     * drops the UNK positions (their count survives in n_tokens, their
     * places do not). An UNK-faithful inverse needs the pack to keep
-    * UNK distinguishable from padding — e.g. reserve a separate UNK id
-    * ≥ 3 — not a smarter unpacker: interior-vs-tail zero position is
-    * genuinely ambiguous at the final sequence's tail.
+    * UNK distinguishable from padding — not a smarter unpacker:
+    * interior-vs-tail zero position is genuinely ambiguous at the
+    * final sequence's tail. That inverse EXISTS as of r12:
+    * `unkFaithful = true` inverts the [[extendWithSpecialsUnk]] layout
+    * (0 = padding only, 3 = UNK, real ids ≥ 4), mapping UNK back to
+    * the raw stream's 0 sentinel — the registered
+    * sample_pack_unk_roundtrip key gates pack → unpack ≡ identity on
+    * the INFERENCE stream, UNK positions included.
     *
     * Scale shape: the document index is a prefix COUNT of boundary
     * marks over the global position order — the same two-level form as
@@ -528,7 +561,8 @@ object Sampling {
     * (per-doc alphabetic word ids in position order), so the hash gate
     * binds pack → unpack ≡ identity end-to-end. */
   def unpackSequences(packed: DataFrame, window: Int = 64,
-      buckets: Int = 8): DataFrame = {
+      buckets: Int = 8, unkFaithful: Boolean = false): DataFrame = {
+    val shift = if (unkFaithful) IdShiftUnk else IdShift
     val toks = packed
       .select(col("seq_id"),
         posexplode(arrays_zip(col("ids"), col("doc_start")))
@@ -536,7 +570,10 @@ object Sampling {
       .select(col("seq_id"),
         (col("seq_id") * window + col("sp")).as("gpos"),
         col("z.ids").as("id"), col("z.doc_start").as("bnd"))
-      .filter(col("id") =!= 0L) // strip padding (word-level pack: no UNKs)
+      // strip padding: exact under the base contract for WORD-level
+      // packs (no in-window zeros) and under the UNK-faithful
+      // contract for EVERY pack (0 is padding only there)
+      .filter(col("id") =!= 0L)
       // stage boundary: quantile probe + bucket totals + the rows side
       // are three evaluations of this frame — materialize once (the
       // same triple-evaluation cut as wideFromPerDoc, measured 8.8 →
@@ -569,7 +606,12 @@ object Sampling {
       .agg(count(lit(1)).as("n_ids"),
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("gpos"), col("id")))),
-          x => (x.getField("id") - IdShift).cast("string"))).as("ids"))
+          // UNK-faithful: the reserved UNK id inverts to the raw
+          // stream's 0 sentinel; everything else unshifts
+          x => when(lit(unkFaithful) && x.getField("id") === UnkId,
+              lit(0L))
+            .otherwise(x.getField("id") - shift)
+            .cast("string"))).as("ids"))
       .orderBy("doc_n")
   }
 

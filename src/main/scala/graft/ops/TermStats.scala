@@ -1143,21 +1143,49 @@ object TermStats {
     * re-encoded. */
   def inferencePrep(docs: DataFrame, merges: Seq[(String, String)],
       symVocab: DataFrame, suffix: String = unkSuffix,
-      window: Int = 64, buckets: Int = 8): DataFrame = {
-    val heldToks = tokensPos(heldBatch(docs, suffix))
-    val perDoc = heldToks
-      .join(unkWordArrays(heldToks, merges, symVocab), "word")
-      .groupBy(col("doc_id"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("pos"), col("wids")))),
-        x => x.getField("wids"))).as("ids"))
+      window: Int = 64, buckets: Int = 8): DataFrame =
     // Special-token contract (r11): the SHARED wide-frame builder
     // wraps each doc BOS … EOS and shifts artifact ids past the
     // reserved range — UNK id 0 stays 0 by the builder's shift rule,
     // so the UNK and padding sentinels remain one value.
     Sampling.assembleSequences(
-      Sampling.wideFromPerDoc(perDoc, window, buckets), window)
+      Sampling.wideFromPerDoc(inferencePerDocIds(docs, merges, symVocab,
+        suffix), window, buckets), window)
+
+  /** The per-doc UNK-resolved id arrays both inference packers share:
+    * (doc_id, ids) in (token pos, symbol pos) order, OOV → 0. */
+  private def inferencePerDocIds(docs: DataFrame,
+      merges: Seq[(String, String)], symVocab: DataFrame,
+      suffix: String): DataFrame = {
+    val heldToks = tokensPos(heldBatch(docs, suffix))
+    heldToks
+      .join(unkWordArrays(heldToks, merges, symVocab), "word")
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("wids")))),
+        x => x.getField("wids"))).as("ids"))
   }
+
+  /** [[inferencePrep]] under the UNK-FAITHFUL reserved-id layout (r12
+    * — the information-completeness gap
+    * [[graft.ops.Sampling.unpackSequences]] documented, closed):
+    * 0 = padding ONLY, 1 = BOS, 2 = EOS, 3 = UNK, real artifact ids
+    * shift +3 — so the packed inference tensors invert exactly, UNK
+    * positions included, and an UNK target is excluded from the loss
+    * mask EXPLICITLY (same supervision semantics as the base
+    * contract, where UNK collapses into the 0 sentinel). Same plan as
+    * [[inferencePrep]] — the contract is one flag on the shared
+    * builders. The registered sample_pack_unk_roundtrip key gates
+    * pack → unpack ≡ the UNK-resolved id stream (the bpeIdsUnk oracle
+    * CTEs), which no base-contract pack can pass: its unpack drops
+    * the UNKs. */
+  def inferencePrepUnk(docs: DataFrame, merges: Seq[(String, String)],
+      symVocab: DataFrame, suffix: String = unkSuffix,
+      window: Int = 64, buckets: Int = 8): DataFrame =
+    Sampling.assembleSequences(
+      Sampling.wideFromPerDoc(inferencePerDocIds(docs, merges, symVocab,
+        suffix), window, buckets, unkFaithful = true),
+      window, unkId = Some(Sampling.UnkId))
 
   /** The CAPSTONE trainer-prep pipeline: corpus → ITERATIVELY trained
     * BPE (the recount loop) → symbol ids → fixed-`window` packed
@@ -1626,6 +1654,18 @@ object TermStats {
       bpeIdsUnk(Tables.documents(s, d),
         loadTokenizerMerges(s, dir), loadTokenizerVocab(s, dir))
     }),
+    // UNK-FAITHFUL round-trip: the inference batch packed under the
+    // reserved-UNK layout (0=pad only, 3=UNK, real ids >= 4), then
+    // unpacked from the tensors ALONE — the oracle is the UNK-resolved
+    // id stream itself (the bpeIdsUnk CTEs), with the OOV zeros in
+    // place, which the base contract's unpack provably cannot produce.
+    "sample_pack_unk_roundtrip" -> ((s, d) => {
+      val dir = persistedTokenizerDir(s, d)
+      Sampling.unpackSequences(
+        inferencePrepUnk(Tables.documents(s, d),
+          loadTokenizerMerges(s, dir), loadTokenizerVocab(s, dir)),
+        unkFaithful = true)
+    }),
     // DECODE: ids -> text through the PERSISTED vocab table only —
     // the vocabulary-layer inverse; on the unenriched held split every
     // symbol is in-vocab, so decode ∘ encode is the identity and the
@@ -1857,6 +1897,25 @@ object TermStats {
          |         ORDER BY ds.pos, ds.spos) AS ids
          |FROM ds LEFT JOIN sv USING (sym)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the identity side is the UNK-resolved inference stream itself —
+    // the shared ids_unk CTEs, ids per doc in (pos, spos) order with
+    // coalesce(sv.id, 0) zeros at OOV — ranked to the pack order's
+    // dense 1-based doc_n; the engine must reproduce it THROUGH the
+    // packed tensors (pack under the reserved-UNK layout, then unpack
+    // from ids + doc_start alone).
+    "sample_pack_unk_roundtrip" ->
+      s"""WITH ${bpeIterCtes(10)},
+         |$unkStreamCtes,
+         |g AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ids,
+         |         string_agg(CAST(coalesce(sv.id, 0) AS VARCHAR), ' '
+         |           ORDER BY ds.pos, ds.spos) AS ids
+         |  FROM ds LEFT JOIN sv USING (sym)
+         |  GROUP BY doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+         |         AS doc_n,
+         |       n_ids, ids
+         |FROM g ORDER BY doc_n""".stripMargin,
     // decode ∘ encode on the unenriched held split is the IDENTITY —
     // the oracle asserts the source text directly (zero UNKs: every
     // symbol of the original corpus is in its own vocabulary); the

@@ -550,7 +550,7 @@ object Streams {
     * packer run on that shard's split — and that no sequence mixes
     * docs across shards. */
   def packStream(docs: DataFrame, window: Int = 64,
-      shards: Int = 1): DataFrame = {
+      shards: Int = 1, unkFaithful: Boolean = false): DataFrame = {
     require(shards >= 1 && shards < (1 << 23),
       s"shards must be in [1, 2^23), got $shards")
     val spark = docs.sparkSession
@@ -579,15 +579,20 @@ object Streams {
           val out = scala.collection.mutable.Buffer[PackedSeq]()
           def emit(n: Int): Unit = {
             out += assembleOne(seqBase + nextSeq, ids.take(n).toSeq,
-              bnds.take(n).toSeq, dcs.take(n).toSeq, window)
+              bnds.take(n).toSeq, dcs.take(n).toSeq, window, unkFaithful)
             nextSeq += 1
             ids.remove(0, n); bnds.remove(0, n); dcs.remove(0, n)
           }
           val (flush, real) = rows.toSeq.partition(_._2 < 0L)
           real.sortBy(_._2).foreach { case (_, docId, raw) =>
-            // the shared special-token contract: BOS ++ (ids + 2,
-            // 0 stays 0) ++ EOS, boundary mark on the BOS
-            val ext = 1L +: raw.map(x => if (x == 0L) 0L else x + 2L) :+ 2L
+            // the shared special-token contract: BOS ++ shifted ids ++
+            // EOS, boundary mark on the BOS; base layout keeps UNK on
+            // the 0 sentinel (shift +2), the UNK-faithful layout gives
+            // it the reserved id 3 (shift +3) so 0 is padding only
+            val ext =
+              if (unkFaithful)
+                1L +: raw.map(x => if (x == 0L) 3L else x + 3L) :+ 2L
+              else 1L +: raw.map(x => if (x == 0L) 0L else x + 2L) :+ 2L
             ids ++= ext
             bnds += 1L; bnds ++= Seq.fill(ext.size - 1)(0L)
             dcs ++= Seq.fill(ext.size)(docId)
@@ -608,7 +613,8 @@ object Streams {
     * loss_mask = labels ≠ 0; segment_ids = boundary prefix sum +1 on
     * a mid-doc open; everything 0-padded to `window`). */
   private def assembleOne(seqId: Long, ids: Seq[Long], bnds: Seq[Long],
-      docs: Seq[Long], window: Int): PackedSeq = {
+      docs: Seq[Long], window: Int,
+      unkFaithful: Boolean = false): PackedSeq = {
     val n = ids.size
     val pad = Seq.fill(window - n)(0L)
     val labs = ids.indices.map { i =>
@@ -619,7 +625,11 @@ object Streams {
     } ++ pad
     PackedSeq(seqId, docs.distinct.size.toLong, n.toLong,
       ids ++ pad, bnds ++ pad,
-      labs.map(l => if (l != 0L) 1L else 0L), segs, labs)
+      // under the UNK-faithful layout an UNK target (reserved id 3)
+      // stays in `labels` but is never supervised — the batch
+      // assembleSequences' exact mask rule
+      labs.map(l => if (l != 0L && !(unkFaithful && l == 3L)) 1L else 0L),
+      segs, labs)
   }
 
   /** STREAMING inference capstone (r11): encode → UNK-resolve → pack
@@ -640,7 +650,7 @@ object Streams {
     * N > 1 runs N parallel packers with shard-local sequence ids. */
   def inferenceStream(docs: DataFrame, merges: Seq[(String, String)],
       vocab: Map[String, Long], window: Int = 64,
-      shards: Int = 1): DataFrame = {
+      shards: Int = 1, unkFaithful: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bcM = spark.sparkContext.broadcast(merges.toArray)
@@ -672,7 +682,7 @@ object Streams {
         }
       }
       .toDF("doc_id", "ids")
-    packStream(ids, window, shards)
+    packStream(ids, window, shards, unkFaithful)
   }
 
   /** Transactional micro-batch upload+mark (stream_foreachBatch_sink):

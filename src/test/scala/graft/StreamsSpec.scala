@@ -246,6 +246,34 @@ class StreamsSpec extends AnyFunSuite {
     // appear (the enriched ø token is out-of-vocabulary)
     assert(got.exists { case (_, _, n, ids, _, _, _, _) =>
       ids.take(n.toInt).contains(0L) })
+    // UNK-FAITHFUL live twin (r12): the same stream under the
+    // reserved-UNK layout equals batch inferencePrepUnk row-for-row —
+    // no in-window zeros, UNKs on id 3, UNK targets carried in labels
+    // but masked out
+    val wantU = graft.ops.TermStats.inferencePrepUnk(docs, pairs, vocabDf)
+      .collect().map(arrs).toSeq
+    val memU = MemoryStream[(Long, String)]
+    val qU = Streams.inferenceStream(
+        memU.toDF().toDF("doc_id", "text"), pairs, vocab,
+        unkFaithful = true)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("inference_unk_out").start()
+    try {
+      memU.addData(c1: _*); qU.processAllAvailable()
+      memU.addData(c2: _*); qU.processAllAvailable()
+      memU.addData(c3: _*); qU.processAllAvailable()
+      memU.addData((-1L, "")); qU.processAllAvailable()
+    } finally qU.stop()
+    val gotU = spark.table("inference_unk_out").collect().map(arrs)
+      .toSeq.sortBy(_._1)
+    assert(gotU == wantU)
+    gotU.foreach { case (_, _, n, ids, _, mask, _, labels) =>
+      assert(!ids.take(n.toInt).contains(0L))
+      labels.zip(mask).foreach { case (l, m) =>
+        assert(m == (if (l != 0L && l != 3L) 1L else 0L)) }
+    }
+    assert(gotU.exists { case (_, _, n, ids, _, _, _, _) =>
+      ids.take(n.toInt).contains(3L) })
   }
 
   test("streaming tumbling counts equal the batch (oracle-checked) query") {

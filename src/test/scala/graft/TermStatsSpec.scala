@@ -380,6 +380,67 @@ class TermStatsSpec extends AnyFunSuite {
     seqs.dropRight(1).foreach { case (n, _, _) => assert(n == 64L) }
   }
 
+  test("UNK-faithful pack (r12): 0 appears only as tail padding, UNKs " +
+      "keep the reserved id 3 in-window, labels carry UNK targets but " +
+      "the loss mask excludes them, and unpack reproduces the UNK-" +
+      "resolved stream zeros-in-place (which the base unpack drops)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val pairs = TermStats.bpeLearnIter(docs, 10)
+      .map { case (a, b, _) => (a, b) }
+    val vocabDf = TermStats.bpeVocab(docs, pairs).select("sym", "id")
+    // the reference stream: per-doc UNK-resolved raw ids (0 at OOV)
+    val flat = TermStats.bpeIdsUnk(docs, pairs, vocabDf).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getString(3).split(" ").map(_.toLong).toSeq))
+    val nUnkTotal = flat.map(_._2.count(_ == 0L)).sum
+    assert(nUnkTotal >= 1)
+    val seqs = TermStats.inferencePrepUnk(docs, pairs, vocabDf).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(2), r.getSeq[Long](3), r.getSeq[Long](5),
+        r.getSeq[Long](7)))
+    // layout: in-window positions are never 0 (padding is tail-only,
+    // UNK is 3); the packed stream re-concatenates to BOS ++ (0→3,
+    // x→x+3) ++ EOS of the reference stream
+    val packed = seqs.flatMap { case (n, ids, _, _) => ids.take(n.toInt) }
+    assert(!packed.contains(0L), "no in-window zeros under UNK-faithful")
+    val wantPacked = flat.flatMap { case (_, ids) =>
+      1L +: ids.map(x => if (x == 0L) 3L else x + 3L) :+ 2L }.toSeq
+    assert(packed.toSeq == wantPacked)
+    assert(packed.count(_ == 3L).toLong == nUnkTotal)
+    // tail padding is zeros on the final sequence only
+    seqs.dropRight(1).foreach { case (n, _, _, _) => assert(n == 64L) }
+    val (lastN, lastIds, _, _) = seqs.last
+    assert(lastIds.drop(lastN.toInt).forall(_ == 0L))
+    // supervision: mask is 1 exactly where the label is a real target
+    // (not 0 = pad/tail/BOS-target, not 3 = UNK target) — and UNK
+    // targets DO occur, so the exclusion is load-bearing
+    var unkTargets = 0
+    seqs.foreach { case (_, _, mask, labels) =>
+      labels.zip(mask).foreach { case (l, m) =>
+        assert(m == (if (l != 0L && l != 3L) 1L else 0L), s"label $l mask $m")
+        if (l == 3L) unkTargets += 1
+      }
+    }
+    assert(unkTargets >= 1, "fixture must exercise an UNK target")
+    // unpack: the tensors alone reproduce the reference stream with
+    // its zeros IN PLACE — and the base-contract unpack of the SAME
+    // data (packed without the reserved id) would lose exactly the
+    // UNK positions, which is the gap this layout closes
+    val unpacked = graft.ops.Sampling.unpackSequences(
+        TermStats.inferencePrepUnk(docs, pairs, vocabDf),
+        unkFaithful = true)
+      .collect().map(r => (r.getLong(0),
+        r.getString(2).split(" ").map(_.toLong).toSeq))
+    assert(unpacked.map(_._2).toSeq == flat.map(_._2).toSeq)
+    assert(unpacked.flatMap(_._2).count(_ == 0L).toLong == nUnkTotal)
+    val baseUnpacked = graft.ops.Sampling.unpackSequences(
+        TermStats.inferencePrep(docs, pairs, vocabDf))
+      .collect().flatMap(r => r.getString(2).split(" ").map(_.toLong))
+    assert(baseUnpacked.length.toLong ==
+      flat.map(_._2.size).sum - nUnkTotal,
+      "base contract drops exactly the UNK positions")
+  }
+
   test("batched trainer: exhaustion composes across batch boundaries " +
       "and every batch size gives the same table") {
     // tiny corpus exhausts after 4 merges: he, t+he, (space-free "the"
