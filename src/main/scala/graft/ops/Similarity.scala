@@ -568,6 +568,58 @@ object Similarity {
       .write.mode("append").parquet(s"$dir/codes")
   }
 
+  /** IDEMPOTENT batch-stamped append — the STREAMING ingest form of
+    * [[appendToIvfPqIndex]] (r12): `foreachBatch` redelivers batches
+    * after a crash (at-least-once), and a plain parquet append would
+    * duplicate every redelivered code row in the index, so the
+    * streaming sink needs appends keyed by the checkpoint's batchId.
+    * Protocol (all names inside the codes dir, so the reader's
+    * directory scan is unchanged — parquet readers ignore
+    * underscore-prefixed files, the _SUCCESS convention):
+    *
+    *   1. marker `_ingest-<batchId>` present → the batch fully landed
+    *      on a previous attempt → SKIP (returns false);
+    *   2. sweep any `ingest-<batchId>-*` part files (a crash mid-move
+    *      left a partial batch — without the marker it is garbage);
+    *   3. code the batch through the frozen model into a staging dir;
+    *   4. move each staged part file to
+    *      `codes/ingest-<batchId>-<part>`;
+    *   5. create the marker LAST, then drop staging.
+    *
+    * A crash anywhere before (5) makes the redelivery redo the batch
+    * from clean state; after (5) it no-ops — effectively-once visible
+    * effect on an at-least-once channel, the same marker-last ordering
+    * discipline as [[deleteFromIvfPqIndex]]'s tombstones and the
+    * compaction swap. Returns true iff this call ingested the batch. */
+  def appendToIvfPqIndexIdempotent(spark: SparkSession, dir: String,
+      newEmb: DataFrame, batchId: Long, m: Int = 8): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val codes = new Path(s"$dir/codes")
+    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamp = f"ingest-$batchId%020d"
+    val marker = new Path(codes, s"_$stamp")
+    if (fs.exists(marker)) return false
+    if (fs.exists(codes))
+      fs.listStatus(codes).map(_.getPath)
+        .filter(_.getName.startsWith(s"$stamp-"))
+        .foreach(fs.delete(_, false))
+    val staging = new Path(s"$dir/codes_staging_$batchId")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val (centroids, books) = loadIndexModel(spark, dir, m)
+    codedFrame(newEmb, centroids, books, m)
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.listStatus(staging).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith("_"))
+      .foreach { p =>
+        require(fs.rename(p, new Path(codes, s"$stamp-${p.getName}")),
+          s"ingest move failed for $p under $dir")
+      }
+    fs.create(marker, true).close()
+    fs.delete(staging, true)
+    true
+  }
+
   /** COMPACT the append-maintained artifact's codes table (r10 — the
     * last step of the index lifecycle: build → nightly append →
     * periodic compact): every parquet append adds a file set, so a

@@ -685,6 +685,34 @@ object Streams {
     packStream(ids, window, shards, unkFaithful)
   }
 
+  /** STREAMING ANN-index ingest (r12) — FAISS `add()` on a stream: each
+    * micro-batch of embeddings routes through the persisted artifact's
+    * FROZEN model and lands in the codes table via the IDEMPOTENT
+    * batch-stamped append, so a crash-redelivered batch is a no-op and
+    * the index never holds duplicate codes (effectively-once on
+    * foreachBatch's at-least-once channel — see
+    * [[graft.ops.Similarity.appendToIvfPqIndexIdempotent]]). The
+    * checkpoint dir resumes exactly where the last marker landed.
+    * After any trigger completes, queries against the artifact see
+    * every ingested vector — StreamsSpec asserts the stream-ingested
+    * index answers identically to batch appends of the same splits,
+    * and that a simulated redelivery leaves the codes row count
+    * unchanged. */
+  def indexIngestStream(embStream: DataFrame, dir: String,
+      checkpointDir: String, m: Int = 8): Unit = {
+    val q = embStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Similarity.appendToIvfPqIndexIdempotent(
+          batch.sparkSession, dir, batch, batchId, m)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Transactional micro-batch upload+mark (stream_foreachBatch_sink):
     * each batch of pending rows is uploaded then the manifest snapshot is
     * swapped; the checkpoint dir makes restarts resume exactly where the

@@ -276,6 +276,72 @@ class StreamsSpec extends AnyFunSuite {
       ids.take(n.toInt).contains(3L) })
   }
 
+  test("streaming ANN ingest: the stream-ingested index answers " +
+      "identically to batch appends of the same splits, a redelivered " +
+      "batch is a no-op, and a crash-before-marker retry redoes the " +
+      "batch without duplicating codes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Similarity
+    val d = TestSpark.sf0001
+    val emb = Tables.embeddings(spark, d)
+    val seeds = Similarity.ivfCentroids(emb, 16, 0)
+    val dirS = Files.createTempDirectory("graft-ingest-s").toString
+    val dirB = Files.createTempDirectory("graft-ingest-b").toString
+    val ckpt = Files.createTempDirectory("graft-ingest-ck").toString
+    try {
+      // both artifacts: base split + the SAME frozen full-corpus model
+      Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        seeds, dirS, writeResiduals = false)
+      Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        seeds, dirB, writeResiduals = false)
+      // batch truth: two plain appends
+      Similarity.appendToIvfPqIndex(spark, dirB,
+        emb.filter(col("vec_id") % 10 === 0))
+      Similarity.appendToIvfPqIndex(spark, dirB,
+        emb.filter(col("vec_id") % 10 === 5))
+      // the stream: the same two splits as two AvailableNow triggers
+      // against one checkpoint — the second run RESUMES, so batch 2
+      // (and only batch 2) lands with a fresh batchId
+      val rows = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val (b1, b2) = rows.partition(_._1 % 10 == 0)
+      val mem = MemoryStream[(Long, Seq[Float])]
+      def run(): Unit = Streams.indexIngestStream(
+        mem.toDF().toDF("vec_id", "embedding"), dirS, ckpt)
+      mem.addData(b1.toSeq: _*); run()
+      mem.addData(b2.toSeq: _*); run()
+      def topk(dir: String) =
+        Similarity.ivfPqTopKFromIndex(spark, dir, emb,
+            col("vec_id") < 10, 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSeq
+      assert(topk(dirS) == topk(dirB))
+      val fullCount = emb.count()
+      assert(spark.read.parquet(s"$dirS/codes").count() == fullCount)
+      // redelivery: batchId 0 already carries its marker — no-op
+      assert(!Similarity.appendToIvfPqIndexIdempotent(spark, dirS,
+        emb.filter(col("vec_id") % 10 === 0), 0L))
+      assert(spark.read.parquet(s"$dirS/codes").count() == fullCount)
+      // crash-before-marker: drop batch 1's marker (its part files
+      // remain — the exact mid-move/pre-marker state); the retry must
+      // sweep them, redo the batch, and land at the same count
+      val codesDir = new java.io.File(s"$dirS/codes")
+      val marker = codesDir.listFiles()
+        .filter(f => f.getName.startsWith("_ingest-")).minBy(_.getName)
+      assert(marker.delete())
+      assert(Similarity.appendToIvfPqIndexIdempotent(spark, dirS,
+        emb.filter(col("vec_id") % 10 === 0), 0L))
+      assert(spark.read.parquet(s"$dirS/codes").count() == fullCount)
+      assert(topk(dirS) == topk(dirB))
+    } finally {
+      graft.ops.SessionCleanup.deleteRecursively(dirS)
+      graft.ops.SessionCleanup.deleteRecursively(dirB)
+      graft.ops.SessionCleanup.deleteRecursively(ckpt)
+    }
+  }
+
   test("streaming tumbling counts equal the batch (oracle-checked) query") {
     val stream = Streams.tumblingRate(Streams.eventsStream(spark, TestSpark.sf0001))
     runToMemory(stream, "tumbling_out")
