@@ -664,6 +664,20 @@ object Similarity {
     // the query path.
     liveCodes(spark, dir).repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
+    // Carry the streaming sink's ingest markers into the rewrite
+    // BEFORE the swap (r12): the `_ingest-<batchId>` files are
+    // appendToIvfPqIndexIdempotent's idempotence ledger — dropping
+    // them with the old file set would let a post-compaction
+    // foreachBatch redelivery re-ingest a batch whose rows the rewrite
+    // just folded in. Copying into tmp pre-swap keeps the ledger
+    // present at EVERY crash point: pre-swap crashes leave the
+    // original codes (markers intact), post-swap the new codes already
+    // carry them. Markers are empty files — the copy is O(batches).
+    if (fs.exists(codes))
+      fs.listStatus(codes).map(_.getPath)
+        .filter(_.getName.startsWith("_ingest-"))
+        .foreach(p => fs.create(
+          new org.apache.hadoop.fs.Path(tmp, p.getName), true).close())
     // A stale backup from a prior crashed run would make the first
     // rename fail on HDFS-like filesystems (rename refuses an existing
     // destination) — clear it before swapping; the compacted rewrite

@@ -335,6 +335,14 @@ class StreamsSpec extends AnyFunSuite {
         emb.filter(col("vec_id") % 10 === 0), 0L))
       assert(spark.read.parquet(s"$dirS/codes").count() == fullCount)
       assert(topk(dirS) == topk(dirB))
+      // COMPACTION preserves the idempotence ledger: the rewrite folds
+      // the ingested rows in, and a post-compaction redelivery must
+      // STILL no-op (the markers ride into the new file set pre-swap)
+      Similarity.compactIvfPqIndexCodes(spark, dirS)
+      assert(!Similarity.appendToIvfPqIndexIdempotent(spark, dirS,
+        emb.filter(col("vec_id") % 10 === 0), 0L))
+      assert(spark.read.parquet(s"$dirS/codes").count() == fullCount)
+      assert(topk(dirS) == topk(dirB))
     } finally {
       graft.ops.SessionCleanup.deleteRecursively(dirS)
       graft.ops.SessionCleanup.deleteRecursively(dirB)
