@@ -1187,6 +1187,39 @@ object TermStats {
         suffix), window, buckets, unkFaithful = true),
       window, unkId = Some(Sampling.UnkId))
 
+  /** FULL-CIRCLE decode capstone (r12): text → greedy encode (loaded
+    * merges) → UNK-resolve (loaded vocab) → UNK-FAITHFUL pack →
+    * unpack from the tensors alone → DECODE the recovered id stream
+    * back through the artifact's vocab table — five gated stages
+    * composed into one declarative query, ending where it started.
+    * Word boundaries do not survive the flat symbol stream (the
+    * vocabulary carries no end-of-word marker — the [[bpeDecode]]
+    * scaladoc's documented limit), so the circle closes on the
+    * SPACE-FREE text: the oracle re-derives each document's symbol
+    * concatenation with OOV symbols as U+FFFD straight from the
+    * shared ids_unk CTEs, and the engine must reproduce it THROUGH
+    * the packed tensor representation — a wrong id anywhere in
+    * encode, shift, pack, boundary stitch, unshift, or the final
+    * vocab join breaks the string. */
+  def decodeRoundtrip(docs: DataFrame, merges: Seq[(String, String)],
+      symVocab: DataFrame): DataFrame = {
+    val unpacked = Sampling.unpackSequences(
+      inferencePrepUnk(docs, merges, symVocab), unkFaithful = true)
+    unpacked
+      .select(col("doc_n"),
+        posexplode(split(col("ids"), " ")).as(Seq("p", "sid")))
+      .select(col("doc_n"), col("p"), col("sid").cast("long").as("id"))
+      .join(symVocab.select(col("id"), col("sym")), Seq("id"), "left")
+      .groupBy(col("doc_n"))
+      .agg(count(lit(1)).as("n_ids"),
+        sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_unk"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("p"),
+            coalesce(col("sym"), lit("\uFFFD")).as("s")))),
+          x => x.getField("s"))).as("text"))
+      .orderBy("doc_n")
+  }
+
   /** The CAPSTONE trainer-prep pipeline: corpus → ITERATIVELY trained
     * BPE (the recount loop) → symbol ids → fixed-`window` packed
     * tensor sequences — the complete tokenize-to-dataloader path as
@@ -1676,6 +1709,16 @@ object TermStats {
       bpeDecode(Tables.documents(s, d),
         loadTokenizerMerges(s, dir), loadTokenizerVocab(s, dir))
     }),
+    // FULL CIRCLE: encode -> UNK-resolve -> pack -> unpack -> decode,
+    // one query, both artifact halves loaded; gates the space-free
+    // text (word boundaries are not in the flat stream) with U+FFFD
+    // at the OOV symbols, re-derived by the oracle from the shared
+    // ids_unk CTEs.
+    "pipeline_decode_roundtrip" -> ((s, d) => {
+      val dir = persistedTokenizerDir(s, d)
+      decodeRoundtrip(Tables.documents(s, d),
+        loadTokenizerMerges(s, dir), loadTokenizerVocab(s, dir))
+    }),
     // dense ids over the ITERATIVELY merged symbol vocabulary — the
     // tensor path string-projected, completing the iter family.
     "tokenize_bpe_ids_iter" -> ((s, d) =>
@@ -1897,6 +1940,27 @@ object TermStats {
          |         ORDER BY ds.pos, ds.spos) AS ids
          |FROM ds LEFT JOIN sv USING (sym)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the full circle's oracle never touches the packed layout: per
+    // doc, the enriched batch's symbols concatenate in (pos, spos)
+    // order with OOV symbols as U+FFFD (chr(65533)) — the engine must
+    // arrive at the same string THROUGH pack + unpack + the vocab
+    // decode join.
+    "pipeline_decode_roundtrip" ->
+      s"""WITH ${bpeIterCtes(10)},
+         |$unkStreamCtes,
+         |dec AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ids,
+         |         CAST(sum(CASE WHEN sv.id IS NULL THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_unk,
+         |         string_agg(CASE WHEN sv.id IS NULL THEN chr(65533)
+         |                         ELSE ds.sym END, ''
+         |           ORDER BY ds.pos, ds.spos) AS text
+         |  FROM ds LEFT JOIN sv USING (sym)
+         |  GROUP BY doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+         |         AS doc_n,
+         |       n_ids, n_unk, text
+         |FROM dec ORDER BY doc_n""".stripMargin,
     // the identity side is the UNK-resolved inference stream itself —
     // the shared ids_unk CTEs, ids per doc in (pos, spos) order with
     // coalesce(sv.id, 0) zeros at OOV — ranked to the pack order's
