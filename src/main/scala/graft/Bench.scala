@@ -259,7 +259,12 @@ object Bench {
     // its source (probe_quiet_base / probe_quiet_src) plus the
     // capture host (host) so cross-host readers can see when the
     // factor is not comparable. The pin's provenance: ProbePinHost.
-    val prevProbeMin = prevJson.flatMap(parseProbeMin)
+    // env-gated like the guard itself: a committed artifact captured at
+    // a different core count ran its probe on different parallelism —
+    // not a comparable base (sf matching is stricter than the probe
+    // needs, but conservative never mis-normalizes)
+    val prevProbeMin = prevJson.filter(j => envMatches(j, sfDir, cpus))
+      .flatMap(parseProbeMin)
     val (quietBase, quietSrc) = prevProbeMin match {
       case Some(p) if p > 0 && p < ProbeQuietSec => (p, "committed_probe")
       case _ => (ProbeQuietSec, "pin")
