@@ -506,6 +506,47 @@ class TermStatsSpec extends AnyFunSuite {
     learned.toSeq
   }
 
+  test("driver-local trainer: randomized corpora are bit-identical to " +
+      "the full-recount reference, and on a crafted non-BMP tie the " +
+      "UTF-8-byte tie-break matches the ENGINE where UTF-16 ordering " +
+      "would disagree") {
+    // 30 seeded corpora: random words over a small alphabet (high pair
+    // collision rate — ties and deep merge chains), trained to
+    // exhaustion depth, in-memory maintenance vs the independent
+    // recount
+    val alpha = "abcd"
+    for (seed <- 1 to 30) {
+      val rnd = new scala.util.Random(seed * 7919L)
+      val words = (1 to 40).map { _ =>
+        val w = (1 to (2 + rnd.nextInt(6)))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        (w, 1L + rnd.nextInt(5))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+      val refWords = words.toSeq.sortBy(_._1).map { case (w, c) =>
+        (w.map(_.toString): Seq[String], c) }
+      assert(TermStats.bpeLearnInMemory(words, 200)
+        == refRecountTrain(refWords, 200), s"seed $seed")
+    }
+    // the ordering trap: U+FF61 (halfwidth ideographic full stop) vs
+    // U+10000 (non-BMP). Java String.compareTo puts the SURROGATE pair
+    // first (\uD800 < ｡); UTF-8 binary order — what Spark's
+    // UTF8String argmax tie-break uses — puts U+FF61 first (EF BD A1 <
+    // F0 90 80 80). Both pairs tie at n = 2, so the FIRST merge is
+    // decided purely by the lhs tie-break, and the in-memory trainer
+    // must side with the engine, not with compareTo.
+    val bmp = "｡"
+    val supp = new String(Character.toChars(0x10000))
+    val docs = Seq((1L, s"${bmp}a ${supp}a"), (2L, s"${bmp}a ${supp}a"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val engine = TermStats.bpeLearnIter(docs, 2)
+    assert(engine.head._1 == bmp && engine.head._3 == 2L,
+      "fixture: the engine itself must pick the UTF-8-smaller lhs")
+    assert(TermStats.bpeLearnLocal(docs, 2) == engine)
+    // and compareTo really would have chosen the other side — the
+    // comparator is load-bearing, not decorative
+    assert(supp.compareTo(bmp) < 0 && bmp.compareTo(supp) > 0)
+  }
+
   test("driver-local trainer at depth: 1,000 real merges on the " +
       "20k-word wide-vocabulary corpus are bit-identical to an " +
       "independent full-recount reference, and to the distributed " +
