@@ -1494,11 +1494,21 @@ object TermStats {
     * supervised; BOS, sequence tails, and UNK targets not: an UNK
     * target's label IS the 0/ignore sentinel, so its position cannot
     * be supervised), mirroring the engine's r11 contract. */
-  private val packTailSql: String =
-    """dl AS (SELECT doc_id, count(*) AS n FROM dsi GROUP BY doc_id),
+  private val packTailSql: String = packTailSqlFor(2, 0)
+
+  /** The pack-assembly tail parameterized by the reserved-id layout
+    * (r12): `shift` = what real ids add (base contract 2, UNK-faithful
+    * 3), `unkTo` = what the stream's 0 = UNK maps to (base 0 — the pad
+    * sentinel; UNK-faithful 3 — its own reserved id). The supervision
+    * rule is layout-independent: a target is real iff it is neither
+    * the 0 sentinel nor the UNK id (under the base contract the two
+    * coincide, so the second test is redundant there — kept unified so
+    * both oracles share one rule, like the engine's `supervised`). */
+  private def packTailSqlFor(shift: Int, unkTo: Int): String =
+    s"""dl AS (SELECT doc_id, count(*) AS n FROM dsi GROUP BY doc_id),
       |extd AS (
       |  SELECT doc_id,
-      |         CASE WHEN id = 0 THEN 0 ELSE id + 2 END AS id,
+      |         CASE WHEN id = 0 THEN $unkTo ELSE id + $shift END AS id,
       |         tp + 1 AS tp
       |  FROM dsi
       |  UNION ALL SELECT doc_id, 1 AS id, 1 AS tp FROM dl
@@ -1518,6 +1528,7 @@ object TermStats {
       |lm AS (
       |  SELECT doc_id, seq_id, spos, id, bnd,
       |         CASE WHEN lead(bnd) OVER w = 0 AND lead(id) OVER w <> 0
+      |              AND lead(id) OVER w <> ${if (unkTo == 0) 0 else unkTo}
       |              THEN 1 ELSE 0 END AS msk
       |  FROM wide
       |  WINDOW w AS (PARTITION BY seq_id ORDER BY spos)),
@@ -1686,6 +1697,24 @@ object TermStats {
       val dir = persistedTokenizerDir(s, d)
       bpeIdsUnk(Tables.documents(s, d),
         loadTokenizerMerges(s, dir), loadTokenizerVocab(s, dir))
+    }),
+    // the UNK-FAITHFUL pack gated DIRECTLY (beside the round-trip key
+    // below): same projection as pipeline_inference_prep, reserved-id
+    // layout (0=pad only, 3=UNK, real ids >= 4) — this is what puts
+    // the loss-mask rule (UNK targets carried but never supervised)
+    // under the DuckDB oracle rather than only under specs.
+    "pipeline_inference_prep_unk" -> ((s, d) => {
+      val dir = persistedTokenizerDir(s, d)
+      inferencePrepUnk(Tables.documents(s, d),
+        loadTokenizerMerges(s, dir), loadTokenizerVocab(s, dir))
+        .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+          concat_ws(" ", transform(col("ids"),
+            x => x.cast("string"))).as("ids"),
+          concat_ws(" ", transform(col("doc_start"),
+            x => x.cast("string"))).as("doc_start"),
+          concat_ws(" ", transform(col("loss_mask"),
+            x => x.cast("string"))).as("loss_mask"))
+        .orderBy("seq_id")
     }),
     // UNK-FAITHFUL round-trip: the inference batch packed under the
     // reserved-UNK layout (0=pad only, 3=UNK, real ids >= 4), then
@@ -2006,6 +2035,17 @@ object TermStats {
          |           ORDER BY ds.pos, ds.spos) AS BIGINT) AS tp
          |  FROM ds LEFT JOIN sv USING (sym)),
          |""".stripMargin + packTailSql),
+    // same dsi stream, reserved-UNK tail: shift +3, UNK -> id 3, and
+    // the mask rule excludes UNK targets explicitly.
+    "pipeline_inference_prep_unk" ->
+      (s"""WITH ${bpeIterCtes(10)},
+         |$unkStreamCtes,
+         |dsi AS (
+         |  SELECT ds.doc_id, coalesce(sv.id, 0) AS id,
+         |         CAST(row_number() OVER (PARTITION BY ds.doc_id
+         |           ORDER BY ds.pos, ds.spos) AS BIGINT) AS tp
+         |  FROM ds LEFT JOIN sv USING (sym)),
+         |""".stripMargin + packTailSqlFor(3, 3)),
     // vocabulary artifact: corpus-count-weighted symbols of the
     // iteratively merged vocabulary, alphabetic dense ids.
     "tokenize_bpe_vocab_iter" ->
