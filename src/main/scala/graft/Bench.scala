@@ -265,12 +265,16 @@ object Bench {
     // needs, but conservative never mis-normalizes)
     val prevProbeMin = prevJson.filter(j => envMatches(j, sfDir, cpus))
       .flatMap(parseProbeMin)
-    val (quietBase, quietSrc) = prevProbeMin match {
-      case Some(p) if p > 0 && p < ProbeQuietSec => (p, "committed_probe")
-      case _ => (ProbeQuietSec, "pin")
-    }
     val host = try java.net.InetAddress.getLocalHost.getHostName
       catch { case scala.util.control.NonFatal(_) => "unknown" }
+    // Host-aware base selection (ADVICE r12 #3): the committed
+    // artifact records its capture host, so the base no longer has to
+    // guess whether a committed probe ABOVE the pin means "slower
+    // hardware" (trust it) or "the pin's own machine had a contended
+    // capture" (keep the pin).
+    val prevHost = prevJson.filter(j => envMatches(j, sfDir, cpus))
+      .flatMap(j => strField(j, "host"))
+    val (quietBase, quietSrc) = quietBaseOf(prevProbeMin, prevHost, host)
     // min of the two probes: the FASTEST this machine demonstrably ran
     // during the pass — a one-sided contention burst at either probe
     // can't inflate the factor, matching min-of-N's logic per query.
@@ -292,6 +296,17 @@ object Bench {
       probeFloor = probeK * probeMin)
     for ((k, p, n) <- regressions)
       System.err.println(f"[bench] REGRESSION $k%-28s prev=$p%.3f now=$n%.3f (${n / p}%.1fx > $regrMax%.1fx)")
+    // Floor-suppressed flags made VISIBLE (ADVICE r12 #4): on a
+    // contended pass the probe floor rises with probeMin and can
+    // silently swallow a genuine regression on a sub-floor key — so
+    // any key whose ratio exceeded regrMax but whose new time sat at
+    // or under the floor is logged AND recorded in the artifact, never
+    // silently dropped.
+    val floorSuppressed = floorSuppressedOf(prev, results, regrMax,
+      probeFloor = probeK * probeMin)
+    for ((k, p, n) <- floorSuppressed)
+      System.err.println(f"[bench] regression SUPPRESSED by probe floor " +
+        f"$k%-28s prev=$p%.3f now=$n%.3f (floor=${probeK * probeMin}%.3f)")
 
     // Build (first-run, setup-inclusive) times and the full steady map:
     // stderr only — diagnostics; the stdout line must stay tiny.
@@ -302,7 +317,8 @@ object Bench {
       errors.distinct.toSeq, noise, noiseRetried, regressions,
       guardState, probeStart = probeStart, probeEnd = probeEnd,
       windowFactor = windowFactor, quietBase = quietBase,
-      quietSrc = quietSrc, host = host)
+      quietSrc = quietSrc, host = host,
+      floorSuppressed = floorSuppressed)
     // A narrowed (SPARK_GRAFT_BENCH_ONLY) diagnostic run must never
     // clobber the committed full artifact with a partial map.
     if (only.isEmpty) {
@@ -334,6 +350,30 @@ object Bench {
     * divide by it before being read as code regressions. */
   private[graft] val ProbeRows = 400000000L
   private[graft] val ProbeQuietSec = 0.268
+  /** The pin lineage's hostname — every r1–r12 capture ran on a box
+    * reporting this name. Used only to decide whether the pin is a
+    * valid LOWER BOUND for the quiet base (see [[quietBaseOf]]). */
+  private[graft] val ProbePinHostname = "localhost"
+
+  /** Quiet-base selection, host-aware (ADVICE r12 #3): when the
+    * committed artifact's capture host MATCHES this pass's host, its
+    * probe min is the comparable base even ABOVE the pin (a slower
+    * machine's probe measures hardware, not contention) — except on
+    * the pin's own lineage host, where the pin is that machine's best
+    * EVER observed probe and stays the lower bound (a contended
+    * committed capture must not ratchet the base upward). On a host
+    * MISMATCH (or no recorded host) the old conservative rule holds:
+    * the committed probe wins only when smaller than the pin. */
+  private[graft] def quietBaseOf(prevProbeMin: Option[Double],
+      prevHost: Option[String], host: String): (Double, String) =
+    prevProbeMin match {
+      case Some(p) if p > 0 && prevHost.contains(host) =>
+        if (host == ProbePinHostname && ProbeQuietSec < p)
+          (ProbeQuietSec, "pin")
+        else (p, "committed_probe_host")
+      case Some(p) if p > 0 && p < ProbeQuietSec => (p, "committed_probe")
+      case _ => (ProbeQuietSec, "pin")
+    }
   /** Where the 0.268 s pin was observed (ADVICE r11 #4): the r11
     * driver sandbox — hostname "localhost" under Linux 6.x, 32 cores,
     * the box every round r1–r12 has captured on. On any OTHER host
@@ -440,6 +480,21 @@ object Bench {
         p >= floor && n > factor * p) => (k, prev(k), n)
     }.sortBy { case (_, p, n) => -(n / p) }
 
+  /** Keys that WOULD have flagged but for the probe floor (ADVICE r12
+    * #4): ratio above `factor`, both sides above the jitter floor, new
+    * time AT OR UNDER `probeFloor`. Logged and recorded in the
+    * artifact so a floor-suppressed regression is visible, not silent
+    * — on a contended pass the floor rises with the probe and can
+    * otherwise swallow a genuine 5× regression on a small key. */
+  private[graft] def floorSuppressedOf(prev: Map[String, Double],
+      cur: Seq[(String, Double)], factor: Double = 2.5,
+      floor: Double = 0.05,
+      probeFloor: Double = 0.0): Seq[(String, Double, Double)] =
+    cur.collect {
+      case (k, n) if n >= floor && n <= probeFloor && prev.get(k).exists(p =>
+        p >= floor && n > factor * p) => (k, prev(k), n)
+    }.sortBy { case (_, p, n) => -(n / p) }
+
   /** Probe minimum recorded in a previous artifact — min of its
     * probe_start / probe_end fields (absent or non-positive → None). */
   private[graft] def parseProbeMin(json: String): Option[Double] = {
@@ -477,7 +532,8 @@ object Bench {
       trendGuard: String,
       probeStart: Double = -1.0, probeEnd: Double = -1.0,
       windowFactor: Double = -1.0, quietBase: Double = ProbeQuietSec,
-      quietSrc: String = "pin", host: String = "unknown"): String = {
+      quietSrc: String = "pin", host: String = "unknown",
+      floorSuppressed: Seq[(String, Double, Double)] = Nil): String = {
     val okResults = results.filter(_._2 >= 0)
     val okBuild = build.filter(_._2 >= 0)
     val total = r3(okResults.map(_._2).sum)
@@ -491,6 +547,7 @@ object Bench {
       s""""probe_quiet_src":"$quietSrc","host":"$host",""" +
       s""""errors":$errs,"trend_guard":"$trendGuard",""" +
       s""""regressions":${jregr(regressions)},""" +
+      s""""regr_floor_suppressed":${jregr(floorSuppressed)},""" +
       s""""queries":${jmap(okResults)},""" +
       s""""build":${jmap(okBuild)},"build_total":$buildTotal,"value":$total}"""
   }

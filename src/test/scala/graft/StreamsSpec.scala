@@ -337,12 +337,85 @@ class StreamsSpec extends AnyFunSuite {
       assert(topk(dirS) == topk(dirB))
       // COMPACTION preserves the idempotence ledger: the rewrite folds
       // the ingested rows in, and a post-compaction redelivery must
-      // STILL no-op (the markers ride into the new file set pre-swap)
+      // STILL no-op (the markers ride into the new generation)
       Similarity.compactIvfPqIndexCodes(spark, dirS)
       assert(!Similarity.appendToIvfPqIndexIdempotent(spark, dirS,
         emb.filter(col("vec_id") % 10 === 0), 0L))
-      assert(spark.read.parquet(s"$dirS/codes").count() == fullCount)
+      assert(spark.read.parquet(
+        Similarity.currentCodesPath(spark, dirS)).count() == fullCount)
       assert(topk(dirS) == topk(dirB))
+    } finally {
+      graft.ops.SessionCleanup.deleteRecursively(dirS)
+      graft.ops.SessionCleanup.deleteRecursively(dirB)
+      graft.ops.SessionCleanup.deleteRecursively(ckpt)
+    }
+  }
+
+  test("streaming ANN takedowns: stream-deleted equals batch-deleted, " +
+      "a redelivered tombstone batch is a no-op, and the delete-then-" +
+      "ingest-same-id ordering is pinned (the tombstone wins until the " +
+      "next compaction; re-ingest after it re-adds)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Similarity
+    val d = TestSpark.sf0001
+    val emb = Tables.embeddings(spark, d)
+    val seeds = Similarity.ivfCentroids(emb, 16, 0)
+    val dirS = Files.createTempDirectory("graft-tomb-s").toString
+    val dirB = Files.createTempDirectory("graft-tomb-b").toString
+    val ckpt = Files.createTempDirectory("graft-tomb-ck").toString
+    try {
+      Similarity.writeIvfPqIndex(emb, seeds, dirS, writeResiduals = false)
+      Similarity.writeIvfPqIndex(emb, seeds, dirB, writeResiduals = false)
+      val deadPred = Similarity.deletePred
+      // batch truth: plain tombstone append
+      Similarity.deleteFromIvfPqIndex(spark, dirB, emb.filter(deadPred))
+      // the stream: the same takedown ids in two micro-batches
+      val ids = emb.filter(deadPred).select("vec_id")
+        .as[Long].collect().sorted
+      val (t1, t2) = ids.splitAt(ids.length / 2)
+      val mem = MemoryStream[Long]
+      def run(): Unit = Streams.indexDeleteStream(
+        mem.toDF().toDF("vec_id"), dirS, ckpt)
+      mem.addData(t1.toSeq: _*); run()
+      mem.addData(t2.toSeq: _*); run()
+      def topk(dir: String) =
+        Similarity.ivfPqTopKFromIndex(spark, dir, emb,
+            col("vec_id") < 10 && !deadPred, 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSeq
+      val want = topk(dirB)
+      assert(topk(dirS) == want)
+      topk(dirS).foreach { case (q, _, n, _) =>
+        assert(q % 7 != 3 && n % 7 != 3, s"($q,$n)") }
+      // redelivery: batchId 0 already carries its marker — no-op
+      assert(!Similarity.deleteFromIvfPqIndexIdempotent(spark, dirS,
+        emb.filter(deadPred).select("vec_id"), 0L))
+      assert(topk(dirS) == want)
+      // ORDERING: re-ingesting a tombstoned id while its tombstone is
+      // live stays suppressed (the delete wins)...
+      assert(Similarity.appendToIvfPqIndexIdempotent(spark, dirS,
+        emb.filter(deadPred), 100L))
+      assert(topk(dirS) == want)
+      assert(Similarity.ivfPqTopKFromIndex(spark, dirS, emb,
+          col("vec_id") < 10 && !deadPred, 5)
+        .filter(col("n_id") % 7 === 3).count() == 0)
+      // ...through the compaction that folds both (the re-ingested
+      // rows are dropped with the tombstones)...
+      Similarity.compactIvfPqIndexCodes(spark, dirS)
+      assert(topk(dirS) == want)
+      val liveN = emb.filter(!deadPred).count()
+      assert(spark.read.parquet(
+        Similarity.currentCodesPath(spark, dirS)).count() == liveN)
+      // ...and an ingest AFTER the compaction genuinely re-adds
+      assert(Similarity.appendToIvfPqIndexIdempotent(spark, dirS,
+        emb.filter(deadPred), 101L))
+      assert(spark.read.parquet(
+        Similarity.currentCodesPath(spark, dirS)).count() == emb.count())
+      assert(Similarity.ivfPqTopKFromIndex(spark, dirS, emb,
+          col("vec_id") < 10, 5)
+        .filter(col("n_id") % 7 === 3).count() > 0,
+        "post-compaction re-ingest must surface the ids again")
     } finally {
       graft.ops.SessionCleanup.deleteRecursively(dirS)
       graft.ops.SessionCleanup.deleteRecursively(dirB)
