@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off sf1 scale capture (VERDICT r12 "Next round" #6): generate a
+  * seed-derived sf1-equivalent corpus (10× sf0.1 — 50k documents / 20k
+  * embeddings, [[SynthCorpus.generate]], the established decade-
+  * extension generator), run the most expensive registered keys
+  * isolated min-of-3 at sf0.01, sf0.1, and sf1, and classify each
+  * key's growth against the corpus-size ratio — the superlinearity
+  * probe the 100× ScaleTrend counters can miss because they measure
+  * candidate mass, not end-to-end wall time at a full decade past the
+  * driver's largest SF.
+  *
+  * Classification (t₁/t₀.₁ against the 10× row growth):
+  *   flat        < 2×   (model-sized or setup-bound work)
+  *   sublinear   < 8×
+  *   linear      < 16×  (10× ± scheduler/constant overhead)
+  *   superlinear ≥ 16×  (a plan that will not survive 100 TB — each
+  *                       such key needs a fix or a written explanation)
+  *
+  * Keys are the documents/embeddings-backed top of the r12 driver
+  * capture (the synth dir carries no TPC-H/events tables — the
+  * events-backed expensive keys are covered by ScaleTrend's real-SF
+  * rows instead). Every key runs ONE untimed build pass first so
+  * memoized model artifacts (merge tables, tokenizer dirs, centroids,
+  * persisted indexes) bill to build, exactly like Bench.
+  *
+  * Usage: runMain graft.ScaleCapture [key ...]   (default: the list
+  * below); SPARK_GRAFT_SF1_DIR reuses an already-generated corpus.
+  */
+object ScaleCapture {
+  private val DefaultKeys = Seq(
+    "pipeline_tensor_prep", "pipeline_decode_roundtrip",
+    "pipeline_decode_roundtrip_eow",
+    "pipeline_inference_prep", "pipeline_inference_prep_unk",
+    "sample_pack_segments", "sample_pack_unk_roundtrip",
+    "sample_pack_roundtrip", "sample_pack_tensor", "sample_pack_labels",
+    "pipeline_training_mix", "sample_curriculum_ranked",
+    "graph_bfs_depth", "graph_hits", "graph_pagerank",
+    "dedup_substring_spans", "sim_ann_ivfpq")
+
+  def main(args: Array[String]): Unit = {
+    val keys = if (args.nonEmpty) args.toSeq else DefaultKeys
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+
+    val sf1 = sys.env.get("SPARK_GRAFT_SF1_DIR").getOrElse {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-sf1").toString
+      System.err.println(s"[sf1] generating 10x corpus in $out")
+      SynthCorpus.generate(spark, "/root/testdata/sf0.1", out)
+    }
+    val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", sf1)
+
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        sf: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sf).queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for (key <- keys) {
+      val fn = SparkEntry.queries(key)
+      val ts = sfs.map { sf =>
+        timeOne(fn, sf) // untimed build: memoized artifacts, JIT
+        (1 to 3).map(_ => timeOne(fn, sf)).min
+      }
+      val ratio = ts(2) / math.max(1e-9, ts(1))
+      val cls =
+        if (ratio < 2.0) "flat"
+        else if (ratio < 8.0) "sublinear"
+        else if (ratio < 16.0) "linear"
+        else "superlinear"
+      System.err.println(f"[sf1] $key%-30s ${ts(0)}%7.3f ${ts(1)}%7.3f " +
+        f"${ts(2)}%8.3f ratio=${ratio}%6.2f $cls")
+      println(s"""{"key":"$key","t_sf0_01":${r3(ts(0))},""" +
+        s""""t_sf0_1":${r3(ts(1))},"t_sf1":${r3(ts(2))},""" +
+        s""""ratio_sf01_to_sf1":${r3(ratio)},"class":"$cls"}""")
+    }
+    spark.stop()
+    if (!sys.env.contains("SPARK_GRAFT_SF1_DIR"))
+      graft.ops.SessionCleanup.deleteRecursively(sf1)
+  }
+}

@@ -66,8 +66,13 @@ object SynthCorpus {
       while (k >= 0) { cs(k) = ('a' + (x % 26)).toChar; x /= 26; k -= 1 }
       new String(cs)
     }
+    // the index half must be injective: 26⁴ covers 456,976 indexes; a
+    // BIG-vocabulary run (the r13 >4M-word crossover corpus) widens it
+    // to 26⁵ ≈ 11.8M — existing ≤456k callers keep the exact r11 words
+    val iw = if (nWords <= 456976) 4 else 5
+    require(nWords <= 11881376, s"wideVocabDocs caps at 26^5 words")
     val vocabArr = Array.tabulate(nWords)(i =>
-      b26f(i, 4) + b26f((i.toLong * 2654435761L) & 0xfffffL, 4))
+      b26f(i, iw) + b26f((i.toLong * 2654435761L) & 0xfffffL, 4))
     val bc = spark.sparkContext.broadcast(vocabArr)
     spark.range(nDocs).as[Long].mapPartitions { it =>
       val v = bc.value

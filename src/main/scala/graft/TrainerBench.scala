@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Diagnostic main for the SCALE_r10 trainer A/B: time the SEQUENTIAL
   * BPE training loop (one Spark action per merge round) against the
@@ -51,6 +52,63 @@ object TrainerBench {
     // it retires. SPARK_GRAFT_LONG_SKIP_DIST=1 skips the distributed
     // leg (at 30k rounds it is ~3.5 h by construction — the point of
     // the local path).
+    // BIG-VOCABULARY mode (VERDICT r12 "Next round" #2): build a
+    // >4M-distinct-word synthetic corpus, MEASURE the in-memory
+    // trainer's real per-word state footprint (word frame + pair
+    // counts + occurrence index + heap — the r12 dial's "~60 B/word"
+    // counted only the (word, cnt) rows), time the local loop against
+    // the distributed incremental loop at the same depth on the SAME
+    // corpus with merge-identity required, and emit the numbers the
+    // driverMaxWords dial derives from. Usage:
+    //   SPARK_GRAFT_BIGVOCAB=<nWords> [SPARK_GRAFT_BIGVOCAB_ROUNDS=N]
+    sys.env.get("SPARK_GRAFT_BIGVOCAB").foreach { nw =>
+      val nWords = nw.toInt
+      val bvRounds = sys.env.getOrElse("SPARK_GRAFT_BIGVOCAB_ROUNDS", "50").toInt
+      // coverage: ~4 draws per target word so most of the vocabulary
+      // actually appears (coupon collector: 1 - e^-4 ≈ 98%)
+      val draws = 300
+      val nDocs = math.max(1L, nWords.toLong * 4 / draws)
+      val docsB = SynthCorpus.wideVocabDocs(spark, nWords, nDocs, draws)
+        .localCheckpoint(true)
+      val (rows, tCollect) = time {
+        docsB.select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) >= 2)
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+      }
+      val (foot, tState) = time(
+        graft.ops.TermStats.trainerStateFootprint(rows))
+      val (retained, words, pcN, occKeys, occIdx, heapN) = foot
+      val bytesPerWord = retained.toDouble / math.max(1L, words)
+      // local loop at depth on the big corpus
+      val (mLoc, tLoc) = time(
+        graft.ops.TermStats.bpeLearnInMemory(rows, bvRounds))
+      // distributed incremental at a FRACTION of the depth (its
+      // steady ~2 s/round makes full depth pointless — that is the
+      // finding), merge-identity required on the shared prefix
+      val distRounds = math.min(bvRounds, 5)
+      val (mDist, tDist) = time(
+        graft.ops.TermStats.bpeLearnIterIncremental(docsB, distRounds))
+      require(mDist == mLoc.take(distRounds),
+        "distributed incremental diverged from the local loop on the " +
+          "big-vocabulary corpus")
+      val maxHeap = Runtime.getRuntime.maxMemory()
+      println(s"""{"corpus":"synthetic-bigvocab","n_words_requested":$nWords,""" +
+        s""""n_words_distinct":$words,"n_docs":$nDocs,"draws":$draws,""" +
+        s""""collect_s":${r3(tCollect)},"state_build_s":${r3(tState)},""" +
+        s""""state_retained_bytes":$retained,""" +
+        s""""state_bytes_per_word":${r3(bytesPerWord)},""" +
+        s""""pc_entries":$pcN,"occ_keys":$occKeys,"occ_index_entries":$occIdx,""" +
+        s""""heap_entries":$heapN,""" +
+        s""""rounds_local":$bvRounds,"local_s":${r3(tLoc)},""" +
+        s""""local_s_per_round":${r3(tLoc / bvRounds)},""" +
+        s""""rounds_incremental":$distRounds,"incremental_s":${r3(tDist)},""" +
+        s""""incremental_s_per_round":${r3(tDist / distRounds)},""" +
+        s""""merges_match_prefix":true,""" +
+        s""""driver_max_heap_bytes":$maxHeap}""")
+      spark.stop()
+      return
+    }
     sys.env.get("SPARK_GRAFT_LONG_ROUNDS").foreach { lr =>
       val docsL = SynthCorpus.wideVocabDocs(spark, 20000, 5000L, 60)
       docsL.count()

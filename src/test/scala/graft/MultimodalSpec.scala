@@ -164,6 +164,58 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resizePngBilinear: the re-encoded output is a REAL 8x8 PNG " +
+      "whose every decoded pixel equals the hand-computed fixed-point " +
+      "bilinear blend of the four source taps, and the means match") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").limit(20)
+    val rows = Multimodal.resizePngBilinear(Multimodal.pngPayloads(docs))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getAs[Array[Byte]](6)))
+    assert(rows.nonEmpty)
+    val nbs = docs.select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    def src(id: Long, sx: Int, sy: Int): Int =
+      ((id * 2654435761L + sx * 31 + sy * 7) & 0xffffff).toInt
+    rows.foreach { case (id, ow, oh, mr, mg, mb, png) =>
+      assert((ow, oh) == (8, 8))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 8 && img.getHeight == 8, s"doc $id dims")
+      val nb = nbs(id)
+      val w = (1 + nb % 16).toInt; val h = (1 + (nb * 7) % 16).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        // hand-compute the fixed-point blend (align-corners, 8-bit
+        // fractional weights, floor rounding)
+        val fx = x * (w - 1) * 256 / 7; val fy = y * (h - 1) * 256 / 7
+        val ix = fx >> 8; val dx = fx & 255
+        val ix1 = math.min(ix + 1, w - 1)
+        val iy = fy >> 8; val dy = fy & 255
+        val iy1 = math.min(iy + 1, h - 1)
+        def ch(sh: Int): Int = {
+          val c00 = (src(id, ix, iy) >> sh) & 255
+          val c10 = (src(id, ix1, iy) >> sh) & 255
+          val c01 = (src(id, ix, iy1) >> sh) & 255
+          val c11 = (src(id, ix1, iy1) >> sh) & 255
+          ((256 - dy) * ((256 - dx) * c00 + dx * c10) +
+            dy * ((256 - dx) * c01 + dx * c11)) >> 16
+        }
+        val want = (ch(16) << 16) | (ch(8) << 8) | ch(0)
+        assert((img.getRGB(x, y) & 0xffffff) == want, s"doc $id px($x,$y)")
+        sr += ch(16); sg += ch(8); sb += ch(0)
+      }
+      assert((mr, mg, mb) == (sr / 64, sg / 64, sb / 64), s"doc $id means")
+      // an interpolating kernel on a 1x1 source degenerates to the
+      // constant pixel; larger sources actually blend (dx/dy nonzero
+      // somewhere unless w == 8k+1 alignments make every tap exact)
+      if (w == 1 && h == 1)
+        assert((img.getRGB(3, 3) & 0xffffff) == src(id, 0, 0))
+    }
+  }
+
   test("patchesPng: engine-decoded 4x4 patch means equal a driver-side " +
       "recompute from the pixel formula; the grid is exactly " +
       "(w/4)x(h/4); means stay in [0,255]") {

@@ -351,6 +351,35 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("packStream ordering contract: docs pack in doc_id order WITHIN " +
+      "a trigger and in ARRIVAL order ACROSS triggers (r12 what's-wrong " +
+      "#3 — contract pinned, no behavior change)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Long])]
+    val q = Streams.packStream(mem.toDF().toDF("doc_id", "ids"))
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("pack_order_out").start()
+    try {
+      // trigger 1 carries the HIGHER doc ids, trigger 2 the lower —
+      // if arrival order leaked within a trigger, or id order leaked
+      // across triggers, the flattened stream below changes
+      mem.addData((5L, Seq(50L)), (2L, Seq(20L))); q.processAllAvailable()
+      mem.addData((4L, Seq(40L)), (1L, Seq(10L))); q.processAllAvailable()
+      mem.addData((-1L, Seq.empty[Long])); q.processAllAvailable()
+    } finally q.stop()
+    val flat = spark.table("pack_order_out")
+      .orderBy("seq_id")
+      .select(col("n_tokens"), col("ids"))
+      .collect()
+      .flatMap(r => r.getSeq[Long](1).take(r.getLong(0).toInt))
+      .toSeq
+    // per doc: BOS(1), raw id + 2, EOS(2) — doc order must be
+    // (2, 5) from trigger 1, then (1, 4) from trigger 2
+    assert(flat == Seq(1L, 22L, 2L, 1L, 52L, 2L, 1L, 12L, 2L, 1L, 42L, 2L),
+      flat.toString)
+  }
+
   test("streaming ANN takedowns: stream-deleted equals batch-deleted, " +
       "a redelivered tombstone batch is a no-op, and the delete-then-" +
       "ingest-same-id ordering is pinned (the tombstone wins until the " +

@@ -347,6 +347,77 @@ class TermStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("end-of-word-marker mode (</w>): trainers bit-identical across " +
+      "the family, every encoded word is marker-terminated exactly " +
+      "once (losslessly), the scaled greedy encoder agrees, and decode " +
+      "reconstructs the EXACT text — spaces included — from the flat " +
+      "symbol stream alone, through the packed tensors") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val seqM = TermStats.bpeLearnIter(docs, 10, eow = true)
+    assert(TermStats.bpeLearnIterIncremental(docs, 10, eow = true) == seqM)
+    assert(TermStats.bpeLearnLocal(docs, 10, eow = true) == seqM)
+    assert(TermStats.bpeLearnAuto(docs, 10, eow = true) == seqM)
+    assert(TermStats.bpeLearnAuto(docs, 10, driverMaxWords = 1L,
+      eow = true) == seqM)
+    // marker mode must actually CHANGE the model — guards against the
+    // flag being a silent no-op (the non-marker family's own equality
+    // suite is unchanged above)
+    assert(seqM != TermStats.bpeLearnIter(docs, 10))
+    val pairs = seqM.map { case (a, b, _) => (a, b) }
+    // encode property: exactly the final symbol carries the marker,
+    // and the symbol concatenation is word + marker (lossless)
+    val enc = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct().limit(200)
+      .select(col("word"),
+        TermStats.bpeEncodePairsEowExpr(col("word"), pairs).as("enc"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(enc.nonEmpty)
+    enc.foreach { case (w, e) =>
+      val syms = e.split(" ")
+      assert(syms.last.endsWith(TermStats.EowMarker), s"$w: $e")
+      assert(syms.init.forall(!_.contains(TermStats.EowMarker)), s"$w: $e")
+      assert(syms.mkString("") == w + TermStats.EowMarker, s"$w: $e")
+    }
+    // the scaled greedy encoder in marker mode == the expression chain
+    val fused = pairs.map { case (a, b) => (a, b, a + b) }.toArray
+    val maxLen = fused.foldLeft(0)((m, f) => math.max(m, f._3.length))
+    enc.foreach { case (w, e) =>
+      assert(TermStats.bpeGreedyEncode(w, fused, maxLen,
+        eowMarker = TermStats.EowMarker) == e, w)
+    }
+    // decode with IN-BAND boundaries is the exact text, spaces included
+    val vocabDf = TermStats.bpeVocab(docs, pairs, eow = true)
+      .select("sym", "id")
+    val src = docs.filter(col("doc_id") % 7 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val dec = TermStats.bpeDecodeEow(docs, pairs, vocabDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(dec.nonEmpty && dec.length == src.size)
+    dec.foreach { case (id, nUnk, text) =>
+      assert(nUnk == 0L, s"doc $id")
+      assert(text == src(id), s"doc $id")
+    }
+    // ...and through the packed tensors: the full circle closes on the
+    // exact source text
+    val rt = TermStats.decodeRoundtripEow(docs, pairs, vocabDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rt.map(_._3).toSeq == src.toSeq.sortBy(_._1).map(_._2))
+    assert(rt.forall(_._2 == 0L))
+    // enriched batch: OOV symbols surface as U+FFFD (the OOV word's
+    // boundary is genuinely unknowable — its marker rides the lost
+    // symbol), the known prefix survives intact, and every enriched
+    // doc counts at least one UNK
+    val decU = TermStats.bpeDecodeEow(docs, pairs, vocabDf,
+      suffix = TermStats.unkSuffix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(decU.nonEmpty && decU.forall(_._2 >= 1L))
+    decU.foreach { case (id, _, text) =>
+      assert(text.startsWith(src(id)), s"doc $id")
+      assert(text.contains("\uFFFD"), s"doc $id")
+    }
+  }
+
   test("inferencePrep: packed sequences carry exactly the bpeIdsUnk " +
       "symbol stream in doc order (UNK zeros included), fixed-64 " +
       "arrays, only the final sequence pads") {
@@ -545,6 +616,29 @@ class TermStatsSpec extends AnyFunSuite {
     // and compareTo really would have chosen the other side — the
     // comparator is load-bearing, not decorative
     assert(supp.compareTo(bmp) < 0 && bmp.compareTo(supp) > 0)
+  }
+
+  test("bpeLearnAuto on a wide-vocabulary corpus: the default dial " +
+      "routes to the driver loop, the forced distributed route stays " +
+      "merge-identical on the shared prefix, and the state-footprint " +
+      "probe reports consistent structural sizes (r13 dial evidence)") {
+    val docs = SynthCorpus.wideVocabDocs(spark, 30000, 2000L, 60)
+    val auto = TermStats.bpeLearnAuto(docs, 12)
+    assert(auto.size == 12)
+    assert(auto == TermStats.bpeLearnLocal(docs, 12))
+    // shared-prefix identity against the distributed incremental loop
+    // (the big-corpus route) and against the dial forced over
+    assert(TermStats.bpeLearnIterIncremental(docs, 6) == auto.take(6))
+    assert(TermStats.bpeLearnAuto(docs, 6, driverMaxWords = 1L)
+      == auto.take(6))
+    // the footprint probe's structural sizes on a hand corpus:
+    // abab×3 -> pairs (a,b)×2,(b,a); abc×2 -> (a,b),(b,c)
+    val (_, n, pcN, occK, occI, heapN) = TermStats.trainerStateFootprint(
+      Array(("abab", 3L), ("abc", 2L)))
+    assert(n == 2L)
+    assert(pcN == 3L && heapN == 3L, "P0 seeds the heap once per pair")
+    assert(occK == 3L && occI == 4L,
+      "occ index: (a,b)->{0,1}, (b,a)->{0}, (b,c)->{1}")
   }
 
   test("driver-local trainer at depth: 1,000 real merges on the " +
