@@ -1071,17 +1071,18 @@ object TermStats {
     * vocabulary is corpus-vocab-sized and stays DISTRIBUTED — only the
     * merge table (the model) rides the broadcast. */
   private def encodeVocabScaled(words: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)], eow: Boolean = false): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.toArray)
+    val marker = if (eow) EowMarker else ""
     words.select(col("word")).as[String]
       .mapPartitions { it =>
         // per-partition init: fuse each merge's replacement string and
         // the probe-length bound once
         val fused = bc.value.map { case (a, b) => (a, b, a + b) }
         val maxSymLen = fused.foldLeft(0)((m, f) => math.max(m, f._3.length))
-        it.map(w => (w, bpeGreedyEncode(w, fused, maxSymLen)))
+        it.map(w => (w, bpeGreedyEncode(w, fused, maxSymLen, marker)))
       }
       .toDF("word", "enc")
   }
@@ -1091,12 +1092,13 @@ object TermStats {
     * encoder swapped from the O(merges)-node expression chain to the
     * O(1)-node [[encodeVocabScaled]] scan. Registered against the
     * apply_iter oracle VERBATIM — the scaled encoder must not change
-    * one byte of the encoding. */
+    * one byte of the encoding; in eow mode the same contract holds
+    * against the marker-mode oracle. */
   def bpeApplyScaled(docs: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)], eow: Boolean = false): DataFrame = {
     val toks = tokensPos(docs)
     bpeApplyFromEncv(toks,
-      encodeVocabScaled(toks.select(col("word")).distinct(), merges))
+      encodeVocabScaled(toks.select(col("word")).distinct(), merges, eow))
   }
 
   /** The last rung of the tokenizer ladder: learn ([[bpeTopMerges]]) →
@@ -2029,6 +2031,21 @@ object TermStats {
       decodeRoundtripEow(Tables.documents(s, d),
         loadTokenizerMerges(s, dir), loadTokenizerVocab(s, dir))
     }),
+    // SCALED encode in marker mode: the O(1)-plan-node greedy encoder
+    // with the marker-augmented probe, merges LOADED from the eow
+    // artifact — must not change one byte vs the marker-mode chain
+    // (oracle = apply_eow verbatim).
+    "tokenize_bpe_apply_scaled_eow" -> ((s, d) =>
+      bpeApplyScaled(Tables.documents(s, d),
+        loadTokenizerMerges(s, persistedEowTokenizerDir(s, d)),
+        eow = true)),
+    // the eow VOCABULARY artifact gated directly: marker-terminated
+    // symbols with corpus counts and alphabetic dense ids — what the
+    // eow decode keys consume from the persisted artifact.
+    "tokenize_bpe_vocab_eow" -> ((s, d) =>
+      bpeVocab(Tables.documents(s, d),
+        trainedEowMerges(s, d, 10).map { case (a, b, _) => (a, b) },
+        eow = true)),
     // dense ids over the ITERATIVELY merged symbol vocabulary — the
     // tensor path string-projected, completing the iter family.
     "tokenize_bpe_ids_iter" -> ((s, d) =>
@@ -2242,6 +2259,35 @@ object TermStats {
           .mkString("", "\nUNION ALL\n", "\nORDER BY rnk")),
     // marker-mode apply: the apply_iter body over the eow CTEs/encoder.
     "tokenize_bpe_apply_eow" -> applyOracleSqlFor(eow = true),
+    // the scaled marker-mode encoder must not change the encoding:
+    // same contract as apply_scaled, oracle = apply_eow verbatim.
+    "tokenize_bpe_apply_scaled_eow" -> applyOracleSqlFor(eow = true),
+    // eow vocabulary: corpus-count-weighted marker-terminated symbols,
+    // alphabetic dense ids — the vocab_iter body over the eow
+    // CTEs/encoder.
+    "tokenize_bpe_vocab_eow" ->
+      s"""WITH ${bpeIterCtes(10, eow = true)},
+         |toks AS (
+         |  SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, words[i] AS word, i AS pos FROM (
+         |      SELECT doc_id, string_split(text, ' ') AS words,
+         |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+         |      FROM documents))
+         |  WHERE length(word) > 0),
+         |wf AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+         |encw AS (
+         |  SELECT cnt,
+         |    ${bpeIterOracleEncode(10, eow = true)} AS enc
+         |  FROM wf),
+         |ws AS (SELECT cnt, unnest(string_split(enc, ' ')) AS sym
+         |       FROM encw),
+         |sfreq AS (SELECT sym, CAST(sum(cnt) AS BIGINT) AS n
+         |          FROM ws GROUP BY sym),
+         |sv AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym)
+         |         AS BIGINT) AS id
+         |       FROM (SELECT DISTINCT sym FROM ws))
+         |SELECT id, sym, n FROM sfreq JOIN sv USING (sym)
+         |ORDER BY id""".stripMargin,
     // decode with in-band boundaries is the identity on the held
     // split — spaces INCLUDED, because the markers carry them.
     "tokenize_bpe_decode_eow" ->

@@ -462,10 +462,14 @@ object Streams {
     * broadcast; works unchanged on a batch frame (the spec's equality
     * harness runs it both ways). */
   def encodeStream(docs: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)], eow: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.toArray)
+    // END-OF-WORD-MARKER mode (r13): the live twin of the marker-mode
+    // scaled apply — the marker rides the greedy encoder's probe
+    // (bpeGreedyEncode's eowMarker param), nothing else changes.
+    val marker = if (eow) graft.ops.TermStats.EowMarker else ""
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val fused = bc.value.map { case (a, b) => (a, b, a + b) }
@@ -485,7 +489,8 @@ object Streams {
             val encs = words.map { w =>
               var e = memo.get(w)
               if (e == null) {
-                e = graft.ops.TermStats.bpeGreedyEncode(w, fused, maxSymLen)
+                e = graft.ops.TermStats.bpeGreedyEncode(w, fused,
+                  maxSymLen, marker)
                 memo.put(w, e)
               }
               e
@@ -657,11 +662,16 @@ object Streams {
     * N > 1 runs N parallel packers with shard-local sequence ids. */
   def inferenceStream(docs: DataFrame, merges: Seq[(String, String)],
       vocab: Map[String, Long], window: Int = 64,
-      shards: Int = 1, unkFaithful: Boolean = false): DataFrame = {
+      shards: Int = 1, unkFaithful: Boolean = false,
+      eow: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bcM = spark.sparkContext.broadcast(merges.toArray)
     val bcV = spark.sparkContext.broadcast(vocab)
+    // END-OF-WORD-MARKER mode (r13): marker-mode encode against the
+    // eow vocabulary — the live twin of inferencePrepUnk(eow = true);
+    // the pack layer is id-agnostic, so only the encode leg changes.
+    val marker = if (eow) graft.ops.TermStats.EowMarker else ""
     val ids = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val fused = bcM.value.map { case (a, b) => (a, b, a + b) }
@@ -679,7 +689,7 @@ object Streams {
               var e = memo.get(w)
               if (e == null) {
                 e = graft.ops.TermStats
-                  .bpeGreedyEncode(w, fused, maxSymLen)
+                  .bpeGreedyEncode(w, fused, maxSymLen, marker)
                   .split(" ").map(s => v.getOrElse(s, 0L))
                 memo.put(w, e)
               }

@@ -351,6 +351,75 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("end-of-word-marker STREAMING twins: encodeStream(eow) equals " +
+      "the batch marker-mode scaled apply row-for-row, and " +
+      "inferenceStream(eow, unkFaithful) equals batch " +
+      "inferencePrepUnk(eow) across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val pairs = graft.ops.TermStats.bpeLearnIter(docs, 10, eow = true)
+      .map { case (a, b, _) => (a, b) }
+    // encode twin: stream ≡ the batch marker-mode scaled apply
+    val wantEnc = graft.ops.TermStats
+      .bpeApplyScaled(docs, pairs, eow = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    val rows = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.encodeStream(
+        mem.toDF().toDF("doc_id", "text"), pairs, eow = true)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("encode_eow_out").start()
+    try {
+      mem.addData(h1.toSeq: _*); q.processAllAvailable()
+      mem.addData(h2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val gotEnc = spark.table("encode_eow_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq.sortBy(_._1)
+    assert(gotEnc == wantEnc)
+    // every streamed symbol stream is marker-terminated per word
+    gotEnc.take(20).foreach { case (_, nTok, _, syms) =>
+      assert(syms.split(" ").count(
+        _.endsWith(graft.ops.TermStats.EowMarker)) == nTok, syms)
+    }
+    // inference twin: stream(eow, unkFaithful) ≡ batch
+    // inferencePrepUnk(eow) on the enriched held split
+    val vocabDf = graft.ops.TermStats.bpeVocab(docs, pairs, eow = true)
+      .select("sym", "id")
+    def arrs(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3),
+        r.getSeq[Long](4), r.getSeq[Long](5), r.getSeq[Long](6),
+        r.getSeq[Long](7))
+    val wantU = graft.ops.TermStats
+      .inferencePrepUnk(docs, pairs, vocabDf, eow = true)
+      .collect().map(arrs).toSeq
+    val vocab = vocabDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val held = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(graft.ops.TermStats.unkSuffix)).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (c1, c2) = held.splitAt(held.length / 2)
+    val memU = MemoryStream[(Long, String)]
+    val qU = Streams.inferenceStream(
+        memU.toDF().toDF("doc_id", "text"), pairs, vocab,
+        unkFaithful = true, eow = true)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("inference_eow_out").start()
+    try {
+      memU.addData(c1.toSeq: _*); qU.processAllAvailable()
+      memU.addData(c2.toSeq: _*); qU.processAllAvailable()
+      memU.addData((-1L, "")); qU.processAllAvailable()
+    } finally qU.stop()
+    val gotU = spark.table("inference_eow_out").collect().map(arrs)
+      .toSeq.sortBy(_._1)
+    assert(gotU == wantU)
+  }
+
   test("packStream ordering contract: docs pack in doc_id order WITHIN " +
       "a trigger and in ARRIVAL order ACROSS triggers (r12 what's-wrong " +
       "#3 — contract pinned, no behavior change)") {
