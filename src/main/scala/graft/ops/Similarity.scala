@@ -561,6 +561,51 @@ object Similarity {
       s.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
 
+  /** Model dirs are generation-versioned too (r13 — [[rebuildIvfPqIndex]]
+    * retrains the model as part of a generation bump, so model and
+    * codes swap TOGETHER): `centroids` / `books` are the base (version
+    * 0) model; a rebuild at generation k writes `centroids-v<k>` /
+    * `books-v<k>`. A generation's model is the HIGHEST versioned model
+    * ≤ its own version (compaction bumps the codes generation without
+    * touching the model, so the model version trails the codes
+    * version). */
+  private[graft] def genCentroidsName(v: Int): String =
+    if (v == 0) "centroids" else s"centroids-v$v"
+  private[graft] def genBooksName(v: Int): String =
+    if (v == 0) "books" else s"books-v$v"
+
+  /** The model version a codes generation `v` resolves to: the highest
+    * k ≤ v with `centroids-v<k>` present, else 0 (the base model). */
+  private[graft] def modelVersionFor(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Int): Int = {
+    var k = v
+    while (k >= 1) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/${genCentroidsName(k)}"))) return k
+      k -= 1
+    }
+    0
+  }
+
+  /** GC everything OLDER than the retained grace generation `keep`:
+    * codes + tombstones generations below it, and VERSIONED model dirs
+    * below the model version `keep` itself resolves to (the base
+    * `centroids`/`books` dirs are never deleted — they are version 0
+    * by definition). Shared by compaction and rebuild. */
+  private def gcOldGenerations(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, keep: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    for (g <- 0 until keep) {
+      fs.delete(new Path(s"$dir/${genCodesName(g)}"), true)
+      fs.delete(new Path(s"$dir/${genTombName(g)}"), true)
+    }
+    val mKeep = modelVersionFor(fs, dir, keep)
+    for (k <- 1 until mKeep) {
+      fs.delete(new Path(s"$dir/${genCentroidsName(k)}"), true)
+      fs.delete(new Path(s"$dir/${genBooksName(k)}"), true)
+    }
+  }
+
   /** Answer TRUE-residual IVF-PQ top-k with the MODEL halves (coarse
     * centroids + residual codebooks) loaded from a persisted artifact
     * — the fresh-session contract for the residual composition. The
@@ -601,8 +646,13 @@ object Similarity {
   def ivfPqTopKFromIndex(spark: SparkSession, dir: String,
       emb: DataFrame, queryPred: Column, k: Int, nprobe: Int = 4,
       m: Int = 8, cands: Int = 32): DataFrame = {
-    val (centroids, books) = loadIndexModel(spark, dir, m)
-    ivfPqSearch(emb, liveCodes(spark, dir),
+    // ONE pointer read resolves the generation for BOTH halves — model
+    // and codes are guaranteed consistent even if a rebuild swaps the
+    // pointer between this line and the scan (r13: the model is
+    // generation-versioned too)
+    val gen = currentGenName(fsOf(spark, dir), dir)
+    val (centroids, books) = loadIndexModel(spark, dir, m, gen)
+    ivfPqSearch(emb, liveCodesFor(spark, dir, gen),
       centroids, books, queryPred, k, nprobe, m, cands)
   }
 
@@ -633,9 +683,12 @@ object Similarity {
     * (small) id list. The (codes, tombstones) pair resolves from ONE
     * pointer read, so the reader's view is a consistent generation
     * even while a compaction retires it. */
-  private def liveCodes(spark: SparkSession, dir: String): DataFrame = {
+  private def liveCodes(spark: SparkSession, dir: String): DataFrame =
+    liveCodesFor(spark, dir, currentGenName(fsOf(spark, dir), dir))
+
+  private def liveCodesFor(spark: SparkSession, dir: String,
+      gen: String): DataFrame = {
     val fs = fsOf(spark, dir)
-    val gen = currentGenName(fs, dir)
     val codes = spark.read.parquet(s"$dir/$gen")
     val tPath = new org.apache.hadoop.fs.Path(
       s"$dir/${genTombName(genVersion(gen))}")
@@ -648,12 +701,21 @@ object Similarity {
 
   /** The artifact's MODEL half (coarse centroids + plain PQ codebooks)
     * as driver arrays — shared by the query path and the incremental
-    * append path, so both consume the identical frozen model. */
+    * append path, so both consume the identical frozen model. The
+    * model resolves PER GENERATION (`gen` defaults to the current
+    * pointer): the highest versioned model at or below the codes
+    * generation — see [[modelVersionFor]]. */
   private def loadIndexModel(spark: SparkSession, dir: String,
-      m: Int): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val centroids = spark.read.parquet(s"$dir/centroids").orderBy("k")
+      m: Int, gen: String = null):
+      (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val fs = fsOf(spark, dir)
+    val g = if (gen == null) currentGenName(fs, dir) else gen
+    val mv = modelVersionFor(fs, dir, genVersion(g))
+    val centroids = spark.read
+      .parquet(s"$dir/${genCentroidsName(mv)}").orderBy("k")
       .collect().map(_.getSeq[Double](1).toArray)
-    val bookRows = spark.read.parquet(s"$dir/books").collect()
+    val bookRows = spark.read.parquet(s"$dir/${genBooksName(mv)}")
+      .collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
       .toMap
     val books = Array.tabulate(m)(mi =>
@@ -718,12 +780,17 @@ object Similarity {
     * losing its rows. Plain (non-stamped) writers get no handshake —
     * they keep the documented single-writer/quiesce contract. */
   def appendToIvfPqIndexIdempotent(spark: SparkSession, dir: String,
-      newEmb: DataFrame, batchId: Long, m: Int = 8): Boolean =
+      newEmb: DataFrame, batchId: Long, m: Int = 8,
+      onAfterMarker: () => Unit = () => ()): Boolean =
+    // `onAfterMarker` is a TEST seam (package use only): it runs in
+    // the exact window between this batch's marker landing and the
+    // post-marker pointer re-check, so specs can inject a concurrent
+    // rebuild/compaction at the worst possible moment.
     stampedIdempotentAppend(spark, dir, batchId, toTombstones = false,
       () => {
         val (centroids, books) = loadIndexModel(spark, dir, m)
         codedFrame(newEmb, centroids, books, m)
-      })
+      }, onAfterMarker)
 
   /** The STREAMING takedown twin (VERDICT r12 "Next round" #5): an
     * at-least-once tombstone stream lands through the identical
@@ -747,7 +814,8 @@ object Similarity {
     * swapped mid-flight (see [[appendToIvfPqIndexIdempotent]]). */
   private def stampedIdempotentAppend(spark: SparkSession, dir: String,
       batchId: Long, toTombstones: Boolean,
-      frame: () => DataFrame): Boolean = {
+      frame: () => DataFrame,
+      onAfterMarker: () => Unit = () => ()): Boolean = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, dir)
     val stamp = f"ingest-$batchId%020d"
@@ -782,14 +850,29 @@ object Similarity {
       }
     fs.create(marker, true).close()
     fs.delete(staging, true)
+    onAfterMarker() // test seam: the exact post-marker race window
     // post-marker handshake: if the pointer moved while this batch was
-    // landing, copy the batch forward until the resolved generation is
+    // landing, carry the batch forward until the resolved generation is
     // stable (bounded — compactions are rare; 8 swaps mid-batch means
-    // something else is wrong)
+    // something else is wrong). HOW it carries depends on what swapped:
+    // a COMPACTION keeps the model, so the already-coded files copy
+    // verbatim; a REBUILD retrained the model, so the old-generation
+    // codes are in the WRONG code space — the batch must RECODE from
+    // its raw frame against the new generation's model (the recursive
+    // call re-resolves the generation AND reloads the model inside
+    // `frame`). Tombstone batches are raw ids — model-agnostic, always
+    // copyable.
     var cur = currentGenName(fs, dir)
     var guard = 0
     while (cur != gen && guard < 8) {
-      copyStamped(fs, destFor(gen), destFor(cur), stamp)
+      val sameModel = toTombstones ||
+        modelVersionFor(fs, dir, genVersion(cur)) ==
+          modelVersionFor(fs, dir, genVersion(gen))
+      if (sameModel) copyStamped(fs, destFor(gen), destFor(cur), stamp)
+      else return {
+        stampedIdempotentAppend(spark, dir, batchId, toTombstones, frame)
+        true
+      }
       gen = cur
       cur = currentGenName(fs, dir)
       guard += 1
@@ -938,14 +1021,120 @@ object Similarity {
     writeGenPointer(fs, dir, newGen)
     adopt()
     // GC generations OLDER than the just-retired one; generation N
-    // itself stays a full cycle as reader grace
-    for (g <- 0 until v) {
-      fs.delete(new Path(s"$dir/${genCodesName(g)}"), true)
-      fs.delete(new Path(s"$dir/${genTombName(g)}"), true)
-    }
+    // itself stays a full cycle as reader grace (model dirs GC'd by
+    // the same rule — see gcOldGenerations)
+    gcOldGenerations(fs, dir, v)
     // legacy leftovers from the pre-generation (r10–r12) swap layout
     fs.delete(new Path(s"$dir/codes_pre_compact"), true)
     fs.delete(new Path(s"$dir/codes_compact_tmp"), true)
+  }
+
+  /** REBUILD the index with a RETRAINED model (r13 — the drift
+    * response that completes the lifecycle: build → ingest → delete →
+    * compact → REBUILD): re-derive the coarse centroids/codebooks from
+    * the CURRENT corpus (`emb`, supplied by the caller exactly as
+    * [[writeIvfPqIndex]] takes seed centroids) and recode the whole
+    * corpus as generation N+1 — model and codes swap TOGETHER under
+    * the one pointer, so a reader that resolved generation N keeps a
+    * CONSISTENT (old model, old codes) pair and a reader after the
+    * swap gets the new pair; there is no window where new codes meet
+    * an old model or vice versa ([[loadIndexModel]] resolves the model
+    * per generation).
+    *
+    * Semantics: the caller's `emb` DEFINES the new corpus (FAISS
+    * "train + add from scratch"), minus the current generation's
+    * tombstones (deletes survive a rebuild); the new generation starts
+    * tombstone-free. The idempotence ledger carries forward WITHOUT
+    * rows on both sides: a stamped batch whose marker the rebuild's
+    * snapshot saw is SUPERSEDED — its content is whatever `emb` says
+    * it is now, and the carried marker makes any redelivery (and the
+    * ingest side's own post-marker re-check) a no-op.
+    *
+    * CONCURRENT stamped INGEST and rebuild: an old-generation ingest
+    * batch holds codes in the OLD code space, so rebuild can never
+    * adopt it by copy the way compaction does — if a new ingest marker
+    * appears between the entry snapshot and the swap, rebuild ABORTS
+    * (new generation deleted, pointer untouched) and asks the caller
+    * to retry; a marker landing AFTER the swap is handled by the
+    * ingest side itself, which re-checks the pointer post-marker and
+    * RECODES its batch against the new generation's model when the
+    * model version changed (see [[appendToIvfPqIndexIdempotent]]).
+    * Between the two re-checks at least one side observes the other.
+    * `onBeforeSwap` is the same test seam as compaction's. */
+  def rebuildIvfPqIndex(spark: SparkSession, dir: String,
+      emb: DataFrame, centroids: Array[Array[Double]], m: Int = 8,
+      targetFiles: Int = 1,
+      onBeforeSwap: () => Unit = () => ()): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, dir)
+    val gen = currentGenName(fs, dir)
+    val v = genVersion(gen)
+    val curCodes = new Path(s"$dir/$gen")
+    val curTomb = new Path(s"$dir/${genTombName(v)}")
+    def stampsIn(p: Path): Set[String] =
+      if (!fs.exists(p)) Set.empty[String]
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("_ingest-")).toSet
+    val snapCodes = stampsIn(curCodes)
+    val snapTomb = stampsIn(curTomb)
+    val newV = v + 1
+    val newCodes = new Path(s"$dir/${genCodesName(newV)}")
+    val newTomb = new Path(s"$dir/${genTombName(newV)}")
+    val newCen = new Path(s"$dir/${genCentroidsName(newV)}")
+    val newBooks = new Path(s"$dir/${genBooksName(newV)}")
+    Seq(newCodes, newTomb, newCen, newBooks)
+      .foreach(p => if (fs.exists(p)) fs.delete(p, true))
+    // deletes survive the rebuild: the new corpus is emb MINUS the
+    // current generation's live tombstones
+    val live =
+      if (hasDataFiles(fs, curTomb))
+        emb.join(spark.read.parquet(curTomb.toString)
+            .select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+      else emb
+    // the retrained model, generation-versioned
+    import spark.implicits._
+    val books = pqBooks(centroids, m)
+    centroids.zipWithIndex
+      .map { case (c, k) => (k, c.toSeq) }.toSeq
+      .toDF("k", "c").repartition(1)
+      .write.mode("overwrite").parquet(newCen.toString)
+    (for {
+      mi <- 0 until m
+      (cw, ki) <- books(mi).zipWithIndex
+    } yield (mi, ki, cw.toSeq)).toDF("mi", "ki", "cw").repartition(1)
+      .write.mode("overwrite").parquet(newBooks.toString)
+    codedFrame(live, centroids, books, m).repartition(targetFiles)
+      .write.mode("overwrite").parquet(newCodes.toString)
+    // the idempotence ledger rides forward WITHOUT rows on both sides
+    snapCodes.foreach(mk =>
+      fs.create(new Path(newCodes, mk), true).close())
+    if (snapTomb.nonEmpty) {
+      fs.mkdirs(newTomb)
+      snapTomb.foreach(mk =>
+        fs.create(new Path(newTomb, mk), true).close())
+    }
+    // straggler markers cannot be adopted (wrong code space) — abort
+    def straggler(): Boolean =
+      (stampsIn(curCodes) -- snapCodes).nonEmpty ||
+        (stampsIn(curTomb) -- snapTomb).nonEmpty
+    def abort(): Nothing = {
+      Seq(newCodes, newTomb, newCen, newBooks)
+        .foreach(p => fs.delete(p, true))
+      throw new IllegalStateException(
+        s"stamped ingest ran concurrently with rebuildIvfPqIndex " +
+          s"under $dir — the batch's codes are in the old model's " +
+          "code space and cannot be adopted; quiesce the ingest " +
+          "stream and retry (the index is untouched on generation " +
+          s"$gen)")
+    }
+    if (straggler()) abort()
+    onBeforeSwap()
+    if (straggler()) abort()
+    writeGenPointer(fs, dir, genCodesName(newV))
+    // a marker landing after this swap is the ingest side's job: its
+    // post-marker re-check sees the new pointer AND the model-version
+    // change and recodes from its raw frame
+    gcOldGenerations(fs, dir, v)
   }
 
   /** Index artifact written once per (session, sf dir) — billed to the
@@ -1020,6 +1209,37 @@ object Similarity {
       compactIvfPqIndexCodes(sp, out)
       SessionCleanup.onEnd(sp) {
         compactIndexMemo.remove((sp, dir))
+        SessionCleanup.deleteRecursively(out)
+      }
+      out
+    })
+
+  /** The REBUILT lifecycle artifact for sim_ann_index_rebuild (r13):
+    * the index is first built on the BASE corpus with a model trained
+    * on the base corpus ALONE (ivfCentroids over the filtered split —
+    * genuinely different centroids, the drift starting point), then
+    * [[rebuildIvfPqIndex]] retrains on the FULL corpus with the
+    * standard full-corpus seeded centroids and recodes everything as
+    * generation 1 — so the key can share the full-rebuild
+    * sim_ann_ivfpq oracle VERBATIM: after a rebuild, the index must
+    * answer exactly as an index built from scratch on the new corpus
+    * with the new model. */
+  private val rebuildIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def rebuiltIndexDir(s: SparkSession, d: String): String =
+    rebuildIndexMemo.computeIfAbsent((s, d), { case (sp, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-annrebuild").toString
+      val emb = Tables.embeddings(sp, dir)
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      // the drift starting point: a DIFFERENT model (8 coarse lists,
+      // stride-seeded) — rebuild must genuinely retrain, not reuse
+      writeIvfPqIndex(base, ivfCentroids(emb, 8, 0), out,
+        writeResiduals = false)
+      rebuildIvfPqIndex(sp, out, emb, trainedCentroids(sp, dir, 16, 0))
+      SessionCleanup.onEnd(sp) {
+        rebuildIndexMemo.remove((sp, dir))
         SessionCleanup.deleteRecursively(out)
       }
       out
@@ -1738,6 +1958,15 @@ object Similarity {
       ivfPqTopKFromIndex(s, deletedIndexDir(s, d),
         Tables.embeddings(s, d),
         col("vec_id") < 10 && !deletePred, 5)),
+    // the DRIFT response (r13): a base-corpus index with a base-trained
+    // model is REBUILT — model retrained on the full corpus, everything
+    // recoded as a new generation, model+codes swapped under one
+    // pointer — after which it must answer exactly as an index built
+    // from scratch on the new corpus: oracle = the full-rebuild ivfpq
+    // SQL verbatim, a fifth time.
+    "sim_ann_index_rebuild" -> ((s, d) =>
+      ivfPqTopKFromIndex(s, rebuiltIndexDir(s, d),
+        Tables.embeddings(s, d), col("vec_id") < 10, 5)),
     // TRUE IVFPQ: PQ codes quantize the RESIDUAL x − c(x) (what FAISS
     // encodes), per-probed-list query tables; residual codebooks from
     // the disjoint second-stride seed rows — memoized model artifact.
@@ -2184,6 +2413,9 @@ object Similarity {
     "sim_ann_index_append" -> ivfPqOracleSql,
     // and compaction must not change one row: same oracle again.
     "sim_ann_index_compact" -> ivfPqOracleSql,
+    // rebuild must equal a from-scratch build on the new corpus with
+    // the new model — the full-rebuild SQL verbatim again.
+    "sim_ann_index_rebuild" -> ivfPqOracleSql,
     // delete = the full rebuild over the corpus MINUS the takedown
     // split, with the model (stride/seeds/centroids) still derived
     // from the FULL corpus — FAISS remove_ids never retrains; only

@@ -512,6 +512,163 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.ops.SessionCleanup.deleteRecursively(dir)
   }
 
+  test("index REBUILD: retrained model + recoded corpus swap together " +
+      "as one generation — equals a from-scratch build, deletes " +
+      "survive, pre-rebuild ingest markers still no-op, a mid-rebuild " +
+      "reader keeps a consistent old (model, codes) pair, a concurrent " +
+      "stamped ingest ABORTS the rebuild, and an ingest racing the " +
+      "swap RECODES itself against the new model") {
+    val d = TestSpark.sf0001
+    val emb = Tables.embeddings(spark, d)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val fullSeeds = Similarity.ivfCentroids(emb, 16, 0)
+    def topkOf(dir: String, pred: org.apache.spark.sql.Column) =
+      Similarity.ivfPqTopKFromIndex(spark, dir, emb, pred, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    val pred = col("vec_id") < 10 && !Similarity.deletePred
+    // from-scratch truth: full corpus MINUS the takedown split, full
+    // model (deletion survives rebuild, rebuild never resurrects)
+    val dirT = java.nio.file.Files
+      .createTempDirectory("graft-rebuild-truth").toString
+    val dirR = java.nio.file.Files
+      .createTempDirectory("graft-rebuild").toString
+    try {
+      Similarity.writeIvfPqIndex(emb.filter(!Similarity.deletePred),
+        fullSeeds, dirT, writeResiduals = false)
+      val want = topkOf(dirT, pred)
+      // the drifting index: BASE corpus, BASE-trained model, one
+      // stamped ingest (marker 7), then the takedown split tombstoned
+      Similarity.writeIvfPqIndex(base,
+        Similarity.ivfCentroids(emb, 8, 0), dirR,
+        writeResiduals = false)
+      assert(Similarity.appendToIvfPqIndexIdempotent(spark, dirR,
+        emb.filter(col("vec_id") % 5 === 0), 7L))
+      Similarity.deleteFromIvfPqIndex(spark, dirR,
+        emb.filter(Similarity.deletePred))
+      val before = topkOf(dirR, pred)
+      // a reader resolved BEFORE the rebuild (old model + old codes)
+      val midReader = Similarity.ivfPqTopKFromIndex(spark, dirR, emb,
+        pred, 5)
+      // REBUILD: full corpus, retrained (full-seed) model
+      Similarity.rebuildIvfPqIndex(spark, dirR, emb, fullSeeds)
+      assert(Similarity.currentCodesPath(spark, dirR)
+        .endsWith("codes-v1"))
+      // equals the from-scratch build — model AND codes are new
+      assert(topkOf(dirR, pred) == want)
+      // ...and the answers genuinely changed (the base model differs),
+      // so the swap is doing real work
+      assert(before != want,
+        "fixture: the base-trained model must answer differently")
+      // the mid-rebuild reader finishes on the OLD consistent pair
+      assert(midReader.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSeq == before)
+      // deletes survived: no tombstoned id surfaces as a NEIGHBOR
+      // post-rebuild (a deleted id can still QUERY — probe vectors are
+      // caller-supplied, index membership is the corpus side)
+      assert(Similarity.ivfPqTopKFromIndex(spark, dirR, emb,
+          col("vec_id") < 10, 5)
+        .filter(col("n_id") % 7 === 3)
+        .count() == 0)
+      // pre-rebuild ingest marker carried: redelivery is a no-op
+      val liveN = spark.read.parquet(
+        Similarity.currentCodesPath(spark, dirR)).count()
+      assert(!Similarity.appendToIvfPqIndexIdempotent(spark, dirR,
+        emb.filter(col("vec_id") % 5 === 0), 7L))
+      assert(spark.read.parquet(
+        Similarity.currentCodesPath(spark, dirR)).count() == liveN)
+      // CONCURRENT stamped ingest in the pre-swap window: the rebuild
+      // must ABORT (old-model codes cannot be adopted), leave the
+      // index answering on the current generation, and succeed on a
+      // quiesced retry
+      val ex = intercept[IllegalStateException] {
+        Similarity.rebuildIvfPqIndex(spark, dirR, emb, fullSeeds,
+          onBeforeSwap = () => {
+            Similarity.appendToIvfPqIndexIdempotent(spark, dirR,
+              emb.filter(col("vec_id") % 10 === 1), 99L)
+            ()
+          })
+      }
+      assert(ex.getMessage.contains("quiesce"))
+      assert(topkOf(dirR, pred).nonEmpty, "index must stay queryable")
+      // the retry's corpus is the CALLER's current universe — the
+      // first rebuild already applied the takedowns (its generation is
+      // tombstone-free), so passing the raw full table would re-add
+      // them: rebuild semantics, pinned here
+      Similarity.rebuildIvfPqIndex(spark, dirR,
+        emb.filter(!Similarity.deletePred), fullSeeds)
+      assert(Similarity.currentCodesPath(spark, dirR)
+        .endsWith("codes-v2"))
+      assert(topkOf(dirR, pred) == want)
+    } finally {
+      graft.ops.SessionCleanup.deleteRecursively(dirT)
+      graft.ops.SessionCleanup.deleteRecursively(dirR)
+    }
+  }
+
+  test("ingest racing a REBUILD recodes itself: a batch whose marker " +
+      "lands just before the pointer swap re-runs against the new " +
+      "generation's retrained model (the model-version-aware half of " +
+      "the handshake)") {
+    val d = TestSpark.sf0001
+    val emb = Tables.embeddings(spark, d)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val fullSeeds = Similarity.ivfCentroids(emb, 16, 0)
+    val dirR = java.nio.file.Files
+      .createTempDirectory("graft-rebuild-race").toString
+    val dirT = java.nio.file.Files
+      .createTempDirectory("graft-rebuild-race-t").toString
+    try {
+      Similarity.writeIvfPqIndex(base,
+        Similarity.ivfCentroids(emb, 8, 0), dirR,
+        writeResiduals = false)
+      // batch truth: rebuild on the base corpus, THEN append the batch
+      // through the new model
+      Similarity.writeIvfPqIndex(base, fullSeeds, dirT,
+        writeResiduals = false)
+      Similarity.appendToIvfPqIndex(spark, dirT, batch)
+      def topk(dir: String) =
+        Similarity.ivfPqTopKFromIndex(spark, dir, emb,
+            col("vec_id") < 10, 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSeq
+      // the ingest's marker lands, THEN a rebuild swaps the pointer
+      // before the ingest's re-check. If the rebuild's snapshot SAW
+      // the marker it carries it forward and the batch is SUPERSEDED
+      // (content = whatever the rebuild corpus says — the documented
+      // contract); the recode branch exists for the marker the rebuild
+      // NEVER saw (landed between its final straggler check and the
+      // swap — unseamable in-process), so the spec simulates exactly
+      // that state by dropping the carried marker after the rebuild:
+      // the ingest must then detect the model change and RECODE itself
+      // into generation 1 instead of copying old-space codes.
+      assert(Similarity.appendToIvfPqIndexIdempotent(spark, dirR,
+        batch, 13L, onAfterMarker = () => {
+          Similarity.rebuildIvfPqIndex(spark, dirR, base, fullSeeds)
+          val carried = new java.io.File(
+            s"$dirR/codes-v1/_ingest-${"%020d".format(13)}")
+          assert(carried.exists(), "fixture: the snapshot carried it")
+          assert(carried.delete())
+        }))
+      assert(Similarity.currentCodesPath(spark, dirR)
+        .endsWith("codes-v1"))
+      assert(topk(dirR) == topk(dirT),
+        "the recoded batch must answer through the NEW model exactly " +
+          "as a plain post-rebuild append")
+      // and the batch's marker protects it in the new generation too
+      val n = spark.read.parquet(
+        Similarity.currentCodesPath(spark, dirR)).count()
+      assert(!Similarity.appendToIvfPqIndexIdempotent(spark, dirR,
+        batch, 13L))
+      assert(spark.read.parquet(
+        Similarity.currentCodesPath(spark, dirR)).count() == n)
+    } finally {
+      graft.ops.SessionCleanup.deleteRecursively(dirR)
+      graft.ops.SessionCleanup.deleteRecursively(dirT)
+    }
+  }
+
   test("incremental embedding dedup: output is new-batch only, every " +
       "dropped new vector has a TRUE existing near-dup (soundness), " +
       "and the result is run-stable") {
