@@ -965,21 +965,33 @@ object Similarity {
     val newCodes = new Path(s"$dir/$newGen")
     val newTomb = new Path(s"$dir/${genTombName(v + 1)}")
     // a half-written target from a prior crashed run is superseded —
-    // the pointer never moved, so nothing read it
+    // the pointer never moved, so nothing read it. That sweep MUST
+    // include orphan MODEL dirs at the target version (r13 self-review):
+    // a rebuild that crashed after writing centroids-v<N+1> but before
+    // its swap leaves a half-model that this compaction's generation
+    // bump would otherwise capture (modelVersionFor resolves the
+    // highest versioned model ≤ the codes version — a model version is
+    // only legitimately born WITH its codes generation, by rebuild).
     if (fs.exists(newCodes)) fs.delete(newCodes, true)
     if (fs.exists(newTomb)) fs.delete(newTomb, true)
+    fs.delete(new Path(s"$dir/${genCentroidsName(v + 1)}"), true)
+    fs.delete(new Path(s"$dir/${genBooksName(v + 1)}"), true)
     // The rewrite input is an EXPLICIT file list: non-stamped data
     // files plus stamped batches covered by the snapshot markers
     // (marker-last ⟹ marker present means ALL the batch's files are).
     // A directory scan here could catch a mid-landing batch's files
     // partially — adoption would then duplicate the caught part.
+    val stampLen = "ingest-".length + 20
     def coveredFiles(p: Path, known: Set[String]): Seq[String] =
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).map(_.getPath).filter { f =>
         val n = f.getName
         n.endsWith(".parquet") && !n.startsWith("_") && (
           !n.startsWith("ingest-") ||
-            known.contains("_" + n.substring(0, "ingest-".length + 20)))
+            // names too short to carry a full stamp are not protocol
+            // files — exclude rather than crash on garbage
+            (n.length > stampLen &&
+              known.contains("_" + n.substring(0, stampLen))))
       }.map(_.toString).toSeq
     val codeFiles = coveredFiles(curCodes, snapCodes)
     require(codeFiles.nonEmpty, s"no codes data files under $curCodes")

@@ -606,6 +606,40 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("a crashed rebuild's orphan half-model cannot be captured by a " +
+      "later compaction: the generation bump sweeps model dirs at its " +
+      "target version, so answers stay on the intact model") {
+    val d = TestSpark.sf0001
+    val emb = Tables.embeddings(spark, d)
+    val seeds = Similarity.ivfCentroids(emb, 16, 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-orphanmodel").toString
+    try {
+      Similarity.writeIvfPqIndex(emb, seeds, dir, writeResiduals = false)
+      def topk() = Similarity.ivfPqTopKFromIndex(spark, dir, emb,
+          col("vec_id") < 10, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      val want = topk()
+      // the exact crash state: a rebuild wrote its versioned model
+      // dirs (v1 — garbage here) and died before writing codes or
+      // swapping the pointer
+      val cen1 = new java.io.File(s"$dir/centroids-v1")
+      val books1 = new java.io.File(s"$dir/books-v1")
+      assert(cen1.mkdirs() && books1.mkdirs())
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        s"$dir/centroids-v1/part-garbage.parquet"), Array[Byte](9))
+      // a compaction now bumps codes to v1 — without the sweep,
+      // modelVersionFor(1) would resolve the orphan half-model
+      Similarity.compactIvfPqIndexCodes(spark, dir)
+      assert(Similarity.currentCodesPath(spark, dir).endsWith("codes-v1"))
+      assert(!cen1.exists() && !books1.exists(),
+        "the orphan model dirs must be swept by the generation bump")
+      assert(topk() == want,
+        "answers must stay on the intact base model")
+    } finally graft.ops.SessionCleanup.deleteRecursively(dir)
+  }
+
   test("ingest racing a REBUILD recodes itself: a batch whose marker " +
       "lands just before the pointer swap re-runs against the new " +
       "generation's retrained model (the model-version-aware half of " +
