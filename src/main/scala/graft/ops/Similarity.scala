@@ -423,6 +423,27 @@ object Similarity {
       dir: String, m: Int = 8, writeResiduals: Boolean = true): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // A REUSED artifact dir must present a COMPLETELY fresh index, not
+    // just fresh base tables (ADVICE r13 #4): a stale gen-0 tombstones
+    // dir would anti-join-suppress new rows with matching vec_ids and
+    // its stamped markers would no-op redelivered batch ids; stale
+    // codes-v*/tombstones-v*/centroids-v*/books-v* generations would
+    // shadow the rewrite the moment anything bumps the generation; a
+    // stale residual_books from a LARGER previous corpus would pass
+    // ivfPqResidualTopKFromIndex's presence require and silently mix
+    // corpora. Sweep them all BEFORE writing, so a crash mid-write
+    // can only leave a fresh-or-absent artifact, never a mixed one.
+    {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val sfs = root.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (sfs.exists(root)) sfs.listStatus(root).map(_.getPath).filter { p =>
+        val n = p.getName
+        n == "tombstones" || n == "residual_books" ||
+          n.startsWith("codes-v") || n.startsWith("tombstones-v") ||
+          n.startsWith("centroids-v") || n.startsWith("books-v")
+      }.foreach(sfs.delete(_, true))
+    }
     val books = pqBooks(centroids, m)
     centroids.zipWithIndex
       .map { case (c, k) => (k, c.toSeq) }.toSeq
@@ -497,11 +518,16 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Resolve the current generation's codes dir NAME. Pointer absent →
-    * generation 0 (`codes`). A mid-swap crash can leave the pointer
-    * parked as `codes_gen.old` (see [[writeGenPointer]]'s rename
-    * protocol); that state self-heals here by restoring the retired
-    * pointer — crash-before-swap always resolves to the OLD
-    * generation, which [[compactIvfPqIndexCodes]] left intact. */
+    * generation 0 (`codes`). [[writeGenPointer]] swaps with a single
+    * overwriting rename, so the pointer path is continuously
+    * resolvable on a live index; the one residual race (an HDFS-style
+    * overwrite rename is internally delete+link, so exists→open can
+    * straddle it) is retried once. A `codes_gen.old` park state left
+    * by a PRE-r14 mid-swap crash still self-heals here by READING the
+    * parked file (never renaming — a reader-side rename raced the
+    * writer's own, ADVICE r13 #2): crash-before-swap always resolves
+    * to the OLD generation, which [[compactIvfPqIndexCodes]] left
+    * intact, and the next swap sweeps the parked file. */
   private[graft] def currentGenName(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): String = {
     import org.apache.hadoop.fs.Path
@@ -511,10 +537,13 @@ object Similarity {
       val in = fs.open(p)
       try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
     }
-    if (fs.exists(ptr)) readPtr(ptr)
-    else if (fs.exists(old)) {
-      if (fs.rename(old, ptr)) readPtr(ptr) else readPtr(old)
-    } else "codes"
+    def tryPtr(): Option[String] =
+      if (!fs.exists(ptr)) None
+      else try Some(readPtr(ptr)) catch {
+        case _: java.io.FileNotFoundException => None // mid-overwrite
+      }
+    tryPtr().orElse(tryPtr()) // one retry across a mid-swap instant
+      .getOrElse(if (fs.exists(old)) readPtr(old) else "codes")
   }
 
   /** The current generation's codes / tombstones paths — what every
@@ -529,26 +558,35 @@ object Similarity {
     s"$dir/${genTombName(genVersion(currentGenName(fs, dir)))}"
   }
 
-  /** Swap the generation pointer ATOMICALLY-ENOUGH for a rename-based
-    * filesystem: write `codes_gen.new`, park the live pointer as
-    * `codes_gen.old`, rename `.new` into place, drop `.old`. Every
-    * crash point resolves: before the park → old pointer live; between
-    * park and swap → [[currentGenName]] restores `.old`; after the
-    * swap → new pointer live (`.old`/`.new` leftovers are swept on the
-    * next swap). */
+  /** Swap the generation pointer ATOMICALLY for a rename-based
+    * filesystem: write `codes_gen.new`, then rename it DIRECTLY over
+    * the live pointer with an overwrite-capable rename
+    * (`FileContext.rename(…, Options.Rename.OVERWRITE)` — POSIX
+    * rename(2) semantics on the local FS, the NN-atomic overwrite
+    * rename on HDFS). The r12 park-then-swap protocol left a window
+    * with NO pointer file, where a reader's exists→open raced the
+    * writer and the reader's self-heal rename could collide with the
+    * writer's own rename (ADVICE r13 #2) — with a single overwriting
+    * rename the pointer path is continuously resolvable and there is
+    * nothing to heal. Crash points: before the rename → old pointer
+    * live (`.new` swept by the next swap's create-overwrite); after →
+    * new pointer live. The legacy `.old` park state from a pre-r14
+    * crash still self-heals in [[currentGenName]]. */
   private def writeGenPointer(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, gen: String): Unit = {
-    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
     val ptr = new Path(s"$dir/$GenPointer")
     val nw = new Path(s"$dir/$GenPointer.new")
     val old = new Path(s"$dir/$GenPointer.old")
     val out = fs.create(nw, true)
     try out.write(gen.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(old)) fs.delete(old, false)
-    if (fs.exists(ptr)) require(fs.rename(ptr, old),
-      s"generation pointer park failed under $dir")
-    require(fs.rename(nw, ptr),
-      s"generation pointer swap failed under $dir — restore from $old")
+    // qualify through the FileSystem first: `dir` may be a bare local
+    // path whose URI has no scheme for FileContext to resolve
+    val qPtr = fs.makeQualified(ptr)
+    val fc = FileContext.getFileContext(qPtr.toUri, fs.getConf)
+    fc.rename(fs.makeQualified(nw), qPtr, Options.Rename.OVERWRITE)
+    // sweep a legacy parked pointer from a pre-r14 mid-swap crash so
+    // it can never shadow a future self-heal
     fs.delete(old, false)
   }
 
@@ -877,6 +915,16 @@ object Similarity {
       cur = currentGenName(fs, dir)
       guard += 1
     }
+    // exhausting the guard with the pointer STILL moving means the
+    // batch may not exist in the resolved current generation — a
+    // silent true here would be exactly the lost-batch contract
+    // violation the handshake exists to prevent (ADVICE r13 #3)
+    if (cur != gen) throw new IllegalStateException(
+      s"stamped batch $batchId under $dir could not be carried to a " +
+        s"stable generation after $guard pointer swaps (last carried " +
+        s"to $gen, pointer now at $cur) — compactions/rebuilds are " +
+        "churning faster than the batch lands; the batch IS durable " +
+        "in a retired generation, so redeliver it once the churn stops")
     true
   }
 
@@ -1064,19 +1112,41 @@ object Similarity {
     *
     * CONCURRENT stamped INGEST and rebuild: an old-generation ingest
     * batch holds codes in the OLD code space, so rebuild can never
-    * adopt it by copy the way compaction does — if a new ingest marker
-    * appears between the entry snapshot and the swap, rebuild ABORTS
-    * (new generation deleted, pointer untouched) and asks the caller
-    * to retry; a marker landing AFTER the swap is handled by the
-    * ingest side itself, which re-checks the pointer post-marker and
-    * RECODES its batch against the new generation's model when the
-    * model version changed (see [[appendToIvfPqIndexIdempotent]]).
-    * Between the two re-checks at least one side observes the other.
-    * `onBeforeSwap` is the same test seam as compaction's. */
+    * adopt it by copy the way compaction does — wherever rebuild
+    * observes a straggler marker it ABORTS and asks the caller to
+    * retry. The observation is guaranteed by a Dekker pairing with
+    * the ingest side (VERDICT r13 "What's wrong" #1 — the r13 form
+    * checked only BEFORE the swap, so a marker landing between the
+    * final check and the swap whose post-marker pointer re-read also
+    * ran pre-swap was missed by BOTH sides and died with the retired
+    * generation's GC): rebuild STORES the pointer then LOADS the
+    * markers (the post-swap re-check below); ingest STORES its marker
+    * then LOADS the pointer ([[appendToIvfPqIndexIdempotent]]'s
+    * post-marker re-check, which RECODES against the new model when
+    * it observes the swap). With both sides store-then-load, at least
+    * one observes the other in every interleaving. A straggler seen
+    * BEFORE the swap aborts with the pointer untouched and the new
+    * generation deleted; one seen AFTER the swap rolls the pointer
+    * BACK to the old generation (whose dirs GC has not touched — the
+    * grace rule keeps them) and aborts, leaving the superseded
+    * new-generation dirs in place as reader grace for the instant the
+    * forward pointer was live (they are swept by any retry's entry
+    * sweep, or by the next compaction's). Either way the batch is
+    * never silent: its rows and marker sit in the generation the
+    * pointer resolves to when the abort returns. If the ingest's own
+    * re-check ALSO observed the swap and recoded, the recode lands in
+    * the superseded dirs and its recursive re-land no-ops on the old
+    * generation's marker — converging on the same durable batch.
+    *
+    * `onBeforeSwap` is the same test seam as compaction's;
+    * `onAfterFinalCheck` runs between the final pre-swap check and
+    * the pointer swap — the exact window the post-swap re-check
+    * exists to cover. */
   def rebuildIvfPqIndex(spark: SparkSession, dir: String,
       emb: DataFrame, centroids: Array[Array[Double]], m: Int = 8,
       targetFiles: Int = 1,
-      onBeforeSwap: () => Unit = () => ()): Unit = {
+      onBeforeSwap: () => Unit = () => (),
+      onAfterFinalCheck: () => Unit = () => ()): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, dir)
     val gen = currentGenName(fs, dir)
@@ -1126,26 +1196,42 @@ object Similarity {
         fs.create(new Path(newTomb, mk), true).close())
     }
     // straggler markers cannot be adopted (wrong code space) — abort
-    def straggler(): Boolean =
-      (stampsIn(curCodes) -- snapCodes).nonEmpty ||
-        (stampsIn(curTomb) -- snapTomb).nonEmpty
-    def abort(): Nothing = {
-      Seq(newCodes, newTomb, newCen, newBooks)
-        .foreach(p => fs.delete(p, true))
+    def stragglers(): Set[String] =
+      (stampsIn(curCodes) -- snapCodes) ++ (stampsIn(curTomb) -- snapTomb)
+    def abort(seen: Set[String], swapped: Boolean): Nothing = {
+      if (!swapped)
+        Seq(newCodes, newTomb, newCen, newBooks)
+          .foreach(p => fs.delete(p, true))
       throw new IllegalStateException(
-        s"stamped ingest ran concurrently with rebuildIvfPqIndex " +
-          s"under $dir — the batch's codes are in the old model's " +
-          "code space and cannot be adopted; quiesce the ingest " +
-          "stream and retry (the index is untouched on generation " +
-          s"$gen)")
+        s"stamped ingest (${seen.mkString(", ")}) ran concurrently " +
+          s"with rebuildIvfPqIndex under $dir — the batch's codes are " +
+          "in the old model's code space and cannot be adopted; " +
+          "quiesce the ingest stream and retry (the index is " +
+          s"resolving generation $gen, where the batch is durable)")
     }
-    if (straggler()) abort()
+    var seen = stragglers()
+    if (seen.nonEmpty) abort(seen, swapped = false)
     onBeforeSwap()
-    if (straggler()) abort()
+    seen = stragglers()
+    if (seen.nonEmpty) abort(seen, swapped = false)
+    onAfterFinalCheck() // test seam: the exact check→swap race window
     writeGenPointer(fs, dir, genCodesName(newV))
-    // a marker landing after this swap is the ingest side's job: its
-    // post-marker re-check sees the new pointer AND the model-version
-    // change and recodes from its raw frame
+    // POST-swap re-check (VERDICT r13 #1): the store(pointer) →
+    // load(markers) half of the Dekker pairing. A marker whose ingest
+    // re-read the pointer BEFORE the swap observed nothing and did not
+    // recode — only this check can see it. Roll the pointer back to
+    // the old generation (its dirs are intact — GC runs only after a
+    // clean swap) and fail loudly; the superseded new-generation dirs
+    // stay as grace for any reader that resolved the forward pointer
+    // in the window, and are swept on retry / next compaction.
+    seen = stragglers()
+    if (seen.nonEmpty) {
+      writeGenPointer(fs, dir, gen)
+      abort(seen, swapped = true)
+    }
+    // a marker landing after this re-check is the ingest side's job:
+    // its post-marker re-check sees the new pointer AND the
+    // model-version change and recodes from its raw frame
     gcOldGenerations(fs, dir, v)
   }
 

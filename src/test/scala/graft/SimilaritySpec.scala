@@ -462,16 +462,24 @@ class SimilaritySpec extends AnyFunSuite {
       assert(spark.read.parquet(
         Similarity.currentCodesPath(spark, dir)).count() == live.count())
       assert(topk() == want)
-      // crash MID-pointer-swap: the live pointer parked as .old, the
-      // exact between-renames state of writeGenPointer — resolution
-      // must self-heal to the parked generation and restore the file
+      // crash MID-pointer-swap (LEGACY pre-r14 park layout — the r14
+      // overwriting rename never parks, so this state can only come
+      // from an old crash): readers resolve THROUGH the parked file
+      // without renaming it (a reader-side rename raced the writer's
+      // own, ADVICE r13 #2); the park is swept by the NEXT swap
       val ptr = new java.io.File(s"$dir/codes_gen")
       val old = new java.io.File(s"$dir/codes_gen.old")
       assert(ptr.renameTo(old), "crash simulation rename failed")
       assert(!ptr.exists() && old.exists())
       assert(Similarity.currentCodesPath(spark, dir).endsWith("codes-v1"))
+      assert(!ptr.exists() && old.exists(),
+        "readers must resolve the parked pointer WITHOUT touching it")
+      assert(topk() == want)
+      // the next swap (another compaction) heals the legacy park state
+      Similarity.compactIvfPqIndexCodes(spark, dir)
+      assert(Similarity.currentCodesPath(spark, dir).endsWith("codes-v2"))
       assert(ptr.exists() && !old.exists(),
-        "resolution must restore the parked pointer")
+        "the next swap must sweep the legacy parked pointer")
       assert(topk() == want)
     } finally graft.ops.SessionCleanup.deleteRecursively(dir)
   }
@@ -672,11 +680,12 @@ class SimilaritySpec extends AnyFunSuite {
       // the marker it carries it forward and the batch is SUPERSEDED
       // (content = whatever the rebuild corpus says — the documented
       // contract); the recode branch exists for the marker the rebuild
-      // NEVER saw (landed between its final straggler check and the
-      // swap — unseamable in-process), so the spec simulates exactly
-      // that state by dropping the carried marker after the rebuild:
-      // the ingest must then detect the model change and RECODE itself
-      // into generation 1 instead of copying old-space codes.
+      // NEVER saw (landed after its post-swap re-check — the lost-
+      // batch spec below covers the pre-swap window the re-check
+      // closes), so the spec simulates exactly that state by dropping
+      // the carried marker after the rebuild: the ingest must then
+      // detect the model change and RECODE itself into generation 1
+      // instead of copying old-space codes.
       assert(Similarity.appendToIvfPqIndexIdempotent(spark, dirR,
         batch, 13L, onAfterMarker = () => {
           Similarity.rebuildIvfPqIndex(spark, dirR, base, fullSeeds)
@@ -701,6 +710,59 @@ class SimilaritySpec extends AnyFunSuite {
       graft.ops.SessionCleanup.deleteRecursively(dirR)
       graft.ops.SessionCleanup.deleteRecursively(dirT)
     }
+  }
+
+  test("the r13 lost-batch window is CLOSED (VERDICT r13 #1): a FULL " +
+      "stamped ingest cycle — marker landing AND post-marker pointer " +
+      "re-check, both between the rebuild's final straggler check and " +
+      "its pointer swap — is detected by the rebuild's POST-swap " +
+      "re-check, which rolls the pointer back and aborts loudly; the " +
+      "batch stays durable and queryable (carried or loud, never " +
+      "silent)") {
+    val d = TestSpark.sf0001
+    val emb = Tables.embeddings(spark, d)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val fullSeeds = Similarity.ivfCentroids(emb, 16, 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rebuild-lostbatch").toString
+    try {
+      Similarity.writeIvfPqIndex(base,
+        Similarity.ivfCentroids(emb, 8, 0), dir, writeResiduals = false)
+      // the r13 form checked stragglers only BEFORE the swap: this
+      // ingest's marker lands after that check, and its own post-marker
+      // pointer re-check ALSO runs pre-swap (the seam runs before
+      // writeGenPointer), so the ingest side observes nothing and does
+      // not recode — the interleaving r13 lost silently
+      var landed = false
+      val ex = intercept[IllegalStateException] {
+        Similarity.rebuildIvfPqIndex(spark, dir, base, fullSeeds,
+          onAfterFinalCheck = () => {
+            landed = Similarity.appendToIvfPqIndexIdempotent(spark, dir,
+              batch, 21L)
+          })
+      }
+      assert(landed,
+        "fixture: the full ingest cycle must complete inside the window")
+      // loud, and names the batch
+      assert(ex.getMessage.contains("ingest-" + "%020d".format(21)))
+      // the pointer rolled BACK: the generation holding the batch is
+      // current again
+      assert(Similarity.currentCodesPath(spark, dir).endsWith("/codes"))
+      assert(spark.read.parquet(
+        Similarity.currentCodesPath(spark, dir)).count() == emb.count(),
+        "the batch's rows must be live in the resolved generation")
+      // the marker is durable where the pointer resolves: redelivery
+      // no-ops
+      assert(!Similarity.appendToIvfPqIndexIdempotent(spark, dir,
+        batch, 21L))
+      // and a quiesced retry succeeds, sweeping the superseded
+      // generation the aborted swap left as reader grace
+      Similarity.rebuildIvfPqIndex(spark, dir, emb, fullSeeds)
+      assert(Similarity.currentCodesPath(spark, dir).endsWith("codes-v1"))
+      assert(spark.read.parquet(
+        Similarity.currentCodesPath(spark, dir)).count() == emb.count())
+    } finally graft.ops.SessionCleanup.deleteRecursively(dir)
   }
 
   test("incremental embedding dedup: output is new-batch only, every " +
