@@ -64,6 +64,10 @@ object TrainerBench {
     sys.env.get("SPARK_GRAFT_BIGVOCAB").foreach { nw =>
       val nWords = nw.toInt
       val bvRounds = sys.env.getOrElse("SPARK_GRAFT_BIGVOCAB_ROUNDS", "50").toInt
+      // SPARK_GRAFT_BIGVOCAB_EOW=1 measures the MARKER-MODE footprint
+      // (VERDICT r13 "Next round" #4: the marker forks every
+      // word-final symbol — measure the delta, don't assume it)
+      val eow = sys.env.contains("SPARK_GRAFT_BIGVOCAB_EOW")
       // coverage: ~4 draws per target word so most of the vocabulary
       // actually appears (coupon collector: 1 - e^-4 ≈ 98%)
       val draws = 300
@@ -77,23 +81,25 @@ object TrainerBench {
           .collect().map(r => (r.getString(0), r.getLong(1)))
       }
       val (foot, tState) = time(
-        graft.ops.TermStats.trainerStateFootprint(rows))
+        graft.ops.TermStats.trainerStateFootprint(rows, eow))
       val (retained, words, pcN, occKeys, occIdx, heapN) = foot
       val bytesPerWord = retained.toDouble / math.max(1L, words)
       // local loop at depth on the big corpus
       val (mLoc, tLoc) = time(
-        graft.ops.TermStats.bpeLearnInMemory(rows, bvRounds))
+        graft.ops.TermStats.bpeLearnInMemory(rows, bvRounds, eow))
       // distributed incremental at a FRACTION of the depth (its
       // steady ~2 s/round makes full depth pointless — that is the
       // finding), merge-identity required on the shared prefix
       val distRounds = math.min(bvRounds, 5)
       val (mDist, tDist) = time(
-        graft.ops.TermStats.bpeLearnIterIncremental(docsB, distRounds))
+        graft.ops.TermStats.bpeLearnIterIncremental(docsB, distRounds,
+          eow = eow))
       require(mDist == mLoc.take(distRounds),
         "distributed incremental diverged from the local loop on the " +
           "big-vocabulary corpus")
       val maxHeap = Runtime.getRuntime.maxMemory()
-      println(s"""{"corpus":"synthetic-bigvocab","n_words_requested":$nWords,""" +
+      println(s"""{"corpus":"synthetic-bigvocab","eow":$eow,""" +
+        s""""n_words_requested":$nWords,""" +
         s""""n_words_distinct":$words,"n_docs":$nDocs,"draws":$draws,""" +
         s""""collect_s":${r3(tCollect)},"state_build_s":${r3(tState)},""" +
         s""""state_retained_bytes":$retained,""" +
@@ -110,19 +116,24 @@ object TrainerBench {
       return
     }
     sys.env.get("SPARK_GRAFT_LONG_ROUNDS").foreach { lr =>
+      // SPARK_GRAFT_LONG_EOW=1 runs the depth demonstration in MARKER
+      // mode (VERDICT r13 "Next round" #4 — eow evidence at the same
+      // 30k depth the base mode has)
+      val eowL = sys.env.contains("SPARK_GRAFT_LONG_EOW")
       val docsL = SynthCorpus.wideVocabDocs(spark, 20000, 5000L, 60)
       docsL.count()
       val (mLoc, tLoc) = time(graft.ops.TermStats.bpeLearnLocal(
-        docsL, lr.toInt))
+        docsL, lr.toInt, eow = eowL))
       val dist = if (sys.env.contains("SPARK_GRAFT_LONG_SKIP_DIST")) None
         else {
           val (m, t) = time(graft.ops.TermStats.bpeLearnIterIncremental(
-            docsL, lr.toInt))
+            docsL, lr.toInt, eow = eowL))
           require(m == mLoc,
             "driver-local trainer diverged from the distributed loop")
           Some(t)
         }
       println(s"""{"corpus":"synthetic-widevocab-20k","docs":5000,""" +
+        s""""eow":$eowL,""" +
         s""""long_rounds":${lr.toInt},""" +
         s""""merges_learned":${mLoc.size},"local_s":${r3(tLoc)}""" +
         dist.map(t => s""","incremental_s":${r3(t)},""" +

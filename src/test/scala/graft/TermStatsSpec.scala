@@ -418,6 +418,106 @@ class TermStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("byte-level mode (GPT-2 form): trainers bit-identical across " +
+      "the family over the byte corpus, encode is lossless in " +
+      "byte-char space, the scaled greedy encoder agrees, the " +
+      "vocabulary is the closed 256+merges set, and decode round-trips " +
+      "the ENRICHED text — the ø char-level mode can only UNK — " +
+      "verbatim with zero UNKs, through the packed tensors too") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val bdocs = TermStats.byteDocs(docs)
+    // trainer-family bit-identity in byte mode: byte mode is a corpus
+    // transform, so the four trainers take the SAME frame
+    val seqM = TermStats.bpeLearnIter(bdocs, 10)
+    assert(TermStats.bpeLearnIterIncremental(bdocs, 10) == seqM)
+    assert(TermStats.bpeLearnLocal(bdocs, 10) == seqM)
+    assert(TermStats.bpeLearnAuto(bdocs, 10) == seqM)
+    assert(TermStats.bpeLearnAuto(bdocs, 10, driverMaxWords = 1L) == seqM)
+    // byte mode genuinely changes the model (operands live in the
+    // remapped alphabet, disjoint from the char-mode operands)
+    val baseM = TermStats.bpeLearnIter(docs, 10)
+    assert(seqM != baseM)
+    assert(seqM.forall { case (a, b, _) =>
+      (a + b).forall(c => c >= 0x100 && c <= 0x1ff) })
+    val pairs = seqM.map { case (a, b, _) => (a, b) }
+    // encode property over byte words: lossless in byte-char space,
+    // and the scaled greedy encoder is bit-identical to the chain
+    val enc = bdocs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct().limit(200)
+      .select(col("word"),
+        TermStats.bpeEncodePairsExpr(col("word"), pairs).as("enc"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(enc.nonEmpty)
+    val fused = pairs.map { case (a, b) => (a, b, a + b) }.toArray
+    val maxLen = fused.foldLeft(0)((m, f) => math.max(m, f._3.length))
+    enc.foreach { case (w, e) =>
+      assert(e.split(" ").mkString("") == w, s"$w: $e")
+      assert(TermStats.bpeGreedyEncode(w, fused, maxLen) == e, w)
+    }
+    // the CLOSED vocabulary: exactly 256 base byte-chars plus one row
+    // per distinct fused symbol, and every emitted symbol is a member
+    val vocab = TermStats.bpeVocabByte(docs, pairs)
+    val vrows = vocab.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)))
+    val fusedSet = pairs.map { case (a, b) => a + b }.distinct
+    assert(vrows.length == 256 + fusedSet.size)
+    assert(vrows.map(_._1).toSeq == (1L to vrows.length).toSeq,
+      "dense 1-based ids")
+    val vset = vrows.map(_._2).toSet
+    enc.foreach { case (w, e) =>
+      e.split(" ").foreach(s => assert(vset.contains(s), s"$w: $s")) }
+    // decode round-trips the ENRICHED held split verbatim: the ø in
+    // the suffix — guaranteed-OOV for char mode — decomposes into
+    // base byte tokens here, so n_unk == 0 and the text is EXACT
+    val vocabDf = vocab.select("sym", "id")
+    val src = docs.filter(col("doc_id") % 7 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1) + TermStats.unkSuffix))
+      .toMap
+    val dec = TermStats.bpeDecodeByte(docs, pairs, vocabDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(dec.nonEmpty && dec.length == src.size)
+    dec.foreach { case (id, nUnk, text) =>
+      assert(nUnk == 0L, s"doc $id")
+      assert(text == src(id), s"doc $id")
+    }
+    // ...and the full circle through the packed tensors
+    val rt = TermStats.decodeRoundtripByte(docs, pairs, vocabDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rt.map(_._3).toSeq == src.toSeq.sortBy(_._1).map(_._2))
+    assert(rt.forall(_._2 == 0L))
+  }
+
+  test("byte mode on arbitrary multilingual text: emoji (non-BMP), " +
+      "CJK, combining marks, and mixed scripts — text the char-level " +
+      "mode would shred into UNKs — round-trip VERBATIM through a " +
+      "tokenizer trained on plain ASCII, because every byte decomposes " +
+      "into always-in-vocabulary base tokens") {
+    // train on ASCII-only docs; decode a held doc (doc_id % 7 == 0)
+    // full of text the training corpus never saw
+    val wild = "café élève 🦜 parrot " +
+      "中文分词 🚀🔥 " +
+      "Å ring naïve øre"
+    val docs = Seq(
+      (0L, wild),
+      (1L, "the quick brown fox jumps over the lazy dog the the"),
+      (2L, "pack my box with five dozen liquor jugs and the fox"))
+      .toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") > 0)
+    val merges = TermStats.bpeLearnIter(TermStats.byteDocs(train), 10)
+      .map { case (a, b, _) => (a, b) }
+    assert(merges.nonEmpty)
+    val vocabDf = TermStats.bpeVocabByte(train, merges).select("sym", "id")
+    // suffix = "" — the wild doc is enrichment enough
+    val dec = TermStats.bpeDecodeByte(docs, merges, vocabDf, suffix = "")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(dec.toSeq == Seq((0L, 0L, wild)))
+    val rt = TermStats.decodeRoundtripByte(docs, merges, vocabDf,
+      suffix = "").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rt.toSeq == Seq((1L, 0L, wild)))
+  }
+
   test("inferencePrep: packed sequences carry exactly the bpeIdsUnk " +
       "symbol stream in doc order (UNK zeros included), fixed-64 " +
       "arrays, only the final sequence pads") {
@@ -730,6 +830,48 @@ class TermStatsSpec extends AnyFunSuite {
       val want = docText(r.getLong(0)).split(" ").filter(_.nonEmpty)
         .mkString("")
       assert(r.getString(3).replace(" ", "") == want, r.getLong(0))
+    }
+  }
+
+  /** [[refStringEncode]]'s marker-mode twin: the eow expression chain
+    * glues the marker after the last code point's symbol text before
+    * the merge folds. */
+  private def refStringEncodeEow(word: String,
+      merges: Seq[(String, String)]): String = {
+    var s = word.codePoints().toArray
+      .map(cp => "  " + new String(Character.toChars(cp))).mkString +
+      TermStats.EowMarker + "  "
+    merges.foreach { case (a, b) =>
+      s = s.replace(" " + a + "  " + b + " ", " " + a + b + " ")
+    }
+    s.replace("  ", " ").trim
+  }
+
+  test("scaled encoder at production depth in EOW mode (VERDICT r13 " +
+      "#4): equality with the marker-mode string-replace reference at " +
+      "1,000 and 5,000 synthetic merges — half of them marker-" +
+      "terminated, so word-final fusions are genuinely exercised") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    for (n <- Seq(1000, 5000)) {
+      // odd-indexed synthetic merges take the marker on their right
+      // operand: (a, b</w>) can only fuse at a word's end, (ab, c</w>)
+      // chains a plain fusion into a marker-terminated one — the two
+      // shapes a learned eow table is made of
+      val m = TermStats.syntheticMerges(n).zipWithIndex.map {
+        case ((a, b), i) =>
+          if (i % 2 == 1) (a, b + TermStats.EowMarker) else (a, b)
+      }
+      val fused = m.map { case (a, b) => (a, b, a + b) }.toArray
+      val maxLen = fused.foldLeft(0)((x, f) => math.max(x, f._3.length))
+      words.foreach { w =>
+        assert(TermStats.bpeGreedyEncode(w, fused, maxLen,
+          eowMarker = TermStats.EowMarker) == refStringEncodeEow(w, m),
+          s"$n merges: $w")
+      }
     }
   }
 
