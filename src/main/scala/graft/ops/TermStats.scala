@@ -358,6 +358,13 @@ object TermStats {
         i => element_at(byteCharHexMap, s.substr(i, lit(1)))), "")),
         "UTF-8"))
 
+  /** Executor-side twin of [[toByteChars]] for the streaming encoder
+    * (plain Scala — bit-identity with the expression form is spec'd):
+    * UTF-8 bytes → chars U+0100+b. */
+  private[graft] def toByteCharsLocal(w: String): String =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => (256 + (b & 0xff)).toChar).mkString
+
   /** The byte-mode positioned token stream: (doc_id, pos, word) with
     * `word` in byte-char space, every token after the first carrying
     * the [[ByteSpace]] prefix. The remap runs over DISTINCT words
@@ -1726,8 +1733,16 @@ object TermStats {
     * back verbatim here, because its bytes decompose into base tokens
     * that are always in-vocabulary. The oracle is
     * `documents.text || suffix`, nothing derived. */
-  def decodeRoundtripByte(docs: DataFrame, merges: Seq[(String, String)],
-      symVocab: DataFrame, suffix: String = unkSuffix): DataFrame = {
+  /** [[inferencePrepUnk]]'s BYTE-LEVEL twin: the held split encoded
+    * over byte tokens against the closed byte vocabulary, UNK-faithful
+    * packed. UNKs cannot occur (the vocabulary is closed), but the
+    * unkFaithful layout is kept so the tensors invert exactly — same
+    * reserved-id contract as the other modes, and the live
+    * [[graft.streaming.Streams.inferenceStream]] twin matches it
+    * row-for-row (StreamsSpec). */
+  def inferencePrepByte(docs: DataFrame, merges: Seq[(String, String)],
+      symVocab: DataFrame, suffix: String = unkSuffix,
+      window: Int = 64, buckets: Int = 8): DataFrame = {
     val heldToks = byteToks(heldBatch(docs, suffix))
     val perDoc = heldToks
       .join(unkWordArrays(heldToks, merges, symVocab), "word")
@@ -1735,10 +1750,16 @@ object TermStats {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("pos"), col("wids")))),
         x => x.getField("wids"))).as("ids"))
+    Sampling.assembleSequences(
+      Sampling.wideFromPerDoc(perDoc, window, buckets,
+        unkFaithful = true),
+      window, unkId = Some(Sampling.UnkId))
+  }
+
+  def decodeRoundtripByte(docs: DataFrame, merges: Seq[(String, String)],
+      symVocab: DataFrame, suffix: String = unkSuffix): DataFrame = {
     val unpacked = Sampling.unpackSequences(
-      Sampling.assembleSequences(
-        Sampling.wideFromPerDoc(perDoc, 64, 8, unkFaithful = true),
-        64, unkId = Some(Sampling.UnkId)),
+      inferencePrepByte(docs, merges, symVocab, suffix),
       unkFaithful = true)
     unpacked
       .select(col("doc_n"),

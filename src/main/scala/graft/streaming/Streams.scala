@@ -462,9 +462,12 @@ object Streams {
     * broadcast; works unchanged on a batch frame (the spec's equality
     * harness runs it both ways). */
   def encodeStream(docs: DataFrame,
-      merges: Seq[(String, String)], eow: Boolean = false): DataFrame = {
+      merges: Seq[(String, String)], eow: Boolean = false,
+      byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    require(!(eow && byteLevel),
+      "eow and byteLevel are distinct tokenizer modes — pick one")
     val bc = spark.sparkContext.broadcast(merges.toArray)
     // END-OF-WORD-MARKER mode (r13): the live twin of the marker-mode
     // scaled apply — the marker rides the greedy encoder's probe
@@ -477,7 +480,7 @@ object Streams {
           math.max(m, f._3.length))
         val memo = new java.util.HashMap[String, String]()
         it.flatMap { case (id, text) =>
-          val words = text.split(" ").filter(_.nonEmpty)
+          val words = streamWords(text, byteLevel)
           // Empty/whitespace-only docs are DROPPED, matching the batch
           // twin exactly: bpeApplyScaled's inner join + groupBy over
           // the exploded token stream never produces a row for a doc
@@ -502,6 +505,23 @@ object Streams {
         }
       }
       .toDF("doc_id", "n_tokens", "n_symbols", "syms")
+  }
+
+  /** The stream encoders' word stream: a space split, in BYTE-LEVEL
+    * mode remapped to byte-chars with the Ġ leading-space byte on
+    * every token after the first — exactly the batch `byteDocs`
+    * convention, so the stream twins equal the batch keys
+    * row-for-row. The memo upstream keys on the REMAPPED word:
+    * prefixed and unprefixed occurrences encode differently and are
+    * distinct entries, as in the batch distinct-vocabulary encode. */
+  private def streamWords(text: String,
+      byteLevel: Boolean): Array[String] = {
+    val raw = text.split(" ").filter(_.nonEmpty)
+    if (!byteLevel) raw
+    else raw.zipWithIndex.map { case (w, i) =>
+      (if (i > 0) graft.ops.TermStats.ByteSpace else "") +
+        graft.ops.TermStats.toByteCharsLocal(w)
+    }
   }
 
   /** Carry state of the STREAMING packer: the next sequence id to
@@ -663,14 +683,19 @@ object Streams {
   def inferenceStream(docs: DataFrame, merges: Seq[(String, String)],
       vocab: Map[String, Long], window: Int = 64,
       shards: Int = 1, unkFaithful: Boolean = false,
-      eow: Boolean = false): DataFrame = {
+      eow: Boolean = false, byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    require(!(eow && byteLevel),
+      "eow and byteLevel are distinct tokenizer modes — pick one")
     val bcM = spark.sparkContext.broadcast(merges.toArray)
     val bcV = spark.sparkContext.broadcast(vocab)
     // END-OF-WORD-MARKER mode (r13): marker-mode encode against the
     // eow vocabulary — the live twin of inferencePrepUnk(eow = true);
     // the pack layer is id-agnostic, so only the encode leg changes.
+    // BYTE-LEVEL mode (r14): byte-char remap + Ġ prefixes before the
+    // greedy encode, against the CLOSED byte vocabulary — the live
+    // twin of inferencePrepByte; UNKs cannot occur by construction.
     val marker = if (eow) graft.ops.TermStats.EowMarker else ""
     val ids = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
@@ -683,7 +708,7 @@ object Streams {
           // the packStream flush marker passes through untouched
           if (id < 0L) Some((id, Seq.empty[Long]))
           else {
-            val words = text.split(" ").filter(_.nonEmpty)
+            val words = streamWords(text, byteLevel)
             if (words.isEmpty) None
             else Some((id, words.flatMap { w =>
               var e = memo.get(w)

@@ -420,6 +420,80 @@ class StreamsSpec extends AnyFunSuite {
     assert(gotU == wantU)
   }
 
+  test("byte-level STREAMING twins: encodeStream(byteLevel) over RAW " +
+      "text equals the batch scaled apply over the byte corpus " +
+      "row-for-row, and inferenceStream(byteLevel, unkFaithful) equals " +
+      "batch inferencePrepByte on the enriched held split with ZERO " +
+      "UNK ids anywhere in the tensors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val bdocs = graft.ops.TermStats.byteDocs(docs)
+    val pairs = graft.ops.TermStats.bpeLearnIter(bdocs, 10)
+      .map { case (a, b, _) => (a, b) }
+    // encode twin: the STREAM takes raw text and does the remap itself
+    val wantEnc = graft.ops.TermStats.bpeApplyScaled(bdocs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    val rows = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.encodeStream(
+        mem.toDF().toDF("doc_id", "text"), pairs, byteLevel = true)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("encode_byte_out").start()
+    try {
+      mem.addData(h1.toSeq: _*); q.processAllAvailable()
+      mem.addData(h2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val gotEnc = spark.table("encode_byte_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq.sortBy(_._1)
+    assert(gotEnc == wantEnc)
+    // every streamed symbol lives in the remapped alphabet
+    gotEnc.take(20).foreach { case (_, _, _, syms) =>
+      assert(syms.replace(" ", "")
+        .forall(c => c >= 0x100 && c <= 0x1ff), syms.take(40))
+    }
+    // inference twin: stream(byte, unkFaithful) ≡ batch
+    // inferencePrepByte on the enriched held split — and the closed
+    // vocabulary means the reserved UNK id (3) never appears
+    val vocabDf = graft.ops.TermStats.bpeVocabByte(docs, pairs)
+      .select("sym", "id")
+    def arrs(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3),
+        r.getSeq[Long](4), r.getSeq[Long](5), r.getSeq[Long](6),
+        r.getSeq[Long](7))
+    val wantU = graft.ops.TermStats
+      .inferencePrepByte(docs, pairs, vocabDf)
+      .collect().map(arrs).toSeq
+    val vocab = vocabDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val held = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(graft.ops.TermStats.unkSuffix)).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (c1, c2) = held.splitAt(held.length / 2)
+    val memU = MemoryStream[(Long, String)]
+    val qU = Streams.inferenceStream(
+        memU.toDF().toDF("doc_id", "text"), pairs, vocab,
+        unkFaithful = true, byteLevel = true)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("inference_byte_out").start()
+    try {
+      memU.addData(c1.toSeq: _*); qU.processAllAvailable()
+      memU.addData(c2.toSeq: _*); qU.processAllAvailable()
+      memU.addData((-1L, "")); qU.processAllAvailable()
+    } finally qU.stop()
+    val gotU = spark.table("inference_byte_out").collect().map(arrs)
+      .toSeq.sortBy(_._1)
+    assert(gotU == wantU)
+    assert(gotU.forall(!_._4.contains(3L)),
+      "the closed byte vocabulary must make the UNK reserved id " +
+        "unreachable, ø-enrichment included")
+  }
+
   test("packStream ordering contract: docs pack in doc_id order WITHIN " +
       "a trigger and in ARRIVAL order ACROSS triggers (r12 what's-wrong " +
       "#3 — contract pinned, no behavior change)") {

@@ -504,6 +504,14 @@ class TermStatsSpec extends AnyFunSuite {
       (2L, "pack my box with five dozen liquor jugs and the fox"))
       .toDF("doc_id", "text")
     val train = docs.filter(col("doc_id") > 0)
+    // the executor-side remap (the streaming encoder's) is
+    // bit-identical to the expression form on exactly this wild text
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .select(col("word"), TermStats.toByteChars(col("word")).as("b"))
+      .collect().foreach(r =>
+        assert(TermStats.toByteCharsLocal(r.getString(0))
+          == r.getString(1), r.getString(0)))
     val merges = TermStats.bpeLearnIter(TermStats.byteDocs(train), 10)
       .map { case (a, b, _) => (a, b) }
     assert(merges.nonEmpty)
