@@ -2094,14 +2094,15 @@ object TermStats {
       |       lm0 || repeat(' 0', 64 - CAST(n_tokens AS INT)) AS loss_mask
       |FROM seqs ORDER BY seq_id""".stripMargin
 
-  private def idsOracleBody(prefixCtes: String, encSql: String): String =
+  private def idsOracleBody(prefixCtes: String, encSql: String,
+      src: String = "documents"): String =
     s"""WITH $prefixCtes,
        |toks AS (
        |  SELECT doc_id, pos, word FROM (
        |    SELECT doc_id, words[i] AS word, i AS pos FROM (
        |      SELECT doc_id, string_split(text, ' ') AS words,
        |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
-       |      FROM documents))
+       |      FROM $src))
        |  WHERE length(word) > 0),
        |encv AS (
        |  SELECT word,
@@ -2374,6 +2375,17 @@ object TermStats {
     "tokenize_bpe_vocab_byte" -> ((s, d) =>
       bpeVocabByte(Tables.documents(s, d),
         trainedByteMerges(s, d, 10).map { case (a, b, _) => (a, b) })),
+    // dense ids over the byte symbol stream — the tensor path
+    // string-projected, completing the byte family's ladder parity
+    // with the iter family (vocabulary = OBSERVED symbols, as in every
+    // ids key; the CLOSED vocab is the decode keys' contract).
+    "tokenize_bpe_ids_byte" -> ((s, d) =>
+      bpeIdsTensor(byteDocs(Tables.documents(s, d)),
+        trainedByteMerges(s, d, 10).map { case (a, b, _) => (a, b) })
+        .select(col("doc_id"), col("n_symbols"),
+          concat_ws(" ", transform(col("ids"),
+            x => x.cast("string"))).as("ids"))
+        .orderBy("doc_id")),
     // DECODE the ENRICHED held split: the ø-bearing suffix char-level
     // mode can only UNK comes back VERBATIM through byte fallback —
     // the oracle is documents.text || suffix, with n_unk pinned 0.
@@ -2662,6 +2674,11 @@ object TermStats {
     // oracle = apply_byte verbatim.
     "tokenize_bpe_apply_scaled_byte" -> applyOracleSqlFor(eow = false,
       byteMode = true),
+    // byte-mode dense ids: the ids_iter body over the byte corpus —
+    // same observed-symbol alphabetic vocabulary rule as every ids key.
+    "tokenize_bpe_ids_byte" -> idsOracleBody(
+      s"$byteDocsCtes,\n${bpeIterCtes(10, eow = false, src = "bdocs")}",
+      bpeIterOracleEncode(10), src = "bdocs"),
     // the closed byte vocabulary: base 256 ∪ fused merge symbols with
     // alphabetic dense ids; counts from the encoded corpus, 0 where a
     // member is never emitted.
