@@ -53,11 +53,21 @@ object ScaleCapture {
     spark.sparkContext.setLogLevel("WARN")
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
 
-    val sf1 = sys.env.get("SPARK_GRAFT_SF1_DIR").getOrElse {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-sf1").toString
-      System.err.println(s"[sf1] generating 10x corpus in $out")
-      SynthCorpus.generate(spark, "/root/testdata/sf0.1", out)
+    // SPARK_GRAFT_SF1_DIR reuses an already-generated corpus — and
+    // generates INTO it (kept, not temp-deleted) when the dir is
+    // empty, so repeated diagnostic runs share one generation.
+    val sf1 = sys.env.get("SPARK_GRAFT_SF1_DIR") match {
+      case Some(d) =>
+        if (!new java.io.File(s"$d/documents.parquet").exists()) {
+          System.err.println(s"[sf1] generating 10x corpus in $d (kept)")
+          SynthCorpus.generate(spark, "/root/testdata/sf0.1", d)
+        }
+        d
+      case None =>
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-sf1").toString
+        System.err.println(s"[sf1] generating 10x corpus in $out")
+        SynthCorpus.generate(spark, "/root/testdata/sf0.1", out)
     }
     val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", sf1)
 

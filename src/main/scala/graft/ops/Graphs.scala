@@ -378,6 +378,50 @@ object Graphs {
       .orderBy("rnk")
   }
 
+  /** DEGREE-CAPPED link prediction (r14 — the 100 TB form): identical
+    * wedge → common-neighbor → Jaccard → top-k machinery, but wedges
+    * are generated only THROUGH centers of degree ≤ `maxDeg` — the
+    * hub stop-list every production common-neighbor system applies,
+    * because exact wedge mass is Σ_ctr deg(ctr)², and on any graph
+    * whose max degree grows with N that sum grows quadratically
+    * (measured: the exact key reads 33.8× at a 10× decade on the
+    * synthetic crawl graph, whose 50 hubs have degree ∝ N — SCALE_r14
+    * §6; capped, the wedge mass is O(E · maxDeg) and the key reads
+    * flat). Semantics are the documented production trade: a pair
+    * whose ONLY common neighbors are super-hubs scores 0 — and that is
+    * the point, a hub in common carries ~no signal (everyone links the
+    * portal page); Jaccard denominators keep the FULL degrees. The
+    * exact key stays registered unchanged as the small-graph truth. */
+  def linkPredictionCapped(docs: DataFrame, k: Int = 20,
+      maxDeg: Int = 64): DataFrame = {
+    val und = undirected(docs)
+    val sym = und.select(col("u").as("ctr"), col("v").as("nb"))
+      .unionAll(und.select(col("v").as("ctr"), col("u").as("nb")))
+    val deg = sym.groupBy(col("nb").as("id")).agg(count(lit(1)).as("deg"))
+    val lowCtr = sym.groupBy(col("ctr")).agg(count(lit(1)).as("cdeg"))
+      .filter(col("cdeg") <= maxDeg).select(col("ctr"))
+    val symB = sym.join(lowCtr, Seq("ctr"))
+    val wedges = symB.select(col("ctr"), col("nb").as("a"))
+      .join(symB.select(col("ctr"), col("nb").as("b")), Seq("ctr"))
+      .filter(col("a") < col("b"))
+    val common = wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(und.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+    val scored = common
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("da") + col("db") - col("inter")), 6).as("jaccard"))
+    scored.orderBy(col("jaccard").desc, col("a"), col("b")).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("jaccard").desc, col("a"), col("b"))).cast("long"))
+      .select(col("rnk"), col("a").as("a_id"), col("b").as("b_id"),
+        col("inter").as("n_common"), col("jaccard"))
+      .orderBy("rnk")
+  }
+
   // ---------------------------------------------------------------------
 
   private val resumeMemo =
@@ -441,7 +485,11 @@ object Graphs {
     "graph_bfs_depth" -> ((s, d) => bfsHops(Tables.documents(s, d))),
     // neighborhood-Jaccard missing-link top-20.
     "graph_link_prediction" -> ((s, d) =>
-      linkPrediction(Tables.documents(s, d)))
+      linkPrediction(Tables.documents(s, d))),
+    // the 100 TB form: wedges only through degree ≤ 64 centers — the
+    // hub stop-list that turns Σ deg² wedge mass into O(E · maxDeg).
+    "graph_link_prediction_capped" -> ((s, d) =>
+      linkPredictionCapped(Tables.documents(s, d)))
   )
 
   /** Shared edge-derivation CTEs (ids → edges → out-degrees). */
@@ -591,6 +639,47 @@ object Graphs {
          |wed AS (
          |  SELECT a.nb AS a, b.nb AS b
          |  FROM sym a JOIN sym b ON a.ctr = b.ctr
+         |  WHERE a.nb < b.nb),
+         |com AS (
+         |  SELECT a, b, count(*) AS inter FROM wed
+         |  GROUP BY a, b),
+         |nonedge AS (
+         |  SELECT c.a, c.b, c.inter FROM com c
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM und WHERE und.u = c.a AND und.v = c.b)),
+         |scored AS (
+         |  SELECT n.a, n.b, n.inter,
+         |         round(CAST(n.inter AS DOUBLE)
+         |           / (da.deg + db.deg - n.inter), 6) AS jaccard
+         |  FROM nonedge n
+         |  JOIN deg da ON da.id = n.a JOIN deg db ON db.id = n.b),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    ORDER BY jaccard DESC, a, b) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT rnk, a AS a_id, b AS b_id, CAST(inter AS BIGINT) AS n_common,
+         |       jaccard
+         |FROM ranked WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // the capped form: identical body with the low-degree-center
+    // restriction on wedge generation (full degrees in the Jaccard
+    // denominator — only the wedge SUPPORT is capped).
+    "graph_link_prediction_capped" ->
+      s"""WITH $sqlEdgeCtes,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM edges),
+         |sym AS (SELECT u AS ctr, v AS nb FROM und
+         |        UNION ALL SELECT v, u FROM und),
+         |deg AS (SELECT nb AS id, count(*) AS deg FROM sym GROUP BY nb),
+         |lowctr AS (
+         |  SELECT ctr FROM (SELECT ctr, count(*) AS cdeg FROM sym
+         |                   GROUP BY ctr)
+         |  WHERE cdeg <= 64),
+         |symb AS (SELECT sym.ctr, sym.nb FROM sym
+         |         JOIN lowctr ON lowctr.ctr = sym.ctr),
+         |wed AS (
+         |  SELECT a.nb AS a, b.nb AS b
+         |  FROM symb a JOIN symb b ON a.ctr = b.ctr
          |  WHERE a.nb < b.nb),
          |com AS (
          |  SELECT a, b, count(*) AS inter FROM wed

@@ -574,6 +574,44 @@ object Multimodal {
     Dedup.simhashPairsFrom(phashFingerprints(phashPayloads(docs)),
       maxHamming, bits = 30)
 
+  /** Resolve the WAVE `AudioFileWriter` ONCE per partition:
+    * `AudioSystem.write` walks a synchronized provider registry on
+    * EVERY call, and at sf1 the audio keys measured 5× SLOWER on 32
+    * threads than on one — a classic lock convoy (SCALE_r14 §6: 22.7 s
+    * at local[32] vs 4.4 s at local[1] on the identical corpus). The
+    * SPI resolution is the per-partition init, exactly like the
+    * ImageIO readers. */
+  private def waveWriter(): javax.sound.sampled.spi.AudioFileWriter = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    while (it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.WAVE)) return w
+    }
+    throw new IllegalStateException("no WAVE AudioFileWriter in this JVM")
+  }
+
+  /** The matching read-side resolution (AudioSystem.getAudioInputStream
+    * probes every provider per call — the same convoy): the first
+    * provider that parses `probe`, AudioSystem's own selection rule,
+    * cached by the caller for the partition. */
+  private def waveReaderFor(
+      probe: Array[Byte]): javax.sound.sampled.spi.AudioFileReader = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    while (it.hasNext) {
+      val r = it.next()
+      try {
+        r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(probe)).close()
+        return r
+      } catch { case _: Exception => }
+    }
+    throw new IllegalStateException(
+      "no AudioFileReader in this JVM parses the WAV payload")
+  }
+
   /** Real WAV payloads: deterministic 16-bit mono PCM (8 kHz) sawtooth
     * samples s_i = ((i·13 + doc_id·31) mod 2048) − 1024, containerized
     * through javax.sound.sampled's actual WAVE writer — like
@@ -590,6 +628,7 @@ object Multimodal {
       .as[(Long, Long)]
       .mapPartitions { it =>
         val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val writer = waveWriter()
         it.map { case (id, nb) =>
           val n = (800 + nb % 800).toInt
           val raw = new Array[Byte](n * 2)
@@ -603,7 +642,7 @@ object Multimodal {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
+          writer.write(ais,
             javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
           (id, bos.toByteArray)
         }
@@ -619,8 +658,10 @@ object Multimodal {
     bin.select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        var rdr: javax.sound.sampled.spi.AudioFileReader = null
         it.map { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          if (rdr == null) rdr = waveReaderFor(bytes)
+          val ais = rdr.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
           val f = ais.getFormat
           (id, f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
@@ -639,8 +680,10 @@ object Multimodal {
     bin.select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        var rdr: javax.sound.sampled.spi.AudioFileReader = null
         it.map { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          if (rdr == null) rdr = waveReaderFor(bytes)
+          val ais = rdr.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
           val data = ais.readAllBytes()
           val n = data.length / 2
@@ -719,8 +762,10 @@ object Multimodal {
     bin.select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        var rdr: javax.sound.sampled.spi.AudioFileReader = null
         it.map { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          if (rdr == null) rdr = waveReaderFor(bytes)
+          val ais = rdr.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
           val data = ais.readAllBytes()
           val n = data.length / 2

@@ -116,6 +116,39 @@ class GraphsSpec extends AnyFunSuite {
     }
   }
 
+  test("degree-capped link prediction: on a graph where every degree " +
+      "is under the cap it equals the exact key row-for-row, and at " +
+      "sf0.01 (hub degrees 12 > a cap of 8) hub-mediated-only pairs " +
+      "drop while low-degree wedge pairs keep their exact scores") {
+    // sf0.001's crawl graph is the 50-hub ring alone (no items): every
+    // degree is 2, far under 64, so capped ≡ exact exactly
+    val exact = Graphs.queries("graph_link_prediction")(
+      spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+    val capped = Graphs.queries("graph_link_prediction_capped")(
+      spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+    assert(capped == exact,
+      "under-cap graph: the stop-list must be a no-op")
+    // sf0.01: hubs have degree 12 (10 spokes + 2 ring); cap 8 excludes
+    // them as wedge CENTERS, so every surviving pair's count came
+    // through low-degree centers and must equal its exact-key count
+    val d01 = "/root/testdata/sf0.01"
+    val ex = Graphs.linkPrediction(
+        graft.model.Tables.documents(spark, d01), k = 1000000)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    val cp = Graphs.linkPredictionCapped(
+        graft.model.Tables.documents(spark, d01), k = 1000000, maxDeg = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cp.nonEmpty)
+    cp.foreach { case (a, b, inter) =>
+      assert(ex((a, b)) >= inter,
+        s"($a,$b): capped count must be a subset of the exact wedges")
+    }
+    // and the cap genuinely drops hub-mediated mass at this SF
+    assert(cp.length < ex.size,
+      "the cap must exclude hub-only pairs at sf0.01")
+  }
+
   test("triangles: closed-form counts — every triangle is {item k, " +
       "item k-50, hub k%50} for k >= 100, so credits total 3*(n-100) " +
       "and each hub sits in exactly n/50-2 of them") {
