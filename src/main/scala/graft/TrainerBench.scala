@@ -66,14 +66,19 @@ object TrainerBench {
       val bvRounds = sys.env.getOrElse("SPARK_GRAFT_BIGVOCAB_ROUNDS", "50").toInt
       // SPARK_GRAFT_BIGVOCAB_EOW=1 measures the MARKER-MODE footprint
       // (VERDICT r13 "Next round" #4: the marker forks every
-      // word-final symbol — measure the delta, don't assume it)
+      // word-final symbol — measure the delta, don't assume it);
+      // SPARK_GRAFT_BIGVOCAB_BYTE=1 the BYTE-MODE footprint (r14 —
+      // byte mode is a corpus transform, so the words themselves
+      // remap: ~2 chars per source char in UTF-16 state terms)
       val eow = sys.env.contains("SPARK_GRAFT_BIGVOCAB_EOW")
+      val byteM = sys.env.contains("SPARK_GRAFT_BIGVOCAB_BYTE")
       // coverage: ~4 draws per target word so most of the vocabulary
       // actually appears (coupon collector: 1 - e^-4 ≈ 98%)
       val draws = 300
       val nDocs = math.max(1L, nWords.toLong * 4 / draws)
-      val docsB = SynthCorpus.wideVocabDocs(spark, nWords, nDocs, draws)
-        .localCheckpoint(true)
+      val docsB0 = SynthCorpus.wideVocabDocs(spark, nWords, nDocs, draws)
+      val docsB = (if (byteM) graft.ops.TermStats.byteDocs(docsB0)
+        else docsB0).localCheckpoint(true)
       val (rows, tCollect) = time {
         docsB.select(explode(split(col("text"), " ")).as("word"))
           .filter(length(col("word")) >= 2)
@@ -99,6 +104,7 @@ object TrainerBench {
           "big-vocabulary corpus")
       val maxHeap = Runtime.getRuntime.maxMemory()
       println(s"""{"corpus":"synthetic-bigvocab","eow":$eow,""" +
+        s""""byte":$byteM,""" +
         s""""n_words_requested":$nWords,""" +
         s""""n_words_distinct":$words,"n_docs":$nDocs,"draws":$draws,""" +
         s""""collect_s":${r3(tCollect)},"state_build_s":${r3(tState)},""" +
@@ -118,9 +124,13 @@ object TrainerBench {
     sys.env.get("SPARK_GRAFT_LONG_ROUNDS").foreach { lr =>
       // SPARK_GRAFT_LONG_EOW=1 runs the depth demonstration in MARKER
       // mode (VERDICT r13 "Next round" #4 — eow evidence at the same
-      // 30k depth the base mode has)
+      // 30k depth the base mode has); SPARK_GRAFT_LONG_BYTE=1 in
+      // BYTE mode (r14 — the corpus remaps, the trainer is unchanged)
       val eowL = sys.env.contains("SPARK_GRAFT_LONG_EOW")
-      val docsL = SynthCorpus.wideVocabDocs(spark, 20000, 5000L, 60)
+      val byteL = sys.env.contains("SPARK_GRAFT_LONG_BYTE")
+      val docsL0 = SynthCorpus.wideVocabDocs(spark, 20000, 5000L, 60)
+      val docsL = if (byteL) graft.ops.TermStats.byteDocs(docsL0)
+        else docsL0
       docsL.count()
       val (mLoc, tLoc) = time(graft.ops.TermStats.bpeLearnLocal(
         docsL, lr.toInt, eow = eowL))
@@ -133,7 +143,7 @@ object TrainerBench {
           Some(t)
         }
       println(s"""{"corpus":"synthetic-widevocab-20k","docs":5000,""" +
-        s""""eow":$eowL,""" +
+        s""""eow":$eowL,"byte":$byteL,""" +
         s""""long_rounds":${lr.toInt},""" +
         s""""merges_learned":${mLoc.size},"local_s":${r3(tLoc)}""" +
         dist.map(t => s""","incremental_s":${r3(t)},""" +

@@ -704,14 +704,18 @@ object TermStats {
       rows.map(r => (r.getString(0), r.getLong(1))), rounds, eow)
   }
 
-  /** MEASURED trainer-state footprint (SCALE_r13 §2, r12 "What's
-    * wrong" #2 closed): 4.42M distinct synthetic words → 4.94 GB
-    * retained = 1,119 B/word — the word frame PLUS the per-word symbol
-    * arrays, pair counts, the 35.1M-entry pair→word occurrence index,
-    * and the heap (the r12 doc's "~60 B/word" counted only the
-    * (word, cnt) rows — 18.6× optimistic). Rounded up for headroom;
-    * the dial below divides a quarter of the driver heap by this. */
-  private[graft] val MeasuredTrainerBytesPerWord = 1200L
+  /** MEASURED trainer-state footprint, worst mode (SCALE_r13 §2 +
+    * SCALE_r14 §4, all on the same ~4.4M-distinct-word corpus): base
+    * 1,118.7 B/word, eow 1,138.5 (+1.8 % — the marker forks
+    * alphabet-sized structures, not word-sized ones), BYTE 1,244.0
+    * (+11 % — the remap widens every symbol string and the occurrence
+    * index grows to 40.0M entries). The constant covers the WORST
+    * measured mode; what it buys: the word frame PLUS per-word symbol
+    * arrays, pair counts, the pair→word occurrence index, and the heap
+    * (the r12 doc's "~60 B/word" counted only the (word, cnt) rows —
+    * 18.6× optimistic). The dial below divides a quarter of the driver
+    * heap by this. */
+  private[graft] val MeasuredTrainerBytesPerWord = 1250L
 
   /** Route by trainer-state size (the dial VERDICT r11 #1 asked for,
     * re-derived from MEASUREMENT in r13 per VERDICT r12 #2): ONE
