@@ -119,12 +119,35 @@ object Bench {
     // query's steady-state time (diagnostics; the driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val orderedBase = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // SPARK_GRAFT_BENCH_ORDER=reverse|shuffled:<seed> reorders BOTH
+    // passes — a capture-order experiment for adjudicating flags whose
+    // steady-state could depend on what ran before them (VERDICT r14
+    // "What's wrong" #1: memo-billing hypothesis). Diagnostics only;
+    // the driver never sets it, and a reordered run never writes
+    // BENCH_FULL.json (the trend-guard baseline assumes sorted order).
+    val orderEnv = sys.env.get("SPARK_GRAFT_BENCH_ORDER")
+    val ordered = orderEnv match {
+      case None => orderedBase
+      case Some("reverse") => orderedBase.reverse
+      case Some(s) if s.startsWith("shuffled:") =>
+        new scala.util.Random(s.stripPrefix("shuffled:").toLong)
+          .shuffle(orderedBase)
+      case Some(other) => sys.error(
+        s"SPARK_GRAFT_BENCH_ORDER=$other (want reverse|shuffled:<seed>)")
+    }
+    // SPARK_GRAFT_BENCH_SKIP_BUILD=1 skips the untimed build pass, so
+    // the timed pass's FIRST run pays every memoized one-time cost —
+    // the cold-start half of the same adjudication. Diagnostics only.
+    val skipBuild = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_BUILD")
     val errors = scala.collection.mutable.Buffer[String]()
 
     // (2) untimed build pass — first-run times recorded separately
-    val build = ordered.map { case (name, fn) =>
+    val build = if (skipBuild) {
+      System.err.println("[bench] SKIP_BUILD — timed pass runs cold")
+      ordered.map { case (name, _) => name -> -1.0 }
+    } else ordered.map { case (name, fn) =>
       val t = try timeOne(fn) catch { case e: Throwable =>
         errors += name
         System.err.println(s"[bench] build $name failed: ${e.getMessage}")
@@ -319,15 +342,16 @@ object Bench {
       windowFactor = windowFactor, quietBase = quietBase,
       quietSrc = quietSrc, host = host,
       floorSuppressed = floorSuppressed)
-    // A narrowed (SPARK_GRAFT_BENCH_ONLY) diagnostic run must never
-    // clobber the committed full artifact with a partial map.
-    if (only.isEmpty) {
+    // A narrowed (SPARK_GRAFT_BENCH_ONLY), reordered, or cold-start
+    // diagnostic run must never clobber the committed full artifact
+    // with a partial / non-comparable map.
+    if (only.isEmpty && orderEnv.isEmpty && !skipBuild) {
       try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         (full + "\n").getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
     } else System.err.println(
-      s"[bench] BENCH_ONLY run — not writing $fullPath")
+      s"[bench] diagnostic run (ONLY/ORDER/SKIP_BUILD) — not writing $fullPath")
     println(artifactLine(results, runs, sfDir, errors.distinct.toSeq,
       noise = noise, noiseRetried = noiseRetried,
       regrN = regressions.size, windowFactor = windowFactor))

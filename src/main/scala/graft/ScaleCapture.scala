@@ -19,10 +19,11 @@ import org.apache.spark.sql.SparkSession
   *   superlinear ≥ 16×  (a plan that will not survive 100 TB — each
   *                       such key needs a fix or a written explanation)
   *
-  * Keys are the documents/embeddings-backed top of the r12 driver
-  * capture (the synth dir carries no TPC-H/events tables — the
-  * events-backed expensive keys are covered by ScaleTrend's real-SF
-  * rows instead). Every key runs ONE untimed build pass first so
+  * Default keys are the documents/embeddings-backed top of the r12
+  * driver capture; since r15 [[SynthCorpus.generate]] also writes
+  * events + the TPC-H tables at 10×, so the events/join/agg/win keys
+  * are capturable too (pass them as args — SCALE_r15 §3 runs the top
+  * of that family). Every key runs ONE untimed build pass first so
   * memoized model artifacts (merge tables, tokenizer dirs, centroids,
   * persisted indexes) bill to build, exactly like Bench.
   *
@@ -58,10 +59,11 @@ object ScaleCapture {
     // empty, so repeated diagnostic runs share one generation.
     val sf1 = sys.env.get("SPARK_GRAFT_SF1_DIR") match {
       case Some(d) =>
-        if (!new java.io.File(s"$d/documents.parquet").exists()) {
-          System.err.println(s"[sf1] generating 10x corpus in $d (kept)")
-          SynthCorpus.generate(spark, "/root/testdata/sf0.1", d)
-        }
+        // generate() is idempotent per table (r15) — a kept pre-r15
+        // dir gains the new events/TPC-H tables without regenerating
+        // its documents/embeddings
+        System.err.println(s"[sf1] ensuring 10x corpus in $d (kept)")
+        SynthCorpus.generate(spark, "/root/testdata/sf0.1", d)
         d
       case None =>
         val out = java.nio.file.Files
@@ -81,12 +83,30 @@ object ScaleCapture {
       val fn = SparkEntry.queries(key)
       // a key whose tables the synth dir does not carry (events/TPC-H-
       // backed) reports a skip line instead of aborting the capture —
-      // those keys' scale evidence is ScaleTrend's real-SF rows
+      // those keys' scale evidence is ScaleTrend's real-SF rows.
+      // ONLY the missing-input failure shape is a skip (ADVICE r14
+      // #3): an AnalysisException / FileNotFound from the absent
+      // table. Anything else (OOM, NPE, wrong-schema) is a genuine
+      // key regression at sf1 and must abort the capture loudly, not
+      // be recorded as a benign skip in the scale evidence.
+      def isMissingInput(e: Throwable): Boolean = e match {
+        case _: org.apache.spark.sql.AnalysisException => true
+        case _: java.io.FileNotFoundException => true
+        case _ if e.getCause != null && (e.getCause ne e) =>
+          isMissingInput(e.getCause)
+        case _ =>
+          String.valueOf(e.getMessage).contains("PATH_NOT_FOUND") ||
+            String.valueOf(e.getMessage).contains("Path does not exist")
+      }
       val probe = try { timeOne(fn, sfs.last); None }
-        catch { case e: Throwable => Some(e) }
+        catch {
+          case e: Throwable if isMissingInput(e) => Some(e)
+          // not a missing-table shape: rethrow — a silent skip here
+          // would read as "covered" in the evidence when it wasn't
+        }
       if (probe.isDefined) {
         System.err.println(s"[sf1] $key SKIP: " +
-          probe.get.getMessage.linesIterator.next())
+          String.valueOf(probe.get.getMessage).linesIterator.next())
         println(s"""{"key":"$key","skip":"missing_input_at_sf1"}""")
       } else {
       val ts = sfs.map { sf =>

@@ -127,19 +127,177 @@ object SynthCorpus {
       .write.mode("overwrite").parquet(out)
   }
 
-  /** Generate the full decade-extension corpus dir (documents.parquet +
-    * embeddings.parquet, 10× the sf0.1 sizes) and return its path. */
+  // ------------------------------------------------------------------
+  // EVENTS + TPC-H decade extension (r15, VERDICT r14 "Next round"
+  // #4): the audio SPI convoy and the link-prediction wedge mass were
+  // both invisible below sf1 — the events/relational keys (session
+  // self-joins, lag-168 joins, types² fan-outs) deserve the same
+  // full-decade evidence. Same regime as the driver tables (schema,
+  // value ranges, category sets profiled from sf0.1), scaled 10× the
+  // REALISTIC way: events grow by USERS at fixed per-user density
+  // (sessionize/self-join keys scale with per-user density, which
+  // production growth holds roughly constant), lineitem/orders grow
+  // with their FK cardinalities scaled together so join fan-ins stay
+  // fixed. All rows derive from (seed, id) — deterministic,
+  // embarrassingly parallel, no driver-side data.
+  // ------------------------------------------------------------------
+
+  def writeEvents(spark: SparkSession, out: String, n: Long,
+      nUsers: Long, seed: Long = 42L): Unit = {
+    import spark.implicits._
+    val types = Array("click", "error", "purchase", "signup", "view")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val spanMs = 30L * 24 * 3600 * 1000
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val r = rngFor(seed + 97L, id)
+        // ts increases with event_id (the driver table is time-ordered);
+        // the jitter keeps inter-event gaps irregular for session keys
+        val ts = new java.sql.Timestamp(
+          t0 + (spanMs.toDouble * id / n).toLong + r.nextInt(30000))
+        // exponential value (driver table: mean ≈ 50, max ≈ 560)
+        val v = math.min(600.0,
+          math.rint(-math.log(1.0 - r.nextDouble()) * 50.0 * 100) / 100)
+        (id, ts, r.nextLong(nUsers), types(r.nextInt(types.length)), v,
+          s"""{"k": ${r.nextInt(100)}}""")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  def writeLineitem(spark: SparkSession, out: String, n: Long,
+      nOrders: Long, nParts: Long, nSupp: Long, seed: Long = 42L): Unit = {
+    import spark.implicits._
+    val flags = Array("A", "N", "R")
+    val stats = Array("F", "O")
+    val t0 = java.sql.Timestamp.valueOf("1995-01-02 00:00:00").getTime
+    val dayMs = 24L * 3600 * 1000
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val r = rngFor(seed + 131L, id)
+        (id / 4, r.nextLong(nParts), r.nextLong(nSupp),
+          (id % 4 + 1).toInt, (1 + r.nextInt(50)).toDouble,
+          math.rint((900.0 + r.nextDouble() * 104100.0) * 100) / 100,
+          r.nextInt(11) / 100.0, r.nextInt(9) / 100.0,
+          flags(r.nextInt(3)), stats(r.nextInt(2)),
+          new java.sql.Timestamp(t0 + r.nextLong(2500) * dayMs))
+      }
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  def writeOrders(spark: SparkSession, out: String, n: Long,
+      nCust: Long, seed: Long = 42L): Unit = {
+    import spark.implicits._
+    val stats = Array("O", "P", "F")
+    val prios = Array("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW")
+    val t0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00").getTime
+    val dayMs = 24L * 3600 * 1000
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val r = rngFor(seed + 137L, id)
+        (id, r.nextLong(nCust), stats(r.nextInt(3)),
+          math.rint((1000.0 + r.nextDouble() * 499000.0) * 100) / 100,
+          new java.sql.Timestamp(t0 + r.nextLong(2400) * dayMs),
+          prios(r.nextInt(5)))
+      }
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  def writeCustomer(spark: SparkSession, out: String, n: Long,
+      seed: Long = 42L): Unit = {
+    import spark.implicits._
+    val segs = Array("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY")
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val r = rngFor(seed + 139L, id)
+        (id, f"Customer#$id%09d", r.nextInt(25),
+          math.rint((-1000.0 + r.nextDouble() * 11000.0) * 100) / 100,
+          segs(r.nextInt(5)))
+      }
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  def writePart(spark: SparkSession, out: String, n: Long,
+      seed: Long = 42L): Unit = {
+    import spark.implicits._
+    val adjs = Array("large", "hot", "blue", "green", "small",
+      "red", "dark", "pale", "light", "round")
+    val nouns = Array("ring", "bolt", "gear", "cap", "tube",
+      "pin", "disk", "rod", "clip", "plate")
+    val types = Array("LARGE", "MEDIUM", "ECONOMY", "PROMO", "SMALL")
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val r = rngFor(seed + 149L, id)
+        (id, s"${adjs(r.nextInt(10))} ${nouns(r.nextInt(10))}",
+          s"Brand#${1 + r.nextInt(25)}", types(r.nextInt(5)),
+          1 + r.nextInt(50),
+          math.rint((900.0 + r.nextDouble() * 99.9) * 100) / 100)
+      }
+    }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  def writeSupplier(spark: SparkSession, out: String, n: Long,
+      seed: Long = 42L): Unit = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val r = rngFor(seed + 151L, id)
+        (id, f"Supplier#$id%09d", r.nextInt(25),
+          math.rint(r.nextDouble() * 999900) / 100)
+      }
+    }.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  /** Generate the full decade-extension corpus dir and return its
+    * path. IDEMPOTENT PER TABLE (r15): a table whose parquet already
+    * exists is kept — so a pre-r15 dir reused via SPARK_GRAFT_SF1_DIR
+    * gains the new events/TPC-H tables without regenerating its
+    * documents/embeddings. region/nation are copied from the base dir
+    * verbatim (5/25 fixed rows — they don't scale). */
   def generate(spark: SparkSession, baseSfDir: String, outDir: String,
       docMult: Int = 10, embMult: Int = 10): String = {
-    val vocab = graft.model.Tables.documents(spark, baseSfDir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .distinct().orderBy("w").as[String](org.apache.spark.sql.Encoders.STRING)
-      .collect()
-    val nDocs = graft.model.Tables.documents(spark, baseSfDir).count() * docMult
-    val nEmb = graft.model.Tables.embeddings(spark, baseSfDir).count() * embMult
-    writeDocuments(spark, s"$outDir/documents.parquet", nDocs, vocab)
-    writeEmbeddings(spark, s"$outDir/embeddings.parquet", nEmb)
+    def need(name: String): Boolean =
+      !new java.io.File(s"$outDir/$name.parquet").exists()
+    if (need("documents")) {
+      val vocab = graft.model.Tables.documents(spark, baseSfDir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .distinct().orderBy("w").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect()
+      val nDocs = graft.model.Tables.documents(spark, baseSfDir).count() * docMult
+      writeDocuments(spark, s"$outDir/documents.parquet", nDocs, vocab)
+    }
+    if (need("embeddings")) {
+      val nEmb = graft.model.Tables.embeddings(spark, baseSfDir).count() * embMult
+      writeEmbeddings(spark, s"$outDir/embeddings.parquet", nEmb)
+    }
+    val m = docMult.toLong
+    if (need("events")) writeEvents(spark, s"$outDir/events.parquet",
+      100000L * m, 1500L * m)
+    if (need("lineitem")) writeLineitem(spark, s"$outDir/lineitem.parquet",
+      600000L * m, 150000L * m, 20000L * m, 1000L * m)
+    if (need("orders")) writeOrders(spark, s"$outDir/orders.parquet",
+      150000L * m, 15000L * m)
+    if (need("customer")) writeCustomer(spark,
+      s"$outDir/customer.parquet", 15000L * m)
+    if (need("part")) writePart(spark, s"$outDir/part.parquet", 20000L * m)
+    if (need("supplier")) writeSupplier(spark,
+      s"$outDir/supplier.parquet", 1000L * m)
+    for (t <- Seq("region", "nation") if need(t))
+      spark.read.parquet(s"$baseSfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     outDir
   }
 }

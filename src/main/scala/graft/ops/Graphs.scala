@@ -483,7 +483,11 @@ object Graphs {
     // 0/10/20/30/40), 6 rounds = the seed set's structural diameter;
     // exact integer hops.
     "graph_bfs_depth" -> ((s, d) => bfsHops(Tables.documents(s, d))),
-    // neighborhood-Jaccard missing-link top-20.
+    // neighborhood-Jaccard missing-link top-20. SMALL-GRAPH TRUTH
+    // ONLY: exact wedge generation is Σ deg² — measured 33.8× across
+    // the sf0.1→sf1 decade on hub graphs (SCALE_r14 §6). At 100 TB
+    // use `graph_link_prediction_capped` below (hub stop-list,
+    // 2.18× at the same decade, exact ≡ capped under the cap).
     "graph_link_prediction" -> ((s, d) =>
       linkPrediction(Tables.documents(s, d))),
     // the 100 TB form: wedges only through degree ≤ 64 centers — the

@@ -437,9 +437,19 @@ object Similarity {
       val root = new org.apache.hadoop.fs.Path(dir)
       val sfs = root.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
+      // the pointer files sweep FIRST (ADVICE r14 #2): deleting them
+      // only after the codes write left a window — crash after this
+      // sweep, before the end-of-function delete — where a stale
+      // pointer named a generation dir the sweep just removed, and
+      // readers resolved a nonexistent path. With the pointer gone
+      // up front, every crash point resolves generation 0: either the
+      // old `codes` dir (intact until the final overwrite) or the
+      // fresh one.
       if (sfs.exists(root)) sfs.listStatus(root).map(_.getPath).filter { p =>
         val n = p.getName
         n == "tombstones" || n == "residual_books" ||
+          n == GenPointer || n == s"$GenPointer.old" ||
+          n == s"$GenPointer.new" ||
           n.startsWith("codes-v") || n.startsWith("tombstones-v") ||
           n.startsWith("centroids-v") || n.startsWith("books-v")
       }.foreach(sfs.delete(_, true))
@@ -478,13 +488,10 @@ object Similarity {
     }
     codedFrame(emb, centroids, books, m)
       .write.mode("overwrite").parquet(s"$dir/codes")
-    // a REUSED artifact dir must restart at generation 0: stale
-    // pointer files from a previous index would re-route every reader
-    // to a generation this write never touched
-    val gp = new org.apache.hadoop.fs.Path(s"$dir/codes")
-    val gfs = gp.getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
-    Seq(GenPointer, s"$GenPointer.old", s"$GenPointer.new").foreach(n =>
-      gfs.delete(new org.apache.hadoop.fs.Path(s"$dir/$n"), false))
+    // stale pointer files were swept UP FRONT with the generation dirs
+    // (ADVICE r14 #2) — a reused artifact dir restarts at generation 0
+    // from the first moment of the rewrite, so no crash point can
+    // leave a pointer naming a swept generation.
   }
 
   // ------------------------------------------------------------------
@@ -519,15 +526,25 @@ object Similarity {
 
   /** Resolve the current generation's codes dir NAME. Pointer absent →
     * generation 0 (`codes`). [[writeGenPointer]] swaps with a single
-    * overwriting rename, so the pointer path is continuously
-    * resolvable on a live index; the one residual race (an HDFS-style
-    * overwrite rename is internally delete+link, so exists→open can
-    * straddle it) is retried once. A `codes_gen.old` park state left
-    * by a PRE-r14 mid-swap crash still self-heals here by READING the
-    * parked file (never renaming — a reader-side rename raced the
-    * writer's own, ADVICE r13 #2): crash-before-swap always resolves
-    * to the OLD generation, which [[compactIvfPqIndexCodes]] left
-    * intact, and the next swap sweeps the parked file. */
+    * overwriting rename — but an overwrite rename is NOT atomic on
+    * every FS (AbstractFileSystem's default renameInternal deletes dst
+    * then renames, so the local FS has a real delete→link window;
+    * ADVICE r14 #1), so "pointer absent" is ambiguous: it either never
+    * existed (plain generation 0, or a crash before the FIRST swap) or
+    * transiently vanished mid-overwrite. The two are split by the
+    * codes-v* generation dirs: an overwrite window only opens during a
+    * swap, and a swap means a v-generation exists — so with NO
+    * codes-v* dirs, gen 0 is the only possible answer and resolution
+    * is immediate. WITH v-dirs present the read retries with backoff
+    * (25→200 ms, ~1.3 s total — the window is two metadata ops) and,
+    * if the pointer never resolves, falls back to gen 0 only when the
+    * gen-0 dir actually holds data (the crash-before-first-swap state,
+    * where the pointer was never written and `codes` is intact);
+    * otherwise it THROWS rather than silently resolving a stale or
+    * GC'd generation. A `codes_gen.old` park state left by a PRE-r14
+    * mid-swap crash still self-heals by READING the parked file (never
+    * renaming — a reader-side rename raced the writer's own, ADVICE
+    * r13 #2). */
   private[graft] def currentGenName(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): String = {
     import org.apache.hadoop.fs.Path
@@ -537,13 +554,32 @@ object Similarity {
       val in = fs.open(p)
       try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
     }
-    def tryPtr(): Option[String] =
-      if (!fs.exists(ptr)) None
-      else try Some(readPtr(ptr)) catch {
+    def tryOnce(p: Path): Option[String] =
+      if (!fs.exists(p)) None
+      else try Some(readPtr(p)) catch {
         case _: java.io.FileNotFoundException => None // mid-overwrite
       }
-    tryPtr().orElse(tryPtr()) // one retry across a mid-swap instant
-      .getOrElse(if (fs.exists(old)) readPtr(old) else "codes")
+    def resolve(): Option[String] = tryOnce(ptr).orElse(tryOnce(old))
+    def anyVGen(): Boolean = {
+      val root = new Path(dir)
+      fs.exists(root) && fs.listStatus(root).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("codes-v"))
+    }
+    var got = resolve()
+    var attempt = 0
+    while (got.isEmpty && attempt < 6) {
+      if (!anyVGen()) return "codes" // no swap ever happened here
+      Thread.sleep(25L << math.min(attempt, 3))
+      attempt += 1
+      got = resolve()
+    }
+    got.getOrElse {
+      if (hasDataFiles(fs, new Path(s"$dir/codes"))) "codes"
+      else throw new IllegalStateException(
+        s"$dir/$GenPointer unresolvable: codes-v* generations exist " +
+          "but the pointer never resolved and gen 0 holds no data — " +
+          "refusing to guess a generation")
+    }
   }
 
   /** The current generation's codes / tombstones paths — what every

@@ -276,7 +276,13 @@ object TermStats {
     * merge (a fused symbol ends with it iff its right operand did),
     * the flat symbol stream carries word boundaries IN-BAND — decode
     * can reconstruct the exact source text, spaces included, from the
-    * symbols alone ([[bpeDecodeEow]] / [[decodeRoundtripEow]]). The
+    * symbols alone ([[bpeDecodeEow]] / [[decodeRoundtripEow]]).
+    * CONVENTION: eow mode pre-tokenizes on SINGLE spaces and decode
+    * re-joins with exactly one space per boundary, so the round-trip
+    * is verbatim for single-space-delimited text (the corpus here);
+    * whitespace RUNS collapse. Text with arbitrary whitespace needs
+    * the BYTE mode, whose GPT-2 pre-tokenizer carries runs in-band
+    * ([[PreTokPattern]], r15). The
     * marker is collision-free here: TESTDATA's documents contain no
     * `<`, `/` or `>` (checked r13), matching Sennrich's assumption. */
   private[graft] val EowMarker = "</w>"
@@ -308,10 +314,15 @@ object TermStats {
   // double-space expression encoder, all four trainers, the greedy
   // scaled encoder, ids, pack, decode — runs over the remapped corpus
   // VERBATIM: byte-level BPE IS char-level BPE over this alphabet.
-  // Word boundaries ride IN-BAND as a leading space byte on every
-  // token after the first (GPT-2's Ġ = the remapped 0x20), so decode
-  // needs no marker machinery: invert the byte map and the exact
-  // source text falls out, spaces included. UNK is IMPOSSIBLE BY
+  // The corpus pre-tokenizes with the GPT-2-form regex
+  // ([[PreTokPattern]], r15): leading spaces ATTACH to the following
+  // letter/digit/punctuation run (GPT-2's Ġ = the remapped 0x20 rides
+  // inside the token) and whitespace RUNS are tokens of their own, so
+  // the pre-tokens tile the text gap-free and decode needs no marker
+  // machinery: invert the byte map, concatenate, and the exact source
+  // text falls out — every space, tab, and newline included, on
+  // ARBITRARY input (the r14 form split on single spaces and
+  // round-tripped only single-spaced text). UNK is IMPOSSIBLE BY
   // CONSTRUCTION: the vocabulary is the closed set {256 base
   // byte-chars} ∪ {each merge's fused symbol} ([[bpeVocabByte]]), and
   // the encoder can only ever emit members of that set — any byte of
@@ -326,6 +337,40 @@ object TermStats {
 
   /** GPT-2's Ġ: the remapped space byte — the in-band word boundary. */
   private[graft] val ByteSpace: String = (256 + 0x20).toChar.toString
+
+  /** GPT-2-form PRE-TOKENIZER pattern (VERDICT r14 "Next round" #2):
+    * a letter run, digit run, or punctuation run — each with one
+    * optional ATTACHED leading space (GPT-2's ` ?` device) — or a
+    * whitespace RUN kept as its own token. Simplified from GPT-2's
+    * published pattern in two RE2-compatible ways: no contraction
+    * alternatives (`'s|'t|…` — English-specific vocabulary shaping,
+    * not correctness) and no `\s+(?!\S)` lookahead (RE2 has no
+    * lookahead; the only effect is which side of a multi-space run
+    * the last space attaches to — deterministic and identical in both
+    * engines either way). The alternatives tile EVERY character class,
+    * so matches are gap-free and concat(pre-tokens) == text — the
+    * property that closes the byte decode circle on ARBITRARY text:
+    * multi-space runs, tabs, newlines, punctuation. Whitespace is the
+    * EXPLICIT class [ \t\n\r\f] in both engines: Java's \s includes
+    * \x0B where RE2's does not, so the class is pinned rather than
+    * inherited from either engine's shorthand. */
+  private[graft] val PreTokPattern: String =
+    " ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+|[ \\t\\n\\r\\f]+"
+
+  /** Executor-side compiled twin of [[PreTokPattern]] for the
+    * streaming encoder — same pattern string, Java engine; the
+    * Spark-expression and local forms are spec'd bit-identical. */
+  private[graft] lazy val PreTokRegex: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(PreTokPattern)
+
+  /** Pre-tokenize locally (streaming twin of the expression split):
+    * every match in order; gap-free by the pattern's construction. */
+  private[graft] def preTokensLocal(text: String): Array[String] = {
+    val m = PreTokRegex.matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (m.find()) out += m.group()
+    out.toArray
+  }
 
   /** word → its byte-char string (chars U+0100+b over the word's UTF-8
     * bytes), as a pure codegen'd expression chain: hex the bytes, then
@@ -366,27 +411,33 @@ object TermStats {
       .map(b => (256 + (b & 0xff)).toChar).mkString
 
   /** The byte-mode positioned token stream: (doc_id, pos, word) with
-    * `word` in byte-char space, every token after the first carrying
-    * the [[ByteSpace]] prefix. The remap runs over DISTINCT words
-    * (vocab-sized) and joins back to the corpus-sized stream; the
-    * prefix concatenates AFTER the remap — legal because UTF-8 of a
-    * space is the single byte 0x20, so remap(" w") = Ġ + remap(w). */
+    * `word` a [[PreTokPattern]] PRE-TOKEN remapped to byte-char space.
+    * The leading space of a ` ?\p{L}+`-class pre-token rides inside
+    * the token itself (UTF-8 of a space is the single byte 0x20, so
+    * remap(" w") = Ġ + remap(w) — GPT-2's convention exactly), and
+    * whitespace RUNS survive as their own tokens — no out-of-band
+    * boundary machinery, so concat(pre-tokens) == text and decode is
+    * the true inverse on arbitrary input (r15; the r14 form split on
+    * single spaces and round-tripped only single-spaced text). The
+    * remap runs over DISTINCT pre-tokens (vocab-sized) and joins back
+    * to the corpus-sized stream. */
   private def byteToks(docs: DataFrame): DataFrame = {
-    val toks = tokensPos(docs)
+    val toks = docs.select(col("doc_id"),
+      posexplode(regexp_extract_all(col("text"), lit(PreTokPattern),
+        lit(0))).as(Seq("pos", "word")))
     val encw = toks.select(col("word")).distinct()
       .select(col("word"), toByteChars(col("word")).as("bw0"))
     toks.join(encw, "word")
-      .select(col("doc_id"), col("pos"),
-        when(col("pos") > 0, concat(lit(ByteSpace), col("bw0")))
-          .otherwise(col("bw0")).as("word"))
+      .select(col("doc_id"), col("pos"), col("bw0").as("word"))
   }
 
   /** The byte-mode CORPUS: documents with text re-spelled as
-    * space-joined byte-char tokens. All chars of every token are
+    * space-joined byte-char pre-tokens. All chars of every token are
     * ≥ U+0100, so the single real space is an unambiguous separator —
     * the char-level trainers and appliers consume this frame with ZERO
     * changes, which is what makes trainer-family bit-identity in byte
-    * mode inherit from the base family's. */
+    * mode inherit from the base family's. Merges can never cross a
+    * pre-token boundary, matching GPT-2's training regime. */
   private[graft] def byteDocs(docs: DataFrame): DataFrame =
     byteToks(docs)
       .groupBy(col("doc_id"))
@@ -1272,6 +1323,21 @@ object TermStats {
     * property (ADVICE r10 #4). */
   private[graft] val unkSuffix = " n\u00f8vel"
 
+  /** The BYTE-mode enrichment suffix (r15): the \u00f8 the char circle can
+    * only UNK on, PLUS the whitespace-run / punctuation content the
+    * r14 single-space convention could not carry \u2014 a double space, a
+    * tab, commas fused to letters, a newline, trailing punctuation.
+    * The byte decode gates close on `text || byteSuffix` VERBATIM, so
+    * every one of those characters must survive the full encode \u2192
+    * pack \u2192 unpack \u2192 decode \u2192 byte-map-inversion circle. Escape-pinned
+    * (\u00f8, \t, \n) like [[unkSuffix]]. */
+  private[graft] val byteSuffix = " n\u00f8vel  a\tb,c\nx!"
+
+  /** [[byteSuffix]] as a DuckDB expression \u2014 control chars via chr()
+    * so the oracle string never depends on literal-escape handling. */
+  private[graft] val byteSuffixSql: String =
+    "' n\u00f8vel  a' || chr(9) || 'b,c' || chr(10) || 'x!'"
+
   /** INFERENCE-TIME id mapping with an UNK contract (r10): encode a
     * NEW batch (the doc_id%7==0 split, enriched with [[unkSuffix]] so
     * out-of-vocabulary symbols actually occur) using the SHIPPED
@@ -1495,7 +1561,9 @@ object TermStats {
     * production detokenizer does with model output. Registered on the
     * unenriched held split, where every symbol is in-vocab and
     * decode ∘ encode is the EXACT source text, spaces included — the
-    * oracle is `documents.text` verbatim. Same vocab-sized plan as
+    * oracle is `documents.text` verbatim. (Single-space convention:
+    * see [[EowMarker]] — whitespace runs collapse in eow mode; byte
+    * mode is the arbitrary-whitespace form.) Same vocab-sized plan as
     * [[bpeDecode]]; OOV ids surface as U+FFFD (and lose their marker —
     * the documented degradation the guard above absorbs). */
   def bpeDecodeEow(docs: DataFrame, merges: Seq[(String, String)],
@@ -1704,7 +1772,7 @@ object TermStats {
     * bytes), and inverts the byte map: the EXACT source text, enriched
     * suffix included, with n_unk = 0 BY CONSTRUCTION. */
   def bpeDecodeByte(docs: DataFrame, merges: Seq[(String, String)],
-      symVocab: DataFrame, suffix: String = unkSuffix): DataFrame = {
+      symVocab: DataFrame, suffix: String = byteSuffix): DataFrame = {
     val heldToks = byteToks(heldBatch(docs, suffix))
     val wordIds = unkWordArrays(heldToks, merges, symVocab)
     val decv = wordIds
@@ -1745,7 +1813,7 @@ object TermStats {
     * [[graft.streaming.Streams.inferenceStream]] twin matches it
     * row-for-row (StreamsSpec). */
   def inferencePrepByte(docs: DataFrame, merges: Seq[(String, String)],
-      symVocab: DataFrame, suffix: String = unkSuffix,
+      symVocab: DataFrame, suffix: String = byteSuffix,
       window: Int = 64, buckets: Int = 8): DataFrame = {
     val heldToks = byteToks(heldBatch(docs, suffix))
     val perDoc = heldToks
@@ -1761,7 +1829,7 @@ object TermStats {
   }
 
   def decodeRoundtripByte(docs: DataFrame, merges: Seq[(String, String)],
-      symVocab: DataFrame, suffix: String = unkSuffix): DataFrame = {
+      symVocab: DataFrame, suffix: String = byteSuffix): DataFrame = {
     val unpacked = Sampling.unpackSequences(
       inferencePrepByte(docs, merges, symVocab, suffix),
       unkFaithful = true)
@@ -1811,6 +1879,131 @@ object TermStats {
         trainedByteMerges(sp, dir, 10), out)
       SessionCleanup.onEnd(sp) {
         byteTokenizerDirMemo.remove((sp, dir))
+        SessionCleanup.deleteRecursively(out)
+      }
+      out
+    })
+
+  // ------------------------------------------------------------------
+  // TOKENIZER INTERCHANGE (VERDICT r14 "Next round" #5): the trained
+  // byte tokenizer in the GPT-2/tiktoken FILE PAIR production loaders
+  // actually consume — `merges.txt` ("#version: 0.2" header + one
+  // space-separated pair per line in rank order; the public gpt-2
+  // vocab.bpe layout) and `encoder.json` (one flat JSON object,
+  // symbol → id; gpt-2's encoder.json layout) — the last step of
+  // "train once, encode for months": the artifact leaves the engine.
+  // Byte mode is the one mode where the line format is UNAMBIGUOUS by
+  // construction: every symbol is a string of byte-chars ≥ U+0100, so
+  // a symbol can never contain the pair-separator space, a newline,
+  // or a JSON-special char — the same reason GPT-2's own
+  // bytes_to_unicode remap makes its files parse trivially. All
+  // symbol chars are written as \uXXXX escapes in the JSON, so the
+  // artifact survives any transport encoding.
+  // ------------------------------------------------------------------
+
+  private def jsonEsc(s: String): String =
+    s.flatMap { c =>
+      if (c == '"' || c == '\\') "\\" + c
+      else if (c < 0x20 || c > 0x7e) f"\\u${c.toInt}%04x"
+      else c.toString
+    }
+
+  /** Write the GPT-2-form interchange pair from trained merges + a
+    * (sym, id) vocabulary. Driver-side file writes through the Hadoop
+    * FS API; both halves are model-sized (the standing driver-artifact
+    * license — at 100 TB the merges and the closed vocabulary are
+    * still KBs). */
+  def writeTokenizerInterchange(spark: SparkSession,
+      merges: Seq[(String, String)], vocab: DataFrame,
+      dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(name: String, content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/$name"), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    put("merges.txt",
+      ("#version: 0.2" +: merges.map { case (a, b) => s"$a $b" })
+        .mkString("\n") + "\n")
+    val entries = vocab.select(col("sym"), col("id").cast("long"))
+      .orderBy("id").collect()
+    put("encoder.json", entries.map { r =>
+      "\"" + jsonEsc(r.getString(0)) + "\": " + r.getLong(1)
+    }.mkString("{", ", ", "}") + "\n")
+  }
+
+  private def readInterchangeFile(spark: SparkSession, dir: String,
+      name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** Parse `merges.txt` back to the rank-ordered pair list: skip
+    * `#`-comment lines, split each line on its single separator space
+    * (byte-mode symbols cannot contain one). */
+  def loadInterchangeMerges(spark: SparkSession,
+      dir: String): Seq[(String, String)] =
+    readInterchangeFile(spark, dir, "merges.txt").linesIterator
+      .filterNot(l => l.startsWith("#") || l.isEmpty)
+      .map { l =>
+        val i = l.indexOf(' ')
+        require(i > 0 && l.indexOf(' ', i + 1) < 0,
+          s"merges.txt line is not one space-separated pair: $l")
+        (l.substring(0, i), l.substring(i + 1))
+      }.toSeq
+
+  /** Tiny scanner for the flat `{"sym": id, …}` shape [[
+    * writeTokenizerInterchange]] emits (\uXXXX / \\ / \" escapes) —
+    * no JSON library in the runtime classpath, and the restricted
+    * shape needs none. Returns the (sym, id) vocabulary frame the
+    * decode keys consume. */
+  def loadInterchangeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val s = readInterchangeFile(spark, dir, "encoder.json")
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (s.charAt(i) != '"') {
+          if (s.charAt(i) == '\\') s.charAt(i + 1) match {
+            case 'u' =>
+              sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case c => sb += c; i += 2
+          } else { sb += s.charAt(i); i += 1 }
+        }
+        i += 1 // closing quote
+        while (i < s.length && !s.charAt(i).isDigit && s.charAt(i) != '-')
+          i += 1
+        val j0 = i
+        while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '-'))
+          i += 1
+        out += ((sb.toString, s.substring(j0, i).toLong))
+      } else i += 1
+    }
+    import spark.implicits._
+    out.toSeq.toDF("sym", "id")
+  }
+
+  /** The interchange artifact written once per (session, sf dir) —
+    * one format hop further than tokenize_bpe_persist: trained merges
+    * + closed byte vocab → parquet artifact → GPT-2 file pair. The
+    * gated keys then LOAD the file pair and must answer identically
+    * to the parquet-loaded keys' oracles. */
+  private val interchangeDirMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  private def interchangeTokenizerDir(s: SparkSession, d: String): String =
+    interchangeDirMemo.computeIfAbsent((s, d), { case (sp, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-tokenizer-interchange").toString
+      val pq = persistedByteTokenizerDir(sp, dir)
+      writeTokenizerInterchange(sp, loadTokenizerMerges(sp, pq),
+        sp.read.parquet(s"$pq/vocab").select(col("sym"), col("id")), out)
+      SessionCleanup.onEnd(sp) {
+        interchangeDirMemo.remove((sp, dir))
         SessionCleanup.deleteRecursively(out)
       }
       out
@@ -1882,26 +2075,27 @@ object TermStats {
        |          substring(hex($w), CAST(2*i AS INT), 1)) - 1) AS INT))),
        |  'string_agg', '')""".stripMargin
 
-  /** The byte-mode corpus as CTEs (replays [[byteDocs]]): positioned
-    * tokens → distinct-word remap → per-doc re-joined byte-char text,
-    * Ġ (chr(288)) prefixed to every token after the first. Downstream
-    * training/apply CTEs read `FROM bdocs` and are otherwise the
-    * char-mode bodies verbatim — the same reuse the engine gets. */
+  /** The byte-mode corpus as CTEs (replays [[byteDocs]]): GPT-2-form
+    * regex PRE-TOKENS (r15 — [[PreTokPattern]] verbatim; DuckDB's RE2
+    * and Spark's Java engine agree on it by construction: explicit
+    * whitespace class, no lookahead) → distinct-pre-token remap →
+    * per-doc re-joined byte-char text. Leading spaces ride inside the
+    * pre-tokens (Ġ in-band), whitespace runs are tokens of their own.
+    * Downstream training/apply CTEs read `FROM bdocs` and are
+    * otherwise the char-mode bodies verbatim — the same reuse the
+    * engine gets. */
   private def byteDocsCtes: String =
     s"""btoksall AS (
-       |  SELECT doc_id, pos, word FROM (
-       |    SELECT doc_id, words[i] AS word, i AS pos FROM (
-       |      SELECT doc_id, string_split(text, ' ') AS words,
-       |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
-       |      FROM documents))
-       |  WHERE length(word) > 0),
+       |  SELECT doc_id, ws[i] AS word, i AS pos FROM (
+       |    SELECT doc_id, regexp_extract_all(text, '$PreTokPattern') AS ws,
+       |           unnest(range(1,
+       |             len(regexp_extract_all(text, '$PreTokPattern')) + 1)) AS i
+       |    FROM documents)),
        |bencw AS (
        |  SELECT word, ${byteRemapSql("word")} AS bw0
        |  FROM (SELECT DISTINCT word FROM btoksall)),
        |bdocs AS (
-       |  SELECT doc_id,
-       |         string_agg(CASE WHEN pos > 1 THEN chr(288) || bw0
-       |                         ELSE bw0 END, ' ' ORDER BY pos) AS text
+       |  SELECT doc_id, string_agg(bw0, ' ' ORDER BY pos) AS text
        |  FROM btoksall JOIN bencw USING (word)
        |  GROUP BY doc_id)""".stripMargin
 
@@ -2322,7 +2516,9 @@ object TermStats {
     // DECODE with IN-BAND boundaries: the flat symbol stream alone
     // carries the word boundaries (the markers), so decode ∘ encode
     // reproduces the EXACT source text — the oracle is documents.text
-    // VERBATIM, spaces included (the base decode key's oracle is the
+    // VERBATIM, spaces included under the eow single-space convention
+    // (see EowMarker: runs collapse; byte mode handles arbitrary
+    // whitespace) (the base decode key's oracle is the
     // same text but its word re-join uses out-of-band positions; this
     // key's does not).
     "tokenize_bpe_decode_eow" -> ((s, d) => {
@@ -2405,6 +2601,21 @@ object TermStats {
       val dir = persistedByteTokenizerDir(s, d)
       decodeRoundtripByte(Tables.documents(s, d),
         loadTokenizerMerges(s, dir), loadTokenizerVocab(s, dir))
+    }),
+    // GPT-2 FILE-PAIR INTERCHANGE (r15, VERDICT r14 "Next round" #5):
+    // encode with merges LOADED from the exported merges.txt — the
+    // external-format artifact must not change one byte of the
+    // encoding (oracle = apply_byte verbatim).
+    "tokenize_bpe_interchange_apply" -> ((s, d) =>
+      bpeApplyPairs(byteDocs(Tables.documents(s, d)),
+        loadInterchangeMerges(s, interchangeTokenizerDir(s, d)))),
+    // the byte decode circle through the EXTERNAL format alone:
+    // merges.txt + encoder.json reconstruct text || suffix verbatim —
+    // proof the exported artifact is the complete tokenizer.
+    "tokenize_bpe_interchange_decode" -> ((s, d) => {
+      val dir = interchangeTokenizerDir(s, d)
+      bpeDecodeByte(Tables.documents(s, d),
+        loadInterchangeMerges(s, dir), loadInterchangeVocab(s, dir))
     }),
     // dense ids over the ITERATIVELY merged symbol vocabulary — the
     // tensor path string-projected, completing the iter family.
@@ -2678,6 +2889,20 @@ object TermStats {
     // oracle = apply_byte verbatim.
     "tokenize_bpe_apply_scaled_byte" -> applyOracleSqlFor(eow = false,
       byteMode = true),
+    // the interchange-loaded (merges.txt) encoder must not change the
+    // encoding either: oracle = apply_byte verbatim — the same
+    // identity contract tokenize_bpe_persist pins for the parquet
+    // artifact, one format hop further out.
+    "tokenize_bpe_interchange_apply" -> applyOracleSqlFor(eow = false,
+      byteMode = true),
+    // decode through merges.txt + encoder.json alone: identity on the
+    // enriched held split, zero UNKs — the exported file pair IS the
+    // tokenizer.
+    "tokenize_bpe_interchange_decode" ->
+      s"""SELECT doc_id, CAST(0 AS BIGINT) AS n_unk,
+         |       text || $byteSuffixSql AS text
+         |FROM documents WHERE doc_id % 7 = 0
+         |ORDER BY doc_id""".stripMargin,
     // byte-mode dense ids: the ids_iter body over the byte corpus —
     // same observed-symbol alphabetic vocabulary rule as every ids key.
     "tokenize_bpe_ids_byte" -> idsOracleBody(
@@ -2718,20 +2943,23 @@ object TermStats {
          |FROM sv LEFT JOIN sfreq USING (sym)
          |ORDER BY id""".stripMargin,
     // byte decode is the identity on the ENRICHED held split — the
-    // suffix's ø (which char-level mode can only mask as U+FFFD)
-    // included, zero UNKs by construction.
+    // suffix's ø (which char-level mode can only mask as U+FFFD),
+    // double space, tab, fused punctuation, and newline (r15: content
+    // the single-space r14 convention could not carry) all included,
+    // zero UNKs by construction.
     "tokenize_bpe_decode_byte" ->
       s"""SELECT doc_id, CAST(0 AS BIGINT) AS n_unk,
-         |       text || '$unkSuffix' AS text
+         |       text || $byteSuffixSql AS text
          |FROM documents WHERE doc_id % 7 = 0
          |ORDER BY doc_id""".stripMargin,
-    // the byte full circle closes on the EXACT enriched text: the
+    // the byte full circle closes on the EXACT enriched text — every
+    // whitespace run and punctuation mark of the suffix included: the
     // engine must reproduce documents.text || suffix through encode →
     // pack → unpack → decode → byte-map inversion.
     "pipeline_decode_roundtrip_byte" ->
       s"""SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
          |         AS doc_n,
-         |       CAST(0 AS BIGINT) AS n_unk, text || '$unkSuffix' AS text
+         |       CAST(0 AS BIGINT) AS n_unk, text || $byteSuffixSql AS text
          |FROM documents WHERE doc_id % 7 = 0
          |ORDER BY doc_n""".stripMargin,
     // the UNK gate replays the full inference path: vocabulary =

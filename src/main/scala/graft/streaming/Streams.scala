@@ -507,21 +507,21 @@ object Streams {
       .toDF("doc_id", "n_tokens", "n_symbols", "syms")
   }
 
-  /** The stream encoders' word stream: a space split, in BYTE-LEVEL
-    * mode remapped to byte-chars with the Ġ leading-space byte on
-    * every token after the first — exactly the batch `byteDocs`
-    * convention, so the stream twins equal the batch keys
-    * row-for-row. The memo upstream keys on the REMAPPED word:
-    * prefixed and unprefixed occurrences encode differently and are
-    * distinct entries, as in the batch distinct-vocabulary encode. */
+  /** The stream encoders' word stream. Char/eow modes: a space split
+    * (their documented corpus convention). BYTE-LEVEL mode (r15):
+    * GPT-2-form regex PRE-TOKENS ([[graft.ops.TermStats.PreTokPattern]]
+    * via the compiled local twin) remapped to byte-chars — leading
+    * spaces ride inside the pre-tokens and whitespace runs are tokens
+    * of their own, exactly the batch `byteDocs` convention, so the
+    * stream twins equal the batch keys row-for-row on ARBITRARY text.
+    * The memo upstream keys on the REMAPPED pre-token: space-prefixed
+    * and bare occurrences encode differently and are distinct entries,
+    * as in the batch distinct-vocabulary encode. */
   private def streamWords(text: String,
       byteLevel: Boolean): Array[String] = {
-    val raw = text.split(" ").filter(_.nonEmpty)
-    if (!byteLevel) raw
-    else raw.zipWithIndex.map { case (w, i) =>
-      (if (i > 0) graft.ops.TermStats.ByteSpace else "") +
-        graft.ops.TermStats.toByteCharsLocal(w)
-    }
+    if (!byteLevel) text.split(" ").filter(_.nonEmpty)
+    else graft.ops.TermStats.preTokensLocal(text)
+      .map(graft.ops.TermStats.toByteCharsLocal)
   }
 
   /** Carry state of the STREAMING packer: the next sequence id to

@@ -470,9 +470,12 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(arrs).toSeq
     val vocab = vocabDf.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // r15: byte gates enrich with byteSuffix (whitespace runs +
+    // punctuation) — the stream must carry the same content through
+    // its GPT-2 pre-tokenizer
     val held = docs.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"),
-        concat(col("text"), lit(graft.ops.TermStats.unkSuffix)).as("text"))
+        concat(col("text"), lit(graft.ops.TermStats.byteSuffix)).as("text"))
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     val (c1, c2) = held.splitAt(held.length / 2)
     val memU = MemoryStream[(Long, String)]

@@ -468,11 +468,15 @@ class TermStatsSpec extends AnyFunSuite {
       e.split(" ").foreach(s => assert(vset.contains(s), s"$w: $s")) }
     // decode round-trips the ENRICHED held split verbatim: the ø in
     // the suffix — guaranteed-OOV for char mode — decomposes into
-    // base byte tokens here, so n_unk == 0 and the text is EXACT
+    // base byte tokens here, so n_unk == 0 and the text is EXACT.
+    // r15: the byte suffix also carries a double space, a tab, fused
+    // punctuation, and a newline — the whitespace-run content the
+    // GPT-2 pre-tokenizer must round-trip that the r14 single-space
+    // convention could not.
     val vocabDf = vocab.select("sym", "id")
     val src = docs.filter(col("doc_id") % 7 === 0)
       .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1) + TermStats.unkSuffix))
+      .map(r => (r.getLong(0), r.getString(1) + TermStats.byteSuffix))
       .toMap
     val dec = TermStats.bpeDecodeByte(docs, pairs, vocabDf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
@@ -524,6 +528,81 @@ class TermStatsSpec extends AnyFunSuite {
       suffix = "").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(rt.toSeq == Seq((1L, 0L, wild)))
+  }
+
+  test("GPT-2 pre-tokenizer (r15): whitespace RUNS, tabs, newlines, " +
+      "and punctuation round-trip VERBATIM through the byte circle — " +
+      "the content the r14 single-space convention collapsed — and " +
+      "the local pre-tokenizer is bit-identical to the expression " +
+      "split, tiling every input gap-free") {
+    val nasty = "  leading double\tspace,runs!!  and\n\nnewlines; " +
+      "x=1+2 (параграф)…  \t trailing  "
+    val docs = Seq(
+      (0L, nasty),
+      (1L, "the quick brown fox jumps over the lazy dog the the"),
+      (2L, "pack my box with five dozen liquor jugs and the fox"))
+      .toDF("doc_id", "text")
+    // local pre-tokenizer ≡ expression pre-tokenizer, and the tiles
+    // concatenate back to the exact input (gap-free property)
+    val exprToks = docs.select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(TermStats.PreTokPattern),
+          lit(0)).as("ws"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList))
+      .toMap
+    for ((id, text) <- Seq((0L, nasty)) ++ docs.collect().map(r =>
+        (r.getLong(0), r.getString(1)))) {
+      val local = TermStats.preTokensLocal(text).toList
+      assert(local == exprToks(id), s"doc $id")
+      assert(local.mkString("") == text, s"doc $id tiles gap-free")
+    }
+    // train on the plain docs only; the nasty doc is held out and
+    // must come back exactly — every run of spaces included
+    val train = docs.filter(col("doc_id") > 0)
+    val merges = TermStats.bpeLearnIter(TermStats.byteDocs(train), 10)
+      .map { case (a, b, _) => (a, b) }
+    val vocabDf = TermStats.bpeVocabByte(train, merges).select("sym", "id")
+    val dec = TermStats.bpeDecodeByte(docs, merges, vocabDf, suffix = "")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(dec.toSeq == Seq((0L, 0L, nasty)))
+    val rt = TermStats.decodeRoundtripByte(docs, merges, vocabDf,
+      suffix = "").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rt.toSeq == Seq((1L, 0L, nasty)))
+  }
+
+  test("tokenizer interchange (r15): the GPT-2 file pair (merges.txt " +
+      "+ encoder.json) round-trips bit-identically — loaded merges " +
+      "and vocab equal the source, and the decode circle through the " +
+      "EXTERNAL format alone reconstructs the text") {
+    val docs = Seq(
+      (0L, "weird  spacing\tand ø tokens — held out"),
+      (1L, "the quick brown fox jumps over the lazy dog the the"),
+      (2L, "pack my box with five dozen liquor jugs and the fox"))
+      .toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") > 0)
+    val merges = TermStats.bpeLearnIter(TermStats.byteDocs(train), 10)
+      .map { case (a, b, _) => (a, b) }
+    val vocabDf = TermStats.bpeVocabByte(train, merges)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-interchange-spec").toString
+    try {
+      TermStats.writeTokenizerInterchange(spark, merges,
+        vocabDf.select("sym", "id"), dir)
+      // identity: parsed files == source model, ranks and ids intact
+      assert(TermStats.loadInterchangeMerges(spark, dir) == merges)
+      val v0 = vocabDf.select("sym", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+      val v1 = TermStats.loadInterchangeVocab(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+      assert(v1.toSeq == v0.toSeq)
+      // the circle through the external format alone
+      val dec = TermStats.bpeDecodeByte(docs,
+        TermStats.loadInterchangeMerges(spark, dir),
+        TermStats.loadInterchangeVocab(spark, dir), suffix = "")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(dec.toSeq ==
+        Seq((0L, 0L, "weird  spacing\tand ø tokens — held out")))
+    } finally graft.ops.SessionCleanup.deleteRecursively(dir)
   }
 
   test("inferencePrep: packed sequences carry exactly the bpeIdsUnk " +
