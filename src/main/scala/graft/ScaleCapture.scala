@@ -22,7 +22,7 @@ import org.apache.spark.sql.SparkSession
   * Default keys are the documents/embeddings-backed top of the r12
   * driver capture; since r15 [[SynthCorpus.generate]] also writes
   * events + the TPC-H tables at 10×, so the events/join/agg/win keys
-  * are capturable too (pass them as args — SCALE_r15 §3 runs the top
+  * are capturable too (pass them as args — SCALE_r15 §2 runs the top
   * of that family). Every key runs ONE untimed build pass first so
   * memoized model artifacts (merge tables, tokenizer dirs, centroids,
   * persisted indexes) bill to build, exactly like Bench.
@@ -89,14 +89,17 @@ object ScaleCapture {
       // table. Anything else (OOM, NPE, wrong-schema) is a genuine
       // key regression at sf1 and must abort the capture loudly, not
       // be recorded as a benign skip in the scale evidence.
+      def pathMsg(e: Throwable): Boolean =
+        String.valueOf(e.getMessage).contains("PATH_NOT_FOUND") ||
+          String.valueOf(e.getMessage).contains("Path does not exist")
       def isMissingInput(e: Throwable): Boolean = e match {
-        case _: org.apache.spark.sql.AnalysisException => true
+        // AnalysisException alone is NOT enough — a wrong-column bug
+        // is one too; require the path-not-found shape specifically
+        case a: org.apache.spark.sql.AnalysisException => pathMsg(a)
         case _: java.io.FileNotFoundException => true
         case _ if e.getCause != null && (e.getCause ne e) =>
           isMissingInput(e.getCause)
-        case _ =>
-          String.valueOf(e.getMessage).contains("PATH_NOT_FOUND") ||
-            String.valueOf(e.getMessage).contains("Path does not exist")
+        case _ => pathMsg(e)
       }
       val probe = try { timeOne(fn, sfs.last); None }
         catch {

@@ -142,12 +142,17 @@ object SynthCorpus {
   // embarrassingly parallel, no driver-side data.
   // ------------------------------------------------------------------
 
+  /** `spanDays` compresses the window (default = the driver table's
+    * 30 days): a SHORTER span at the same row count raises events/sec
+    * density — the regime where bucket-pre-aggregated window forms
+    * separate from per-event ones (SCALE_r15 §3's dense-density
+    * measurement). */
   def writeEvents(spark: SparkSession, out: String, n: Long,
-      nUsers: Long, seed: Long = 42L): Unit = {
+      nUsers: Long, seed: Long = 42L, spanDays: Int = 30): Unit = {
     import spark.implicits._
     val types = Array("click", "error", "purchase", "signup", "view")
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
-    val spanMs = 30L * 24 * 3600 * 1000
+    val spanMs = spanDays.toLong * 24 * 3600 * 1000
     spark.range(n).as[Long].mapPartitions { it =>
       it.map { id =>
         val r = rngFor(seed + 97L, id)

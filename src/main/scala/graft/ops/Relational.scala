@@ -719,6 +719,97 @@ object Relational {
           round(max(col("value")).over(w), 6).as("max_1h"))
         .orderBy("event_id")
     }),
+    // the 100 TB form of the trailing range window (r15, from the
+    // SCALE_r15 §2 linear finding): pre-aggregate per (type, second)
+    // FIRST — one hash agg with map-side partials — then run the
+    // range window over the BUCKETS. count/min/max compose exactly
+    // (the window's value over any second equals the per-event key's
+    // value for events in that second), so this is the identical
+    // statistic, but the window input is bounded by seconds × types
+    // (86,400 × |types| per day) instead of the event count: at
+    // billions of events/day the sort under the window no longer
+    // scales with data at all. The per-event key above stays
+    // registered as the row-grain truth.
+    "win_range_trailing_bucketed" -> ((s, d) => {
+      val sec = expr("unix_micros(ts) div 1000000")
+      val w = Window.partitionBy(col("event_type")).orderBy(col("sec"))
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("sec", sec)
+        .groupBy(col("event_type"), col("sec"))
+        .agg(count(lit(1)).as("cnt"), min(col("value")).as("mn"),
+          max(col("value")).as("mx"))
+        .select(col("event_type"), col("sec"),
+          sum(col("cnt")).over(w).as("n_1h"),
+          round(min(col("mn")).over(w), 6).as("min_1h"),
+          round(max(col("mx")).over(w), 6).as("max_1h"))
+        .orderBy("event_type", "sec")
+    }),
+    // the LINEAR-TIME form of the same statistic (r15): Spark
+    // re-evaluates min/max over a SLIDING frame's contents per row
+    // (only growing frames update incrementally), so even the
+    // bucketed key above pays O(buckets × frame) — measured 43.7 s at
+    // 1M events/1 day, where the frame holds ~3,600 buckets. This
+    // key uses the classic two-block sliding-window decomposition
+    // instead: densify to a per-second grid (bounded by span ×
+    // types — the quantity that does NOT grow at 100 TB), take
+    // CUMULATIVE (incremental) prefix and suffix aggregates within
+    // fixed 3,601-second blocks, and compose each trailing window
+    // from exactly one suffix (looked up by a fixed-offset lag —
+    // dense grid means row offset = second offset) and one prefix.
+    // Window width = block size, so every window spans at most two
+    // blocks; when it sits inside one block (offset 0, or clipped at
+    // the grid start) the prefix alone is the answer. count/min/max
+    // all compose; all three windows here are cumulative or
+    // fixed-offset lag — zero per-row frame re-scans. Output and
+    // oracle are the bucketed key's verbatim.
+    "win_range_trailing_blocked" -> ((s, d) => {
+      val blockW = 3601L // = window width: 3600 preceding + current
+      val ev = Tables.events(s, d)
+        .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+      val b = ev.groupBy(col("event_type"), col("sec"))
+        .agg(count(lit(1)).as("cnt"), min(col("value")).as("mn"),
+          max(col("value")).as("mx"))
+      // global grid bounds: one 1-row collect (model-sized license)
+      val bounds = ev.agg(min(col("sec")).as("lo"),
+        max(col("sec")).as("hi")).collect()(0)
+      val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
+      val grid = s.range(lo0, hi0 + 1).toDF("sec")
+        .join(broadcast(ev.select(col("event_type")).distinct()))
+        .join(b, Seq("event_type", "sec"), "left")
+        .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
+        .withColumn("blk",
+          floor((col("sec") - lit(lo0)) / lit(blockW)))
+      val wPre = Window.partitionBy(col("event_type"), col("blk"))
+        .orderBy(col("sec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSuf = Window.partitionBy(col("event_type"), col("blk"))
+        .orderBy(col("sec").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val g2 = grid
+        .withColumn("pcnt", sum(col("cnt0")).over(wPre))
+        .withColumn("pmn", min(col("mn")).over(wPre))
+        .withColumn("pmx", max(col("mx")).over(wPre))
+        .withColumn("scnt", sum(col("cnt0")).over(wSuf))
+        .withColumn("smn", min(col("mn")).over(wSuf))
+        .withColumn("smx", max(col("mx")).over(wSuf))
+      val wType = Window.partitionBy(col("event_type")).orderBy(col("sec"))
+      val g3 = g2
+        .withColumn("lblk", lag(col("blk"), 3600).over(wType))
+        .withColumn("lscnt", lag(col("scnt"), 3600).over(wType))
+        .withColumn("lsmn", lag(col("smn"), 3600).over(wType))
+        .withColumn("lsmx", lag(col("smx"), 3600).over(wType))
+      val oneBlock = col("lblk").isNull || col("lblk") === col("blk")
+      g3.filter(col("cnt").isNotNull)
+        .select(col("event_type"), col("sec"),
+          when(oneBlock, col("pcnt"))
+            .otherwise(col("lscnt") + col("pcnt")).as("n_1h"),
+          round(when(oneBlock, col("pmn"))
+            .otherwise(least(col("lsmn"), col("pmn"))), 6).as("min_1h"),
+          round(when(oneBlock, col("pmx"))
+            .otherwise(greatest(col("lsmx"), col("pmx"))), 6).as("max_1h"))
+        .orderBy("event_type", "sec")
+    }),
     // first/last/nth-value per group over an EXPLICIT full frame —
     // "customer's first order value vs their latest vs their second".
     // The default frame (unbounded preceding → current row) makes
@@ -794,6 +885,39 @@ object Relational {
         |WINDOW w AS (PARTITION BY event_type ORDER BY sec
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // the bucketed form must equal the same statistic computed over
+    // per-second buckets — sum-of-counts / min-of-mins / max-of-maxes
+    // over the range window.
+    "win_range_trailing_bucketed" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 AS sec,
+        |         CAST(count(*) AS BIGINT) AS cnt,
+        |         min(value) AS mn, max(value) AS mx
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, sec,
+        |  CAST(sum(cnt) OVER w AS BIGINT) AS n_1h,
+        |  round(min(mn) OVER w, 6) AS min_1h,
+        |  round(max(mx) OVER w, 6) AS max_1h
+        |FROM b
+        |WINDOW w AS (PARTITION BY event_type ORDER BY sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, sec""".stripMargin,
+    // the blocked (linear-time) form computes the IDENTICAL statistic
+    // at the identical grain — same oracle as the bucketed key.
+    "win_range_trailing_blocked" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 AS sec,
+        |         CAST(count(*) AS BIGINT) AS cnt,
+        |         min(value) AS mn, max(value) AS mx
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, sec,
+        |  CAST(sum(cnt) OVER w AS BIGINT) AS n_1h,
+        |  round(min(mn) OVER w, 6) AS min_1h,
+        |  round(max(mx) OVER w, 6) AS max_1h
+        |FROM b
+        |WINDOW w AS (PARTITION BY event_type ORDER BY sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, sec""".stripMargin,
     "win_first_last" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_totalprice) OVER w AS first_price,

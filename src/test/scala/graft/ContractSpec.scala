@@ -74,6 +74,37 @@ class ContractSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), plan)
   }
 
+  test("win_range_trailing_bucketed (r15) is the EXACT per-event " +
+      "statistic: every event's trailing-1h count/min/max equals the " +
+      "bucketed key's value at that event's (type, second)") {
+    import org.apache.spark.sql.functions._
+    val perEvent = SparkEntry.queries("win_range_trailing")(
+      spark, TestSpark.sf0001)
+    val bucketed = SparkEntry.queries("win_range_trailing_bucketed")(
+      spark, TestSpark.sf0001)
+    val ev = graft.model.Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("sec"))
+    val joined = perEvent.join(ev, "event_id")
+      .join(bucketed.withColumnRenamed("n_1h", "bn")
+          .withColumnRenamed("min_1h", "bmin")
+          .withColumnRenamed("max_1h", "bmax"),
+        Seq("event_type", "sec"))
+    assert(joined.count() == perEvent.count(),
+      "every event must find its bucket row")
+    assert(joined.filter(col("n_1h") =!= col("bn") ||
+        col("min_1h") =!= col("bmin") ||
+        col("max_1h") =!= col("bmax")).count() == 0,
+      "bucketed values must equal the per-event window exactly")
+    // the linear-time blocked form is the identical statistic at the
+    // identical grain: row-for-row equal to the bucketed key
+    val blocked = SparkEntry.queries("win_range_trailing_blocked")(
+      spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+    val buck = bucketed.collect().map(_.toString).toSeq
+    assert(blocked == buck,
+      "blocked (two-block decomposition) must equal bucketed row-for-row")
+  }
+
   test("agg_mode breaks count ties deterministically (lowest value wins) " +
       "and picks the true per-group maximum count") {
     import spark.implicits._

@@ -1020,4 +1020,36 @@ class SimilaritySpec extends AnyFunSuite {
       .orderBy("rnk").select("n_id").as[Long].collect()
     assert(got.toSeq == expectTop)
   }
+
+  test("currentGenName (r15, ADVICE r14 #1): with no v-generations " +
+      "an absent pointer resolves gen 0 immediately; with live " +
+      "v-generations and NO gen-0 data an unresolvable pointer THROWS " +
+      "instead of silently reading a stale or GC'd generation; gen-0 " +
+      "data present (crash-before-first-swap) falls back to gen 0") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-genptr").toString
+    try {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // plain generation-0 state: no pointer, no v-dirs
+      assert(Similarity.currentGenName(fs, dir) == "codes")
+      // a v-generation with data, no pointer, no gen-0 data: the
+      // pointer is LOST — guessing would read a stale generation
+      assert(new java.io.File(s"$dir/codes-v1").mkdirs())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/codes-v1/part-0.parquet"),
+        Array[Byte](1))
+      val e = intercept[IllegalStateException] {
+        Similarity.currentGenName(fs, dir)
+      }
+      assert(e.getMessage.contains("refusing to guess"))
+      // gen-0 data appears (the crash-before-FIRST-swap shape, where
+      // the pointer was never written): gen 0 is the intact answer
+      assert(new java.io.File(s"$dir/codes").mkdirs())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/codes/part-0.parquet"),
+        Array[Byte](1))
+      assert(Similarity.currentGenName(fs, dir) == "codes")
+    } finally graft.ops.SessionCleanup.deleteRecursively(dir)
+  }
 }
