@@ -18,12 +18,25 @@ import graft.model.Tables
 object FsScan {
 
   /** Recursive scan of a directory tree; content column excluded so the
-    * scan reads metadata only. */
+    * scan reads metadata only — column pruning means no file is ever
+    * OPENED, the tasks just emit (path, length, mtime) from the
+    * listing. binaryFile still bin-packs splits per file with the 4 MB
+    * phantom open cost, so a tree of N tiny files plans ~N/32 tasks
+    * whose per-task scheduler constant dominates a zero-IO projection
+    * (measured: 50k files → ~1,600 tasks → 11.0 s at sf1, 19× the
+    * sf0.1 cost — the classic small-files pathology, r15). coalesce
+    * to machine parallelism merges splits WITHOUT a shuffle: the same
+    * listing emits through ~32 tasks. Correct at any scale for THIS
+    * projection because the per-row work is metadata-only; a scan
+    * that reads `content` should not coalesce (it wants the
+    * bin-packed parallelism) — which is why the coalesce lives here
+    * and not in a conf. */
   def scanRecursive(spark: SparkSession, root: String): DataFrame =
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(root)
       .select(col("path"), col("length"), col("modificationTime"))
+      .coalesce(spark.sparkContext.defaultParallelism)
 
   /** Materialize the documents table as a real file tree
     * (root/<source>/doc_<id>.txt, UTF-8) — executor-side writes, one
