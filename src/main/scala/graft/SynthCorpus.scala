@@ -170,9 +170,15 @@ object SynthCorpus {
       .write.mode("overwrite").parquet(out)
   }
 
-  def writeLineitem(spark: SparkSession, out: String, n: Long,
+  /** l_orderkey is derived as id/4 (4 lines per order), so the row
+    * count is DERIVED from nOrders (n = 4 × nOrders) rather than
+    * taken as a parameter — a caller-supplied n that disagreed with
+    * nOrders would silently produce dangling foreign keys into the
+    * orders table (ADVICE r15 #3). */
+  def writeLineitem(spark: SparkSession, out: String,
       nOrders: Long, nParts: Long, nSupp: Long, seed: Long = 42L): Unit = {
     import spark.implicits._
+    val n = 4L * nOrders
     val flags = Array("A", "N", "R")
     val stats = Array("F", "O")
     val t0 = java.sql.Timestamp.valueOf("1995-01-02 00:00:00").getTime
@@ -273,8 +279,16 @@ object SynthCorpus {
     * verbatim (5/25 fixed rows — they don't scale). */
   def generate(spark: SparkSession, baseSfDir: String, outDir: String,
       docMult: Int = 10, embMult: Int = 10): String = {
+    // Completion is gated on the committer's _SUCCESS marker, not bare
+    // directory existence: a generation that crashed mid-write leaves a
+    // partial parquet dir with no marker, and a reused
+    // SPARK_GRAFT_SF1_DIR would otherwise keep it forever, silently
+    // corrupting later scale evidence (ADVICE r15 #2). Every table here
+    // is written by Spark's FileOutputCommitter, which emits _SUCCESS
+    // on commit; an unmarked dir is regenerated (mode("overwrite")
+    // clears the partial remains).
     def need(name: String): Boolean =
-      !new java.io.File(s"$outDir/$name.parquet").exists()
+      !new java.io.File(s"$outDir/$name.parquet/_SUCCESS").exists()
     if (need("documents")) {
       val vocab = graft.model.Tables.documents(spark, baseSfDir)
         .select(explode(split(col("text"), " ")).as("w"))
@@ -292,7 +306,7 @@ object SynthCorpus {
     if (need("events")) writeEvents(spark, s"$outDir/events.parquet",
       100000L * m, 1500L * m)
     if (need("lineitem")) writeLineitem(spark, s"$outDir/lineitem.parquet",
-      600000L * m, 150000L * m, 20000L * m, 1000L * m)
+      150000L * m, 20000L * m, 1000L * m)
     if (need("orders")) writeOrders(spark, s"$outDir/orders.parquet",
       150000L * m, 15000L * m)
     if (need("customer")) writeCustomer(spark,

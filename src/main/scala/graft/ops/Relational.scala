@@ -728,7 +728,10 @@ object Relational {
     // statistic, but the window input is bounded by seconds × types
     // (86,400 × |types| per day) instead of the event count: at
     // billions of events/day the sort under the window no longer
-    // scales with data at all. The per-event key above stays
+    // scales with data at all. Below saturation the input still
+    // grows with distinct (type, second) pairs — the sparse decade
+    // reads 8.99× (SCALE_r15_events_sf1.jsonl) — the bound engages
+    // once every second is occupied. The per-event key above stays
     // registered as the row-grain truth.
     "win_range_trailing_bucketed" -> ((s, d) => {
       val sec = expr("unix_micros(ts) div 1000000")

@@ -538,8 +538,10 @@ object Similarity {
     * is immediate. WITH v-dirs present the read retries with backoff
     * (25→200 ms, ~1.3 s total — the window is two metadata ops) and,
     * if the pointer never resolves, falls back to gen 0 only when the
-    * gen-0 dir actually holds data (the crash-before-first-swap state,
-    * where the pointer was never written and `codes` is intact);
+    * gen-0 dir holds data AND no codes-v* generation does (the
+    * crash-before-first-swap state, where the pointer was never
+    * written and `codes` is the sole data — a post-compaction gen-0
+    * grace copy with a lost pointer does NOT qualify, r16);
     * otherwise it THROWS rather than silently resolving a stale or
     * GC'd generation. A `codes_gen.old` park state left by a PRE-r14
     * mid-swap crash still self-heals by READING the parked file (never
@@ -574,11 +576,24 @@ object Similarity {
       got = resolve()
     }
     got.getOrElse {
-      if (hasDataFiles(fs, new Path(s"$dir/codes"))) "codes"
+      // The gen-0 fallback is legitimate ONLY for the crash-before-
+      // first-swap state: pointer never written, `codes` holds the
+      // sole data. After exactly one compaction the gen-0 dir is STILL
+      // present as reader grace (GC runs only on the NEXT compaction),
+      // so "gen 0 holds data" alone would silently resolve a stale
+      // generation when the pointer is permanently lost — additionally
+      // require that no codes-v* dir holds data (ADVICE r15 #1).
+      val root = new Path(dir)
+      val vGenHoldsData = fs.exists(root) && fs.listStatus(root)
+        .exists(s => s.isDirectory &&
+          s.getPath.getName.startsWith("codes-v") &&
+          hasDataFiles(fs, s.getPath))
+      if (!vGenHoldsData && hasDataFiles(fs, new Path(s"$dir/codes")))
+        "codes"
       else throw new IllegalStateException(
         s"$dir/$GenPointer unresolvable: codes-v* generations exist " +
-          "but the pointer never resolved and gen 0 holds no data — " +
-          "refusing to guess a generation")
+          "but the pointer never resolved — refusing to guess between " +
+          "gen 0's grace copy and a v-generation holding data")
     }
   }
 

@@ -1021,11 +1021,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == expectTop)
   }
 
-  test("currentGenName (r15, ADVICE r14 #1): with no v-generations " +
-      "an absent pointer resolves gen 0 immediately; with live " +
-      "v-generations and NO gen-0 data an unresolvable pointer THROWS " +
-      "instead of silently reading a stale or GC'd generation; gen-0 " +
-      "data present (crash-before-first-swap) falls back to gen 0") {
+  test("currentGenName (r15 ADVICE #1 tightened in r16): with no " +
+      "v-generations an absent pointer resolves gen 0 immediately; " +
+      "with a v-generation HOLDING DATA an unresolvable pointer THROWS " +
+      "whether or not gen 0 also holds data (post-one-compaction gen-0 " +
+      "grace copy is indistinguishable from crash-before-first-swap); " +
+      "a data-free v-dir plus gen-0 data still resolves gen 0") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-genptr").toString
     try {
@@ -1043,12 +1044,24 @@ class SimilaritySpec extends AnyFunSuite {
         Similarity.currentGenName(fs, dir)
       }
       assert(e.getMessage.contains("refusing to guess"))
-      // gen-0 data appears (the crash-before-FIRST-swap shape, where
-      // the pointer was never written): gen 0 is the intact answer
+      // gen-0 data appears WHILE codes-v1 still holds data: this is
+      // exactly the post-one-compaction reader-grace state (gen-0 dir
+      // survives until the NEXT compaction's GC) with a lost pointer —
+      // resolving gen 0 here would silently serve the STALE generation,
+      // so it must throw too (ADVICE r15 #1).
       assert(new java.io.File(s"$dir/codes").mkdirs())
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/codes/part-0.parquet"),
         Array[Byte](1))
+      val e2 = intercept[IllegalStateException] {
+        Similarity.currentGenName(fs, dir)
+      }
+      assert(e2.getMessage.contains("refusing to guess"))
+      // …but a v-dir that holds NO data files (compaction crashed
+      // before writing anything) is the true crash-before-first-swap
+      // shape: gen 0 is the sole data and remains the intact answer.
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$dir/codes-v1/part-0.parquet"))
       assert(Similarity.currentGenName(fs, dir) == "codes")
     } finally graft.ops.SessionCleanup.deleteRecursively(dir)
   }
