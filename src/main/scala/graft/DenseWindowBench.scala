@@ -15,6 +15,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.DenseWindowBench [nSmall nLarge]
   * (defaults 1M / 10M; min-of-3 after an untimed build run each.)
+  * Since r16 the auto-routed key runs too: at this density every type
+  * must route to the blocked form, so auto's time should track the
+  * blocked row plus the one |types|-row stats collect.
   */
 object DenseWindowBench {
   def main(args: Array[String]): Unit = {
@@ -45,9 +48,9 @@ object DenseWindowBench {
       val keys =
         if (n == sizes.head)
           Seq("win_range_trailing", "win_range_trailing_bucketed",
-            "win_range_trailing_blocked")
+            "win_range_trailing_blocked", "win_range_trailing_auto")
         else Seq("win_range_trailing_bucketed",
-          "win_range_trailing_blocked")
+          "win_range_trailing_blocked", "win_range_trailing_auto")
       for (key <- keys) {
         val fn = SparkEntry.queries(key)
         fn(spark, dir).queryExecution.toRdd.count() // untimed build/JIT

@@ -436,6 +436,146 @@ object Relational {
     })
   )
 
+  /** Block width for the two-block trailing-window decomposition:
+    * the window width itself (3600 preceding + current), so every
+    * trailing window spans at most two blocks. */
+  private[graft] val TrailingBlockW = 3601L
+
+  /** The two-block sliding-window composition shared by
+    * win_range_trailing_blocked and the blocked route of
+    * [[trailingHourAuto]]. `grid` must be DENSE per event_type
+    * (one row per consecutive second) with columns (event_type, sec,
+    * cnt, mn, mx, cnt0, blk), where cnt/mn/mx are null on grid-fill
+    * rows, cnt0 = coalesce(cnt, 0) and blk numbers fixed
+    * [[TrailingBlockW]]-second blocks from the grid start. Cumulative
+    * prefix and suffix aggregates within each block plus one
+    * fixed-offset lag (dense grid ⇒ row offset = second offset)
+    * compose each trailing window from exactly one suffix and one
+    * prefix — zero per-row frame re-scans; when the window sits
+    * inside one block (lag null at the grid head, or same blk) the
+    * prefix alone is the answer. */
+  private def twoBlockCompose(grid: DataFrame): DataFrame = {
+    val wPre = Window.partitionBy(col("event_type"), col("blk"))
+      .orderBy(col("sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSuf = Window.partitionBy(col("event_type"), col("blk"))
+      .orderBy(col("sec").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g2 = grid
+      .withColumn("pcnt", sum(col("cnt0")).over(wPre))
+      .withColumn("pmn", min(col("mn")).over(wPre))
+      .withColumn("pmx", max(col("mx")).over(wPre))
+      .withColumn("scnt", sum(col("cnt0")).over(wSuf))
+      .withColumn("smn", min(col("mn")).over(wSuf))
+      .withColumn("smx", max(col("mx")).over(wSuf))
+    val wType = Window.partitionBy(col("event_type")).orderBy(col("sec"))
+    val g3 = g2
+      .withColumn("lblk", lag(col("blk"), 3600).over(wType))
+      .withColumn("lscnt", lag(col("scnt"), 3600).over(wType))
+      .withColumn("lsmn", lag(col("smn"), 3600).over(wType))
+      .withColumn("lsmx", lag(col("smx"), 3600).over(wType))
+    val oneBlock = col("lblk").isNull || col("lblk") === col("blk")
+    g3.filter(col("cnt").isNotNull)
+      .select(col("event_type"), col("sec"),
+        when(oneBlock, col("pcnt"))
+          .otherwise(col("lscnt") + col("pcnt")).as("n_1h"),
+        round(when(oneBlock, col("pmn"))
+          .otherwise(least(col("lsmn"), col("pmn"))), 6).as("min_1h"),
+        round(when(oneBlock, col("pmx"))
+          .otherwise(greatest(col("lsmx"), col("pmx"))), 6).as("max_1h"))
+  }
+
+  /** Measured per-grid-row constant of the blocked form relative to
+    * one bucket×frame-bucket re-scan unit of the bucketed form
+    * (SCALE_r15_densewindow.json, 1M events / 1 day / 5 types:
+    * bucketed 46.8 s over 432k buckets × ~3,600-bucket frames ≈ 30 ns
+    * per re-scanned bucket; blocked 2.44 s over the same 432k dense
+    * grid rows ≈ 5.6 µs per row — six window columns, a grid join and
+    * a lag). The routing dial below compares the two modeled costs
+    * with this ratio. */
+  private[graft] val BlockedGridRowFactor = 190.0
+
+  /** Per-type route for the trailing-hour window: `stats` rows are
+    * (event_type, nBuckets, min_sec, max_sec). The bucketed form pays
+    * nBuckets × E[frame buckets] re-scan units (Spark re-evaluates a
+    * sliding frame's CONTENTS per row — the SCALE_r15 §3 finding),
+    * with E[frame] = min(3600 × density, nBuckets); the blocked form
+    * pays [[BlockedGridRowFactor]] units per dense-grid row over the
+    * type's own span. Routes to whichever is modeled cheaper; ties go
+    * to bucketed (no grid to build). */
+  private[graft] def trailingRoutePlan(
+      stats: Seq[(String, Long, Long, Long)]): Map[String, String] =
+    stats.map { case (t, nb, lo, hi) =>
+      val span = (hi - lo + 1).toDouble
+      val frame = math.min(3600.0 * nb / span, nb.toDouble)
+      t -> (if (nb * frame > BlockedGridRowFactor * span) "blocked"
+            else "bucketed")
+    }.toMap
+
+  /** The auto-routed trailing-hour window (win_range_trailing_auto).
+    * Buckets once (the input both forms share), computes per-type
+    * density stats (one |types|-row collect — model-sized license),
+    * routes each type via [[trailingRoutePlan]], and unions the two
+    * branches: sparse types run the plain range window over their
+    * buckets, dense types run the two-block linear composition over a
+    * grid bounded to each type's own [min_sec, max_sec]. The bucket
+    * table feeds the stats agg and both branches — localCheckpoint at
+    * the triple-evaluation boundary (standing convention). */
+  private[graft] def trailingHourAuto(s: SparkSession,
+      events: DataFrame): DataFrame = {
+    val ev = events
+      .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+    val b = ev.groupBy(col("event_type"), col("sec"))
+      .agg(count(lit(1)).as("cnt"), min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+      .localCheckpoint()
+    val stats = b.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nb"), min(col("sec")).as("lo"),
+        max(col("sec")).as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val plan = trailingRoutePlan(stats)
+    val bucketedTypes = stats.collect {
+      case (t, _, _, _) if plan(t) == "bucketed" => t }
+    val blockedStats = stats.filter { case (t, _, _, _) =>
+      plan(t) == "blocked" }
+    val parts = Seq.newBuilder[DataFrame]
+    if (bucketedTypes.nonEmpty || stats.isEmpty) {
+      val base =
+        if (stats.isEmpty) b
+        else b.filter(col("event_type").isin(bucketedTypes: _*))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("sec"))
+        .rangeBetween(-3600, Window.currentRow)
+      parts += base.select(col("event_type"), col("sec"),
+        sum(col("cnt")).over(w).as("n_1h"),
+        round(min(col("mn")).over(w), 6).as("min_1h"),
+        round(max(col("mx")).over(w), 6).as("max_1h"))
+    }
+    if (blockedStats.nonEmpty) {
+      import s.implicits._
+      // per-type grid bounds: offsets 0..(hi−lo) joined under the
+      // broadcast bounds row, so each type's grid covers exactly its
+      // own span (never the global one) and blk numbers blocks from
+      // the type's own first second.
+      val boundsDf = broadcast(blockedStats
+        .map { case (t, _, lo, hi) => (t, lo, hi - lo) }
+        .toDF("event_type", "lo", "span_off"))
+      val maxOff = blockedStats
+        .map { case (_, _, lo, hi) => hi - lo }.max
+      val grid = s.range(0L, maxOff + 1).toDF("off")
+        .join(boundsDf, col("off") <= col("span_off"))
+        .withColumn("sec", col("lo") + col("off"))
+        .join(b, Seq("event_type", "sec"), "left")
+        .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
+        .withColumn("blk", floor(col("off") / lit(TrailingBlockW)))
+        .drop("off", "lo", "span_off")
+      parts += twoBlockCompose(grid)
+    }
+    parts.result().reduce(_.unionByName(_))
+      .orderBy("event_type", "sec")
+  }
+
   def oracle: Map[String, String] = Map(
     // the HLL gate: exact counts plus the deterministic-sketch tolerance
     // boolean, which the oracle predicts as constant true (see the query's
@@ -767,7 +907,6 @@ object Relational {
     // fixed-offset lag — zero per-row frame re-scans. Output and
     // oracle are the bucketed key's verbatim.
     "win_range_trailing_blocked" -> ((s, d) => {
-      val blockW = 3601L // = window width: 3600 preceding + current
       val ev = Tables.events(s, d)
         .withColumn("sec", expr("unix_micros(ts) div 1000000"))
       val b = ev.groupBy(col("event_type"), col("sec"))
@@ -782,37 +921,24 @@ object Relational {
         .join(b, Seq("event_type", "sec"), "left")
         .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
         .withColumn("blk",
-          floor((col("sec") - lit(lo0)) / lit(blockW)))
-      val wPre = Window.partitionBy(col("event_type"), col("blk"))
-        .orderBy(col("sec"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wSuf = Window.partitionBy(col("event_type"), col("blk"))
-        .orderBy(col("sec").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val g2 = grid
-        .withColumn("pcnt", sum(col("cnt0")).over(wPre))
-        .withColumn("pmn", min(col("mn")).over(wPre))
-        .withColumn("pmx", max(col("mx")).over(wPre))
-        .withColumn("scnt", sum(col("cnt0")).over(wSuf))
-        .withColumn("smn", min(col("mn")).over(wSuf))
-        .withColumn("smx", max(col("mx")).over(wSuf))
-      val wType = Window.partitionBy(col("event_type")).orderBy(col("sec"))
-      val g3 = g2
-        .withColumn("lblk", lag(col("blk"), 3600).over(wType))
-        .withColumn("lscnt", lag(col("scnt"), 3600).over(wType))
-        .withColumn("lsmn", lag(col("smn"), 3600).over(wType))
-        .withColumn("lsmx", lag(col("smx"), 3600).over(wType))
-      val oneBlock = col("lblk").isNull || col("lblk") === col("blk")
-      g3.filter(col("cnt").isNotNull)
-        .select(col("event_type"), col("sec"),
-          when(oneBlock, col("pcnt"))
-            .otherwise(col("lscnt") + col("pcnt")).as("n_1h"),
-          round(when(oneBlock, col("pmn"))
-            .otherwise(least(col("lsmn"), col("pmn"))), 6).as("min_1h"),
-          round(when(oneBlock, col("pmx"))
-            .otherwise(greatest(col("lsmx"), col("pmx"))), 6).as("max_1h"))
-        .orderBy("event_type", "sec")
+          floor((col("sec") - lit(lo0)) / lit(TrailingBlockW)))
+      twoBlockCompose(grid).orderBy("event_type", "sec")
     }),
+    // density-ADAPTIVE trailing window (r16, VERDICT r15 #1): a real
+    // pipeline doesn't know its density a priori — at sparse density
+    // the blocked form's dense grid is the expensive side (its span ×
+    // types grid is flat in the data, ~23 s at every SF on the test
+    // corpus, where the bucketed window costs 1.5 s), at production
+    // density the blocked form wins 16–44× (SCALE_r15_densewindow).
+    // This key measures each type's density from the bucket stats the
+    // plan needs anyway and routes PER TYPE between the two forms on
+    // the measured cost model (the bpeLearnAuto / dedup_embedding_
+    // ivf_auto dial precedent), bounding each blocked type's grid to
+    // its own [min_sec, max_sec] span so an idle type never pays the
+    // global span. Identical statistic at the identical grain — the
+    // oracle is the bucketed key's verbatim.
+    "win_range_trailing_auto" -> ((s, d) =>
+      trailingHourAuto(s, Tables.events(s, d))),
     // first/last/nth-value per group over an EXPLICIT full frame —
     // "customer's first order value vs their latest vs their second".
     // The default frame (unbounded preceding → current row) makes
@@ -892,6 +1018,23 @@ object Relational {
     // per-second buckets — sum-of-counts / min-of-mins / max-of-maxes
     // over the range window.
     "win_range_trailing_bucketed" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 AS sec,
+        |         CAST(count(*) AS BIGINT) AS cnt,
+        |         min(value) AS mn, max(value) AS mx
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, sec,
+        |  CAST(sum(cnt) OVER w AS BIGINT) AS n_1h,
+        |  round(min(mn) OVER w, 6) AS min_1h,
+        |  round(max(mx) OVER w, 6) AS max_1h
+        |FROM b
+        |WINDOW w AS (PARTITION BY event_type ORDER BY sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, sec""".stripMargin,
+    // the auto-routed form computes the IDENTICAL statistic at the
+    // identical grain whichever way each type routes — the bucketed
+    // key's oracle verbatim.
+    "win_range_trailing_auto" ->
       """WITH b AS (
         |  SELECT event_type, epoch_us(ts) // 1000000 AS sec,
         |         CAST(count(*) AS BIGINT) AS cnt,

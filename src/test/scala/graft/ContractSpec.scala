@@ -105,6 +105,64 @@ class ContractSpec extends AnyFunSuite {
       "blocked (two-block decomposition) must equal bucketed row-for-row")
   }
 
+  test("win_range_trailing_auto (r16) routes per type on measured " +
+      "density — hot type -> blocked, sparse type -> bucketed — and " +
+      "equals the bucketed statistic exactly on the mixed input") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val base = 1700000000L // fixed epoch anchor: determinism
+    // hot: every second of a 3-hour span occupied (3 events/sec) —
+    // density 1 models a 3,600-bucket frame, far past the dial;
+    // sparse: one event per 2 minutes over ~13 h — modeled frame ~30
+    // buckets, far under it.
+    val hot = spark.range(0L, 3L * 10800L).select(
+      lit("hot").as("event_type"),
+      (lit(base) + col("id") % 10800).as("sec"),
+      (col("id") % 97).cast("double").as("value"))
+    val sparse = spark.range(0L, 400L).select(
+      lit("sparse").as("event_type"),
+      (lit(base) + col("id") * 120).as("sec"),
+      (col("id") % 89).cast("double").as("value"))
+    val events = hot.unionByName(sparse)
+      .select(col("event_type"),
+        timestamp_seconds(col("sec")).as("ts"), col("value"))
+    // 1) each type takes its predicted route: the plan is derived from
+    // the same stats shape trailingHourAuto computes internally
+    val st = events
+      .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+      .groupBy(col("event_type"), col("sec"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nb"), min(col("sec")).as("lo"),
+        max(col("sec")).as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val plan = graft.ops.Relational.trailingRoutePlan(st)
+    assert(plan("hot") == "blocked",
+      s"dense type must take the blocked route, got $plan")
+    assert(plan("sparse") == "bucketed",
+      s"sparse type must take the bucketed route, got $plan")
+    // 2) auto ≡ bucketed row-for-row on the mixed input
+    val w = Window.partitionBy(col("event_type")).orderBy(col("sec"))
+      .rangeBetween(-3600, Window.currentRow)
+    val expect = events
+      .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+      .groupBy(col("event_type"), col("sec"))
+      .agg(count(lit(1)).as("cnt"), min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+      .select(col("event_type"), col("sec"),
+        sum(col("cnt")).over(w).as("n_1h"),
+        round(min(col("mn")).over(w), 6).as("min_1h"),
+        round(max(col("mx")).over(w), 6).as("max_1h"))
+      .orderBy("event_type", "sec")
+      .collect().map(_.toString).toSeq
+    val got = graft.ops.Relational.trailingHourAuto(spark, events)
+      .collect().map(_.toString).toSeq
+    assert(got == expect,
+      "auto must equal the bucketed statistic row-for-row")
+  }
+
   test("agg_mode breaks count ties deterministically (lowest value wins) " +
       "and picks the true per-group maximum count") {
     import spark.implicits._
