@@ -338,24 +338,39 @@ object TermStats {
   /** GPT-2's Ġ: the remapped space byte — the in-band word boundary. */
   private[graft] val ByteSpace: String = (256 + 0x20).toChar.toString
 
-  /** GPT-2-form PRE-TOKENIZER pattern (VERDICT r14 "Next round" #2):
-    * a letter run, digit run, or punctuation run — each with one
-    * optional ATTACHED leading space (GPT-2's ` ?` device) — or a
-    * whitespace RUN kept as its own token. Simplified from GPT-2's
-    * published pattern in two RE2-compatible ways: no contraction
-    * alternatives (`'s|'t|…` — English-specific vocabulary shaping,
-    * not correctness) and no `\s+(?!\S)` lookahead (RE2 has no
-    * lookahead; the only effect is which side of a multi-space run
-    * the last space attaches to — deterministic and identical in both
-    * engines either way). The alternatives tile EVERY character class,
-    * so matches are gap-free and concat(pre-tokens) == text — the
-    * property that closes the byte decode circle on ARBITRARY text:
-    * multi-space runs, tabs, newlines, punctuation. Whitespace is the
-    * EXPLICIT class [ \t\n\r\f] in both engines: Java's \s includes
-    * \x0B where RE2's does not, so the class is pinned rather than
-    * inherited from either engine's shorthand. */
+  /** GPT-2-form PRE-TOKENIZER pattern (VERDICT r14 "Next round" #2;
+    * contraction alternatives r16): GPT-2's published contraction
+    * literals (`'s|'t|'re|'ve|'m|'ll|'d` — plain alternations, ordered
+    * AHEAD of the runs exactly as published, so `don't` pre-tokenizes
+    * `don` + `'t` the way tiktoken/HF do and an English corpus learns
+    * the same merge families), then a letter run, digit run, or
+    * punctuation run — each with one optional ATTACHED leading space
+    * (GPT-2's ` ?` device) — or a whitespace RUN kept as its own
+    * token. Both engines match ordered alternation leftmost-first
+    * (Java regex; DuckDB's RE2 in its default non-POSIX mode), so the
+    * contraction branch wins identically. Simplified from GPT-2's
+    * published pattern in ONE remaining RE2-compatible way: no
+    * `\s+(?!\S)` lookahead (RE2 has no lookahead; the only effect is
+    * which side of a multi-space run the last space attaches to —
+    * deterministic and identical in both engines either way). The
+    * alternatives tile EVERY character class (the contraction
+    * literals refine positions the punctuation+letter runs already
+    * covered), so matches are gap-free and concat(pre-tokens) == text
+    * — the property that closes the byte decode circle on ARBITRARY
+    * text: multi-space runs, tabs, newlines, punctuation,
+    * contractions. Like GPT-2's, the literals are lowercase-only
+    * (`DON'T` splits as runs, the published quirk kept for parity).
+    * Whitespace is the EXPLICIT class [ \t\n\r\f] in both engines:
+    * Java's \s includes \x0B where RE2's does not, so the class is
+    * pinned rather than inherited from either engine's shorthand. */
   private[graft] val PreTokPattern: String =
-    " ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+|[ \\t\\n\\r\\f]+"
+    "'s|'t|'re|'ve|'m|'ll|'d" +
+      "| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+|[ \\t\\n\\r\\f]+"
+
+  /** [[PreTokPattern]] as a DuckDB single-quoted string literal: the
+    * contraction apostrophes double per SQL quoting. */
+  private[graft] val PreTokPatternSql: String =
+    PreTokPattern.replace("'", "''")
 
   /** Executor-side compiled twin of [[PreTokPattern]] for the
     * streaming encoder — same pattern string, Java engine; the
@@ -1330,13 +1345,16 @@ object TermStats {
     * The byte decode gates close on `text || byteSuffix` VERBATIM, so
     * every one of those characters must survive the full encode \u2192
     * pack \u2192 unpack \u2192 decode \u2192 byte-map-inversion circle. Escape-pinned
-    * (\u00f8, \t, \n) like [[unkSuffix]]. */
-  private[graft] val byteSuffix = " n\u00f8vel  a\tb,c\nx!"
+    * (\u00f8, \t, \n) like [[unkSuffix]]. r16 appends a contraction so
+    * the GPT-2 contraction branch (`'t`) sits inside every byte decode
+    * gate too. */
+  private[graft] val byteSuffix = " n\u00f8vel  a\tb,c\nx! don't"
 
   /** [[byteSuffix]] as a DuckDB expression \u2014 control chars via chr()
-    * so the oracle string never depends on literal-escape handling. */
+    * so the oracle string never depends on literal-escape handling;
+    * the contraction apostrophe doubles per SQL quoting. */
   private[graft] val byteSuffixSql: String =
-    "' n\u00f8vel  a' || chr(9) || 'b,c' || chr(10) || 'x!'"
+    "' n\u00f8vel  a' || chr(9) || 'b,c' || chr(10) || 'x! don''t'"
 
   /** INFERENCE-TIME id mapping with an UNK contract (r10): encode a
     * NEW batch (the doc_id%7==0 split, enriched with [[unkSuffix]] so
@@ -2137,9 +2155,9 @@ object TermStats {
   private def byteDocsCtes: String =
     s"""btoksall AS (
        |  SELECT doc_id, ws[i] AS word, i AS pos FROM (
-       |    SELECT doc_id, regexp_extract_all(text, '$PreTokPattern') AS ws,
+       |    SELECT doc_id, regexp_extract_all(text, '$PreTokPatternSql') AS ws,
        |           unnest(range(1,
-       |             len(regexp_extract_all(text, '$PreTokPattern')) + 1)) AS i
+       |             len(regexp_extract_all(text, '$PreTokPatternSql')) + 1)) AS i
        |    FROM documents)),
        |bencw AS (
        |  SELECT word, ${byteRemapSql("word")} AS bw0

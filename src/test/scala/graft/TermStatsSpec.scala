@@ -530,13 +530,29 @@ class TermStatsSpec extends AnyFunSuite {
     assert(rt.toSeq == Seq((1L, 0L, wild)))
   }
 
-  test("GPT-2 pre-tokenizer (r15): whitespace RUNS, tabs, newlines, " +
-      "and punctuation round-trip VERBATIM through the byte circle — " +
-      "the content the r14 single-space convention collapsed — and " +
-      "the local pre-tokenizer is bit-identical to the expression " +
-      "split, tiling every input gap-free") {
+  test("GPT-2 pre-tokenizer (r15; contractions r16): whitespace RUNS, " +
+      "tabs, newlines, punctuation, and contractions round-trip " +
+      "VERBATIM through the byte circle — and the local pre-tokenizer " +
+      "is bit-identical to the expression split, tiling every input " +
+      "gap-free, with the contraction branch splitting don't/we're/" +
+      "I'll the published way (and NOT after a space or in uppercase)") {
     val nasty = "  leading double\tspace,runs!!  and\n\nnewlines; " +
-      "x=1+2 (параграф)…  \t trailing  "
+      "x=1+2 (параграф)…  \t trailing  don't we're I'll it's DON'T 'd "
+    // the contraction branch fires exactly as published: bare literal,
+    // leftmost-first ahead of the runs; no attached leading space
+    // (the apostrophe after a space rides the punctuation branch) and
+    // lowercase-only (DON'T splits as runs + punctuation)
+    assert(TermStats.preTokensLocal("don't").toList ==
+      List("don", "'t"))
+    assert(TermStats.preTokensLocal("we're I'll it's").toList ==
+      List("we", "'re", " I", "'ll", " it", "'s"))
+    assert(TermStats.preTokensLocal("a 's").toList ==
+      List("a", " '", "s"), "space+apostrophe takes the punct branch")
+    assert(TermStats.preTokensLocal("DON'T").toList ==
+      List("DON", "'", "T"), "uppercase stays out, the GPT-2 quirk")
+    assert(TermStats.preTokensLocal("don'tville").toList ==
+      List("don", "'t", "ville"),
+      "the literal wins even mid-word, as published")
     val docs = Seq(
       (0L, nasty),
       (1L, "the quick brown fox jumps over the lazy dog the the"),
