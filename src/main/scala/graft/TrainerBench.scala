@@ -121,6 +121,78 @@ object TrainerBench {
       spark.stop()
       return
     }
+    // PACK-WINDOW mode (VERDICT r15 "Next round" #2): time the tensor
+    // pack at PRODUCTION windows — trainers pack at 2048–8192, the
+    // registered keys gate at 64. The suspect term is the segment-id
+    // slice-sum (O(window²) per sequence = O(tokens × window) per
+    // corpus at fixed token count). Usage:
+    //   SPARK_GRAFT_PACK_WINDOWS=64,2048,8192 [sfDir]
+    sys.env.get("SPARK_GRAFT_PACK_WINDOWS").foreach { ws =>
+      val sfD = if (args.nonEmpty) args.head else "/root/testdata/sf0.1"
+      val docs = graft.model.Tables.documents(spark, sfD)
+        .localCheckpoint()
+      for (w <- ws.split(",").map(_.trim.toInt)) {
+        val t = (1 to 3).map(_ => time(
+          graft.ops.Sampling.packSequencesTensor(docs, window = w)
+            .queryExecution.toRdd.count())).map(_._2).min
+        println(s"""{"mode":"pack-window","sf":"$sfD","window":$w,""" +
+          s""""pack_s":${r3(t)}}""")
+      }
+      spark.stop()
+      return
+    }
+    // INTERCHANGE-DEPTH mode (VERDICT r15 "Next round" #4): run the
+    // scaled greedy encoder FROM a production-depth merges.txt /
+    // encoder.json pair — the r10 depth precedent, one format hop
+    // further: the synthetic merges (remapped to the byte alphabet so
+    // the files carry real GPT-2 bytes_to_unicode spellings) write to
+    // the file pair, load back through the strict parsers, and must
+    // round-trip bit-identically before the encode is timed. Usage:
+    //   SPARK_GRAFT_INTERCHANGE_DEPTH=<nMerges> [sfDir]
+    sys.env.get("SPARK_GRAFT_INTERCHANGE_DEPTH").foreach { nStr =>
+      val n = nStr.toInt
+      import spark.implicits._
+      // ASCII synthetic merges → internal byte alphabet (U+0100+b):
+      // the shape trained byte-mode merges actually have
+      def toByteAlpha(s: String): String =
+        s.map(c => (0x100 + c.toInt).toChar)
+      val merges = graft.ops.TermStats.syntheticMerges(n)
+        .map { case (a, b) => (toByteAlpha(a), toByteAlpha(b)) }
+      // closed vocab: 256 base byte-chars ∪ each merge's fused symbol
+      // (the bpeVocabByte shape, synthetic ids)
+      val vocab = (graft.ops.TermStats.ByteAlphabet.map(_.toString) ++
+        merges.map { case (a, b) => a + b }).distinct
+        .zipWithIndex.map { case (s, i) => (s, i.toLong) }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-interchange-depth-$n").toString
+      try {
+        val (_, tWrite) = time(graft.ops.TermStats
+          .writeTokenizerInterchange(spark, merges,
+            vocab.toDF("sym", "id"), dir))
+        val (loaded, tMerges) = time(
+          graft.ops.TermStats.loadInterchangeMerges(spark, dir))
+        require(loaded == merges,
+          "interchange merges diverged at depth")
+        val (nVocab, tVocab) = time(
+          graft.ops.TermStats.loadInterchangeVocab(spark, dir).count())
+        require(nVocab == vocab.size.toLong,
+          "interchange vocab diverged at depth")
+        val sfD = if (args.nonEmpty) args.head else "/root/testdata/sf0.1"
+        val docsB = graft.ops.TermStats.byteDocs(
+          graft.model.Tables.documents(spark, sfD)).localCheckpoint()
+        val tApply = (1 to 3).map(_ => time(
+          graft.ops.TermStats.bpeApplyScaled(docsB, loaded)
+            .queryExecution.toRdd.count())).map(_._2).min
+        println(s"""{"mode":"interchange-depth","sf":"$sfD",""" +
+          s""""merges":$n,"vocab":$nVocab,""" +
+          s""""write_s":${r3(tWrite)},"load_merges_s":${r3(tMerges)},""" +
+          s""""load_vocab_s":${r3(tVocab)},""" +
+          s""""roundtrip_identical":true,""" +
+          s""""apply_scaled_s":${r3(tApply)}}""")
+      } finally graft.ops.SessionCleanup.deleteRecursively(dir)
+      spark.stop()
+      return
+    }
     sys.env.get("SPARK_GRAFT_LONG_ROUNDS").foreach { lr =>
       // SPARK_GRAFT_LONG_EOW=1 runs the depth demonstration in MARKER
       // mode (VERDICT r13 "Next round" #4 — eow evidence at the same

@@ -618,6 +618,90 @@ class TermStatsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
       assert(dec.toSeq ==
         Seq((0L, 0L, "weird  spacing\tand ø tokens — held out")))
+      // r16 ALPHABET compatibility (ADVICE r15 #4): the files spell
+      // symbols in GPT-2's own bytes_to_unicode image, so a stock
+      // external loader can invert every symbol to bytes — printable
+      // bytes are themselves ("e" is `e`), the space device is Ġ.
+      val rawVocab = TermStats
+        .loadInterchangeVocab(spark, dir, byteMode = false)
+        .collect().map(_.getString(0))
+      assert(rawVocab.forall(_.forall(TermStats.Gpt2CharToByte.contains)),
+        "every exported symbol char must sit in the bytes_to_unicode image")
+      assert(rawVocab.contains("e") && rawVocab.contains("Ġ"),
+        "printable bytes spell as themselves; space spells as Ġ")
+    } finally graft.ops.SessionCleanup.deleteRecursively(dir)
+  }
+
+  test("eow tokenizer interchange (r16, VERDICT r15 #4): the `</w>` " +
+      "artifact exports/loads through the same file pair identity-" +
+      "mapped — merges, vocab, and the decode circle all match the " +
+      "in-session model; '#'-initial DATA lines survive (only the " +
+      "#version header is skipped); a symbol carrying a space is " +
+      "rejected at the write boundary; a missing header is rejected " +
+      "at the read boundary") {
+    val docs = Seq(
+      (0L, "held out words entirely"),
+      (1L, "the quick brown fox jumps over the lazy dog the the"),
+      (2L, "pack my box with five dozen liquor jugs and the fox"))
+      .toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") > 0)
+    val merges = TermStats.bpeLearnIter(train, 10, eow = true)
+      .map { case (a, b, _) => (a, b) }
+    val vocabDf = TermStats.bpeVocab(train, merges, eow = true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-interchange-eow").toString
+    try {
+      // `</w>`-suffixed symbols contain no space/newline BY
+      // CONSTRUCTION (words are space-split before the marker is
+      // appended) — and the writer now ASSERTS it at the boundary
+      TermStats.writeTokenizerInterchange(spark, merges,
+        vocabDf.select("sym", "id"), dir, byteMode = false)
+      assert(TermStats.loadInterchangeMerges(spark, dir,
+        byteMode = false) == merges)
+      val v0 = vocabDf.select("sym", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+      val v1 = TermStats.loadInterchangeVocab(spark, dir,
+          byteMode = false).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+      assert(v1.toSeq == v0.toSeq)
+      assert(v1.exists(_._1.endsWith("</w>")),
+        "the marker shape must survive the file pair")
+      // the decode circle through the EXTERNAL format equals the
+      // in-session artifacts' decode
+      val viaFiles = TermStats.bpeDecodeEow(docs,
+        TermStats.loadInterchangeMerges(spark, dir, byteMode = false),
+        TermStats.loadInterchangeVocab(spark, dir, byteMode = false))
+        .collect().map(_.toString).toSeq
+      val inSession = TermStats.bpeDecodeEow(docs, merges,
+        vocabDf.select("sym", "id"))
+        .collect().map(_.toString).toSeq
+      assert(viaFiles.nonEmpty && viaFiles == inSession)
+      // '#'-initial data lines parse (only the header is skipped)
+      val dir2 = java.nio.file.Files
+        .createTempDirectory("graft-interchange-hash").toString
+      try {
+        val hashMerges = Seq(("#", "!!"), ("a", "b"))
+        TermStats.writeTokenizerInterchange(spark, hashMerges,
+          Seq(("#!!", 0L), ("ab", 1L)).toDF("sym", "id"), dir2,
+          byteMode = false)
+        assert(TermStats.loadInterchangeMerges(spark, dir2,
+          byteMode = false) == hashMerges)
+        // a space inside a symbol would break the line format — loud
+        intercept[IllegalArgumentException] {
+          TermStats.writeTokenizerInterchange(spark, Seq(("a b", "c")),
+            Seq(("a bc", 0L)).toDF("sym", "id"), dir2, byteMode = false)
+        }
+        // a merges.txt without the #version header is rejected
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$dir2/.merges.txt.crc"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir2/merges.txt"),
+          "a b\n".getBytes("UTF-8"))
+        val e = intercept[IllegalArgumentException] {
+          TermStats.loadInterchangeMerges(spark, dir2, byteMode = false)
+        }
+        assert(e.getMessage.contains("#version"))
+      } finally graft.ops.SessionCleanup.deleteRecursively(dir2)
     } finally graft.ops.SessionCleanup.deleteRecursively(dir)
   }
 
@@ -658,9 +742,10 @@ class TermStatsSpec extends AnyFunSuite {
       val t = valid.trim
       assert(t.nonEmpty && t.last == '}')
       // truncation PROPERTY: a strict prefix is never a complete flat
-      // object (the sole '}' is the final char — byte-mode symbols are
-      // \uXXXX-escaped so none contains one), so EVERY cut point must
-      // fail loudly, whatever token it lands inside.
+      // object — the object-level '}' is the final char (a '}' can
+      // appear INSIDE a quoted GPT-2 spelling, but the scanner is in
+      // string context there), so EVERY cut point must fail loudly,
+      // whatever token it lands inside.
       for (k <- 0 until t.length)
         mustFail(t.substring(0, k), s"prefix of length $k")
       mustFail(t.replaceFirst(""":\s*\d+""", ": abc"), "non-numeric id")
