@@ -683,4 +683,33 @@ class SamplingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
+
+  test("segment ids at production windows (r16, VERDICT r15 #2): the " +
+      "linear window-prefix form is BIT-IDENTICAL to the slice-sum " +
+      "definition — prefix_sum(doc_start)[i] + 1 - doc_start[0] — at " +
+      "windows 64, 2048, and 8192, with zero padding intact") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    for (w <- Seq(64, 2048, 8192)) {
+      val rows = Sampling.packSequencesTensor(docs, window = w).collect()
+      assert(rows.nonEmpty)
+      var sawMultiDoc = false
+      rows.foreach { r =>
+        val n = r.getLong(r.fieldIndex("n_tokens")).toInt
+        val bnd = r.getSeq[Long](r.fieldIndex("doc_start")).take(n)
+        val seg = r.getSeq[Long](r.fieldIndex("segment_ids"))
+        val adj = 1L - bnd.head
+        var acc = 0L
+        val expect = bnd.map { b => acc += b; acc + adj }
+        assert(seg.take(n) == expect,
+          s"window $w seq ${r.getLong(0)}: linear form diverged " +
+            "from the slice-sum definition")
+        assert(seg.drop(n).forall(_ == 0L),
+          s"window $w: padding must stay zero")
+        if (expect.nonEmpty && expect.last > 1L) sawMultiDoc = true
+      }
+      assert(sawMultiDoc,
+        s"window $w: the corpus must pack multiple docs per sequence " +
+          "for the prefix to be exercised")
+    }
+  }
 }
