@@ -492,6 +492,21 @@ object Similarity {
     // (ADVICE r14 #2) — a reused artifact dir restarts at generation 0
     // from the first moment of the rewrite, so no crash point can
     // leave a pointer naming a swept generation.
+    // Creation STAMPS generation 0 explicitly (r16, closing ADVICE
+    // r15 #1 without breaking crash-heal): with the pointer present
+    // from birth, "no pointer" is never a healthy state for an
+    // engine-written index — a compaction that crashes before its
+    // FIRST swap (codes-v1 fully written, pointer untouched) still
+    // resolves via this stamp, while a permanently LOST pointer
+    // beside v-generation data is unambiguous corruption and
+    // [[currentGenName]] throws instead of guessing between gen 0's
+    // grace copy and the v-generation. Legacy dirs written before the
+    // stamp still take the no-pointer fallback when no v-generation
+    // holds data. Crash points here: before the stamp → the sweep
+    // already removed every pointer and v-gen, so the fallback
+    // resolves the fresh gen 0; after → the stamp names it.
+    writeGenPointer(new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), dir, "codes")
   }
 
   // ------------------------------------------------------------------
@@ -538,11 +553,14 @@ object Similarity {
     * is immediate. WITH v-dirs present the read retries with backoff
     * (25→200 ms, ~1.3 s total — the window is two metadata ops) and,
     * if the pointer never resolves, falls back to gen 0 only when the
-    * gen-0 dir holds data AND no codes-v* generation does (the
-    * crash-before-first-swap state, where the pointer was never
-    * written and `codes` is the sole data — a post-compaction gen-0
-    * grace copy with a lost pointer does NOT qualify, r16);
-    * otherwise it THROWS rather than silently resolving a stale or
+    * gen-0 dir holds data AND no codes-v* generation does (a LEGACY
+    * pre-stamp dir where the pointer was never written and `codes` is
+    * the sole data — since r16 [[writeIvfPqIndex]] stamps generation
+    * 0 at creation, so for engine-written indexes every healthy and
+    * every crash state resolves via a pointer file, and a lost
+    * pointer beside v-generation data — indistinguishable from the
+    * post-compaction grace state — does NOT qualify for the
+    * fallback); otherwise it THROWS rather than silently resolving a stale or
     * GC'd generation. A `codes_gen.old` park state left by a PRE-r14
     * mid-swap crash still self-heals by READING the parked file (never
     * renaming — a reader-side rename raced the writer's own, ADVICE
