@@ -485,22 +485,33 @@ object Relational {
           .otherwise(greatest(col("lsmx"), col("pmx"))), 6).as("max_1h"))
   }
 
-  /** Measured per-grid-row constant of the blocked form relative to
-    * one bucket×frame-bucket re-scan unit of the bucketed form
-    * (SCALE_r15_densewindow.json, 1M events / 1 day / 5 types:
-    * bucketed 46.8 s over 432k buckets × ~3,600-bucket frames ≈ 30 ns
-    * per re-scanned bucket; blocked 2.44 s over the same 432k dense
-    * grid rows ≈ 5.6 µs per row — six window columns, a grid join and
-    * a lag). The routing dial below compares the two modeled costs
-    * with this ratio. */
-  private[graft] val BlockedGridRowFactor = 190.0
+  /** Routing cost model, FIT to the measured curves rather than a
+    * single-point ratio (r16 crossover capture,
+    * SCALE_r16_densewindow_crossover.jsonl + SCALE_r16_densewindow
+    * .jsonl): the bucketed window's per-row cost is frame re-scan
+    * PLUS a large per-row constant (sort + window bookkeeping that
+    * dominates at sub-saturation density — a frame-only model
+    * under-prices sparse buckets and mispredicted the measured
+    * 100k-events/day point by 3×). Solving the three measured
+    * bucketed points (10k/100k/1M events per day over one day:
+    * 0.73 / 6.04 / 49.13 s) for t = J + nb·(frame + C)·u gives
+    * C ≈ 3,170 re-scan units per bucket row and u ≈ 17 ns, with the
+    * fitted J ≈ 0.28 s matching the observed job overhead; the
+    * blocked form's 2.64 s over the same 432k grid rows then prices
+    * at ≈ 327 units per dense-grid row. The dial compares
+    * nb·(frame + C) against 327·span; both measured crossover sides
+    * route correctly under it (10k/day → bucketed, 100k/day →
+    * blocked), and far from the crossover any sane constants agree. */
+  private[graft] val BucketedRowConstUnits = 3170.0
+  private[graft] val BlockedGridRowFactor = 327.0
 
   /** Per-type route for the trailing-hour window: `stats` rows are
     * (event_type, nBuckets, min_sec, max_sec). The bucketed form pays
-    * nBuckets × E[frame buckets] re-scan units (Spark re-evaluates a
-    * sliding frame's CONTENTS per row — the SCALE_r15 §3 finding),
-    * with E[frame] = min(3600 × density, nBuckets); the blocked form
-    * pays [[BlockedGridRowFactor]] units per dense-grid row over the
+    * nBuckets × (E[frame buckets] + [[BucketedRowConstUnits]]) units
+    * (Spark re-evaluates a sliding frame's CONTENTS per row — the
+    * SCALE_r15 §3 finding — plus the fitted per-row constant), with
+    * E[frame] = min(3600 × density, nBuckets); the blocked form pays
+    * [[BlockedGridRowFactor]] units per dense-grid row over the
     * type's own span. Routes to whichever is modeled cheaper; ties go
     * to bucketed (no grid to build). */
   private[graft] def trailingRoutePlan(
@@ -508,7 +519,8 @@ object Relational {
     stats.map { case (t, nb, lo, hi) =>
       val span = (hi - lo + 1).toDouble
       val frame = math.min(3600.0 * nb / span, nb.toDouble)
-      t -> (if (nb * frame > BlockedGridRowFactor * span) "blocked"
+      t -> (if (nb * (frame + BucketedRowConstUnits) >
+              BlockedGridRowFactor * span) "blocked"
             else "bucketed")
     }.toMap
 
