@@ -485,6 +485,100 @@ object Relational {
           .otherwise(greatest(col("lsmx"), col("pmx"))), 6).as("max_1h"))
   }
 
+  /** SPARSE two-block compose (r16 optimization round, guide §2.3/§2.4
+    * "shuffle fewer bytes / remove shuffles"): the same two-block
+    * decomposition as [[twoBlockCompose]], but over the BUCKET ROWS
+    * themselves instead of a dense per-second grid — the dense grid
+    * exists only so the suffix of the previous block can be found at a
+    * FIXED row offset (lag 3600); this form finds it with an explicit
+    * PROBE row pinned at sec − 3600 instead, so the grid-fill rows
+    * (span × types − buckets of them, ~99% of the grid on the sf0.1
+    * corpus) are never materialized, joined, or sorted.
+    *
+    * Construction: each bucket row explodes into itself plus one probe
+    * at psec = sec − 3600 (probes are aggregate-neutral: cnt0 = 0,
+    * mn/mx null). Blocks tile the epoch directly — blk = psec div
+    * [[TrailingBlockW]] — no grid bounds collect needed (the tiling
+    * base cancels out of every within-block aggregate). Cumulative
+    * prefix (asc) and suffix (desc) aggregates within (event_type,
+    * blk) give, at a real row, prefix = agg over [blockStart(sec),
+    * sec], and at a probe, suffix = agg over [sec − 3600,
+    * blockEnd(sec − 3600)] — the desc sort orders a probe AFTER the
+    * real row at the same second (probe flag ascending), so a bucket
+    * exactly at the window edge is included. Window width = block
+    * width ⇒ the window spans at most two adjacent blocks:
+    *   - sec − 3600 in the SAME block (only when sec is its block's
+    *     last second): prefix alone is the window;
+    *   - otherwise window = suffix(sec − 3600) ∪ prefix(sec), adjacent
+    *     and disjoint, and seconds with no bucket contribute nothing —
+    *     which is exactly why no dense fill is needed (an empty suffix
+    *     reads sum 0 / min-max null, and least/greatest skip nulls,
+    *     the same convention the dense compose relies on).
+    * One groupBy on (event_type, src_sec) reunites each real row with
+    * its probe — a single exchange; a self-join here would duplicate
+    * the whole upstream subtree (scan → agg → windows) since Catalyst
+    * does not share common subplans.
+    *
+    * Scale: window input is 2 × buckets ≤ 2 × span × types — bounded
+    * by BOTH the corpus and the span, strictly tighter than the dense
+    * grid's span × types at every density, and the 1-row bounds
+    * collect (a driver job) is gone. Measured on the sf0.1 bench key:
+    * 20.5 s → see OPTIMIZATION_r16.md; dense regime re-measured with
+    * DenseWindowBench (same file). Output is bit-identical to
+    * [[twoBlockCompose]] over the same buckets: ContractSpec pins
+    * blocked ≡ bucketed row-for-row, and the key shares the bucketed
+    * oracle verbatim. */
+  private[graft] def sparseTwoBlockCompose(b: DataFrame): DataFrame = {
+    val rows = b
+      .select(col("event_type"), col("sec"), col("cnt"), col("mn"),
+        col("mx"), explode(array(lit(0), lit(1))).as("probe"))
+      .select(col("event_type"), col("sec").as("src_sec"), col("probe"),
+        when(col("probe") === 1, col("sec") - 3600)
+          .otherwise(col("sec")).as("psec"),
+        when(col("probe") === 1, lit(0L))
+          .otherwise(col("cnt")).as("cnt0"),
+        when(col("probe") === 1, lit(null).cast("double"))
+          .otherwise(col("mn")).as("mn"),
+        when(col("probe") === 1, lit(null).cast("double"))
+          .otherwise(col("mx")).as("mx"))
+      .withColumn("blk", expr(s"psec div $TrailingBlockW"))
+    val wPre = Window.partitionBy(col("event_type"), col("blk"))
+      .orderBy(col("psec"), col("probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSuf = Window.partitionBy(col("event_type"), col("blk"))
+      .orderBy(col("psec").desc, col("probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one select for all six windowed columns → exactly two Window
+    // nodes (one per sort order); a withColumn chain interleaves
+    // re-sorts (the dense plan paid six Sorts for this reason)
+    val agg = rows.select(col("event_type"), col("src_sec"), col("probe"),
+      sum(col("cnt0")).over(wPre).as("pcnt"),
+      min(col("mn")).over(wPre).as("pmn"),
+      max(col("mx")).over(wPre).as("pmx"),
+      sum(col("cnt0")).over(wSuf).as("scnt"),
+      min(col("mn")).over(wSuf).as("smn"),
+      max(col("mx")).over(wSuf).as("smx"))
+    // each (type, src_sec) group holds exactly one real + one probe
+    // row, so these conditional aggregates are selections, not folds
+    val merged = agg.groupBy(col("event_type"), col("src_sec").as("sec"))
+      .agg(max(when(col("probe") === 0, col("pcnt"))).as("pcnt"),
+        min(when(col("probe") === 0, col("pmn"))).as("pmn"),
+        max(when(col("probe") === 0, col("pmx"))).as("pmx"),
+        max(when(col("probe") === 1, col("scnt"))).as("lscnt"),
+        min(when(col("probe") === 1, col("smn"))).as("lsmn"),
+        max(when(col("probe") === 1, col("smx"))).as("lsmx"))
+    val oneBlock =
+      expr(s"(sec - 3600) div $TrailingBlockW") ===
+        expr(s"sec div $TrailingBlockW")
+    merged.select(col("event_type"), col("sec"),
+      when(oneBlock, col("pcnt"))
+        .otherwise(col("lscnt") + col("pcnt")).as("n_1h"),
+      round(when(oneBlock, col("pmn"))
+        .otherwise(least(col("lsmn"), col("pmn"))), 6).as("min_1h"),
+      round(when(oneBlock, col("pmx"))
+        .otherwise(greatest(col("lsmx"), col("pmx"))), 6).as("max_1h"))
+  }
+
   /** Routing cost model, FIT to the measured curves rather than a
     * single-point ratio (r16 crossover capture,
     * SCALE_r16_densewindow_crossover.jsonl + SCALE_r16_densewindow
@@ -906,35 +1000,27 @@ object Relational {
     // bucketed key above pays O(buckets × frame) — measured 43.7 s at
     // 1M events/1 day, where the frame holds ~3,600 buckets. This
     // key uses the classic two-block sliding-window decomposition
-    // instead: densify to a per-second grid (bounded by span ×
-    // types — the quantity that does NOT grow at 100 TB), take
-    // CUMULATIVE (incremental) prefix and suffix aggregates within
-    // fixed 3,601-second blocks, and compose each trailing window
-    // from exactly one suffix (looked up by a fixed-offset lag —
-    // dense grid means row offset = second offset) and one prefix.
-    // Window width = block size, so every window spans at most two
-    // blocks; when it sits inside one block (offset 0, or clipped at
-    // the grid start) the prefix alone is the answer. count/min/max
-    // all compose; all three windows here are cumulative or
-    // fixed-offset lag — zero per-row frame re-scans. Output and
-    // oracle are the bucketed key's verbatim.
+    // instead: CUMULATIVE (incremental) prefix and suffix aggregates
+    // within fixed 3,601-second blocks compose each trailing window
+    // from exactly one suffix and one prefix — zero per-row frame
+    // re-scans. r16 optimization: the compose runs SPARSE, directly
+    // over the bucket rows plus one probe row per bucket at
+    // sec − 3600 ([[sparseTwoBlockCompose]]) — the r15 dense
+    // per-second grid existed only to make the previous block's
+    // suffix a fixed lag-3600 offset, and its fill rows (~99% of
+    // span × types on this corpus) paid three exchanges and six
+    // sorts for rows that contribute nothing. Window input is now
+    // 2 × buckets ≤ 2 × span × types: bounded by the corpus AND the
+    // span — still flat at any 100 TB density, without the sparse-
+    // regime grid tax. Output and oracle are the bucketed key's
+    // verbatim (ContractSpec pins blocked ≡ bucketed row-for-row).
     "win_range_trailing_blocked" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val b = Tables.events(s, d)
         .withColumn("sec", expr("unix_micros(ts) div 1000000"))
-      val b = ev.groupBy(col("event_type"), col("sec"))
+        .groupBy(col("event_type"), col("sec"))
         .agg(count(lit(1)).as("cnt"), min(col("value")).as("mn"),
           max(col("value")).as("mx"))
-      // global grid bounds: one 1-row collect (model-sized license)
-      val bounds = ev.agg(min(col("sec")).as("lo"),
-        max(col("sec")).as("hi")).collect()(0)
-      val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
-      val grid = s.range(lo0, hi0 + 1).toDF("sec")
-        .join(broadcast(ev.select(col("event_type")).distinct()))
-        .join(b, Seq("event_type", "sec"), "left")
-        .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
-        .withColumn("blk",
-          floor((col("sec") - lit(lo0)) / lit(TrailingBlockW)))
-      twoBlockCompose(grid).orderBy("event_type", "sec")
+      sparseTwoBlockCompose(b).orderBy("event_type", "sec")
     }),
     // density-ADAPTIVE trailing window (r16, VERDICT r15 #1): a real
     // pipeline doesn't know its density a priori — at sparse density
