@@ -216,9 +216,19 @@ object Sampling {
     * and [[curriculumRanked]] so the quartile arithmetic can never
     * drift between the windowed and two-level forms. */
   private def curriculumPhased(docs: DataFrame): DataFrame = {
+    // localCheckpoint at the multi-evaluation boundary (standing
+    // convention; r16 optimization round): difficulty is consumed by
+    // the quartile agg, the phase projection, and — through
+    // withGroupRank — the range-split approxQuantile, the offsets agg
+    // and the final rank, FIVE evaluations of the unigram-logprob
+    // subtree (scan → explode words → vocab join → agg) without a cut;
+    // the measured sf0.1 plan re-ran that subtree 5× (24 parquet scans
+    // / 70 exchanges in sample_curriculum_ranked's physical plan).
+    // The checkpointed frame is doc-count-sized (doc_id, difficulty).
     val diff = TermStats.unigramLogprob(docs)
       .select(col("doc_id"),
         round(-col("avg_logprob"), 6).as("difficulty"))
+      .localCheckpoint()
     val q = diff.agg(
       percentile(col("difficulty"), lit(0.25)).as("q1"),
       percentile(col("difficulty"), lit(0.5)).as("q2"),
