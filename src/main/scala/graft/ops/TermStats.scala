@@ -459,6 +459,15 @@ object TermStats {
       .agg(concat_ws(" ", transform(
         array_sort(collect_list(struct(col("pos"), col("word")))),
         x => x.getField("word"))).as("text"))
+      // localCheckpoint at the multi-evaluation boundary (r16
+      // optimization round): every byte-family consumer reads this
+      // frame at least twice (tokensPos feeds both the distinct-vocab
+      // encode and the position join-back), and without a cut each
+      // read re-runs the pre-token regex over the full corpus plus the
+      // remap join and this reassembly — the dominant subtree in the
+      // captured byte-key plans. The frame is corpus-sized but text-
+      // shaped (doc_id, text), the same scale as the input it remaps.
+      .localCheckpoint()
 
   /** TRUE iterative BPE training (VERDICT r8 "Next round" #1) — the
     * actual Sennrich et al. 2016 loop: after EVERY merge, pair counts
@@ -1313,8 +1322,13 @@ object TermStats {
       .select(col("doc_id"),
         posexplode(Text.words(col("text"))).as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
+    // the encoded distinct vocabulary feeds BOTH the symbol-vocab id
+    // assignment and the word-id join — checkpoint the vocab-sized
+    // frame so the merge-replace chain over distinct words runs once
+    // (r16 optimization round)
     val encv = toks.select(col("word")).distinct()
       .select(col("word"), bpeEncodePairsExpr(col("word"), merges).as("enc"))
+      .localCheckpoint()
     val wsyms = encv.select(col("word"),
       posexplode(split(col("enc"), " ")).as(Seq("spos", "sym")))
     val symVocab = Scale.assignIdsByRange(
@@ -1384,7 +1398,8 @@ object TermStats {
     * oracle replays). */
   def bpeIdsUnk(docs: DataFrame, merges: Seq[(String, String)],
       symVocab: DataFrame, suffix: String = unkSuffix): DataFrame = {
-    val heldToks = tokensPos(heldBatch(docs, suffix))
+    // two consumers — same cut as bpeDecode (r16 optimization round)
+    val heldToks = tokensPos(heldBatch(docs, suffix)).localCheckpoint()
     heldToks.join(unkWordArrays(heldToks, merges, symVocab), "word")
       .groupBy(col("doc_id"))
       .agg(sum(col("n_sym")).as("n_symbols"),
@@ -1451,7 +1466,9 @@ object TermStats {
     * token-stream join-backs. */
   def bpeDecode(docs: DataFrame, merges: Seq[(String, String)],
       symVocab: DataFrame, suffix: String = ""): DataFrame = {
-    val heldToks = tokensPos(heldBatch(docs, suffix))
+    // two consumers (unkWordArrays + the position join-back) — cut the
+    // held-split explode once (r16 optimization round)
+    val heldToks = tokensPos(heldBatch(docs, suffix)).localCheckpoint()
     val wordIds = unkWordArrays(heldToks, merges, symVocab)
     // decode side: ids -> symbols from the artifact table ONLY (the
     // original word string never flows into the reassembly)
@@ -1502,7 +1519,8 @@ object TermStats {
   private def inferencePerDocIds(docs: DataFrame,
       merges: Seq[(String, String)], symVocab: DataFrame,
       suffix: String, eow: Boolean = false): DataFrame = {
-    val heldToks = tokensPos(heldBatch(docs, suffix))
+    // two consumers — same cut as bpeDecode (r16 optimization round)
+    val heldToks = tokensPos(heldBatch(docs, suffix)).localCheckpoint()
     heldToks
       .join(unkWordArrays(heldToks, merges, symVocab, eow), "word")
       .groupBy(col("doc_id"))
@@ -1592,7 +1610,8 @@ object TermStats {
     * the documented degradation the guard above absorbs). */
   def bpeDecodeEow(docs: DataFrame, merges: Seq[(String, String)],
       symVocab: DataFrame, suffix: String = ""): DataFrame = {
-    val heldToks = tokensPos(heldBatch(docs, suffix))
+    // two consumers — same cut as bpeDecode (r16 optimization round)
+    val heldToks = tokensPos(heldBatch(docs, suffix)).localCheckpoint()
     val wordIds = unkWordArrays(heldToks, merges, symVocab, eow = true)
     val decv = wordIds
       .select(col("word"), posexplode(col("wids")).as(Seq("spos", "uid")))
@@ -1797,7 +1816,9 @@ object TermStats {
     * suffix included, with n_unk = 0 BY CONSTRUCTION. */
   def bpeDecodeByte(docs: DataFrame, merges: Seq[(String, String)],
       symVocab: DataFrame, suffix: String = byteSuffix): DataFrame = {
-    val heldToks = byteToks(heldBatch(docs, suffix))
+    // two consumers (unkWordArrays + the position join-back) — cut the
+    // pre-token regex + remap chain once (r16 optimization round)
+    val heldToks = byteToks(heldBatch(docs, suffix)).localCheckpoint()
     val wordIds = unkWordArrays(heldToks, merges, symVocab)
     val decv = wordIds
       .select(col("word"), posexplode(col("wids")).as(Seq("spos", "uid")))
@@ -1839,7 +1860,8 @@ object TermStats {
   def inferencePrepByte(docs: DataFrame, merges: Seq[(String, String)],
       symVocab: DataFrame, suffix: String = byteSuffix,
       window: Int = 64, buckets: Int = 8): DataFrame = {
-    val heldToks = byteToks(heldBatch(docs, suffix))
+    // two consumers — same cut as bpeDecodeByte (r16 optimization)
+    val heldToks = byteToks(heldBatch(docs, suffix)).localCheckpoint()
     val perDoc = heldToks
       .join(unkWordArrays(heldToks, merges, symVocab), "word")
       .groupBy(col("doc_id"))
