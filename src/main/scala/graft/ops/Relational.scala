@@ -441,59 +441,16 @@ object Relational {
     * trailing window spans at most two blocks. */
   private[graft] val TrailingBlockW = 3601L
 
-  /** The two-block sliding-window composition shared by
-    * win_range_trailing_blocked and the blocked route of
-    * [[trailingHourAuto]]. `grid` must be DENSE per event_type
-    * (one row per consecutive second) with columns (event_type, sec,
-    * cnt, mn, mx, cnt0, blk), where cnt/mn/mx are null on grid-fill
-    * rows, cnt0 = coalesce(cnt, 0) and blk numbers fixed
-    * [[TrailingBlockW]]-second blocks from the grid start. Cumulative
-    * prefix and suffix aggregates within each block plus one
-    * fixed-offset lag (dense grid ⇒ row offset = second offset)
-    * compose each trailing window from exactly one suffix and one
-    * prefix — zero per-row frame re-scans; when the window sits
-    * inside one block (lag null at the grid head, or same blk) the
-    * prefix alone is the answer. */
-  private def twoBlockCompose(grid: DataFrame): DataFrame = {
-    val wPre = Window.partitionBy(col("event_type"), col("blk"))
-      .orderBy(col("sec"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wSuf = Window.partitionBy(col("event_type"), col("blk"))
-      .orderBy(col("sec").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val g2 = grid
-      .withColumn("pcnt", sum(col("cnt0")).over(wPre))
-      .withColumn("pmn", min(col("mn")).over(wPre))
-      .withColumn("pmx", max(col("mx")).over(wPre))
-      .withColumn("scnt", sum(col("cnt0")).over(wSuf))
-      .withColumn("smn", min(col("mn")).over(wSuf))
-      .withColumn("smx", max(col("mx")).over(wSuf))
-    val wType = Window.partitionBy(col("event_type")).orderBy(col("sec"))
-    val g3 = g2
-      .withColumn("lblk", lag(col("blk"), 3600).over(wType))
-      .withColumn("lscnt", lag(col("scnt"), 3600).over(wType))
-      .withColumn("lsmn", lag(col("smn"), 3600).over(wType))
-      .withColumn("lsmx", lag(col("smx"), 3600).over(wType))
-    val oneBlock = col("lblk").isNull || col("lblk") === col("blk")
-    g3.filter(col("cnt").isNotNull)
-      .select(col("event_type"), col("sec"),
-        when(oneBlock, col("pcnt"))
-          .otherwise(col("lscnt") + col("pcnt")).as("n_1h"),
-        round(when(oneBlock, col("pmn"))
-          .otherwise(least(col("lsmn"), col("pmn"))), 6).as("min_1h"),
-        round(when(oneBlock, col("pmx"))
-          .otherwise(greatest(col("lsmx"), col("pmx"))), 6).as("max_1h"))
-  }
 
   /** SPARSE two-block compose (r16 optimization round, guide §2.3/§2.4
     * "shuffle fewer bytes / remove shuffles"): the same two-block
-    * decomposition as [[twoBlockCompose]], but over the BUCKET ROWS
-    * themselves instead of a dense per-second grid — the dense grid
-    * exists only so the suffix of the previous block can be found at a
-    * FIXED row offset (lag 3600); this form finds it with an explicit
-    * PROBE row pinned at sec − 3600 instead, so the grid-fill rows
-    * (span × types − buckets of them, ~99% of the grid on the sf0.1
-    * corpus) are never materialized, joined, or sorted.
+    * decomposition the r15 dense-grid form computed, but over the
+    * BUCKET ROWS themselves instead of a dense per-second grid — the
+    * dense grid existed only so the suffix of the previous block could
+    * be found at a FIXED row offset (lag 3600); this form finds it
+    * with an explicit PROBE row pinned at sec − 3600 instead, so the
+    * grid-fill rows (span × types − buckets of them, ~99% of the grid
+    * on the sf0.1 corpus) are never materialized, joined, or sorted.
     *
     * Construction: each bucket row explodes into itself plus one probe
     * at psec = sec − 3600 (probes are aggregate-neutral: cnt0 = 0,
@@ -525,7 +482,7 @@ object Relational {
     * collect (a driver job) is gone. Measured on the sf0.1 bench key:
     * 20.5 s → see OPTIMIZATION_r16.md; dense regime re-measured with
     * DenseWindowBench (same file). Output is bit-identical to
-    * [[twoBlockCompose]] over the same buckets: ContractSpec pins
+    * the r15 dense-grid compose over the same buckets: ContractSpec pins
     * blocked ≡ bucketed row-for-row, and the key shares the bucketed
     * oracle verbatim. */
   private[graft] def sparseTwoBlockCompose(b: DataFrame): DataFrame = {
@@ -597,24 +554,47 @@ object Relational {
     * route correctly under it (10k/day → bucketed, 100k/day →
     * blocked), and far from the crossover any sane constants agree. */
   private[graft] val BucketedRowConstUnits = 3170.0
-  private[graft] val BlockedGridRowFactor = 327.0
+
+  /** r16-optimization re-fit for the SPARSE blocked form
+    * (SCALE_r16_densewindow_sparse.jsonl + the 10k/100k re-capture):
+    * the sparse compose has NO span term — its cost is
+    * ≈ [[SparseBlockedRowUnits]] units per bucket (2 union rows × the
+    * measured ~18-unit slope from the 100k→1M delta: +0.17 s over
+    * +565k union rows at u ≈ 17 ns) plus a FIXED branch price
+    * [[BlockedBranchFixedUnits]] (~0.9 s of extra stages: the
+    * explode, two window sorts, the probe-rejoin groupBy — measured
+    * as the blocked key's floor at 10k events/day, 1.99 s vs the
+    * bucketed key's 1.34 s). Per-row the sparse compose beats even
+    * the bucketed window's CONSTANT (36 ≪ 3,170), so the dial is no
+    * longer a frame-size crossover: a type routes blocked as soon as
+    * its modeled bucketed-excess work pays its share of the branch's
+    * fixed price. */
+  private[graft] val SparseBlockedRowUnits = 36.0
+  private[graft] val BlockedBranchFixedUnits = 53e6
 
   /** Per-type route for the trailing-hour window: `stats` rows are
     * (event_type, nBuckets, min_sec, max_sec). The bucketed form pays
     * nBuckets × (E[frame buckets] + [[BucketedRowConstUnits]]) units
     * (Spark re-evaluates a sliding frame's CONTENTS per row — the
     * SCALE_r15 §3 finding — plus the fitted per-row constant), with
-    * E[frame] = min(3600 × density, nBuckets); the blocked form pays
-    * [[BlockedGridRowFactor]] units per dense-grid row over the
-    * type's own span. Routes to whichever is modeled cheaper; ties go
-    * to bucketed (no grid to build). */
+    * E[frame] = min(3600 × density, nBuckets); the sparse blocked
+    * form pays [[SparseBlockedRowUnits]] × nBuckets plus its share of
+    * the branch's fixed stage price (amortized uniformly over the
+    * stats' types — a greedy approximation: the branch is built once
+    * for ALL blocked types, so per-type amortization slightly
+    * over-prices it when few types route blocked; conservative toward
+    * bucketed, which has no fixed branch of its own beyond the plan
+    * both share). Reproduces every measured point: 10k/day →
+    * bucketed, 100k/day+ → blocked, sf0.01 → bucketed, sf0.1 →
+    * blocked; ties go to bucketed. */
   private[graft] def trailingRoutePlan(
       stats: Seq[(String, Long, Long, Long)]): Map[String, String] =
     stats.map { case (t, nb, lo, hi) =>
       val span = (hi - lo + 1).toDouble
       val frame = math.min(3600.0 * nb / span, nb.toDouble)
-      t -> (if (nb * (frame + BucketedRowConstUnits) >
-              BlockedGridRowFactor * span) "blocked"
+      val gain = nb * (frame + BucketedRowConstUnits -
+        SparseBlockedRowUnits)
+      t -> (if (gain > BlockedBranchFixedUnits / stats.size) "blocked"
             else "bucketed")
     }.toMap
 
@@ -623,10 +603,15 @@ object Relational {
     * density stats (one |types|-row collect — model-sized license),
     * routes each type via [[trailingRoutePlan]], and unions the two
     * branches: sparse types run the plain range window over their
-    * buckets, dense types run the two-block linear composition over a
-    * grid bounded to each type's own [min_sec, max_sec]. The bucket
-    * table feeds the stats agg and both branches — localCheckpoint at
-    * the triple-evaluation boundary (standing convention). */
+    * buckets, dense types run the two-block linear composition —
+    * since the r16 optimization round the SPARSE compose
+    * ([[sparseTwoBlockCompose]] over the type-filtered buckets), so
+    * the dense per-second grid, its per-type bounds machinery and the
+    * offset fan-out join are gone from this branch too (measured on
+    * DenseWindowBench: auto 3.65 → see OPTIMIZATION_r16.md). The
+    * bucket table feeds the stats agg and both branches —
+    * localCheckpoint at the triple-evaluation boundary (standing
+    * convention). */
   private[graft] def trailingHourAuto(s: SparkSession,
       events: DataFrame): DataFrame = {
     val ev = events
@@ -659,24 +644,9 @@ object Relational {
         round(max(col("mx")).over(w), 6).as("max_1h"))
     }
     if (blockedStats.nonEmpty) {
-      import s.implicits._
-      // per-type grid bounds: offsets 0..(hi−lo) joined under the
-      // broadcast bounds row, so each type's grid covers exactly its
-      // own span (never the global one) and blk numbers blocks from
-      // the type's own first second.
-      val boundsDf = broadcast(blockedStats
-        .map { case (t, _, lo, hi) => (t, lo, hi - lo) }
-        .toDF("event_type", "lo", "span_off"))
-      val maxOff = blockedStats
-        .map { case (_, _, lo, hi) => hi - lo }.max
-      val grid = s.range(0L, maxOff + 1).toDF("off")
-        .join(boundsDf, col("off") <= col("span_off"))
-        .withColumn("sec", col("lo") + col("off"))
-        .join(b, Seq("event_type", "sec"), "left")
-        .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
-        .withColumn("blk", floor(col("off") / lit(TrailingBlockW)))
-        .drop("off", "lo", "span_off")
-      parts += twoBlockCompose(grid)
+      val blockedTypes = blockedStats.map { case (t, _, _, _) => t }
+      parts += sparseTwoBlockCompose(
+        b.filter(col("event_type").isin(blockedTypes: _*)))
     }
     parts.result().reduce(_.unionByName(_))
       .orderBy("event_type", "sec")
@@ -1023,18 +993,18 @@ object Relational {
       sparseTwoBlockCompose(b).orderBy("event_type", "sec")
     }),
     // density-ADAPTIVE trailing window (r16, VERDICT r15 #1): a real
-    // pipeline doesn't know its density a priori — at sparse density
-    // the blocked form's dense grid is the expensive side (its span ×
-    // types grid is flat in the data, ~23 s at every SF on the test
-    // corpus, where the bucketed window costs 1.5 s), at production
-    // density the blocked form wins 16–44× (SCALE_r15_densewindow).
-    // This key measures each type's density from the bucket stats the
-    // plan needs anyway and routes PER TYPE between the two forms on
-    // the measured cost model (the bpeLearnAuto / dedup_embedding_
-    // ivf_auto dial precedent), bounding each blocked type's grid to
-    // its own [min_sec, max_sec] span so an idle type never pays the
-    // global span. Identical statistic at the identical grain — the
-    // oracle is the bucketed key's verbatim.
+    // pipeline doesn't know its density a priori. This key measures
+    // each type's density from the bucket stats the plan needs anyway
+    // and routes PER TYPE between the bucketed range window and the
+    // two-block compose on the measured cost model (the bpeLearnAuto /
+    // dedup_embedding_ivf_auto dial precedent). Since the r16
+    // optimization round the blocked branch is the SPARSE compose
+    // (probe rows, no dense grid), whose cost has no span term at all
+    // — the dial therefore routes on whether a type's modeled
+    // bucketed-excess work (nb × (frame + const)) pays the blocked
+    // branch's fixed stage price, reproducing every measured density
+    // point (see trailingRoutePlan). Identical statistic at the
+    // identical grain — the oracle is the bucketed key's verbatim.
     "win_range_trailing_auto" -> ((s, d) =>
       trailingHourAuto(s, Tables.events(s, d))),
     // first/last/nth-value per group over an EXPLICIT full frame —

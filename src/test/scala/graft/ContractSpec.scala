@@ -162,18 +162,19 @@ class ContractSpec extends AnyFunSuite {
     assert(got == expect,
       "auto must equal the bucketed statistic row-for-row")
     // 3) each type PHYSICALLY takes its route: the blocked branch is
-    // the only one that builds a dense grid (a Range node in the
-    // plan) — present for the hot-only input, absent for sparse-only
+    // the only one that explodes probe rows (a Generate node in the
+    // plan — r16: the sparse compose replaced the dense-grid Range) —
+    // present for the hot-only input, absent for sparse-only
     def planOf(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
     val hotOnly = events.filter(col("event_type") === "hot")
     val sparseOnly = events.filter(col("event_type") === "sparse")
     assert(planOf(graft.ops.Relational.trailingHourAuto(spark, hotOnly))
-        .contains("Range (0"),
-      "the hot type must execute the blocked branch (dense-grid Range)")
+        .contains("Generate explode"),
+      "the hot type must execute the blocked branch (probe-row Generate)")
     assert(!planOf(graft.ops.Relational
-        .trailingHourAuto(spark, sparseOnly)).contains("Range (0"),
-      "the sparse type must execute the bucketed branch (no grid)")
+        .trailingHourAuto(spark, sparseOnly)).contains("Generate explode"),
+      "the sparse type must execute the bucketed branch (no probe rows)")
   }
 
   test("agg_mode breaks count ties deterministically (lowest value wins) " +
