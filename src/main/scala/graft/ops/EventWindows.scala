@@ -596,11 +596,16 @@ object EventWindows {
     val us = unix_micros(col("ts"))
     val brk = when(lag(us, 1).over(w).isNull ||
       us - lag(us, 1).over(w) >= 1800L * 1000000L, 1).otherwise(0)
+    // four consumers (session count, per-type counts, both self-join
+    // sides) re-ran the lag + running-sum + distinct chain without a
+    // cut — checkpoint the session-type frame once (r16 optimization
+    // round; A/B-measured, see OPTIMIZATION_r16.md)
     val st = events
       .withColumn("brk", brk)
       .withColumn("sid", sum(col("brk")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select("user_id", "sid", "event_type").distinct()
+      .localCheckpoint()
     val nSessions = broadcast(st.select("user_id", "sid").distinct()
       .agg(count(lit(1)).as("n_total")))
     val perType = st.groupBy(col("event_type"))

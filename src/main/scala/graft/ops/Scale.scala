@@ -252,8 +252,12 @@ object Scale {
         .select(col("user_id"), col("t0"), col("t1"))
       val h0 = floor(unix_timestamp(col("t0")) / 3600).cast("long")
       val h1 = floor(unix_timestamp(col("t1")) / 3600).cast("long")
+      // both self-join sides read the binned sessions — checkpoint
+      // once so the session_window aggregation runs once, not twice
+      // (r16 optimization round; A/B-measured)
       val binned = se.select(col("user_id"), col("t0"), col("t1"),
         explode(sequence(h0, h1)).as("bin"))
+        .localCheckpoint()
       val a = binned.select(col("bin"), col("user_id").as("user_a"),
         col("t0").as("a0"), col("t1").as("a1"))
       val b = binned.select(col("bin"), col("user_id").as("user_b"),
