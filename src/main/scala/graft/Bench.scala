@@ -194,27 +194,70 @@ object Bench {
     }
     val noiseMax =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_NOISE_MAX", "3.0").toDouble
-    val probeStart = windowProbe()
-    val passA = timedPass()
-    val noiseA = spreadOf(passA)
-    val (passFinal, noise, noiseRetried) =
-      if (noiseA > noiseMax && runs > 1) {
-        System.err.println(f"[bench] NOISY WINDOW: median max/min spread " +
-          f"$noiseA%.2f > $noiseMax%.1f — retrying the timed pass once")
-        val passB = timedPass()
-        val noiseB = spreadOf(passB)
-        val merged = passA.zip(passB).map { case ((n, amn, _), (_, bmn, _)) =>
-          (n, if (amn < 0 || bmn < 0) -1.0 else math.min(amn, bmn))
+    // One complete timed phase: bracket probes + the timed pass with its
+    // spread-triggered retry. Returns (per-key mins, spread, spreadRetried,
+    // probeStart, probeEnd).
+    def timedPhase(): (Seq[(String, Double)], Double, Boolean, Double, Double) = {
+      val pStart = windowProbe()
+      val passA = timedPass()
+      val noiseA = spreadOf(passA)
+      val (passFinal, noise, noiseRetried) =
+        if (noiseA > noiseMax && runs > 1) {
+          System.err.println(f"[bench] NOISY WINDOW: median max/min spread " +
+            f"$noiseA%.2f > $noiseMax%.1f — retrying the timed pass once")
+          val passB = timedPass()
+          val noiseB = spreadOf(passB)
+          val merged = passA.zip(passB).map { case ((n, amn, _), (_, bmn, _)) =>
+            (n, if (amn < 0 || bmn < 0) -1.0 else math.min(amn, bmn))
+          }
+          (merged, math.min(noiseA, noiseB), true)
+        } else (passA.map(t => (t._1, t._2)), noiseA, false)
+      val pEnd = windowProbe()
+      (passFinal, noise, noiseRetried, pStart, pEnd)
+    }
+    // Window-factor-gated retry (VERDICT r16 "Next round" #3): the spread
+    // sentinel catches SPIKY windows (some runs slow), but a uniformly
+    // slow window — every run inflated by sustained background load, the
+    // r16 driver capture at wf 1.475 — keeps the spread quiet and used to
+    // sail straight into the artifact. The calibration probe already
+    // measures exactly that, so when the phase's own probes read above
+    // SPARK_GRAFT_BENCH_WF_MAX (default 1.3) × the quiet base, the whole
+    // phase reruns once and per-key mins merge element-wise (a contended
+    // first phase can only be improved on, never worsen the merge). The
+    // retry is recorded in BENCH_FULL.json (wf_retried + wf_first); the
+    // stdout line's fields stay verbatim. The quiet base used for the
+    // gate is resolved AFTER the phases (it needs the committed artifact)
+    // — the gate uses the conservative pin-vs-committed minimum available
+    // up front, recomputed exactly for the artifact below.
+    val wfMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WF_MAX", "1.3").toDouble
+    // the gate's base: the pin (this lineage's best probe) — on a
+    // different host the factor overestimates contention and the retry
+    // fires at worst once, costing one extra pass, never correctness.
+    val gateBase = ProbeQuietSec
+    val phase1 = timedPhase()
+    val wfFirst = r3(math.min(phase1._4, phase1._5) / gateBase)
+    val (passFinal, noise, noiseRetried, probeStart, probeEnd, wfRetried) =
+      if (wfFirst > wfMax && runs > 1) {
+        System.err.println(f"[bench] CONTENDED WINDOW: probe factor " +
+          f"$wfFirst%.3f > $wfMax%.2f — retrying the timed phase once")
+        val phase2 = timedPhase()
+        val merged = phase1._1.zip(phase2._1).map {
+          case ((n, a), (_, b)) =>
+            (n, if (a < 0 || b < 0) -1.0 else math.min(a, b))
         }
-        (merged, math.min(noiseA, noiseB), true)
-      } else (passA.map(t => (t._1, t._2)), noiseA, false)
-    val probeEnd = windowProbe()
+        (merged, math.min(phase1._2, phase2._2),
+          phase1._3 || phase2._3,
+          math.min(phase1._4, phase2._4),
+          math.min(phase1._5, phase2._5), true)
+      } else (phase1._1, phase1._2, phase1._3, phase1._4, phase1._5, false)
     val results = passFinal.map { case (name, t) =>
       System.err.println(f"[bench] min   $name%-28s ${t}%8.3f s")
       name -> t
     }
     System.err.println(f"[bench] window noise (median max/min spread): " +
-      f"$noise%.3f retried=$noiseRetried")
+      f"$noise%.3f retried=$noiseRetried wf_first=$wfFirst%.3f " +
+      f"wf_retried=$wfRetried")
 
     // Per-key trend guard (VERDICT r7 "Next round" #2): both the r6 and
     // r7 judges found individual-key regressions by hand-diffing the
@@ -341,7 +384,8 @@ object Bench {
       guardState, probeStart = probeStart, probeEnd = probeEnd,
       windowFactor = windowFactor, quietBase = quietBase,
       quietSrc = quietSrc, host = host,
-      floorSuppressed = floorSuppressed)
+      floorSuppressed = floorSuppressed,
+      wfRetried = wfRetried, wfFirst = wfFirst)
     // A narrowed (SPARK_GRAFT_BENCH_ONLY), reordered, or cold-start
     // diagnostic run must never clobber the committed full artifact
     // with a partial / non-comparable map.
@@ -557,7 +601,11 @@ object Bench {
       probeStart: Double = -1.0, probeEnd: Double = -1.0,
       windowFactor: Double = -1.0, quietBase: Double = ProbeQuietSec,
       quietSrc: String = "pin", host: String = "unknown",
-      floorSuppressed: Seq[(String, Double, Double)] = Nil): String = {
+      floorSuppressed: Seq[(String, Double, Double)] = Nil,
+      // window-factor-gated retry record (r17, additions-only): whether
+      // the whole timed phase reran because the bracket probes read
+      // contended, and the first phase's probe factor against the pin
+      wfRetried: Boolean = false, wfFirst: Double = -1.0): String = {
     val okResults = results.filter(_._2 >= 0)
     val okBuild = build.filter(_._2 >= 0)
     val total = r3(okResults.map(_._2).sum)
@@ -567,6 +615,7 @@ object Bench {
       s""""noise":${r3(noise)},"noise_retried":$noiseRetried,""" +
       s""""probe_start":${r3(probeStart)},"probe_end":${r3(probeEnd)},""" +
       s""""window_factor":${r3(windowFactor)},""" +
+      s""""wf_retried":$wfRetried,"wf_first":${r3(wfFirst)},""" +
       s""""probe_quiet_base":${r3(quietBase)},""" +
       s""""probe_quiet_src":"$quietSrc","host":"$host",""" +
       s""""errors":$errs,"trend_guard":"$trendGuard",""" +

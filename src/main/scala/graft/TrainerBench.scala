@@ -77,8 +77,11 @@ object TrainerBench {
       val draws = 300
       val nDocs = math.max(1L, nWords.toLong * 4 / draws)
       val docsB0 = SynthCorpus.wideVocabDocs(spark, nWords, nDocs, draws)
-      val docsB = (if (byteM) graft.ops.TermStats.byteDocs(docsB0)
-        else docsB0).localCheckpoint(true)
+      // byteDocs already ends in an eager localCheckpoint (r16); a second
+      // outer checkpoint would hold the corpus-sized frame in executor
+      // storage twice and pay a redundant job (ADVICE r16 #2)
+      val docsB = if (byteM) graft.ops.TermStats.byteDocs(docsB0)
+        else docsB0.localCheckpoint(true)
       val (rows, tCollect) = time {
         docsB.select(explode(split(col("text"), " ")).as("word"))
           .filter(length(col("word")) >= 2)
@@ -178,8 +181,10 @@ object TrainerBench {
         require(nVocab == vocab.size.toLong,
           "interchange vocab diverged at depth")
         val sfD = if (args.nonEmpty) args.head else "/root/testdata/sf0.1"
+        // byteDocs is already eagerly checkpointed internally (r16) —
+        // no second materialization (ADVICE r16 #2)
         val docsB = graft.ops.TermStats.byteDocs(
-          graft.model.Tables.documents(spark, sfD)).localCheckpoint()
+          graft.model.Tables.documents(spark, sfD))
         val tApply = (1 to 3).map(_ => time(
           graft.ops.TermStats.bpeApplyScaled(docsB, loaded)
             .queryExecution.toRdd.count())).map(_._2).min

@@ -486,6 +486,13 @@ object Relational {
     * blocked ≡ bucketed row-for-row, and the key shares the bucketed
     * oracle verbatim. */
   private[graft] def sparseTwoBlockCompose(b: DataFrame): DataFrame = {
+    // probe-row null literals take their types from the INPUT schema
+    // (ADVICE r16 #4): hard-coding DOUBLE silently coerced (or failed
+    // analysis for) any future caller whose value column is decimal/
+    // float; the events table's mn/mx are double today, so this is
+    // type-identical for every current caller.
+    val mnNull = lit(null).cast(b.schema("mn").dataType)
+    val mxNull = lit(null).cast(b.schema("mx").dataType)
     val rows = b
       .select(col("event_type"), col("sec"), col("cnt"), col("mn"),
         col("mx"), explode(array(lit(0), lit(1))).as("probe"))
@@ -494,9 +501,9 @@ object Relational {
           .otherwise(col("sec")).as("psec"),
         when(col("probe") === 1, lit(0L))
           .otherwise(col("cnt")).as("cnt0"),
-        when(col("probe") === 1, lit(null).cast("double"))
+        when(col("probe") === 1, mnNull)
           .otherwise(col("mn")).as("mn"),
-        when(col("probe") === 1, lit(null).cast("double"))
+        when(col("probe") === 1, mxNull)
           .otherwise(col("mx")).as("mx"))
       .withColumn("blk", expr(s"psec div $TrailingBlockW"))
     val wPre = Window.partitionBy(col("event_type"), col("blk"))
@@ -579,24 +586,40 @@ object Relational {
     * SCALE_r15 §3 finding — plus the fitted per-row constant), with
     * E[frame] = min(3600 × density, nBuckets); the sparse blocked
     * form pays [[SparseBlockedRowUnits]] × nBuckets plus its share of
-    * the branch's fixed stage price (amortized uniformly over the
-    * stats' types — a greedy approximation: the branch is built once
-    * for ALL blocked types, so per-type amortization slightly
-    * over-prices it when few types route blocked; conservative toward
-    * bucketed, which has no fixed branch of its own beyond the plan
-    * both share). Reproduces every measured point: 10k/day →
-    * bucketed, 100k/day+ → blocked, sf0.01 → bucketed, sf0.1 →
-    * blocked; ties go to bucketed. */
+    * the branch's fixed stage price, amortized over the types that
+    * actually ROUTE blocked (ADVICE r16 #1: amortizing over ALL types
+    * shrank the threshold to fixed/n while a lone borderline type
+    * still paid the full branch price — a misroute toward blocked
+    * when few types clear the dial). The winner set is found by
+    * iterating to a fixpoint from the conservative end: first route
+    * with the FULL fixed price (only types that pay for the branch
+    * alone), then re-amortize over the current winners and re-route —
+    * the set only grows, so the loop terminates, and an empty first
+    * round stays all-bucketed (conservative toward bucketed, which
+    * has no fixed branch of its own beyond the plan both share).
+    * Reproduces every measured point: 10k/day → bucketed, 100k/day+ →
+    * blocked, sf0.01 → bucketed, sf0.1 → blocked; ties go to
+    * bucketed. */
   private[graft] def trailingRoutePlan(
-      stats: Seq[(String, Long, Long, Long)]): Map[String, String] =
-    stats.map { case (t, nb, lo, hi) =>
+      stats: Seq[(String, Long, Long, Long)]): Map[String, String] = {
+    val gains = stats.map { case (t, nb, lo, hi) =>
       val span = (hi - lo + 1).toDouble
       val frame = math.min(3600.0 * nb / span, nb.toDouble)
-      val gain = nb * (frame + BucketedRowConstUnits -
-        SparseBlockedRowUnits)
-      t -> (if (gain > BlockedBranchFixedUnits / stats.size) "blocked"
-            else "bucketed")
+      t -> nb * (frame + BucketedRowConstUnits - SparseBlockedRowUnits)
+    }
+    var winners = gains.filter(_._2 > BlockedBranchFixedUnits)
+    var grown = true
+    while (grown && winners.nonEmpty && winners.size < gains.size) {
+      val next = gains.filter(
+        _._2 > BlockedBranchFixedUnits / winners.size)
+      grown = next.size > winners.size
+      winners = next
+    }
+    val blocked = winners.map(_._1).toSet
+    gains.map { case (t, _) =>
+      t -> (if (blocked(t)) "blocked" else "bucketed")
     }.toMap
+  }
 
   /** The auto-routed trailing-hour window (win_range_trailing_auto).
     * Buckets once (the input both forms share), computes per-type

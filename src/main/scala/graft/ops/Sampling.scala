@@ -376,7 +376,7 @@ object Sampling {
     * UNK target is still never supervised — the loss mask excludes
     * label = [[UnkId]] explicitly ([[assembleSequences]]' `unkId`
     * parameter) instead of relying on UNK collapsing to 0. */
-  private[ops] val UnkId = 3L
+  private[graft] val UnkId = 3L
   private[ops] val IdShiftUnk = 3L
 
   private[ops] def extendWithSpecialsUnk(perDoc: DataFrame): DataFrame =
@@ -396,7 +396,7 @@ object Sampling {
     * two-level prefix sum over the EXTENDED counts (n + 2 per doc —
     * never a global window); bnd marks the BOS position (= where the
     * document begins in the packed stream). */
-  private[ops] def wideFromPerDoc(perDoc: DataFrame, window: Int,
+  private[graft] def wideFromPerDoc(perDoc: DataFrame, window: Int,
       buckets: Int, unkFaithful: Boolean = false): DataFrame =
     // The ids ARRAY rides through the prefix-sum pass on its own row
     // (docOffsetsFromCounts preserves input columns), so each doc's
@@ -447,26 +447,142 @@ object Sampling {
     * pins the array forms (fixed length, mask algebra, special-token
     * placement, zip-to-string). */
   def packSequencesTensor(docs: DataFrame, window: Int = 64,
-      buckets: Int = 8): DataFrame = {
+      buckets: Int = 8): DataFrame =
+    assembleSequences(
+      wideFromPerDoc(wordPerDocIds(docs), window, buckets), window)
+
+  /** The word-level (doc_id, ids) arrays behind [[packSequencesTensor]]:
+    * alphabetic word ids in position order. Factored out (r17) so the
+    * assembly-equivalence pin can build the same wide frame. */
+  private[graft] def wordPerDocIds(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
         posexplode(Text.words(col("text"))).as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
     val vocab = Scale.assignIdsByRange(
       toks.select(col("word")).distinct(), "word")
-    val perDoc = toks.join(vocab, "word")
+    toks.join(vocab, "word")
       .groupBy(col("doc_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("id")))),
         x => x.getField("id")).as("ids"))
-    assembleSequences(wideFromPerDoc(perDoc, window, buckets), window)
   }
 
   /** The per-sequence tensor assembly shared by [[packSequencesTensor]]
     * and the BPE-symbol pipeline: one keyed collect of ≤ `window`
     * elements per sequence, 0-padded arrays + loss mask. Input needs
-    * (seq_id, spos, id, bnd, doc_id). */
-  private[ops] def assembleSequences(wide: DataFrame,
+    * (seq_id, spos, id, bnd, doc_id).
+    *
+    * r17 (optimization round 2, VERDICT r16 "Next round" #1): assembly
+    * is ONE mapPartitions pass over the (seq_id, spos)-sorted rows —
+    * each task walks its sorted run once, building every output array
+    * (ids/doc_start/labels/loss_mask AND the boundary prefix sum behind
+    * segment_ids) in O(window) per sequence. This replaces the
+    * r16-era declarative form: a Window (the segment prefix sum), an
+    * Expand + two-phase aggregate (countDistinct(doc_id) beside the
+    * collect_lists), three collect_list(struct)+array_sort passes, and
+    * the per-array transform/concat/pad expression forest — all of it
+    * non-codegen object work over the same single exchange this form
+    * pays (hash by seq_id; the sort the Window needed anyway). The
+    * arithmetic is the same exact integer arithmetic position-for-
+    * position (the r16 label/mask/segment rules inlined below, each
+    * annotated with the rule it reproduces), so output is
+    * bit-identical — re-gated against the DuckDB oracle for every pack
+    * key, and SamplingSpec's array pins are unchanged. At 100 TB the
+    * win is the same shape: per-token work drops from
+    * O(log w) comparator calls + object churn to a primitive array
+    * write, and three aggregate evaluations collapse into one pass. */
+  private[graft] def assembleSequences(wide: DataFrame,
+      window: Int, unkId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("seq_id", LongType, nullable = false),
+      StructField("n_docs", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("ids", ArrayType(LongType, containsNull = false)),
+      StructField("doc_start", ArrayType(LongType, containsNull = false)),
+      StructField("loss_mask", ArrayType(LongType, containsNull = false)),
+      StructField("segment_ids", ArrayType(LongType, containsNull = false)),
+      StructField("labels", ArrayType(LongType, containsNull = false))))
+    val w = window
+    val unkOpt = unkId
+    val sorted = wide
+      .select(col("seq_id").cast("long"), col("spos").cast("long"),
+        col("id").cast("long"), col("bnd").cast("long"),
+        col("doc_id").cast("long"))
+      // one exchange (hash by seq_id) + one sort — exactly what the
+      // old Window/groupBy pair shared; every sequence's rows are then
+      // a contiguous sorted run inside one task
+      .repartition(col("seq_id"))
+      .sortWithinPartitions("seq_id", "spos")
+    sorted.mapPartitions { it =>
+      new Iterator[Row] {
+        private var pending: Row = null
+        private def buildGroup(): Row = {
+          val first = if (pending != null) pending else it.next()
+          pending = null
+          val seqId = first.getLong(0)
+          val ids0 = new scala.collection.mutable.ArrayBuffer[Long](w)
+          val bnd0 = new scala.collection.mutable.ArrayBuffer[Long](w)
+          val docs = new java.util.HashSet[Long]()
+          var cur = first
+          var done = false
+          while (!done) {
+            ids0 += cur.getLong(2)
+            bnd0 += cur.getLong(3)
+            docs.add(cur.getLong(4))
+            if (it.hasNext) {
+              val nxt = it.next()
+              if (nxt.getLong(0) != seqId) { pending = nxt; done = true }
+              else cur = nxt
+            } else done = true
+          }
+          val n = ids0.length
+          val ids = new Array[Long](w)
+          val dst = new Array[Long](w)
+          val seg = new Array[Long](w)
+          val lab = new Array[Long](w)
+          val mask = new Array[Long](w)
+          // segment rule (r16): prefix sum of bnd, +1 when the sequence
+          // opens mid-document (adj = 1 − bnd0[0]); padding stays 0
+          val adj = 1L - bnd0(0)
+          var run = 0L
+          var k = 0
+          while (k < n) {
+            ids(k) = ids0(k)
+            dst(k) = bnd0(k)
+            run += bnd0(k)
+            seg(k) = run + adj
+            // label rule (r10/r11): labels[k] = ids[k+1] unless k+1
+            // starts a new document or k is the last real position
+            if (k + 1 < n && bnd0(k + 1) == 0L) lab(k) = ids0(k + 1)
+            k += 1
+          }
+          // loss-mask rule (r11/r12): 1 exactly where labels carries a
+          // real target — label 0 (ignore/pad) and, under the
+          // UNK-faithful contract, the reserved UNK id are unsupervised
+          k = 0
+          while (k < w) {
+            if (lab(k) != 0L && unkOpt.forall(lab(k) != _)) mask(k) = 1L
+            k += 1
+          }
+          Row(seqId, docs.size.toLong, n.toLong, ids.toSeq, dst.toSeq,
+            mask.toSeq, seg.toSeq, lab.toSeq)
+        }
+        override def hasNext: Boolean = pending != null || it.hasNext
+        override def next(): Row = buildGroup()
+      }
+    }(Encoders.row(outSchema))
+      .orderBy("seq_id")
+  }
+
+  /** The r16-era declarative assembly, kept (unregistered) as the
+    * executable spec the mapPartitions form above was proven against:
+    * SamplingSpec pins new ≡ old row-for-row on the gated window and
+    * on an 8-wide window where mid-sequence carries exercise every
+    * rule. */
+  private[graft] def assembleSequencesDeclarative(wide: DataFrame,
       window: Int, unkId: Option[Long] = None): DataFrame = {
     val pad = (n: Column) =>
       array_repeat(lit(0L), (lit(window) - n).cast("int"))

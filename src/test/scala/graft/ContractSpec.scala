@@ -373,6 +373,18 @@ class ContractSpec extends AnyFunSuite {
     assert(math.abs(node.get("build_total").asDouble() - 2.5 * keys.size) < 0.01)
     assert(math.abs(node.get("noise").asDouble() - 1.08) < 1e-9)
     assert(!node.get("noise_retried").asBoolean())
+    // window-factor-gated retry record (r17): the full artifact carries
+    // whether the timed phase reran for a uniformly-contended window
+    // (spread quiet, probes slow — the r16 driver capture at wf 1.475)
+    // and the first phase's probe factor, so a wf-retried capture is
+    // self-describing; defaults read as an un-retried pass.
+    assert(!node.get("wf_retried").asBoolean())
+    val wfArt = Bench.fullArtifact(results, build, 3,
+      "/root/testdata/sf0.1", "32", Seq.empty, noise = 1.0,
+      trendGuard = "armed", wfRetried = true, wfFirst = 1.62)
+    val wfNode = mapper.readTree(wfArt)
+    assert(wfNode.get("wf_retried").asBoolean())
+    assert(math.abs(wfNode.get("wf_first").asDouble() - 1.62) < 1e-9)
   }
 
   test("per-key bench trend guard flags >2.5x regressions against the " +

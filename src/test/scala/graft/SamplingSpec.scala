@@ -712,4 +712,28 @@ class SamplingSpec extends AnyFunSuite {
           "for the prefix to be exercised")
     }
   }
+
+  test("assembleSequences (mapPartitions, r17) is row-identical to the " +
+      "declarative r16 form — every column, both special-token " +
+      "contracts, at window 8 (mid-sequence carries on every rule) " +
+      "and the gated window 64") {
+    val perDoc = Sampling.wordPerDocIds(docs)
+    def render(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    for (w <- Seq(8, 64)) {
+      // base contract
+      val wideB = Sampling.wideFromPerDoc(perDoc, w, 8)
+      assert(render(Sampling.assembleSequences(wideB, w)) ==
+        render(Sampling.assembleSequencesDeclarative(wideB, w)),
+        s"window $w base contract diverged")
+      // UNK-faithful contract (reserved UNK id excluded from the mask)
+      val wideU = Sampling.wideFromPerDoc(perDoc, w, 8,
+        unkFaithful = true)
+      assert(render(Sampling.assembleSequences(wideU, w,
+          unkId = Some(Sampling.UnkId))) ==
+        render(Sampling.assembleSequencesDeclarative(wideU, w,
+          unkId = Some(Sampling.UnkId))),
+        s"window $w UNK-faithful contract diverged")
+    }
+  }
 }
