@@ -574,7 +574,16 @@ object Sampling {
         override def next(): Row = buildGroup()
       }
     }(Encoders.row(outSchema))
-      .orderBy("seq_id")
+    // NO trailing global orderBy (r17, VERDICT r16 "Next round" #6):
+    // every registered consumer re-establishes its own output order
+    // (the tensor keys' final .orderBy("seq_id"), unpack's
+    // .orderBy("doc_n"), profile_pack_efficiency's global agg), so the
+    // declarative form's orderBy here was dead weight. Under the
+    // tensor keys the optimizer already eliminated it (sort-under-
+    // sort), but the round-trip keys materialize the packed frame
+    // through unpackSequences' eager localCheckpoint — there the sort
+    // + range exchange executed for nothing. unpackSequences reads
+    // positions from (seq_id, spos) arithmetic, never from row order.
   }
 
   /** The r16-era declarative assembly, kept (unregistered) as the

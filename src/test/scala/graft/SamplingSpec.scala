@@ -718,8 +718,12 @@ class SamplingSpec extends AnyFunSuite {
       "contracts, at window 8 (mid-sequence carries on every rule) " +
       "and the gated window 64") {
     val perDoc = Sampling.wordPerDocIds(docs)
+    // the mapPartitions form no longer carries its own trailing orderBy
+    // (every registered consumer re-sorts), so the pin compares both
+    // forms under the same explicit seq_id order — seq_id is unique, so
+    // this is still a full row-for-row identity
     def render(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.collect().map(_.toString).toSeq
+      df.orderBy("seq_id").collect().map(_.toString).toSeq
     for (w <- Seq(8, 64)) {
       // base contract
       val wideB = Sampling.wideFromPerDoc(perDoc, w, 8)
